@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
+row count, schema (column names + dtypes), and order-insensitive values.
+
+Usage:  python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: repr(v))
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(
+                lambda v: "nan" if (v is None or (isinstance(v, float) and math.isnan(v)))
+                else f"{v:.10g}"
+            )
+        else:
+            df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark, con, sf_dir: str) -> list[str]:
+    from vector_io_spark.queries import ORACLE, QUERIES
+
+    problems: list[str] = []
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    duck_pd = con.sql(ORACLE[name]).df()
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        problems.append(
+            f"schema names: spark={sorted(spark_pd.columns)} duck={sorted(duck_pd.columns)}"
+        )
+        return problems
+    s_types = {c: str(spark_pd[c].dtype) for c in spark_pd.columns}
+    d_types = {c: str(duck_pd[c].dtype) for c in duck_pd.columns}
+    for c in s_types:
+        if s_types[c] != d_types[c]:
+            problems.append(f"dtype[{c}]: spark={s_types[c]} duck={d_types[c]}")
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"rowcount: spark={len(spark_pd)} duck={len(duck_pd)}")
+        return problems
+    a, b = _norm(spark_pd), _norm(duck_pd)
+    if not a.equals(b):
+        neq = (a != b).any(axis=1)
+        idx = list(a.index[neq])[:3]
+        for i in idx:
+            problems.append(f"row diff @{i}:\n  spark={a.loc[i].to_dict()}\n  duck ={b.loc[i].to_dict()}")
+        problems.append(f"value rows differing: {int(neq.sum())}/{len(a)}")
+    return problems
+
+
+def main() -> int:
+    from vector_io_spark.queries import ORACLE, QUERIES
+    from vector_io_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark(app_name="oracle_check", shuffle_partitions=16)
+    con = duck_con(sf_dir)
+    failures = 0
+    for name in names:
+        if name not in ORACLE:
+            print(f"SKIP  {name} (no oracle — rows-only)")
+            try:
+                n = QUERIES[name](spark, sf_dir).count()
+                print(f"      rows={n}")
+            except Exception as e:
+                failures += 1
+                print(f"FAIL  {name}: {e}")
+            continue
+        try:
+            problems = compare(name, spark, con, sf_dir)
+        except Exception as e:
+            failures += 1
+            print(f"ERROR {name}: {str(e)[:300]}")
+            continue
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}")
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Text-analysis column functions (training-data pipeline extensions).
+
+The reference only touches text as an embedding input (reembed.py); a
+100 TB training-data pipeline additionally needs language-ID, quality
+scoring, token counting and fingerprinting. All of these are pure Catalyst
+expressions (regexp + higher-order functions) — they run inside
+whole-stage codegen at scan speed with zero shuffles, which is exactly what
+you want when the input is 100 TB of raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z]+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs
+# (GPT-2-style pre-tokenization without the byte-level merges).
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+# Tiny per-language marker-word profiles for the n-gram/stopword heuristic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+LANG_ORDER = list(_LANG_MARKERS)
+
+
+def tokens(c: Column | str, pattern: str = WORD_RE) -> Column:
+    """Lower-cased word tokens as array<string> (regexp-extract-all)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def token_count(c: Column | str, pattern: str = "\\S+") -> Column:
+    """Whitespace token count; pass ``BPE_RE`` for the BPE-ish count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("bigint")
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles (array<string>), empty for short strings.
+
+    Built from ``sequence`` + ``transform`` + ``substring`` — codegen'd.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.transform(starts, lambda i: F.substring(c, i, n))
+
+
+def word_shingles(c: Column | str, k: int = 5, pattern: str = WORD_RE) -> Column:
+    """k-word shingles joined by a single space (array<string>)."""
+    toks = tokens(c, pattern)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def language_id(c: Column | str) -> Column:
+    """Marker-word language heuristic: score each language profile by
+    marker-token hits (normalized by token count), argmax with a stable
+    tie-break on profile order; no hits at all -> 'und' (undetermined).
+
+    Deterministic and shuffle-free; for real corpora swap the marker lists
+    for character-trigram profiles — same plan shape.
+    """
+    toks = tokens(c)
+    scores = [(_lang, _marker_hits(toks, m)) for _lang, m in _LANG_MARKERS.items()]
+    # argmax with first-wins tie-break, expressed as nested CASE WHEN
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(c: Column | str) -> Column:
+    """Document-quality heuristics as a struct column:
+
+    - n_chars, n_tokens, avg_token_len
+    - punct_ratio: punctuation chars / chars
+    - upper_ratio: uppercase chars / chars
+    - stopword_ratio: english-marker tokens / tokens
+    - score: composite in [0,1] (length-normalized, penalizing extreme
+      punctuation / uppercase / stopword-free text) — the usual C4/Gopher
+      style filters reduce to thresholds on these fields.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(c).cast("bigint")
+    toks = tokens(c)
+    n_tokens = F.size(toks).cast("bigint")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", ""))
+    n_upper = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    n_stop = _marker_hits(toks, _LANG_MARKERS["en"])
+    punct_ratio = n_punct / safe_chars
+    upper_ratio = n_upper / safe_chars
+    stop_ratio = n_stop / safe_tokens
+    avg_tok = n_chars / safe_tokens
+    length_term = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        length_term
+        * (F.lit(1.0) - F.least(punct_ratio * 2, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(upper_ratio * 2, F.lit(1.0)))
+    )
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """Canonical content fingerprint: lowercase, strip all non-alphanumerics,
+    md5. Whitespace/punctuation-insensitive exact-dup key — the first stage
+    of every dedup pipeline (cheap, shuffle-on-16-bytes instead of on the
+    full document).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+
+
+def rolling_fingerprints(c: Column | str, n: int = 8, keep_every: int = 4) -> Column:
+    """Winnowing-style fingerprint set: md5 of every character n-gram,
+    downsampled by hash suffix (keep hashes whose last hex nibble <
+    16/keep_every). Returns a sorted array<string> usable as a
+    containment-detection key set (explode + join on fingerprint to find
+    overlapping documents). ~1/keep_every of n-grams survive, so the
+    exploded size stays bounded at scale.
+    """
+    grams = char_ngrams(c, n)
+    hashes = F.transform(grams, F.md5)
+    thresh_digits = "0123456789abcdef"[: max(1, 16 // keep_every)]
+    kept = F.filter(
+        hashes, lambda h: F.substring(h, 32, 1).isin(list(thresh_digits))
+    )
+    return F.array_sort(F.array_distinct(kept))

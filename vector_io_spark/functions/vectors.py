@@ -1,0 +1,156 @@
+"""Vector-column expressions.
+
+Everything here is built-in-expression based (higher-order functions:
+``transform`` / ``zip_with`` / ``aggregate``) so Catalyst keeps it inside
+whole-stage codegen — no Python in the hot path. Semantics mirror the
+reference's tolerant row-at-a-time coercions (``extract_vector``,
+vdf_import_cls.py:189-212) re-expressed as vectorized column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def coerce_vector_column(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Tolerantly coerce a column to ``array<float>``.
+
+    Mirrors reference ``extract_vector`` (vdf_import_cls.py:189-212):
+    accepts array<numeric> (cast elements), a stringified python list
+    ("[0.1, 0.2]"), or utf-8 bytes of a stringified list. Unparseable
+    values become NULL (the reference flags them ``abnormal_vector_format``
+    and skips).
+
+    Scale note: pure Catalyst expressions — ``transform`` for the cast,
+    ``from_json`` for the string parse — so the coercion is codegen'd and
+    runs at scan speed; no shuffle, no Python.
+    """
+    out = out or col
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype.startswith("array"):
+        expr = F.transform(c, lambda x: x.cast("float"))
+    elif dtype == "binary":
+        expr = F.from_json(c.cast("string"), T.ArrayType(T.FloatType()))
+    elif dtype == "string":
+        expr = F.from_json(c, T.ArrayType(T.FloatType()))
+    else:
+        raise TypeError(f"cannot coerce column {col!r} of type {dtype} to vector")
+    return df.withColumn(out, expr)
+
+
+def vector_dim(df: DataFrame, col: str) -> int:
+    """Dimension inference = length of the first non-null vector
+    (reference ``resolve_dims``, vdf_import_cls.py:165-187).
+
+    Runs as ``LIMIT 1`` over a filtered scan — Catalyst stops at the first
+    matching row-group; O(1) regardless of table size.
+    """
+    row = (
+        df.select(F.size(F.col(col)).alias("d"))
+        .where(F.col(col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["d"]) if row else -1
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<float> columns as a codegen'd expression.
+
+    ``zip_with`` + ``aggregate`` keeps the whole computation JVM-side;
+    accumulation in double for stability.
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double")),
+            F.lit(0.0),
+            lambda acc, d: acc + d * d,
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either norm is 0 (matches DuckDB
+    list_cosine_similarity NaN-avoidance when rounded)."""
+    num = dot_product(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0.0, num / den)
+
+
+def normalize_vector(a: Column | str) -> Column:
+    """Unit-normalize an array<float> column (zero vectors pass through)."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    return F.when(n != 0.0, F.transform(a, lambda x: (x.cast("double") / n).cast("float"))).otherwise(a)
+
+
+def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int8") -> DataFrame:
+    """Embedding quantization float32 -> int8/uint8/binary (reference
+    reembed.py:455-470,500-512 via sentence_transformers.quantize_embeddings).
+
+    int8/uint8: per-dimension min/max calibration over the dataset (the
+    sentence-transformers calibration strategy), then affine quantization.
+    binary: sign bit per dimension packed into bytes.
+
+    Scale note: calibration is one distributive aggregation (per-dim min/max
+    via ``posexplode`` -> groupBy(pos), partial aggregation map-side); the
+    quantization itself is a codegen'd ``transform``. For 100 TB, calibrate
+    on a sample (``df.sample``) instead — ranges converge quickly.
+    """
+    if precision in ("int8", "uint8"):
+        dims = (
+            df.select(F.posexplode(F.col(col)).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .orderBy("pos")
+            .collect()
+        )
+        mins = F.array(*[F.lit(float(r["mn"])) for r in dims])
+        ranges = F.array(
+            *[F.lit(float(r["mx"] - r["mn"]) or 1.0) for r in dims]
+        )
+        lo, hi = (-128, 127) if precision == "int8" else (0, 255)
+        mcol, rcol = mins, ranges
+        q = F.zip_with(
+            F.col(col),
+            F.sequence(F.lit(0), F.size(F.col(col)) - 1),
+            lambda v, i: F.least(
+                F.greatest(
+                    F.round(
+                        (v.cast("double") - F.element_at(mcol, i + 1))
+                        / F.element_at(rcol, i + 1)
+                        * 255
+                        + F.lit(lo)
+                    ),
+                    F.lit(float(lo)),
+                ),
+                F.lit(float(hi)),
+            ).cast("int"),
+        )
+        return df.withColumn(out, q)
+    if precision in ("binary", "ubinary"):
+        bits = F.transform(F.col(col), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+        return df.withColumn(out, bits)
+    raise ValueError(f"unknown precision {precision!r}")

@@ -1,0 +1,33 @@
+"""Relational + vector operators over DataFrames."""
+
+from vector_io_spark.operators.filters import (  # noqa: F401
+    filter_id_in_list,
+    filter_id_range,
+    filter_nonnull_vector,
+    limit_rows,
+)
+from vector_io_spark.operators.joins import (  # noqa: F401
+    anti_join_missing_ids,
+    key_union_join,
+    semi_join_id_list,
+    vectors_metadata_outer_join,
+)
+from vector_io_spark.operators.dedup import (  # noqa: F401
+    dedup_by_id,
+    dedup_exact_content,
+    dedup_embedding_cosine,
+    minhash_signatures,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from vector_io_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from vector_io_spark.operators.aggregates import (  # noqa: F401
+    count_rows,
+    distinct_id_count,
+    vector_range_stats,
+)

@@ -1,0 +1,414 @@
+"""Deduplication operators.
+
+The reference's only dedup is id-level dict-overwrite (SURVEY.md §2.7);
+a 100 TB training-data pipeline needs content-level near-dup detection.
+Five families, all engine-portable (md5-based hashing so the DuckDB oracle
+reproduces results bit-for-bit):
+
+- exact:    id last-write-wins; content fingerprint (md5 of normalized text)
+- MinHash:  per-row signatures (shuffle-free) + LSH band-bucket join
+- SimHash:  per-row n-bit fingerprint + hamming-ball candidate join
+- n-gram Jaccard: inverted-index shingle join (exact similarity)
+- embedding cosine: threshold pairs, brute or LSH-bucketed
+
+Scale design notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_io_spark.functions.text import doc_fingerprint, tokens, word_shingles
+from vector_io_spark.functions.vectors import cosine_similarity
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_by_id(
+    df: DataFrame, id_col: str = "id", order_col: str | None = None
+) -> DataFrame:
+    """Dedup by id. With ``order_col``: last-write-wins in that order,
+    mirroring the reference's dict-overwrite across files (file order,
+    qdrant_export.py:181-191); without: arbitrary member per id
+    (``dropDuplicates`` — one shuffle, map-side partial dedup).
+    """
+    if order_col is None:
+        return df.dropDuplicates([id_col])
+    w = Window.partitionBy(id_col).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_content(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact content dedup: canonical fingerprint (md5 of lowercased
+    alphanumerics), keep the row with the smallest id per fingerprint.
+
+    Scale note: shuffles 16-byte hashes + ids, never the documents — the
+    survivor set is resolved first, then a semi-join (broadcast if small)
+    pulls surviving rows. Here both steps fuse into one window over the
+    fingerprint, which AQE handles fine at any scale because fingerprints
+    are uniformly distributed (no skew by construction).
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", doc_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``array<string>`` of length
+    ``num_hashes``: hash family i is ``md5(i || ':' || shingle)`` and the
+    signature element is the lexicographic MIN over the document's
+    k-word-shingle set.
+
+    Engine-portable (md5 is identical everywhere) and **shuffle-free**:
+    the whole signature is ``transform``/``array_min`` over the per-row
+    shingle array inside codegen. At 100 TB this is the scan stage itself.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, shingle_k))
+
+    def _hasher(i: int):
+        def h(s):
+            return F.md5(F.concat(F.lit(f"{i}:"), s))
+
+        return h
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding, verified with the
+    estimated Jaccard from full signatures.
+
+    Plan: signatures (shuffle-free) -> explode ``bands`` band-keys per row
+    -> self-join on (band_id, band_key) -> distinct candidate pairs ->
+    verify sig-overlap >= threshold. The only shuffles move (band_key, id)
+    pairs — tiny — and the band join only collides near-duplicates, so at
+    100 TB the join output is ~|duplicate pairs|, not |rows|².
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_arr = F.array(
+        *[
+            F.concat_ws("|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.minhash").alias("sig_a"),
+            F.col("r.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity via inverted index)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via an inverted-index join:
+    explode distinct shingles -> self-join on shingle -> count common ->
+    jaccard = |∩| / (|A| + |B| - |∩|).
+
+    Scale note: the join key is the shingle; frequency skew (stop-shingles
+    shared by millions of docs) is the classic blowup. Mitigation here:
+    drop shingles occurring in more than ``max_df`` documents (a
+    stop-shingle carries ~no similarity signal anyway) — standard
+    prefix-filtering practice. AQE skew-join splits whatever remains.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    max_df = 1000  # stop-shingle cutoff; tune per corpus
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    sh = sh.join(doc_freq.where(F.col("df_sh") <= max_df).select("shingle"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _hex_nibble(h: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit ``pos`` (1-based) of an md5 hex string —
+    portable to any engine via strpos('0123456789abcdef', digit) - 1."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+
+
+def simhash(c: Column | str, bits: int = 32) -> Column:
+    """SimHash fingerprint over word tokens as a BIGINT.
+
+    bit_j = sign of Σ_tokens (bit_j(md5(token)) * 2 - 1); bits come from
+    md5 hex nibbles so the computation is engine-portable. Shuffle-free:
+    ``bits`` aggregates over the per-row token array, all codegen'd.
+    """
+    toks = F.array_distinct(tokens(c))
+    hashes = F.transform(toks, F.md5)
+    def _bit_acc(nib_pos: int, shift: int):
+        def step(s, h):
+            return s + (F.floor(_hex_nibble(h, nib_pos) / (2**shift)) % 2) * 2 - 1
+
+        return step
+
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(
+            hashes, F.lit(0).cast("bigint"), _bit_acc(j // 4 + 1, j % 4)
+        )
+        acc = acc + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by the pigeonhole principle: split the fingerprint
+    into ``chunks`` bit-blocks; any pair within hamming ``chunks-1`` agrees
+    on >= 1 block, so an equi-join per block finds all candidates with one
+    shuffle on small integer keys. Verify with bit_count(a XOR b).
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
+    chunk_bits = bits // chunks
+    fp = df.select(F.col(id_col), simhash(text_col, bits).alias("fp"))
+    block_arr = F.array(
+        *[
+            F.floor(F.col("fp") / (2 ** (i * chunk_bits))).cast("bigint")
+            % (2**chunk_bits)
+            for i in range(chunks)
+        ]
+    )
+    blocked = fp.select(id_col, "fp", F.posexplode(block_arr).alias("blk_id", "blk"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    ham = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk_id") == F.col("r.blk_id"))
+            & (F.col("l.blk") == F.col("r.blk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    num_planes: int = 16,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold.
+
+    method='brute': full self cross-join — O(n²), the correctness oracle.
+    method='lsh' (default, the 100 TB path): random-hyperplane signature
+    (sign bits of dot(v, plane_i) using deterministic md5-derived planes),
+    band join on signature chunks, cosine verify. The cross product never
+    materializes; only hash-colliding (i.e. angularly close) pairs meet.
+
+    Returns (id_a, id_b, cos_sim), id_a < id_b.
+    """
+    l, r = df.alias("l"), df.alias("r")
+    if method == "brute":
+        pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    elif method == "lsh":
+        sig_df = _hyperplane_signature(df, id_col, vec_col, num_planes)
+        cand = _signature_band_pairs(sig_df, id_col, num_planes, bands=4)
+        pairs = (
+            cand.join(df.select(F.col(id_col).alias("id_a"), F.col(vec_col)), "id_a")
+            .withColumnRenamed(vec_col, "__va")
+            .join(df.select(F.col(id_col).alias("id_b"), F.col(vec_col)), "id_b")
+            .withColumnRenamed(vec_col, "__vb")
+        )
+        sim = F.round(cosine_similarity("__va", "__vb"), 6)
+        return (
+            pairs.withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    sim = F.round(cosine_similarity(f"l.{vec_col}", f"r.{vec_col}"), 6)
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane_signature(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int
+) -> DataFrame:
+    """Random-hyperplane sign bits with deterministic pseudo-random planes:
+    plane_i[d] = (nibble of md5('p{i}:{d}')) - 7.5, evaluated as a codegen'd
+    expression — no numpy, reproducible everywhere."""
+    dim_idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+
+    def _plane_term(i: int):
+        def term(v, d):
+            nib = (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"p{i}:"), d.cast("string"))), 1, 1
+                    ),
+                )
+                - 1
+            ).cast("double")
+            return v.cast("double") * (nib - 7.5)
+
+        return term
+
+    sig_bits = []
+    for i in range(num_planes):
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), dim_idx, _plane_term(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    return df.select(F.col(id_col), F.array(*sig_bits).alias("sig"))
+
+
+def _signature_band_pairs(
+    sig_df: DataFrame, id_col: str, num_planes: int, bands: int
+) -> DataFrame:
+    rows = num_planes // bands
+    band_arr = F.array(
+        *[
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band_id", "band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

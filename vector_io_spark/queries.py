@@ -1,0 +1,838 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+callable plus a DuckDB-equivalent oracle SQL string.
+
+This is the engine's correctness contract (SURVEY.md §2 inventory + the
+training-data-pipeline extensions). Column names are aliased identically on
+both sides; float results are rounded identically on both sides so the
+order-insensitive value-hash comparison is exact.
+
+Hash/dedup operators use md5-derived hashing specifically so that results
+are engine-portable (Spark and DuckDB produce identical md5 hex), making
+even MinHash/SimHash/LSH verifiable against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_io_spark.functions.names import (
+    compliant_name_astra,
+    compliant_name_pinecone,
+    deterministic_uuid_expr,
+)
+from vector_io_spark.functions.sanitize import clean_nan_inf, fill_nat_epoch
+from vector_io_spark.functions.text import (
+    BPE_RE,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from vector_io_spark.functions.vectors import cosine_similarity
+from vector_io_spark.operators.aggregates import vector_range_stats
+from vector_io_spark.operators.dedup import (
+    dedup_by_id,
+    dedup_exact_content,
+    dedup_embedding_cosine,
+    minhash_lsh_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from vector_io_spark.operators.filters import filter_id_range
+from vector_io_spark.operators.joins import (
+    anti_join_missing_ids,
+    semi_join_id_list,
+    vectors_metadata_outer_join,
+)
+from vector_io_spark.operators.similarity import brute_force_topk
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Queries must work on a driver-provided SparkSession, not only on our
+    session.get_spark() — set the runtime-settable confs we rely on:
+    UTC timestamps (oracle comparability) and nanos-as-long parquet reads
+    (events.ts is TIMESTAMP(NANOS), illegal in Spark 4 by default)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as long nanos (see
+    # session.py nanosAsLong); convert to proper timestamps (ns -> us).
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("bigint"))
+            )
+    return df
+
+
+def _dot_sql(x: str, y: str) -> str:
+    """DuckDB dot product that accumulates exactly like Spark's
+    ``aggregate(zip_with(...))`` — sequential left-to-right double sums —
+    so rounded scores match bit-for-bit (list_dot_product does NOT: it
+    accumulates in float32)."""
+    return (
+        f"list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> CAST({x}[i] AS DOUBLE) * {y}[i]))"
+    )
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"({_dot_sql(x, y)} / "
+        f"(sqrt({_dot_sql(x, x)}) * sqrt({_dot_sql(y, y)})))"
+    )
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Relational core (reference §2.3-§2.7 semantics on the TPC-H-ish tables)
+# ===========================================================================
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. All aggregates are
+    algebraic -> map-side partials; the shuffle carries ~|groups| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k via ranking window — partial top-k per partition before
+    the shuffle (Spark's WindowGroupLimit pushes rank<=3 down)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@_register(
+    "order_priority_by_region",
+    """
+    SELECT r_name, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderpriority
+    """,
+)
+def order_priority_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join: dims (customer/nation/region) broadcast, fact never
+    shuffles for the join — only the final small group-by aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "id_range_filter",
+    """
+    SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings WHERE vec_id BETWEEN 100 AND 299
+    """,
+)
+def id_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id BETWEEN subset (pinecone_import.py:197-213) — predicate reaches
+    the parquet scan (row-group min/max pruning at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return filter_id_range(emb, "vec_id", 100, 299).select(
+        "vec_id", "label", F.size("embedding").cast("bigint").alias("dim")
+    )
+
+
+@_register(
+    "semi_join_id_list",
+    """
+    SELECT l_orderkey, l_partkey, round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)
+    """,
+)
+def semi_join_id_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id ∈ list as LEFT SEMI with broadcast list side
+    (pinecone_import.py:189-196)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ids = _t(spark, sf_dir, "part").where(F.col("p_size") == 25).select("p_partkey")
+    return semi_join_id_list(li, ids, id_col="l_partkey").select(
+        "l_orderkey", "l_partkey", F.round("l_extendedprice", 2).alias("l_extendedprice")
+    )
+
+
+@_register(
+    "anti_join_missing_ids",
+    """
+    SELECT o_orderkey AS id FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def anti_join_missing_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id detection (get_id_list.py:40-46) as LEFT ANTI."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("id"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("id"))
+    return anti_join_missing_ids(o, li, "id")
+
+
+@_register(
+    "vectors_metadata_outer_join",
+    """
+    SELECT coalesce(e.vec_id, d.doc_id)     AS id,
+           e.label                           AS label,
+           d.lang                            AS lang,
+           d.n_chars                         AS n_chars,
+           e.embedding IS NOT NULL           AS has_vector
+    FROM embeddings e FULL OUTER JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+def vectors_metadata_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core export join: vectors ⟗ metadata on id
+    (save_vectors_to_parquet, vdb_export_cls.py:68-84)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
+    joined = vectors_metadata_outer_join(emb, docs, id_col="id")
+    return joined.select(
+        "id",
+        "label",
+        "lang",
+        "n_chars",
+        F.col("embedding").isNotNull().alias("has_vector"),
+    )
+
+
+@_register(
+    "dedup_by_id_last_wins",
+    """
+    SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY src DESC) AS rn
+        FROM (
+            SELECT vec_id, label, 1 AS src FROM embeddings
+            UNION ALL
+            SELECT vec_id, label + 1000 AS label, 2 AS src FROM embeddings
+        )
+    ) WHERE rn = 1
+    """,
+)
+def dedup_by_id_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins id dedup with a pinned ordering column, mirroring the
+    reference's dict-overwrite across file order (SURVEY.md §2.7)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    v1 = emb.withColumn("src", F.lit(1))
+    v2 = emb.withColumn("label", F.col("label") + 1000).withColumn("src", F.lit(2))
+    return dedup_by_id(v1.unionByName(v2), "vec_id", order_col="src").select(
+        "vec_id", "label"
+    )
+
+
+@_register(
+    "consolidate_union_by_name",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+               CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer
+    )
+    """,
+)
+def consolidate_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-set union with null padding — the consolidation operator
+    (consolidate_parquet.py:77-91; pa.unify_schemas vdb_export_cls.py:88-93)
+    = ``unionByName(allowMissingColumns=True)``."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    b = c.select("c_custkey", "c_mktsegment")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@_register(
+    "count_tables",
+    """
+    SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'distinct_users', count(DISTINCT user_id) FROM events
+    """,
+)
+def count_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count / distinct-count utilities (count_rows.py, get_id_list.py).
+    Unfiltered parquet counts answer from file footers — no data read."""
+    parts = []
+    for tbl in ["lineitem", "orders", "embeddings", "documents"]:
+        parts.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"), F.count("*").alias("n")
+            )
+        )
+    parts.append(
+        _t(spark, sf_dir, "events").agg(
+            F.lit("distinct_users").alias("tbl"),
+            F.countDistinct("user_id").alias("n"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ===========================================================================
+# Sanitization / scalar functions (reference §1.3, §2.8)
+# ===========================================================================
+
+@_register(
+    "sanitize_nan_inf",
+    """
+    SELECT event_id,
+           round(CASE WHEN isnan(v) OR v = 'Infinity'::DOUBLE OR v = '-Infinity'::DOUBLE
+                      THEN NULL ELSE v END, 4) AS v_clean,
+           round(CASE WHEN isnan(v) OR v = 'Infinity'::DOUBLE OR v = '-Infinity'::DOUBLE
+                      THEN 0.0 ELSE v END, 4) AS v_qdrant
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                    WHEN event_id % 89 = 0 THEN 'Infinity'::DOUBLE
+                    ELSE value END AS v
+        FROM events
+    )
+    """,
+)
+def sanitize_nan_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN/±Inf cleaning, both profiles: NULL default, 0.0 for the qdrant
+    target (util.py:373-375, clean_value util.py:480-490,
+    qdrant_import.py:409-414). NaN/Inf injected deterministically since the
+    test tables are clean."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        F.when(F.col("event_id") % 97 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 89 == 0, F.lit(float("inf")))
+        .otherwise(F.col("value"))
+    )
+    return ev.select(
+        "event_id",
+        F.round(clean_nan_inf(v), 4).alias("v_clean"),
+        F.round(clean_nan_inf(v, nan_to_zero=True), 4).alias("v_qdrant"),
+    )
+
+
+@_register(
+    "sanitize_nat_epoch",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(CASE WHEN event_id % 50 = 0
+                                 THEN '1970-01-01 00:00:00'::TIMESTAMP
+                                 ELSE ts END)) AS BIGINT) AS ts_epoch
+    FROM events
+    """,
+)
+def sanitize_nat_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaT/null timestamp -> epoch 0 (cleanup_df, util.py:369-371); nulls
+    injected, result returned as epoch seconds for engine-portable compare."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.when(F.col("event_id") % 50 == 0, F.lit(None)).otherwise(F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.unix_timestamp(fill_nat_epoch(ts)).alias("ts_epoch"),
+    )
+
+
+@_register(
+    "parse_json_metadata",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def parse_json_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string metadata parse (normalize_dict, qdrant_import.py:421-432)
+    via ``get_json_object`` — codegen'd, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@_register(
+    "compliant_names",
+    """
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '_', '-', 'g') AS pinecone_name,
+           regexp_replace(p_name, '[- ./]', '_', 'g')   AS astra_name
+    FROM part
+    """,
+)
+def compliant_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-DB name compliance rules as expressions (SURVEY.md §2.8)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        compliant_name_pinecone("p_name").alias("pinecone_name"),
+        compliant_name_astra("p_name").alias("astra_name"),
+    )
+
+
+@_register(
+    "deterministic_uuid",
+    """
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)  || '-' ||
+           substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)  || '-' ||
+           substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) AS qdrant_uuid
+    FROM documents
+    """,
+)
+def deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-id -> deterministic UUID (get_qdrant_id_from_id,
+    util.py:413-420)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", deterministic_uuid_expr(F.col("doc_id")).alias("qdrant_uuid")
+    )
+
+
+# ===========================================================================
+# Vector aggregates / similarity
+# ===========================================================================
+
+@_register(
+    "vector_range_stats",
+    """
+    SELECT dim, round(min(embedding[dim]), 6) AS dim_min,
+                round(max(embedding[dim]), 6) AS dim_max
+    FROM embeddings, generate_series(1, 64) t(dim)
+    GROUP BY dim
+    """,
+)
+def vector_range_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise min/max over all vectors (update_range,
+    pinecone_export.py:609-638)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector_range_stats(emb, "embedding")
+
+
+@_register(
+    "vector_dim_inference",
+    """
+    SELECT CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+           CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+           count(embedding) AS n_nonnull
+    FROM embeddings
+    """,
+)
+def vector_dim_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension inference (resolve_dims, vdf_import_cls.py:165-187) plus a
+    uniformity check (min==max)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.min(F.size("embedding")).cast("bigint").alias("dim_min"),
+        F.max(F.size("embedding")).cast("bigint").alias("dim_max"),
+        F.count("embedding").alias("n_nonnull"),
+    )
+
+
+@_register(
+    "ann_topk_bruteforce",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, codegen'd
+    dot products, per-query window top-k. The 100 TB-side (corpus) is
+    scanned once, never shuffled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+@_register(
+    "embedding_cosine_neardup",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.995
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.995) on a corpus with injected
+    exact duplicates. Brute method here = the correctness oracle; the
+    'lsh' method is the 100 TB path (see dedup.dedup_embedding_cosine)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    return dedup_embedding_cosine(
+        corpus, "vec_id", "embedding", threshold=0.995, method="brute"
+    )
+
+
+# ===========================================================================
+# Text analysis + content dedup (training-data pipeline extensions)
+# ===========================================================================
+
+_TOK = "regexp_extract_all(lower(text), '[a-z]+')"
+# DuckDB k-word shingles (k=3), mirroring functions.text.word_shingles
+_SHINGLES3 = (
+    "CASE WHEN len({tok}) >= 3 THEN "
+    "list_transform(range(1, len({tok}) - 1), i -> array_to_string({tok}[i:i+2], ' ')) "
+    "ELSE [] END"
+).format(tok=_TOK)
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id,
+        length(text) AS n_chars,
+        len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens,
+        round(length(text) / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 4) AS avg_token_len,
+        round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) / greatest(length(text), 1), 4) AS punct_ratio,
+        round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1), 4) AS upper_ratio,
+        round(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                              t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+              / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring heuristics (length / punctuation / stopword ratios) —
+    pure codegen'd expressions at scan speed."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].alias("avg_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["upper_ratio"].alias("upper_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+'))                          AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        token_count("text", BPE_RE).alias("n_bpe_tokens"),
+    )
+
+
+_LANG_SQL = """
+    SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+    FROM (
+        SELECT doc_id,
+            len(list_filter({tok}, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS s_en,
+            len(list_filter({tok}, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], t))) AS s_de,
+            len(list_filter({tok}, t -> list_contains(['el','la','de','que','y','en','un','es'], t))) AS s_es,
+            len(list_filter({tok}, t -> list_contains(['le','la','et','les','des','est','un','une'], t))) AS s_fr,
+            len(list_filter({tok}, t -> list_contains(['de','shi','le','zai','you','wo','ta','men'], t))) AS s_zh
+        FROM documents
+    )
+""".format(tok=_TOK)
+
+
+@_register("language_id", _LANG_SQL)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (md5 of normalized text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+@_register(
+    "dedup_exact_content",
+    """
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+            ORDER BY doc_id ASC) AS rn
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (fingerprint group, min-id survivor) on a corpus
+    with injected duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dedup_exact_content(d.unionByName(dup), "doc_id", "text").select("doc_id")
+
+
+def _minhash_sql(num_hashes: int = 16) -> str:
+    sig_elems = ", ".join(
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT doc_id, [{sig_elems}] AS sig
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, {num_hashes + 1}), j -> a.sig[j] = b.sig[j]))
+                 / {num_hashes}.0, 4) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, {num_hashes + 1}), j -> a.sig[j] = b.sig[j]))
+          / {num_hashes}.0 >= 0.99
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at threshold 0.99 on a corpus with
+    injected duplicates. At threshold ~1.0 every band must collide, so LSH
+    banding has exact recall and the brute-force SQL oracle is equivalent.
+    md5-derived hash family keeps signatures engine-portable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return minhash_lsh_dup_pairs(
+        d.unionByName(dup), "doc_id", "text",
+        num_hashes=16, shingle_k=3, bands=8, threshold=0.99,
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+    filtered AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM filtered a JOIN filtered b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= 0.8 via inverted-index join with
+    stop-shingle cutoff (df <= 1000) on a corpus with injected duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return ngram_jaccard_pairs(
+        d.unionByName(dup), "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+
+
+def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
+    bit_terms = []
+    for j in range(bits):
+        nib_pos = j // 4 + 1
+        shift = j % 4
+        bit = (
+            f"(CAST(floor((strpos('0123456789abcdef', substr(h, {nib_pos}, 1)) - 1) "
+            f"/ {2 ** shift}) AS BIGINT) % 2)"
+        )
+        bit_terms.append(
+            f"CASE WHEN sum({bit} * 2 - 1) > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    fp_expr = " + ".join(bit_terms)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM ({source})
+        )
+    ),
+    fps AS (SELECT doc_id, {fp_expr} AS fp FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
+    FROM (SELECT doc_id FROM ({source})) d LEFT JOIN fps f ON d.doc_id = f.doc_id
+    """
+
+
+@_register("simhash_fingerprint", _simhash_sql(16, "SELECT * FROM documents"))
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (md5-nibble bit extraction,
+    engine-portable; shuffle-free in Spark — the oracle needs a group-by
+    only because SQL lacks per-row array aggregation of this shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text", bits=16).alias("fp"))
+
+
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    doubled = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents"
+    )
+    base = _simhash_sql(bits, doubled)
+    # hamming distance via portable per-bit comparison (no xor/bit_count
+    # needed): count bits where the two fingerprints differ
+    ham = (
+        f"len(list_filter(range(0, {bits}), j -> "
+        f"CAST(floor(a.fp / power(2, j)) AS BIGINT) % 2 != "
+        f"CAST(floor(b.fp / power(2, j)) AS BIGINT) % 2))"
+    )
+    return f"""
+    WITH base AS ({base})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@_register("dedup_simhash", _simhash_pairs_sql(16, 1))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 1 over 16 bits) on a corpus with
+    injected duplicates. Candidates by pigeonhole block join (chunks=4 >
+    max_hamming), verified with bit_count(xor) — recall is exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return simhash_dup_pairs(
+        d.unionByName(dup), "doc_id", "text", bits=16, max_hamming=1, chunks=4
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every knob here is chosen to also be
+correct on a 1000-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE fixes it.
+- Arrow on — all pandas-UDF traffic is Arrow-batched.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (and are deployment-independent).
+- ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: at 100 TB
+  that yields ~800k input splits, the right granularity for 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "vector_io_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Parquet scans: enable nested-column vectorized read (vector cols
+        # are list<float>) and schema merging off by default (explicit
+        # union pass instead — see format/consolidate.py).
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ts[ns]) is illegal
+        # in Spark by default; read as long nanos and convert explicitly
+        # (see queries._t's events handling).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
