@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute through the noop sink (full plan runs, nothing collected,
+nothing pruned by a count-only optimization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, star join, window top-k, the dedup family at
+# scale settings (LSH paths, not brute force), similarity search, and the
+# text-analysis scan ops.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "order_priority_by_region",
+    "top_orders_per_customer",
+    "count_tables",
+    "vector_range_stats",
+    "ann_topk_bruteforce",
+    "dedup_exact_content",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_lsh",  # scale path (hyperplane LSH), not the brute oracle
+    "text_quality",
+    "token_counts",
+    "language_id",
+    "sanitize_nan_inf",
+    "parse_json_metadata",
+]
+
+
+def _extra_queries():
+    """Bench-only variants exercising the 100 TB code paths."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.dedup import dedup_embedding_cosine
+    from vector_io_spark.queries import _t
+
+    def embedding_cosine_lsh(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        return dedup_embedding_cosine(
+            emb.unionByName(dup), "vec_id", "embedding",
+            threshold=0.995, method="lsh",
+        )
+
+    return {"embedding_cosine_lsh": embedding_cosine_lsh}
+
+
+def main() -> None:
+    from vector_io_spark.queries import QUERIES
+    from vector_io_spark.session import get_spark
+
+    spark = get_spark(app_name="vector_io_spark_bench")
+    registry = dict(QUERIES)
+    registry.update(_extra_queries())
+
+    # warm the JVM + parquet footers with a trivial job
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,15 +64,19 @@ def _marker_hits(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(markers)))
 
 
-def language_id(c: Column | str) -> Column:
+def language_id(c: Column | str, pretokenized: bool = False) -> Column:
     """Marker-word language heuristic: score each language profile by
     marker-token hits (normalized by token count), argmax with a stable
     tie-break on profile order; no hits at all -> 'und' (undetermined).
 
     Deterministic and shuffle-free; for real corpora swap the marker lists
     for character-trigram profiles — same plan shape.
+
+    ``pretokenized=True`` treats ``c`` as an already-computed token array —
+    tokenize once in a prior projection when scoring many profiles (the
+    regexp is the expensive part and is otherwise re-evaluated per profile).
     """
-    toks = tokens(c)
+    toks = (F.col(c) if isinstance(c, str) else c) if pretokenized else tokens(c)
     scores = [(_lang, _marker_hits(toks, m)) for _lang, m in _LANG_MARKERS.items()]
     # argmax with first-wins tie-break, expressed as nested CASE WHEN
     best_lang = F.lit("und")

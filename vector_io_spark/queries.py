@@ -30,6 +30,7 @@ from vector_io_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
 )
 from vector_io_spark.functions.vectors import cosine_similarity
 from vector_io_spark.operators.aggregates import vector_range_stats
@@ -664,9 +665,12 @@ _LANG_SQL = """
 
 @_register("language_id", _LANG_SQL)
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic (deterministic argmax)."""
+    """Marker-word language-ID heuristic (deterministic argmax); tokenize
+    once, then score all profiles against the token array."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", language_id("text").alias("lang_pred"))
+    return d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", language_id("__toks", pretokenized=True).alias("lang_pred")
+    )
 
 
 @_register(
@@ -703,9 +707,12 @@ def dedup_exact_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 16) -> str:
+    # mirror operators.dedup.minhash_signatures: hash j = 8-hex-char slice
+    # j%4 of md5('{j//4}:' || shingle)
     sig_elems = ", ".join(
-        f"list_min(list_transform(list_distinct({_SHINGLES3}), s -> md5('{i}:' || s)))"
-        for i in range(num_hashes)
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), "
+        f"s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)))"
+        for j in range(num_hashes)
     )
     return f"""
     WITH sigs AS (
@@ -796,13 +803,13 @@ def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
     """
 
 
-@_register("simhash_fingerprint", _simhash_sql(16, "SELECT * FROM documents"))
+@_register("simhash_fingerprint", _simhash_sql(32, "SELECT * FROM documents"))
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (md5-nibble bit extraction,
+    """32-bit SimHash fingerprint per document (md5-nibble bit extraction,
     engine-portable; shuffle-free in Spark — the oracle needs a group-by
     only because SQL lacks per-row array aggregation of this shape)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text", bits=16).alias("fp"))
+    return d.select("doc_id", simhash("text", bits=32).alias("fp"))
 
 
 def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
@@ -826,13 +833,15 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
-@_register("dedup_simhash", _simhash_pairs_sql(16, 1))
+@_register("dedup_simhash", _simhash_pairs_sql(32, 1))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 1 over 16 bits) on a corpus with
+    """SimHash near-dup pairs (hamming <= 1 over 32 bits) on a corpus with
     injected duplicates. Candidates by pigeonhole block join (chunks=4 >
-    max_hamming), verified with bit_count(xor) — recall is exact."""
+    max_hamming; 8-bit blocks keep buckets small so the candidate join
+    stays ~|dup pairs| at scale), verified with bit_count(xor) — recall is
+    exact."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return simhash_dup_pairs(
-        d.unionByName(dup), "doc_id", "text", bits=16, max_hamming=1, chunks=4
+        d.unionByName(dup), "doc_id", "text", bits=32, max_hamming=1, chunks=4
     )
