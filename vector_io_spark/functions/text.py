@@ -44,20 +44,33 @@ def token_count(c: Column | str, pattern: str = "\\S+") -> Column:
 def char_ngrams(c: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles (array<string>), empty for short strings.
 
-    Built from ``sequence`` + ``transform`` + ``substring`` — codegen'd.
+    Built from ``sequence`` + ``transform`` + ``substring``. The short-input
+    guard matters: Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]), so
+    without the ``when`` a too-short string would yield bogus shingles.
     """
     c = F.col(c) if isinstance(c, str) else c
-    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.transform(starts, lambda i: F.substring(c, i, n))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: F.substring(c, i, n),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.length(c) >= n, grams).otherwise(empty)
+
+
+def word_shingles_from_tokens(toks: Column, k: int) -> Column:
+    """k-word shingles from a token-array column (space-joined); empty when
+    fewer than k tokens (guards Spark's descending ``sequence(1, 0)``)."""
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= k, sh).otherwise(empty)
 
 
 def word_shingles(c: Column | str, k: int = 5, pattern: str = WORD_RE) -> Column:
     """k-word shingles joined by a single space (array<string>)."""
-    toks = tokens(c, pattern)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, k), " ")
-    )
+    return word_shingles_from_tokens(tokens(c, pattern), k)
 
 
 def _marker_hits(toks: Column, markers: list[str]) -> Column:

@@ -845,3 +845,157 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(
         d.unionByName(dup), "doc_id", "text", bits=32, max_hamming=1, chunks=4
     )
+
+
+# ===========================================================================
+# Re-embed / quantization / fingerprints / sessions / multi-vector
+# ===========================================================================
+
+def _hash_embed_sql(dims: int) -> str:
+    """DuckDB replica of embed.hash_embed_batch: dim d of text t is
+    int(md5(t||'|'||d)[:8], 16) / 0xFFFFFFFF * 2 - 1, stored as float32."""
+    nib = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1) * power(16, {p})"
+    val = " + ".join(nib.format(k=k, p=8 - k) for k in range(1, 9))
+    return f"""
+    SELECT doc_id, CAST(d AS BIGINT) AS dim,
+           CAST(({val}) / 4294967295.0 * 2.0 - 1.0 AS REAL) AS val
+    FROM (
+        SELECT doc_id, d, md5(text || '|' || CAST(d - 1 AS VARCHAR)) AS h
+        FROM documents, generate_series(1, {dims}) t(d)
+    )
+    """
+
+
+@_register("reembed_hash_embedding", _hash_embed_sql(8))
+def reembed_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-embed pipeline (reembed.py §2.9) as mapInPandas with the
+    deterministic hash embedder — the full UDF path (Arrow batching,
+    per-worker embedder init) verified value-for-value against SQL."""
+    from vector_io_spark.embed import reembed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_df, col = reembed(docs, "text", model_name="hash-embedder", dims=8)
+    return out_df.select(
+        "doc_id", F.posexplode(F.col(col)).alias("pos", "val")
+    ).select("doc_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "val")
+
+
+@_register(
+    "quantize_embeddings_int8",
+    """
+    WITH stats AS (
+        SELECT d,
+               CAST(min(embedding[d]) AS DOUBLE) AS mn,
+               CASE WHEN CAST(max(embedding[d]) AS DOUBLE) - CAST(min(embedding[d]) AS DOUBLE) = 0
+                    THEN 1.0
+                    ELSE CAST(max(embedding[d]) AS DOUBLE) - CAST(min(embedding[d]) AS DOUBLE)
+               END AS rng
+        FROM embeddings, generate_series(1, 64) t(d) GROUP BY d
+    )
+    SELECT vec_id, CAST(d AS BIGINT) AS dim,
+           CAST(least(greatest(round((CAST(embedding[d] AS DOUBLE) - mn) / rng * 255 - 128),
+                               -128.0), 127.0) AS INT) AS qval
+    FROM embeddings, generate_series(1, 64) t(d) JOIN stats USING (d)
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quantization float32 -> int8 with per-dimension min/max
+    calibration (reembed.py:455-470 via sentence_transformers), as one
+    distributive aggregation + a codegen'd transform."""
+    from vector_io_spark.functions.vectors import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "q", "int8")
+    return q.select("vec_id", F.posexplode("q").alias("pos", "qval")).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "qval"
+    )
+
+
+@_register(
+    "rolling_fingerprints",
+    """
+    SELECT doc_id, unnest(fps) AS fp FROM (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   list_transform(
+                       CASE WHEN length(text) >= 8
+                            THEN range(1, length(text) - 6)
+                            ELSE [] END,
+                       i -> md5(substr(text, i, 8))),
+                   h -> strpos('0123', substr(h, 32, 1)) > 0))) AS fps
+        FROM documents
+    )
+    """,
+)
+def rolling_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprints: md5 per char 8-gram,
+    downsampled to ~1/4 by hash suffix — the containment-detection key set
+    (functions.text.rolling_fingerprints). Shuffle-free per row."""
+    from vector_io_spark.functions.text import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(rolling_fingerprints("text", n=8, keep_every=4)).alias("fp")
+    )
+
+
+@_register(
+    "sessionization",
+    """
+    SELECT user_id, CAST(count(*) FILTER (WHERE new_session = 1) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                         > 1800
+                         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    ) GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + conditional count — the
+    batch form of the streaming session-window operator. One shuffle on
+    user_id; the window sort is per-user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lag = F.lag("sec").over(w)
+    new_session = F.when(lag.isNull() | ((F.col("sec") - lag) > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "key_union_join",
+    """
+    SELECT coalesce(a.vec_id, b.vec_id) AS id, a.va AS va, b.vb AS vb
+    FROM      (SELECT vec_id, label AS va FROM embeddings WHERE vec_id % 2 = 0) a
+    FULL JOIN (SELECT vec_id, label + 10 AS vb FROM embeddings WHERE vec_id % 3 = 0) b
+      ON a.vec_id = b.vec_id
+    """,
+)
+def key_union_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector key-union join: the id universe is the union of
+    per-column key sets, missing values stay NULL (qdrant_import.py:286-299
+    builds the same universe with dict-key union)."""
+    from vector_io_spark.operators.joins import key_union_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", F.col("label").alias("v"))
+    b = emb.where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", (F.col("label") + 10).alias("v")
+    )
+    return key_union_join({"va": a, "vb": b}, id_col="vec_id").withColumnRenamed(
+        "vec_id", "id"
+    )
