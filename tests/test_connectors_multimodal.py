@@ -1,0 +1,200 @@
+"""Connector round-trip, resilience policies, multimodal plumbing,
+streaming incremental export."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import load
+from vector_io_spark.sources.connectors import (
+    BatchShrinkPolicy,
+    RateLimiter,
+    RetryPolicy,
+    paginated_read,
+    partitioned_upsert,
+)
+from vector_io_spark.sources.embedded import EmbeddedVectorDB
+from vector_io_spark.sources.parquet_util import (
+    count_rows_dataset,
+    get_id_list,
+    missing_ids,
+)
+
+
+def test_batch_shrink_policy():
+    calls = []
+
+    def flaky_send(batch):
+        calls.append(len(batch))
+        if len(batch) > 3:
+            raise RuntimeError("too big")
+
+    sent = BatchShrinkPolicy(initial=10).run(list(range(20)), flaky_send)
+    assert sent == 20
+    assert max(c for c in calls if c <= 3 or True) == 10  # first try at 10
+    # shrink path: 10 -> 6 -> 4 -> 2 (2/3 factor, int)
+    assert 2 in calls or 3 in calls
+
+    with pytest.raises(RuntimeError):
+        BatchShrinkPolicy(initial=10, min_fraction=0.5).run(
+            list(range(20)), lambda b: (_ for _ in ()).throw(RuntimeError("always"))
+        )
+
+
+def test_retry_policy():
+    attempts = []
+
+    def works_third_time():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert RetryPolicy(max_attempts=5, base_wait=0.01).run(works_third_time) == "ok"
+    assert len(attempts) == 3
+    with pytest.raises(ConnectionError):
+        RetryPolicy(max_attempts=2, base_wait=0.01).run(
+            lambda: (_ for _ in ()).throw(ConnectionError("always"))
+        )
+
+
+def test_rate_limiter_throttles():
+    import time
+
+    rl = RateLimiter(calls_per_minute=600)  # 10/sec
+    t0 = time.monotonic()
+    for _ in range(5):
+        rl.acquire()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.3  # ~0.1s per call after the first
+
+def test_connector_roundtrip(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "vdb")
+    db = EmbeddedVectorDB(root)
+    db.create_collection("emb", dimensions=64, metric="Cosine")
+    assert db.list_collections() == ["emb"]
+    assert db.collection_config("emb")["metric"] == "Cosine"
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), "embedding", "label"
+    )
+    n = partitioned_upsert(
+        emb,
+        lambda: EmbeddedVectorDB(root),
+        "emb",
+        batch_size=64,
+        num_partitions=4,
+    )
+    assert n == 500
+    assert db.count("emb") == 500
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = paginated_read(spark, lambda: EmbeddedVectorDB(root), "emb", schema)
+    assert df.count() == 500
+    back = {r["id"]: r["label"] for r in df.collect()}
+    orig = {r["id"]: r["label"] for r in emb.collect()}
+    assert back == orig
+
+
+def test_connector_upsert_missing_collection(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "vdb2")
+    EmbeddedVectorDB(root)  # no collection created
+    emb = load(spark, sf_dir, "embeddings").limit(10).select(
+        F.col("vec_id").cast("string").alias("id"), "label"
+    )
+    with pytest.raises(Exception):
+        partitioned_upsert(
+            emb, lambda: EmbeddedVectorDB(root), "nope", batch_size=8
+        )
+
+
+def test_multimodal_features(spark, sf_dir):
+    from vector_io_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_media_features,
+        sample_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(40).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    tagged = attach_media_meta(docs, "blob", media_type="image", fmt="raw")
+    assert "blob_meta" in tagged.columns
+    feat = extract_media_features(tagged, "blob", decoder="fake")
+    rows = feat.select("doc_id", "media_features").collect()
+    assert all(len(r["media_features"]) == 8 for r in rows)
+    # deterministic: feature[0] == byte length of utf-8 text
+    lens = {
+        r["doc_id"]: r["media_features"][0]
+        for r in rows
+    }
+    for r in docs.collect():
+        assert lens[r["doc_id"]] == float(len(bytes(r["blob"])))
+
+    frames = sample_frames(tagged, "blob", every_n_bytes=64, max_frames=3)
+    fr = frames.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in fr)
+
+    # stub decoder marks the real-codec plug point
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        extract_media_features(tagged, "blob", decoder="stub").collect()
+
+
+def test_parquet_utils(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ds")
+    emb.where(F.col("vec_id") % 7 != 0).write.parquet(p)
+    total = count_rows_dataset(spark, p)
+    assert total == emb.where(F.col("vec_id") % 7 != 0).count()
+    ids = get_id_list(spark, p, "vec_id")
+    assert ids.count() == total
+    gaps = missing_ids(spark, p, "vec_id")
+    # every dropped id inside the range is reported
+    expected_gaps = emb.where(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") > 0) & (F.col("vec_id") < 499)
+    ).count()
+    assert gaps.count() == expected_gaps
+
+
+def test_streaming_incremental_export(spark, sf_dir, tmp_path):
+    from vector_io_spark.format.reader import read_vdf
+    from vector_io_spark.streaming.incremental import incremental_vdf_export
+
+    landing = str(tmp_path / "landing")
+    dataset = str(tmp_path / "vdf_stream")
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    emb.where(F.col("id") < 100).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    q = incremental_vdf_export(
+        spark, landing, dataset, "emb", schema,
+        vector_columns=["embedding"], available_now=True,
+    )
+    q.awaitTermination(120)
+    ds = read_vdf(spark, dataset)
+    assert ds.df("emb").count() == 100
+    assert ds.meta.indexes["emb"][0].dimensions == 64
+
+    # second batch of files -> incremental append, counts refresh
+    emb.where((F.col("id") >= 100) & (F.col("id") < 150)).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = incremental_vdf_export(
+        spark, landing, dataset, "emb", schema,
+        vector_columns=["embedding"], available_now=True,
+    )
+    q2.awaitTermination(120)
+    ds2 = read_vdf(spark, dataset)
+    assert ds2.df("emb").count() == 150
+    assert ds2.meta.indexes["emb"][0].total_vector_count == 150

@@ -1,0 +1,101 @@
+"""Physical-plan quality gates: prove the plans would survive 100 TB.
+
+Correctness tests say the answer is right; these say the *plan* is right —
+filters reach the parquet scan, projections prune columns, small sides
+broadcast, no accidental cartesian products, shuffle counts stay minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.filters import filter_id_range
+from vector_io_spark.operators.joins import semi_join_id_list
+from vector_io_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    codegen_stage_count,
+    count_broadcast_joins,
+    count_shuffles,
+    formatted_plan,
+)
+
+
+def test_id_range_filter_pushdown(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    df = filter_id_range(emb, "vec_id", 100, 299).select("vec_id", "label")
+    # try_cast(long) on an int64 column folds away; the range must be
+    # pushed to the parquet scan for row-group pruning
+    assert_pushed_filters(df)
+    assert_read_schema_only(df, "vec_id", "label")
+
+
+def test_column_pruning_text_ops(spark, sf_dir):
+    from vector_io_spark.functions.text import doc_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    df = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+    # scan must read only doc_id + text, not lang/source/n_chars
+    assert_read_schema_only(df, "doc_id", "text")
+
+
+def test_semi_join_broadcasts_id_list(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    ids = load(spark, sf_dir, "part").where(F.col("p_size") == 25).select("p_partkey")
+    df = semi_join_id_list(li, ids, id_col="l_partkey")
+    assert_broadcast_join(df)
+    # the fact side never shuffles: zero non-broadcast exchanges
+    assert count_shuffles(df) == 0
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["order_priority_by_region"](spark, sf_dir)
+    assert count_broadcast_joins(df) == 3, formatted_plan(df)
+    # only the final group-by shuffles
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+
+
+def test_topk_has_no_cartesian_on_corpus(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["ann_topk_bruteforce"](spark, sf_dir)
+    # the query-set is broadcast: a BroadcastNestedLoopJoin is expected,
+    # but never a CartesianProduct (both-sides-shuffled)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q1_single_shuffle_and_codegen(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    # partial agg map-side, one exchange on the group keys
+    assert count_shuffles(df) == 1
+    from vector_io_spark.plans import simple_plan
+
+    assert "partial_sum" in simple_plan(df)  # map-side combine
+    # the timestamp filter is pushed to the scan
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    from vector_io_spark.operators.dedup import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    assert count_shuffles(sigs) == 0
+    assert_read_schema_only(sigs, "doc_id", "text")
+
+
+def test_dedup_exact_shuffles_once(spark, sf_dir):
+    from vector_io_spark.operators.dedup import dedup_exact_content
+
+    docs = load(spark, sf_dir, "documents")
+    df = dedup_exact_content(docs, "doc_id", "text")
+    assert count_shuffles(df) == 1  # one exchange on the fingerprint

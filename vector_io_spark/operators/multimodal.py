@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The reference DROPS image columns with a warning (cleanup_df,
+util.py:363-367) — the one place we deliberately do better: media travels
+as opaque ``binary`` columns with a typed metadata struct, and
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode kernel is pluggable: ``decoder='stub'`` raises a clearly-marked
+NotImplementedError at execution time, ``decoder='fake'`` produces
+deterministic features from the raw bytes (length, byte-histogram moments)
+so the Spark-side plumbing — schema, batch shape, partitioning — is real
+and tested end-to-end. Swapping in a real codec changes only the kernel
+function, not the plan.
+
+Scale notes: media bytes are the widest column by far — every operator
+here projects metadata/features WITHOUT carrying bytes through shuffles
+(features first, then join back by id if needed). Batch memory is bounded
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``; set it low (e.g. 64)
+for video-sized blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def attach_media_meta(
+    df: DataFrame, binary_col: str, media_type: str, fmt: str | None = None
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct (the schema
+    contract every downstream multimodal op relies on)."""
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def _fake_features(data: bytes | None) -> list[float] | None:
+    """Deterministic stand-in for a decoder+encoder: 8 features from raw
+    bytes (length, first/last bytes, simple byte-histogram moments)."""
+    if data is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    total = sum(data)
+    mean = total / n
+    var = sum((b - mean) ** 2 for b in data) / n
+    return [
+        float(n),
+        float(data[0]),
+        float(data[-1]),
+        float(total % 256),
+        round(mean, 4),
+        round(var, 4),
+        float(max(data)),
+        float(min(data)),
+    ]
+
+
+def extract_media_features(
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "media_features",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode + feature-extract as one ``mapInPandas`` stage.
+
+    decoder='fake'  -> deterministic byte-level features (testable now)
+    decoder='stub'  -> NotImplementedError placeholder for a real codec
+                       (PIL / torchaudio / ffmpeg), marking exactly where
+                       the real kernel plugs in
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg/torchaudio — "
+                    "not available in this environment; use decoder='fake'"
+                )
+            out = pdf.copy()
+            out[out_col] = [
+                _fake_features(bytes(b) if b is not None else None)
+                for b in pdf[binary_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    out_col: str = "frames",
+) -> DataFrame:
+    """Frame-sampling plumbing: emit up to ``max_frames`` byte-slices per
+    blob (with a real decoder these would be decoded video frames; the
+    slicing stands in for keyframe extraction). Output is one row per
+    frame — the explode happens AFTER the heavy bytes are reduced to
+    frame-sized slices, so the shuffle carries frames, not videos."""
+    frame_schema = T.StructType(
+        [
+            T.StructField("__row_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField(out_col, T.BinaryType(), True),
+        ]
+    )
+    src = df.withColumn("__row_id", F.monotonically_increasing_id())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["__row_id"], pdf[binary_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                for k in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    rows.append(
+                        (rid, k, b[k * every_n_bytes : (k + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["__row_id", "frame_idx", out_col]
+            )
+
+    frames = src.select("__row_id", binary_col).mapInPandas(run, schema=frame_schema)
+    return frames.join(src.drop(binary_col), "__row_id").drop("__row_id")
