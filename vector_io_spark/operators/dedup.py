@@ -84,43 +84,51 @@ def minhash_signatures(
     ``md5(g || ':' || shingle)`` — sliced into four 8-hex-char substrings
     (md5 bits are independent, so slices are valid independent hash
     functions). Signature element ``j = g*4 + r`` is the lexicographic MIN
-    of slice ``r`` of group ``g`` over the document's shingle set. This
-    computes num_hashes/4 md5s per shingle instead of num_hashes (4×
-    cheaper — md5 dominates the scan cost), stays engine-portable, and is
-    **shuffle-free**: the whole signature is codegen'd per row.
+    of slice ``r`` of group ``g`` over the document's shingle set.
+
+    Implementation: Arrow-batched pandas UDF (tokenize + hashlib.md5 in
+    the Python worker). The values are identical to the SQL/expression
+    formulation (same md5 hex), but wall-clock is ~5× better than
+    evaluating interpreted higher-order md5 chains JVM-side — Spark's HOF
+    lambdas are not codegen'd, so per-shingle hashing is cheaper in a
+    vectorized Python worker. Still **shuffle-free**: one projection.
     """
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
-    shingles = F.array_distinct(word_shingles(text_col, shingle_k))
+    import hashlib
+    import re
 
-    def _group_hash(g: int):
-        def h(s):
-            return F.md5(F.concat(F.lit(f"{g}:"), s))
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
 
-        return h
+    n_groups = num_hashes // 4
+    word_re = re.compile("[a-z]+")
+    k = shingle_k
 
-    # stage 1: one hashed-shingle array per group (md5 computed once per
-    # group because each __h{g} is a named column, not a repeated expr)
-    hashed = df.select(
-        F.col(id_col),
-        *[
-            F.transform(shingles, _group_hash(g)).alias(f"__h{g}")
-            for g in range(num_hashes // 4)
-        ],
-    )
+    def _sig_batch(texts):
+        out = []
+        for t in texts:
+            toks = word_re.findall(t.lower()) if isinstance(t, str) else []
+            shingles = (
+                {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                if len(toks) >= k
+                else set()
+            )
+            sig: list[str | None] = [None] * num_hashes
+            if shingles:
+                for g in range(n_groups):
+                    prefix = f"{g}:"
+                    hashes = [
+                        hashlib.md5((prefix + s).encode()).hexdigest()
+                        for s in shingles
+                    ]
+                    for r in range(4):
+                        sig[g * 4 + r] = min(h[8 * r : 8 * r + 8] for h in hashes)
+            out.append(sig)
+        return pd.Series(out)
 
-    def _slicer(offset: int):
-        def s(h):
-            return F.substring(h, offset, 8)
-
-        return s
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col(f"__h{j // 4}"), _slicer(1 + 8 * (j % 4))))
-            for j in range(num_hashes)
-        ]
-    )
-    return hashed.select(F.col(id_col), sig.alias("minhash"))
+    sig_udf = pandas_udf(_sig_batch, ArrayType(StringType()))
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("minhash"))
 
 
 def minhash_lsh_dup_pairs(
@@ -216,26 +224,33 @@ def ngram_jaccard_pairs(
     ).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
-    sh = sh.join(doc_freq.where(F.col("df_sh") <= max_df).select("shingle"), "shingle")
-    a, b = sh.alias("a"), sh.alias("b")
+    kept = sh.join(doc_freq.where(F.col("df_sh") <= max_df).select("shingle"), "shingle")
+    # carry set sizes into the join so the PPJoin-style length filter can
+    # prune pairs BEFORE the count shuffle: jaccard(A,B) >= t requires
+    # t*|A| <= |B| (and symmetrically) — result-preserving, kills most of
+    # the candidate blowup on skewed corpora
+    kept = kept.join(F.broadcast(sizes), id_col)
+    a, b = kept.alias("a"), kept.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        common.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -254,25 +269,45 @@ def _hex_nibble(h: Column, pos: int) -> Column:
 def simhash(c: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint over word tokens as a BIGINT.
 
-    bit_j = sign of Σ_tokens (bit_j(md5(token)) * 2 - 1); bits come from
-    md5 hex nibbles so the computation is engine-portable. Shuffle-free:
-    ``bits`` aggregates over the per-row token array, all codegen'd.
+    bit_j = sign of Σ_tokens (bit_j(md5(token)) * 2 - 1); bit_j of a hash
+    is bit (j%4) of hex nibble (j//4) — engine-portable (the DuckDB oracle
+    reproduces it from md5 hex).
+
+    Implementation: Arrow-batched pandas UDF (hashlib + integer bit ops) —
+    identical values to the expression formulation but without ``bits``
+    interpreted aggregate passes per row. Shuffle-free: one projection.
     """
-    toks = F.array_distinct(tokens(c))
-    hashes = F.transform(toks, F.md5)
-    def _bit_acc(nib_pos: int, shift: int):
-        def step(s, h):
-            return s + (F.floor(_hex_nibble(h, nib_pos) / (2**shift)) % 2) * 2 - 1
+    import hashlib
+    import re
 
-        return step
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
 
-    acc = F.lit(0).cast("bigint")
-    for j in range(bits):
-        bit_sum = F.aggregate(
-            hashes, F.lit(0).cast("bigint"), _bit_acc(j // 4 + 1, j % 4)
-        )
-        acc = acc + F.when(bit_sum > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
-    return acc
+    word_re = re.compile("[a-z]+")
+    n_nibbles = (bits + 3) // 4
+
+    def _fp_batch(texts):
+        out = []
+        for t in texts:
+            toks = set(word_re.findall(t.lower())) if isinstance(t, str) else set()
+            counts = [0] * bits
+            for tok in toks:
+                h = hashlib.md5(tok.encode()).hexdigest()
+                for p in range(n_nibbles):
+                    nib = int(h[p], 16)
+                    base = p * 4
+                    for s in range(min(4, bits - base)):
+                        counts[base + s] += 1 if (nib >> s) & 1 else -1
+            fp = 0
+            for j in range(bits):
+                if counts[j] > 0:
+                    fp |= 1 << j
+            out.append(fp)
+        return pd.Series(out)
+
+    fp_udf = pandas_udf(_fp_batch, LongType())
+    return fp_udf(F.col(c) if isinstance(c, str) else c)
 
 
 def simhash_dup_pairs(
@@ -352,6 +387,11 @@ def dedup_embedding_cosine(
     if method == "brute":
         pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     elif method == "lsh":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
         sig_df = _hyperplane_signature(df, id_col, vec_col, num_planes)
         cand = _signature_band_pairs(sig_df, id_col, num_planes, bands=bands)
         pairs = (
@@ -360,9 +400,21 @@ def dedup_embedding_cosine(
             .join(df.select(F.col(id_col).alias("id_b"), F.col(vec_col)), "id_b")
             .withColumnRenamed(vec_col, "__vb")
         )
-        sim = F.round(cosine_similarity("__va", "__vb"), 6)
+
+        def _cos_batch(va, vb):
+            A = np.vstack(va.to_numpy()).astype(np.float64)
+            B = np.vstack(vb.to_numpy()).astype(np.float64)
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(den != 0.0, num / den, np.nan)
+            return pd.Series(np.round(out, 6))
+
+        # candidate verification is the hot loop: numpy batch cosine
+        # (vectorized) instead of interpreted per-row HOF chains
+        cos_udf = pandas_udf(_cos_batch, DoubleType())
         return (
-            pairs.withColumn("cos_sim", sim)
+            pairs.withColumn("cos_sim", cos_udf(F.col("__va"), F.col("__vb")))
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim")
         )
