@@ -151,3 +151,61 @@ def standardize_metric_reverse(metric: str | None, db: str) -> str:
 
     warnings.warn(f"Cannot reverse metric {metric!r} for db {db!r}; defaulting to cosine")
     return table.get(METRIC_COSINE, "cosine")
+
+
+# --- catalog utilities ------------------------------------------------------
+
+def canonicalize(obj):
+    """Key-order-insensitive canonical form of a nested config
+    (sort_recursive / convert_to_consistent_value, util.py:24-73): dicts
+    sorted by key recursively, lists kept in order, scalars unchanged."""
+    if isinstance(obj, dict):
+        return {k: canonicalize(obj[k]) for k in sorted(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [canonicalize(x) for x in obj]
+    return obj
+
+
+def config_hash(obj, length: int = 5) -> str:
+    """md5 fingerprint of a canonicalized config, truncated to ``length``
+    hex chars — the dataset-dir hash suffix (util.py:66-80)."""
+    import hashlib
+    import json
+
+    blob = json.dumps(canonicalize(obj), sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()[:length]
+
+
+def dataset_dir_name(args: dict, now=None) -> str:
+    """vdf_<timestamp>_<hash> (vdb_export_cls.py:30-32)."""
+    from datetime import datetime, timezone
+
+    ts = (now or datetime.now(timezone.utc)).strftime("%Y%m%d_%H%M%S")
+    return f"vdf_{ts}_{config_hash(args)}"
+
+
+def check_version_compatibility(dataset_version: str | None, library_version: str) -> bool:
+    """Dataset-vs-library version check (vdf_import_cls.py:95-107): warn
+    when the dataset was written by a NEWER library (unknown features);
+    older or equal is fine. Returns True when compatible."""
+    import warnings
+
+    def parse(v: str) -> tuple[int, ...]:
+        parts = []
+        for p in str(v).split("."):
+            digits = "".join(ch for ch in p if ch.isdigit())
+            parts.append(int(digits) if digits else 0)
+        return tuple(parts)
+
+    if dataset_version is None:
+        return True
+    try:
+        newer = parse(dataset_version) > parse(library_version)
+    except Exception:
+        return True
+    if newer:
+        warnings.warn(
+            f"dataset written by newer library ({dataset_version} > "
+            f"{library_version}); some fields may be unsupported"
+        )
+    return not newer

@@ -999,3 +999,116 @@ def key_union_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_union_join({"va": a, "vb": b}, id_col="vec_id").withColumnRenamed(
         "vec_id", "id"
     )
+
+
+@_register(
+    "nonnull_vector_filter",
+    """
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim FROM (
+        SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN NULL ELSE embedding END AS embedding
+        FROM embeddings
+    ) WHERE embedding IS NOT NULL
+    """,
+)
+def nonnull_vector_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop rows with null vectors (chroma_import.py:165-172,
+    turbopuffer_import.py:111-118); nulls injected since the table is
+    clean."""
+    from vector_io_spark.operators.filters import filter_nonnull_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    return filter_nonnull_vector(emb, "embedding").select(
+        "vec_id", F.size("embedding").cast("bigint").alias("dim")
+    )
+
+
+def _hash_embed_composite_sql(dims: int) -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1) * power(16, {p})"
+    val = " + ".join(nib.format(k=k, p=8 - k) for k in range(1, 9))
+    return f"""
+    SELECT doc_id, CAST(d AS BIGINT) AS dim,
+           CAST(({val}) / 4294967295.0 * 2.0 - 1.0 AS REAL) AS val
+    FROM (
+        SELECT doc_id, d,
+               md5((lang || ' ' || text) || '|' || CAST(d - 1 AS VARCHAR)) AS h
+        FROM documents, generate_series(1, {dims}) t(d)
+    )
+    """
+
+
+@_register("reembed_composite_text", _hash_embed_composite_sql(4))
+def reembed_composite_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text column ("title|body" shape, reembed.py:211-216,
+    246-251): concat_ws + coalesce feeds the embed pipeline."""
+    from vector_io_spark.embed import reembed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.col("lang"), F.col("text")).alias("composite"),
+    )
+    out_df, col = reembed(docs, "composite", model_name="hash-embedder", dims=4)
+    return out_df.select(
+        "doc_id", F.posexplode(F.col(col)).alias("pos", "val")
+    ).select("doc_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "val")
+
+
+def _l2_sql(x: str, y: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> (CAST({x}[i] AS DOUBLE) - {y}[i]) * (CAST({x}[i] AS DOUBLE) - {y}[i]))))"
+    )
+
+
+@_register(
+    "ann_topk_euclid",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score ASC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_l2_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2-distance top-10 (distances rank ascending) — the Euclid
+    metric path of the similarity-search operator."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10, metric="euclid")
+
+
+@_register(
+    "events_rollup",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY ROLLUP(event_type)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grand total + per-type) — beyond the reference
+    (its only grouping is the directory hierarchy, SURVEY.md §2.5) but
+    table stakes for an analytics engine; partial-aggregated like any
+    group-by."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
