@@ -503,3 +503,79 @@ def _signature_band_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# survivor selection: connected components over dup pairs
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: returns
+    (id, component) where component = the smallest id reachable from id.
+    Combined with a keep-min policy this turns near-dup PAIRS into the
+    survivor/victim partition a dedup pipeline actually applies.
+
+    Algorithm: iterative min-label propagation (large-star/small-star
+    simplification): each round joins every node's current label with its
+    neighbors' labels and takes the min; converges in O(log n) rounds for
+    real dup graphs (components are tiny cliques/chains). Each round is
+    one shuffle on node id — at 100 TB the frame is |nodes in pairs|,
+    which is ~|duplicates|, far smaller than the corpus.
+
+    The loop checks convergence with a count of changed labels; breaking
+    early keeps rounds to the component diameter.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply near-dup pairs to a corpus: keep exactly one row (the min id)
+    per duplicate component plus every row not in any pair. The anti-join
+    removes victims; the corpus side is never shuffled beyond that."""
+    comps = connected_components(pairs)
+    victims = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")

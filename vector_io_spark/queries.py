@@ -1112,3 +1112,41 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_register(
+    "dedup_connected_components",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b FROM documents
+    ),
+    undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM undirected)
+    SELECT n.id, least(n.id, min(r.b)) AS component
+    FROM nodes n JOIN reach r ON r.a = n.id
+    GROUP BY n.id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a duplicate-pair graph (survivor
+    selection): chains doc -> doc+1M -> doc+2M collapse to component =
+    doc. Spark side: iterative min-label propagation (O(log n) rounds);
+    oracle: recursive-CTE transitive closure."""
+    from vector_io_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    p1 = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    p2 = d.select(
+        (F.col("doc_id") + 1000000).alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+    )
+    return connected_components(p1.unionByName(p2))
