@@ -198,3 +198,34 @@ def test_streaming_incremental_export(spark, sf_dir, tmp_path):
     ds2 = read_vdf(spark, dataset)
     assert ds2.df("emb").count() == 150
     assert ds2.meta.indexes["emb"][0].total_vector_count == 150
+
+
+def test_streaming_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
+    """Event-time windowed aggregation with watermark over a file stream,
+    cross-checked against the identical batch computation."""
+    from vector_io_spark.streaming.incremental import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    landing = str(tmp_path / "ev_landing")
+    ev.write.parquet(landing)
+    batch_result = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(spark.read.parquet(landing)).collect()
+    }
+    assert len(batch_result) > 0
+
+    stream = spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_result = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert stream_result == batch_result

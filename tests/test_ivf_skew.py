@@ -1,0 +1,75 @@
+"""IVF similarity search + skew utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.similarity import brute_force_topk, ivf_topk
+from vector_io_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, num_cells=8, nprobe=4)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    # self-match always lands in its own cell -> rank 1 with score 1
+    firsts = {r["query_id"]: r for r in approx_rows if r["rank"] == 1}
+    for qid, r in firsts.items():
+        assert r["vec_id"] == qid and abs(r["score"] - 1.0) < 1e-4
+    # recall over the exact top-5 should be substantial with nprobe=half
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"recall {recall}"
+    # scores of returned pairs are exact (match brute-force scores)
+    exact_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    salted = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        salt_buckets=8,
+    )
+    assert salted.count() == plain.count()
+    a = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    b = salted.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    assert a == b
+
+
+def test_two_phase_agg_matches_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("s"),
+            F.count("*").alias("n"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    two = {
+        r["l_returnflag"]: (round(r["s"], 4), r["n"], r["mx"])
+        for r in two_phase_agg(
+            li,
+            "l_returnflag",
+            {"s": "sum(l_quantity)", "n": "count(*)", "mx": "max(l_quantity)"},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert set(plain) == set(two)
+    for k in plain:
+        assert plain[k][1] == two[k][1] and plain[k][2] == two[k][2]
+        assert abs(plain[k][0] - two[k][0]) < 1e-6

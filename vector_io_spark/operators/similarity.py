@@ -127,3 +127,99 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", corpus_id, "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells partition the
+    corpus; each query probes only its ``nprobe`` nearest cells and scores
+    those candidates exactly.
+
+    Plan shape for 100 TB:
+    1. centroids: KMeans on a corpus sample — the model is tiny and lives
+       on the driver; training cost is bounded by ``sample_fraction``.
+    2. cell assignment: one shuffle-free projection over the corpus
+       (numpy matmul pandas UDF against the broadcast centroid matrix) —
+       at scale you'd persist this as a bucketed table and amortize it
+       across query batches.
+    3. probe: queries (small, broadcast) join the corpus on cell id —
+       an equi-join that touches ~nprobe/num_cells of the corpus instead
+       of all of it; exact cosine re-rank of the candidates.
+
+    Returns (query_id, corpus_id, score, rank); recall < 1 by design
+    (cell misses), scores exact.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    sample = corpus.select(corpus_vec)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = np.vstack([r[0] for r in sample.collect()]).astype(np.float64)
+    # k-means on the driver: centroids are num_cells × dim — tiny. (MLlib
+    # KMeans would shuffle the full corpus; for centroid-fitting a sample
+    # is standard IVF practice and numpy converges in milliseconds.)
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), size=min(num_cells, len(train)), replace=False)]
+    for _ in range(10):  # Lloyd iterations
+        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    cent = centroids  # closure-captured, broadcast with the UDF
+
+    def _cell_batch(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    cell_udf = pandas_udf(_cell_batch, IntegerType())
+    corpus_cells = corpus.withColumn("__cell", cell_udf(F.col(corpus_vec)))
+
+    # queries probe their nprobe nearest cells
+    def _probe_batch(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    from pyspark.sql.types import ArrayType
+
+    probe_udf = pandas_udf(_probe_batch, ArrayType(IntegerType()))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probe_udf(F.col(query_vec))).alias("__cell"),
+    )
+    scored = (
+        corpus_cells.join(broadcast(q), "__cell")
+        .select(
+            "query_id",
+            F.col(corpus_id),
+            F.round(cosine_similarity(F.col(corpus_vec), F.col("__qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )

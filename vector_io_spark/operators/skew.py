@@ -1,0 +1,65 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join handles most runtime skew; these explicit tools cover the
+cases it can't: aggregations over hot keys and joins where one key holds a
+double-digit percent of all rows (the classic power-law id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys in ``big``: the big side gets a
+    random salt 0..salt_buckets-1 appended to the key; the small side is
+    exploded ×salt_buckets so every salted key finds its match. One hot
+    key's rows now spread over ``salt_buckets`` reducers.
+
+    Cost model: small side grows ×salt_buckets (fine — it's small), the
+    big side's shuffle is unchanged in volume but uniform in distribution.
+    Use when one key exceeds ~1/parallelism of all rows; otherwise let
+    AQE's skew-join split do it for free.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregation: aggregate on (key, salt) first — spreading a
+    hot key over ``salt_buckets`` partial groups — then combine partials
+    per key. Only algebraic aggregates (sum/count/min/max) compose this
+    way; avg must be expressed as sum+count by the caller.
+
+    ``agg_exprs`` maps output column -> 'sum(col)' / 'count(*)' /
+    'min(col)' / 'max(col)'.
+    """
+    partial_exprs = []
+    final_exprs = []
+    for out, expr in agg_exprs.items():
+        fn = expr.split("(")[0].strip().lower()
+        partial_exprs.append(F.expr(expr).alias(f"__p_{out}"))
+        combine = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
+        final_exprs.append(F.expr(f"{combine}(__p_{out})").alias(out))
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)

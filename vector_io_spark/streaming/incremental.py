@@ -107,3 +107,41 @@ def _refresh_meta(
         id_column=id_column,
     )
     write_meta(dataset_dir, meta)
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermarking — the
+    canonical Structured Streaming aggregation (watermark bounds state:
+    windows older than max(event_time) - watermark are finalized and
+    evicted, so state size is O(active windows), not O(stream length)).
+
+    Works identically on a batch DataFrame (no watermark needed) — the
+    same code path serves backfill and live ingest.
+    """
+    from pyspark.sql import functions as F
+
+    out = stream_df
+    if dict(out.dtypes).get(ts_col) == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong conf)
+        out = out.withColumn(
+            ts_col, F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("bigint"))
+        )
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return (
+        out.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), key_col)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
