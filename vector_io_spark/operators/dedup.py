@@ -204,34 +204,80 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs >= threshold via an inverted-index join:
-    explode distinct shingles -> self-join on shingle -> count common ->
-    jaccard = |∩| / (|A| + |B| - |∩|).
+    """Exact shingle-Jaccard pairs >= threshold via a PPJoin-style
+    prefix-filtered set-similarity join.
 
-    Scale note: the join key is the shingle; frequency skew (stop-shingles
-    shared by millions of docs) is the classic blowup. Mitigation here:
-    drop shingles occurring in more than ``max_df`` documents (a
-    stop-shingle carries ~no similarity signal anyway) — standard
-    prefix-filtering practice. AQE skew-join splits whatever remains.
+    Correctness identity: jaccard(A,B) >= t implies
+    (a) |A∩B| >= t/(1+t)·(|A|+|B|)  — so A and B must share a shingle
+        among each one's "prefix": its (|X| - ⌈t·|X|⌉ + 1) globally
+        RAREST shingles (rarest-first ordering maximizes pruning);
+    (b) t·|A| <= |B| <= |A|/t       — the length filter.
+
+    Plan: (1) one tokenization pass -> per-doc distinct shingle array +
+    size (persisted); (2) global doc-frequency ranks shingles by rarity;
+    (3) candidate pairs = equi-join of PREFIX shingles only, with the
+    length filter in the join condition; (4) exact verify on candidates
+    via array_intersect of the full shingle arrays. The full inverted
+    index never self-joins — candidate volume is ~|near-dup pairs|, and
+    verification is O(|A|+|B|) per surviving pair. Result-identical to
+    the naive join (the oracle SQL keeps the naive formulation).
+
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    max_df = 1000  # stop-shingle cutoff; tune per corpus
-    # persist: the exploded shingle index feeds sizes, doc-freq, and both
-    # sides of the self-join (4 consumers of one tokenization pass)
-    sh = df.select(
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    word_re = re.compile("[a-z]+")
+    k = shingle_k
+
+    def _shingle_batch(texts):
+        # same values as functions.text.word_shingles + array_distinct
+        # (order differs; all consumers are set-semantics), at hashlib/
+        # regex speed instead of interpreted HOF chains
+        out = []
+        for t in texts:
+            toks = word_re.findall(t.lower()) if isinstance(t, str) else []
+            out.append(
+                list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+                if len(toks) >= k
+                else []
+            )
+        return pd.Series(out)
+
+    shingle_udf = pandas_udf(_shingle_batch, ArrayType(StringType()))
+    # hash shingles to int64 once: every downstream shuffle (doc-freq,
+    # prefix join, verification) moves 8-byte ints instead of ~20-char
+    # strings, and array_intersect compares longs (collision probability
+    # over 64 bits is ~1e-9 for this workload — immaterial)
+    shingle_arrays = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+        F.transform(shingle_udf(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+            "sh_arr"
+        ),
     ).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh = shingle_arrays.select(id_col, F.explode("sh_arr").alias("shingle"))
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
-    kept = sh.join(doc_freq.where(F.col("df_sh") <= max_df).select("shingle"), "shingle")
-    # carry set sizes into the join so the PPJoin-style length filter can
-    # prune pairs BEFORE the count shuffle: jaccard(A,B) >= t requires
-    # t*|A| <= |B| (and symmetrically) — result-preserving, kills most of
-    # the candidate blowup on skewed corpora
-    kept = kept.join(F.broadcast(sizes), id_col)
-    a, b = kept.alias("a"), kept.alias("b")
-    common = (
+    # rarity rank per document: order each doc's shingles by (global df,
+    # shingle) and keep the first (|X| - ceil(t*|X|) + 1) as the prefix
+    ranked = sh.join(doc_freq, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
+    prefix_len = (
+        F.size(F.col("sh_arr")) - F.ceil(F.size(F.col("sh_arr")) * threshold) + 1
+    )
+    sizes = shingle_arrays.select(
+        F.col(id_col), F.size("sh_arr").alias("n_sh"), prefix_len.alias("p_len")
+    )
+    prefixes = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(sizes), id_col)
+        .where(F.col("__rk") <= F.col("p_len"))
+        .select(id_col, "shingle", "n_sh")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -239,21 +285,33 @@ def ngram_jaccard_pairs(
             & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.withColumn("jaccard", F.round(jac, 4))
+    arr_a = shingle_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("__sa")
+    )
+    arr_b = shingle_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("sh_arr").alias("__sb")
+    )
+    verified = (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("__sa") + F.size("__sb") - F.col("n_common")),
+                4,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 # --------------------------------------------------------------------------
