@@ -229,3 +229,20 @@ def test_streaming_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert stream_result == batch_result
+
+
+def test_csv_id_list_semi_join(spark, sf_dir, tmp_path):
+    """CSV id-list source (header-less single column, get_id_list.py:37
+    format) feeding the semi-join subset filter (pinecone_import.py:189-196)."""
+    from vector_io_spark.operators.joins import semi_join_id_list
+
+    emb = load(spark, sf_dir, "embeddings")
+    wanted = emb.where(F.col("vec_id") % 9 == 0).select("vec_id")
+    csv_path = str(tmp_path / "ids.csv")
+    wanted.coalesce(1).write.csv(csv_path)
+    ids = spark.read.csv(csv_path).select(
+        F.col("_c0").cast("long").alias("vec_id")
+    )
+    sub = semi_join_id_list(emb, ids, id_col="vec_id")
+    assert sub.count() == wanted.count()
+    assert sub.where(F.col("vec_id") % 9 != 0).count() == 0

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): round-trip fidelity and coercion
+rules hold for arbitrary inputs, not just the fixture tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from vector_io_spark.format.consolidate import consolidate
+from vector_io_spark.functions.vectors import coerce_vector_column
+from vector_io_spark.meta import canonicalize, config_hash
+
+_settings = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, width=32, min_value=-1e6, max_value=1e6
+)
+
+
+@_settings
+@given(
+    vecs=st.lists(
+        st.one_of(st.none(), st.lists(finite_floats, min_size=1, max_size=8)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_stringified_vector_roundtrip(spark, vecs):
+    """str(list) -> coerce_vector_column == the original floats (the
+    ast.literal_eval path, vdf_import_cls.py:203-206)."""
+    rows = [(i, repr(v) if v is not None else None) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    got = {
+        r["id"]: r["v"] for r in coerce_vector_column(df, "v").collect()
+    }
+    for i, v in enumerate(vecs):
+        if v is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(v, rel=1e-6, abs=1e-6)
+
+
+@_settings
+@given(
+    data=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.text(max_size=10)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_consolidate_preserves_rows(spark, data):
+    """Consolidation of disjoint column subsets: row count is the sum, and
+    every original value survives (null-padded union semantics)."""
+    df = spark.createDataFrame(data, "k int, s string")
+    a = df.select("k")
+    b = df.select("s")
+    out = consolidate([a, b])
+    assert out.count() == 2 * len(data)
+    ks = sorted(r["k"] for r in out.select("k").collect() if r["k"] is not None)
+    assert ks == sorted(d[0] for d in data)
+
+
+json_scalars = st.one_of(
+    st.integers(-100, 100), st.text(max_size=6), st.booleans(), st.none()
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(max_size=4), children, max_size=3),
+    ),
+    max_leaves=10,
+)
+
+
+@given(obj=json_values)
+@settings(max_examples=50, deadline=None)
+def test_config_hash_invariant_under_key_order(obj):
+    """config_hash is invariant under dict key reordering at every level."""
+
+    def shuffle_keys(o):
+        if isinstance(o, dict):
+            return {k: shuffle_keys(o[k]) for k in reversed(list(o))}
+        if isinstance(o, list):
+            return [shuffle_keys(x) for x in o]
+        return o
+
+    assert config_hash(obj) == config_hash(shuffle_keys(obj))
+    assert canonicalize(obj) == canonicalize(shuffle_keys(obj))

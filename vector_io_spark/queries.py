@@ -1150,3 +1150,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("id_b"),
     )
     return connected_components(p1.unionByName(p2))
+
+
+@_register(
+    "id_set_union",
+    """
+    SELECT id, count(*) AS n_sources FROM (
+        SELECT DISTINCT o_custkey AS id FROM orders
+        UNION ALL
+        SELECT DISTINCT c_custkey AS id FROM customer
+    ) GROUP BY id
+    """,
+)
+def id_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of id sets across sources with provenance counts
+    (pinecone_export.py:326-344 / get_id_list.py:26-27 union python sets
+    driver-side; here the distinct-union is distributed and also reports
+    how many sources carry each id)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id")).distinct()
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")).distinct()
+    return o.unionByName(c).groupBy("id").agg(F.count("*").alias("n_sources"))
