@@ -3,7 +3,6 @@ streaming incremental export."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -145,8 +144,6 @@ def test_multimodal_features(spark, sf_dir):
     assert all(1 <= r["count"] <= 3 for r in fr)
 
     # stub decoder marks the real-codec plug point
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception):
         extract_media_features(tagged, "blob", decoder="stub").collect()
 

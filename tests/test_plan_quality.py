@@ -17,7 +17,6 @@ from vector_io_spark.plans import (
     assert_no_cartesian,
     assert_pushed_filters,
     assert_read_schema_only,
-    codegen_stage_count,
     count_broadcast_joins,
     count_shuffles,
     formatted_plan,

@@ -3,12 +3,10 @@ rules hold for arbitrary inputs, not just the fixture tables."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import types as T
 
 from vector_io_spark.format.consolidate import consolidate
 from vector_io_spark.functions.vectors import coerce_vector_column

@@ -3,11 +3,9 @@ catalog utilities (§2.8/§2.11)."""
 
 from __future__ import annotations
 
-import math
 import warnings
 
 import pytest
-from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -22,7 +22,6 @@ Backends:
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Callable, Iterator
 
 import pandas as pd

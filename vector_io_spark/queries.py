@@ -32,7 +32,6 @@ from vector_io_spark.functions.text import (
     token_count,
     tokens,
 )
-from vector_io_spark.functions.vectors import cosine_similarity
 from vector_io_spark.operators.aggregates import vector_range_stats
 from vector_io_spark.operators.dedup import (
     dedup_by_id,
@@ -1170,3 +1169,31 @@ def id_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id")).distinct()
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")).distinct()
     return o.unionByName(c).groupBy("id").agg(F.count("*").alias("n_sources"))
+
+
+@_register(
+    "quality_percentiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(stddev_samp(n_chars), 4) AS sd_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per group (exact interpolated percentiles +
+    moments) — the corpus-profiling aggregation a data pipeline runs
+    before choosing quality-filter thresholds. Exact percentile needs a
+    per-group sort; at 100 TB switch to percentile_approx (t-digest,
+    mergeable map-side) — same query shape."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+    )
