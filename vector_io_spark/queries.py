@@ -1197,3 +1197,29 @@ def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
     )
+
+
+@_register(
+    "ann_topk_dot",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_dot_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dot-product top-10 — the third metric path (Dot) of the
+    similarity-search operator, completing the standard-metric enum
+    coverage (Cosine/Euclid/Dot; Manhattan = same shape with abs-diff)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10, metric="dot")
