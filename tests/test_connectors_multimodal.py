@@ -243,3 +243,28 @@ def test_csv_id_list_semi_join(spark, sf_dir, tmp_path):
     sub = semi_join_id_list(emb, ids, id_col="vec_id")
     assert sub.count() == wanted.count()
     assert sub.where(F.col("vec_id") % 9 != 0).count() == 0
+
+
+def test_flaky_connector_retry_recovers(spark, sf_dir, tmp_path):
+    """Transient upsert failures are absorbed by the retry policy — the
+    write completes and counts match (the reference's shrink/retry loops,
+    exercised for real through foreachPartition)."""
+    from vector_io_spark.sources.connectors import RetryPolicy
+    from vector_io_spark.sources.embedded import FlakyEmbeddedVectorDB
+
+    root = str(tmp_path / "flaky")
+    db = FlakyEmbeddedVectorDB(root, fail_first=2)
+    db.create_collection("emb", dimensions=64, metric="Cosine")
+    emb = load(spark, sf_dir, "embeddings").limit(100).select(
+        F.col("vec_id").cast("string").alias("id"), "label"
+    )
+    n = partitioned_upsert(
+        emb,
+        lambda: FlakyEmbeddedVectorDB(root, fail_first=2),
+        "emb",
+        batch_size=32,
+        num_partitions=2,
+        retry=RetryPolicy(max_attempts=4, base_wait=0.01),
+    )
+    assert n == 100
+    assert db.count("emb") == 100
