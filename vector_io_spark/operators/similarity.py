@@ -19,13 +19,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from vector_io_spark.functions.vectors import cosine_similarity, dot_product, l2_distance
+from vector_io_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l1_distance,
+    l2_distance,
+)
 from vector_io_spark.operators.dedup import _hyperplane_signature
 
 _METRIC_FNS = {
     "cosine": cosine_similarity,
     "dot": dot_product,
     "euclid": l2_distance,
+    "manhattan": l1_distance,
 }
 
 
@@ -51,7 +57,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    asc = metric == "euclid"  # distances rank ascending, similarities descending
+    asc = metric in ("euclid", "manhattan")  # distances rank ascending
     scored = corpus.crossJoin(broadcast(q)).select(
         "query_id",
         F.col(corpus_id),

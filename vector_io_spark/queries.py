@@ -802,13 +802,13 @@ def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
     """
 
 
-@_register("simhash_fingerprint", _simhash_sql(32, "SELECT * FROM documents"))
+@_register("simhash_fingerprint", _simhash_sql(48, "SELECT * FROM documents"))
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (md5-nibble bit extraction,
+    """48-bit SimHash fingerprint per document (md5-nibble bit extraction,
     engine-portable; shuffle-free in Spark — the oracle needs a group-by
     only because SQL lacks per-row array aggregation of this shape)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text", bits=32).alias("fp"))
+    return d.select("doc_id", simhash("text", bits=48).alias("fp"))
 
 
 def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
@@ -832,17 +832,17 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
-@_register("dedup_simhash", _simhash_pairs_sql(32, 1))
+@_register("dedup_simhash", _simhash_pairs_sql(48, 1))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 1 over 32 bits) on a corpus with
+    """SimHash near-dup pairs (hamming <= 1 over 48 bits) on a corpus with
     injected duplicates. Candidates by pigeonhole block join (chunks=4 >
-    max_hamming; 8-bit blocks keep buckets small so the candidate join
+    max_hamming; 12-bit blocks keep buckets small so the candidate join
     stays ~|dup pairs| at scale), verified with bit_count(xor) — recall is
     exact."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return simhash_dup_pairs(
-        d.unionByName(dup), "doc_id", "text", bits=32, max_hamming=1, chunks=4
+        d.unionByName(dup), "doc_id", "text", bits=48, max_hamming=1, chunks=4
     )
 
 
@@ -1223,3 +1223,35 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(emb, queries, k=10, metric="dot")
+
+
+def _l1_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> abs(CAST({x}[i] AS DOUBLE) - {y}[i])))"
+    )
+
+
+@_register(
+    "ann_topk_manhattan",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score ASC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_l1_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L1 (Manhattan) top-10 — fourth and final standard-metric path
+    (util.py:159-248's Cosine/Euclid/Dot/Manhattan enum)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10, metric="manhattan")
