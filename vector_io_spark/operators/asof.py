@@ -1,0 +1,59 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left-side event, attach the most recent right-side event at or
+before it (per key). The classic implementations are a sort-merge zipper
+(pandas merge_asof) or a union + last-non-null window; we use the window
+form because it is pure DataFrame API, needs exactly ONE shuffle on the
+key (both sides together), and the per-key sort is what any as-of
+algorithm pays anyway.
+
+Scale note: the union approach keeps the big side un-replicated (no
+per-row range probing); skewed keys fall under AQE skew handling. For
+huge right sides with tiny lookup windows, a range-bucketed equi-join
+(bucket by time window + equi-join on (key, bucket)) is the alternative —
+same library, different trade-off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str,
+    strictly_before: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each ``left`` row, the latest ``right`` row with the same
+    ``key`` and (ts, tiebreak) strictly before (or at, when
+    ``strictly_before=False``) the left row's (ts, tiebreak).
+
+    Returns all of ``left``'s columns plus ``<col><suffix>`` for each of
+    ``value_cols``. Deterministic under timestamp ties via ``tiebreak``.
+    """
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs_cols = [key, ts, tiebreak] + [c for c in value_cols if c not in (key, ts, tiebreak)]
+    rhs = right.select(*rhs_cols).withColumn("__side", F.lit(0))
+    combined = lhs.unionByName(rhs, allowMissingColumns=True)
+    # order right rows before left rows at identical (ts, tiebreak) unless
+    # strictly_before — then left first so equal-ts rights are excluded
+    side_order = F.col("__side").asc() if not strictly_before else F.col("__side").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col(tiebreak).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = combined
+    for c in value_cols:
+        carried = F.when(F.col("__side") == 0, F.col(c))
+        out = out.withColumn(c + suffix, F.last(carried, ignorenulls=True).over(w))
+    return (
+        out.where(F.col("__side") == 1)
+        .drop("__side", *[c for c in value_cols if c not in left.columns])
+    )

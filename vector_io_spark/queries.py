@@ -1255,3 +1255,49 @@ def ann_topk_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(emb, queries, k=10, metric="manhattan")
+
+
+@_register(
+    "asof_join_events",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           round((SELECT c.value FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND (epoch_us(c.ts) < epoch_us(p.ts)
+                         OR (epoch_us(c.ts) = epoch_us(p.ts)
+                             AND c.event_id < p.event_id))
+                  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1),
+                 4) AS click_value_asof
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest strictly-prior click's
+    value for the same user (ties broken by event_id). Spark lacks a
+    native ASOF JOIN — implemented as union + last-non-null window
+    (operators/asof.py); the oracle uses a correlated subquery with the
+    identical tie-break."""
+    from vector_io_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    # compare at microsecond precision on both engines (Spark timestamps
+    # are µs; the oracle truncates its ns timestamps with epoch_us)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        value_cols=["click_value"],
+        tiebreak="event_id",
+        strictly_before=True,
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("click_value_asof", 4).alias("click_value_asof")
+    )
