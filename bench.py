@@ -82,8 +82,17 @@ def main() -> None:
     registry = dict(QUERIES)
     registry.update(_extra_queries())
 
-    # warm the JVM + parquet footers with a trivial job
+    # warm the JVM + parquet footers + the Python-UDF worker pool (forking
+    # 32 workers and importing pandas costs ~5-10 s once; without this the
+    # first pandas-UDF query absorbs it)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    warm_udf = pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, 32).select(warm_udf(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -91,6 +100,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist intermediates (signatures, shingle indexes);
+        # drop them so queries are timed in isolation, not under the
+        # accumulated cache pressure of earlier ones
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

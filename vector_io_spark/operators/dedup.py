@@ -171,6 +171,8 @@ def minhash_lsh_dup_pairs(
     # sides, and the signature scan (md5-heavy) is the expensive stage —
     # at 100 TB you'd checkpoint sigs to a table; locally MEMORY_AND_DISK.
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs.count()  # eager fill: the self-join's two map stages run
+    # concurrently and would otherwise each compute the signatures
     band_arr = F.array(
         *[
             F.concat_ws("|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
@@ -274,6 +276,7 @@ def ngram_jaccard_pairs(
             "sh_arr"
         ),
     ).persist()
+    shingle_arrays.count()  # eager fill: 4 downstream consumers
     sh = shingle_arrays.select(id_col, F.explode("sh_arr").alias("shingle"))
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     # rarity rank per document: order each doc's shingles by (global df,
@@ -408,6 +411,7 @@ def simhash_dup_pairs(
         .select(F.col(id_col), simhash(text_col, bits).alias("fp"))
         .persist()
     )
+    fp.count()  # eager fill before the self-join races
     block_arr = F.array(
         *[
             F.floor(F.col("fp") / (2 ** (i * chunk_bits))).cast("bigint")

@@ -1301,3 +1301,24 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.round("click_value_asof", 4).alias("click_value_asof")
     )
+
+
+@_register(
+    "quantize_embeddings_binary",
+    """
+    SELECT vec_id, CAST(d AS BIGINT) AS dim,
+           CASE WHEN embedding[d] > 0 THEN 1 ELSE 0 END AS bit
+    FROM embeddings, generate_series(1, 64) t(d)
+    """,
+)
+def quantize_embeddings_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding quantization (sign bit per dimension,
+    reembed.py:500-512's 'binary' precision) — shuffle-free codegen'd
+    transform."""
+    from vector_io_spark.functions.vectors import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "q", "binary")
+    return q.select("vec_id", F.posexplode("q").alias("pos", "bit")).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "bit"
+    )
