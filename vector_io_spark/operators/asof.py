@@ -57,3 +57,54 @@ def asof_join(
         out.where(F.col("__side") == 1)
         .drop("__side", *[c for c in value_cols if c not in left.columns])
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Temporal range join: pairs with the same ``key`` and
+    ``right_ts - left_ts`` in ``[lower, upper]`` seconds.
+
+    A naive inequality join degenerates to a per-key cross product; the
+    scale-correct plan is the bucketed equi-join: both sides get a time
+    bucket of width >= the window span, the join runs on
+    (key, bucket) for the buckets a match could live in (the left side
+    probes each candidate bucket), and the exact range predicate filters.
+    Join fan-out per row is ceil(span/width)+1 buckets — constant — and
+    the join is a plain equi-join AQE can lay out and skew-split.
+
+    Column name collisions: right-side columns keep their names; callers
+    should alias beforehand. Timestamps are compared at second precision
+    (epoch seconds) for engine portability.
+    """
+    span = upper - lower
+    width = bucket_width or max(span, 1)
+    n_buckets = span // width + 2  # buckets a match can fall into
+
+    l_sec = F.unix_timestamp(F.col(left_ts))
+    r_sec = F.unix_timestamp(F.col(right_ts))
+    lhs = left.withColumn("__lsec", l_sec).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((l_sec + lower) / width).cast("long"),
+                F.floor((l_sec + lower) / width).cast("long") + n_buckets - 1,
+            )
+        ),
+    )
+    rhs = right.withColumn("__rsec", r_sec).withColumn(
+        "__bucket", F.floor(r_sec / width).cast("long")
+    )
+    dt = F.col("__rsec") - F.col("__lsec")
+    return (
+        lhs.join(rhs, [key, "__bucket"])
+        .where((dt >= lower) & (dt <= upper))
+        .drop("__bucket", "__lsec", "__rsec")
+    )

@@ -1322,3 +1322,88 @@ def quantize_embeddings_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("vec_id", F.posexplode("q").alias("pos", "bit")).select(
         "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "bit"
     )
+
+
+@_register(
+    "range_join_events",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS dt_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND floor(epoch(b.ts)) - floor(epoch(a.ts)) BETWEEN 0 AND 3600
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: purchases within an hour after a click by the
+    same user. Spark side uses the bucketed equi-join (operators/asof.py::
+    range_join — constant fan-out, no per-key cross product); the oracle
+    states the plain inequality join."""
+    from vector_io_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = range_join(
+        clicks, purchases, key="user_id",
+        left_ts="c_ts", right_ts="p_ts", lower=0, upper=3600,
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("dt_sec"),
+    )
+
+
+_PIPELINE_SQL = f"""
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),
+    deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                ORDER BY doc_id ASC) AS rn
+            FROM doubled
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT doc_id,
+               len({_TOK}) AS n_tokens,
+               round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                     / greatest(length(text), 1), 4) AS punct_ratio
+        FROM deduped
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM scored
+    WHERE n_tokens >= 20 AND punct_ratio < 0.1
+"""
+
+
+@_register("training_data_pipeline", _PIPELINE_SQL)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the curation pipeline end-to-end: ingest a
+    corpus with duplicates -> exact-dedup (fingerprint, min-id survivor)
+    -> quality filter (token count + punctuation ratio thresholds).
+    Every stage is a previously-verified operator; this query verifies
+    they compose (one scan, one dedup shuffle, codegen'd filters)."""
+    from vector_io_spark.operators.dedup import dedup_exact_content
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    deduped = dedup_exact_content(d.unionByName(dup), "doc_id", "text")
+    q = quality_score("text")
+    return (
+        deduped.select("doc_id", q["n_tokens"].alias("n_tokens"),
+                       q["punct_ratio"].alias("punct_ratio"))
+        .where((F.col("n_tokens") >= 20) & (F.col("punct_ratio") < 0.1))
+        .select("doc_id", "n_tokens")
+    )
