@@ -1407,3 +1407,32 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_tokens") >= 20) & (F.col("punct_ratio") < 0.1))
         .select("doc_id", "n_tokens")
     )
+
+
+@_register(
+    "minhash_signature_values",
+    f"""
+    SELECT doc_id,
+           list_min(list_transform(list_distinct({_SHINGLES3}),
+                    s -> substr(md5('0:' || s), 1, 8)))  AS sig_0,
+           list_min(list_transform(list_distinct({_SHINGLES3}),
+                    s -> substr(md5('1:' || s), 17, 8))) AS sig_6,
+           list_min(list_transform(list_distinct({_SHINGLES3}),
+                    s -> substr(md5('3:' || s), 25, 8))) AS sig_15
+    FROM documents
+    """,
+)
+def minhash_signature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct MinHash signature verification (elements 0, 6, 15 of the
+    16-hash signature) — proves the signature values themselves, not just
+    the LSH pair results, match the portable md5-slice definition."""
+    from vector_io_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_k=3)
+    return sigs.select(
+        "doc_id",
+        F.col("minhash")[0].alias("sig_0"),
+        F.col("minhash")[6].alias("sig_6"),
+        F.col("minhash")[15].alias("sig_15"),
+    )
