@@ -173,13 +173,23 @@ def minhash_lsh_dup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).persist()
     sigs.count()  # eager fill: the self-join's two map stages run
     # concurrently and would otherwise each compute the signatures
+
+    # Empty/short documents (no shingles) have all-NULL signatures;
+    # concat_ws skips NULLs, so every one of them would land in the SAME
+    # band bucket and self-join O(n_empty²) before the est_jaccard filter
+    # runs — a quadratic skew bucket at web scale where boilerplate-
+    # stripped empty docs number in the millions. They can never verify
+    # (NULL elements never compare equal → est_jaccard 0), so dropping
+    # them pre-banding is result-identical; route empty docs to the
+    # exact-dedup path instead.
+    banded_src = sigs.where(F.col("minhash")[0].isNotNull())
     band_arr = F.array(
         *[
             F.concat_ws("|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
+    banded = banded_src.select(
         id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
     )
     left = banded.alias("l")
@@ -280,19 +290,23 @@ def ngram_jaccard_pairs(
     sh = shingle_arrays.select(id_col, F.explode("sh_arr").alias("shingle"))
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     # rarity rank per document: order each doc's shingles by (global df,
-    # shingle) and keep the first (|X| - ceil(t*|X|) + 1) as the prefix
+    # shingle) and keep the first (|X| - ceil(t*|X|) + 1) as the prefix.
+    # n_sh and the rank come from TWO window functions over the SAME
+    # partition key — one shuffle, no join. (A join against a per-doc
+    # sizes table — let alone a broadcast of it — would ship one row per
+    # document; at 100 TB that's billions of rows, an instant broadcast
+    # failure. The window formulation keeps the per-doc count co-located
+    # with the rows that need it.)
     ranked = sh.join(doc_freq, "shingle")
     w = Window.partitionBy(id_col).orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
-    prefix_len = (
-        F.size(F.col("sh_arr")) - F.ceil(F.size(F.col("sh_arr")) * threshold) + 1
-    )
-    sizes = shingle_arrays.select(
-        F.col(id_col), F.size("sh_arr").alias("n_sh"), prefix_len.alias("p_len")
-    )
+    w_all = Window.partitionBy(id_col)
     prefixes = (
         ranked.withColumn("__rk", F.row_number().over(w))
-        .join(F.broadcast(sizes), id_col)
-        .where(F.col("__rk") <= F.col("p_len"))
+        .withColumn("n_sh", F.count("*").over(w_all))
+        .where(
+            F.col("__rk")
+            <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+        )
         .select(id_col, "shingle", "n_sh")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
@@ -402,12 +416,20 @@ def simhash_dup_pairs(
     on >= 1 block, so an equi-join per block finds all candidates with one
     shuffle on small integer keys. Verify with bit_count(a XOR b).
     Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Token-less documents (no ``[a-z]+`` token after lowercasing) are
+    EXCLUDED: they all hash to fp=0, collide in every pigeonhole block,
+    and — unlike the MinHash case — would VERIFY against each other
+    (hamming 0), so at web scale the all-empty bucket emits O(n_empty²)
+    result rows. Empty-vs-empty "similarity" is meaningless; route empty
+    docs to the exact-dedup path. (The oracle SQL applies the same
+    token-presence filter.)
     """
     assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
     chunk_bits = bits // chunks
     # persist: fingerprints feed both sides of the self-join
     fp = (
-        _rebalance_for_cpu(df)
+        _rebalance_for_cpu(df.where(F.col(text_col).rlike("[a-zA-Z]")))
         .select(F.col(id_col), simhash(text_col, bits).alias("fp"))
         .persist()
     )
@@ -454,6 +476,12 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
+    Null and all-zero vectors are excluded from the LSH path before
+    signing: they share one hyperplane signature (all sign bits 0) and
+    would pile into a single quadratic band bucket; since cosine against
+    a zero vector is undefined (NaN) they can never verify, so the filter
+    is result-identical and removes the skew bucket.
+
     method='brute': full self cross-join — O(n²), the correctness oracle.
     method='lsh' (default, the 100 TB path): random-hyperplane signature
     (sign bits of dot(v, plane_i) using deterministic md5-derived planes),
@@ -474,7 +502,11 @@ def dedup_embedding_cosine(
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import DoubleType
 
-        sig_df = _hyperplane_signature(df, id_col, vec_col, num_planes)
+        nonzero = df.where(
+            F.col(vec_col).isNotNull()
+            & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+        )
+        sig_df = _hyperplane_signature(nonzero, id_col, vec_col, num_planes)
         cand = _signature_band_pairs(sig_df, id_col, num_planes, bands=bands)
         pairs = (
             cand.join(df.select(F.col(id_col).alias("id_a"), F.col(vec_col)), "id_a")
@@ -564,6 +596,8 @@ def _signature_band_pairs(
     sig_df: DataFrame, id_col: str, num_planes: int, bands: int
 ) -> DataFrame:
     sig_df = sig_df.persist()  # feeds both sides of the self-join
+    sig_df.count()  # eager fill: the self-join's concurrent map stages
+    # would otherwise each compute the (pandas-UDF) signature subtree
     rows = num_planes // bands
     band_arr = F.array(
         *[
@@ -607,7 +641,15 @@ def connected_components(
     which is ~|duplicates|, far smaller than the corpus.
 
     The loop checks convergence with a count of changed labels; breaking
-    early keeps rounds to the component diameter.
+    early keeps rounds to the component diameter. If ``max_iter`` rounds
+    pass with labels still changing (a component whose diameter exceeds
+    max_iter — e.g. a long overlapping-shard chain), the function RAISES
+    rather than silently returning a partially-merged labeling that would
+    keep several "survivors" from one duplicate cluster; pass a larger
+    ``max_iter`` (rounds needed = component diameter) or pre-shrink the
+    graph. Every ``checkpoint_every`` rounds the label frame's lineage is
+    truncated (localCheckpoint) so plan depth stays bounded for
+    high-diameter graphs.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -621,22 +663,29 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
+    checkpoint_every = 5
+    changed = 0
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: each round nests the previous plan; at
+            # high iteration counts the unchecked plan tree makes the
+            # optimizer itself the bottleneck (and task binaries balloon)
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -647,6 +696,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a duplicate component's "
+            f"diameter exceeds max_iter — raise max_iter"
+        )
+    edges.unpersist()
     return labels
 
 

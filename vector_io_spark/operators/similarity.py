@@ -146,6 +146,7 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     sample_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means cells partition the
@@ -154,7 +155,12 @@ def ivf_topk(
 
     Plan shape for 100 TB:
     1. centroids: KMeans on a corpus sample — the model is tiny and lives
-       on the driver; training cost is bounded by ``sample_fraction``.
+       on the driver; training cost is bounded in ABSOLUTE rows by
+       ``max_train_rows`` (a ``limit`` under the sample, so the driver
+       never materializes more than ~max_train_rows × dim floats no
+       matter the corpus size — ``sample_fraction`` alone would be
+       unbounded at 100 TB). The limit short-circuits the scan
+       (LocalLimit per file split), so training cost is O(max_train_rows).
     2. cell assignment: one shuffle-free projection over the corpus
        (numpy matmul pandas UDF against the broadcast centroid matrix) —
        at scale you'd persist this as a bucketed table and amortize it
@@ -171,10 +177,14 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    sample = corpus.select(corpus_vec)
+    sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    train = np.vstack([r[0] for r in sample.collect()]).astype(np.float64)
+    # hard absolute bound: the collect below is the only driver-side
+    # materialization in the engine's ANN path and MUST stay O(constant)
+    train = np.vstack(
+        [r[0] for r in sample.limit(max_train_rows).collect()]
+    ).astype(np.float64)
     # k-means on the driver: centroids are num_cells × dim — tiny. (MLlib
     # KMeans would shuffle the full corpus; for centroid-fitting a sample
     # is standard IVF practice and numpy converges in milliseconds.)

@@ -27,7 +27,18 @@ def salted_join(
     big side's shuffle is unchanged in volume but uniform in distribution.
     Use when one key exceeds ~1/parallelism of all rows; otherwise let
     AQE's skew-join split do it for free.
+
+    Only 'inner' and 'left' are supported: the salt scheme replicates the
+    small side ×salt_buckets, so under 'right'/'full' an UNMATCHED small-
+    side row would survive once per salt bucket (×salt_buckets duplicate
+    null-padded output rows). Matched rows are fine under any `how`, but
+    rather than silently corrupting outer results we reject them.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "variants would emit unmatched small-side rows once per salt bucket"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

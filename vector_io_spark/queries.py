@@ -751,11 +751,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT doc_id + 1000000, text FROM documents)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-    filtered AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM filtered a JOIN filtered b
+        FROM sh a JOIN sh b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -768,8 +766,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard pairs >= 0.8 via inverted-index join with
-    stop-shingle cutoff (df <= 1000) on a corpus with injected duplicates."""
+    """Exact shingle-Jaccard pairs >= 0.8 (PPJoin prefix filter on the
+    Spark side; naive inverted-index join in the oracle — both compute the
+    same exact jaccard over ALL shingles) on a corpus with injected
+    duplicates."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return ngram_jaccard_pairs(
@@ -777,7 +777,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
+def _simhash_sql(bits: int = 16, source: str = "documents", all_docs: bool = True) -> str:
     bit_terms = []
     for j in range(bits):
         nib_pos = j // 4 + 1
@@ -790,6 +790,11 @@ def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
             f"CASE WHEN sum({bit} * 2 - 1) > 0 THEN {2 ** j} ELSE 0 END"
         )
     fp_expr = " + ".join(bit_terms)
+    # all_docs: fingerprint every doc (token-less docs get fp=0 via the
+    # LEFT JOIN). Otherwise (pair queries) restrict to docs with >= 1
+    # token — mirrors simhash_dup_pairs' empty-doc skew guard, since the
+    # fps CTE only contains docs whose token unnest produced rows.
+    join = "LEFT JOIN" if all_docs else "JOIN"
     return f"""
     WITH toks AS (
         SELECT doc_id, md5(tok) AS h FROM (
@@ -798,7 +803,7 @@ def _simhash_sql(bits: int = 16, source: str = "documents") -> str:
     ),
     fps AS (SELECT doc_id, {fp_expr} AS fp FROM toks GROUP BY doc_id)
     SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
-    FROM (SELECT doc_id FROM ({source})) d LEFT JOIN fps f ON d.doc_id = f.doc_id
+    FROM (SELECT doc_id FROM ({source})) d {join} fps f ON d.doc_id = f.doc_id
     """
 
 
@@ -816,7 +821,7 @@ def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
         "SELECT doc_id, text FROM documents "
         "UNION ALL SELECT doc_id + 1000000, text FROM documents"
     )
-    base = _simhash_sql(bits, doubled)
+    base = _simhash_sql(bits, doubled, all_docs=False)
     # hamming distance via portable per-bit comparison (no xor/bit_count
     # needed): count bits where the two fingerprints differ
     ham = (

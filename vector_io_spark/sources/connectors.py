@@ -188,6 +188,15 @@ def partitioned_upsert(
     Returns rows written (via a Spark accumulator — the reference's running
     totals, §2.5). One connector client per partition; per-batch
     retry(shrink(send)); rate budget divided across partitions.
+
+    Delivery semantics are AT-LEAST-ONCE: Spark re-runs failed/speculated
+    tasks, and accumulator updates inside actions are not exactly-once
+    under retries, so (a) a retried partition re-upserts its rows — safe
+    iff the target's upsert is idempotent by id, which every supported DB's
+    upsert-by-id is; and (b) the returned count can OVERCOUNT on retries.
+    Treat the count as a diagnostic running total (that is all the
+    reference's progress counters are); use ``df.count()`` when an exact
+    row count is required.
     """
     shrink = shrink or BatchShrinkPolicy(initial=batch_size)
     retry = retry or RetryPolicy()
