@@ -150,6 +150,12 @@ def main():
     for name in pandas_times:
         p, s = pandas_times[name], spark_times[name]
         print(f"| {name} | {p} | {s} | {round(s / p, 2)}x |")
+    tot_p = sum(pandas_times.values())
+    tot_s = sum(spark_times.values())
+    print(
+        f"| **aggregate** | {round(tot_p, 3)} | {round(tot_s, 3)} | "
+        f"{round(tot_s / tot_p, 2)}x |"
+    )
 
 
 if __name__ == "__main__":
