@@ -32,17 +32,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class BatchShrinkPolicy:
-    """Adaptive batch sizing: shrink ×2/3 on error, abort below
-    initial/100 (pinecone_import.py:267-276 and 5 other connectors)."""
+    """Adaptive batch sizing: shrink on error, abort below
+    initial/100. Two reference shapes, both expressible via
+    ``shrink_factor``: ×2/3 (pinecone_import.py:267-276 and 5 other
+    connectors; kdbai_import.py:225-231 gates it on the server's
+    'smaller batches' message — pass ``should_shrink``) and −10%
+    (astradb_export.py:249-251's ``fetch_size * 0.9`` — use
+    ``shrink_factor=0.9`` with :meth:`shrunk` for read fetch sizes)."""
 
     initial: int = 1000
     shrink_factor: float = 2 / 3
     min_fraction: float = 0.01
 
-    def run(self, items: list, send: Callable[[list], Any]) -> int:
-        """Send ``items`` in adaptive batches; returns count sent."""
-        batch_size = self.initial
+    def shrunk(self, current: int) -> int:
+        """One shrink step; raises once below the floor (initial ×
+        min_fraction) so a persistent error can't loop forever."""
         floor = max(1, int(self.initial * self.min_fraction))
+        new = int(current * self.shrink_factor)
+        if new < floor or new >= current:
+            raise RuntimeError(
+                f"batch size {current} cannot shrink further "
+                f"(floor {floor}, factor {self.shrink_factor})"
+            )
+        return new
+
+    def run(
+        self,
+        items: list,
+        send: Callable[[list], Any],
+        should_shrink: Callable[[Exception], bool] | None = None,
+    ) -> int:
+        """Send ``items`` in adaptive batches; returns count sent.
+        ``should_shrink``: only shrink on matching errors (others
+        re-raise immediately — kdbai_import.py:225-231's distinction
+        between 'smaller batches' and genuine failures)."""
+        batch_size = self.initial
         sent = 0
         i = 0
         while i < len(items):
@@ -51,10 +75,10 @@ class BatchShrinkPolicy:
                 send(batch)
                 sent += len(batch)
                 i += len(batch)
-            except Exception:
-                batch_size = int(batch_size * self.shrink_factor)
-                if batch_size < floor:
+            except Exception as e:
+                if should_shrink is not None and not should_shrink(e):
                     raise
+                batch_size = self.shrunk(batch_size)
         return sent
 
 

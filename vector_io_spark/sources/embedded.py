@@ -94,6 +94,89 @@ class EmbeddedVectorDB(VectorDBConnector):
             batch.to_parquet(os.path.join(path, fname), index=False)
 
 
+class EmbeddedVertexAIClient:
+    """File-backed fake of the Vertex AI index-client surface
+    ``VertexAIVectorSearchConnector`` uses (upsert_datapoints /
+    find_neighbors sweep / read_index_datapoints) — same role as
+    :class:`EmbeddedVectorDB` but speaking the Vertex shapes, so the
+    connector's DDL synthesis, datapoint building, id-sweep cursor
+    planning and rate/batch behavior all run end-to-end in tests.
+    Upsert calls append wall-clock timestamps to ``calls.log`` so tests
+    can assert the rate-limited call cadence."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # --- catalog ---
+    def list_indexes(self):
+        from types import SimpleNamespace
+
+        return [
+            SimpleNamespace(display_name=d)
+            for d in sorted(os.listdir(self.root))
+            if os.path.isdir(self._dir(d))
+        ]
+
+    def create_index(self, name: str, metadata: dict) -> None:
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(os.path.join(self._dir(name), "_meta.json"), "w") as f:
+            json.dump(metadata, f)
+
+    def index_metadata(self, name: str) -> dict:
+        with open(os.path.join(self._dir(name), "_meta.json")) as f:
+            return json.load(f)
+
+    def index_dims(self, name: str) -> int:
+        return self.index_metadata(name)["config"]["dimensions"]
+
+    def _points(self, name: str) -> dict[str, dict]:
+        points: dict[str, dict] = {}
+        for shard in sorted(glob.glob(os.path.join(self._dir(name), "dp-*.jsonl"))):
+            with open(shard) as f:
+                for line in f:
+                    dp = json.loads(line)
+                    points[dp["datapoint_id"]] = dp  # last write wins
+        return points
+
+    def index_stats(self, name: str) -> dict:
+        return {"vectorsCount": len(self._points(name))}
+
+    # --- export surface ---
+    def find_neighbor_ids(self, name: str, query, num_neighbors: int) -> list[str]:
+        # the zero-vector sweep returns every datapoint id
+        return sorted(self._points(name))[:num_neighbors]
+
+    def read_index_datapoints(self, name: str, ids: list[str]) -> list[dict]:
+        points = self._points(name)
+        return [points[i] for i in ids if i in points]
+
+    # --- import surface ---
+    def upsert_datapoints(self, index: str, datapoints: list[dict]) -> None:
+        import time
+
+        path = self._dir(index)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"index {index!r} does not exist")
+        with _write_lock:
+            with open(os.path.join(path, "calls.log"), "a") as f:
+                f.write(f"{time.monotonic()}\n")
+            fname = f"dp-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(path, fname), "w") as f:
+                for dp in datapoints:
+                    f.write(json.dumps(dp) + "\n")
+
+    def upsert_call_times(self, index: str) -> list[float]:
+        log = os.path.join(self._dir(index), "calls.log")
+        if not os.path.exists(log):
+            return []
+        with open(log) as f:
+            return [float(x) for x in f.read().split()]
+
+
 class FlakyEmbeddedVectorDB(EmbeddedVectorDB):
     """Fails the first ``fail_first`` upserts per process — exercises the
     shrink/retry loops exactly as a rate-limited remote DB would."""

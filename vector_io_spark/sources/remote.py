@@ -369,3 +369,9 @@ CONNECTORS = {
         TurbopufferConnector,
     )
 }
+
+# cloud adapters (Vertex AI, AstraDB JSON/CQL, KDB.AI, Vespa, Weaviate)
+# live in remote_cloud.py; one merged registry for the CLI / callers
+from vector_io_spark.sources.remote_cloud import CLOUD_CONNECTORS  # noqa: E402
+
+CONNECTORS.update(CLOUD_CONNECTORS)

@@ -1,0 +1,730 @@
+"""Cloud vector-DB connectors: Vertex AI Vector Search, AstraDB (JSON API
+and CQL), KDB.AI, Vespa, Weaviate.
+
+Each adapter implements the engine's connector contract
+(sources/connectors.py) so ``paginated_read`` / ``partitioned_upsert``
+drive it distributedly. None of these SDKs are installed here, so every
+constructor accepts an injectable duck-typed ``client`` — production code
+passes nothing and gets the import-gated real SDK; tests pass a fake and
+exercise every code path (DDL synthesis, datapoint building, paging,
+shrink loops) for real. Docstrings cite the reference implementation each
+adapter reproduces; the *payload* logic (what gets sent/parsed) mirrors
+the reference, while the *distribution* (token-range splits, visit
+slices, per-partition rate shares) is Spark-native rather than the
+reference's single-process loops.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from vector_io_spark.sources.connectors import BatchShrinkPolicy, VectorDBConnector
+
+
+def _require(module: str, hint: str):
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except ImportError as e:
+        raise ImportError(
+            f"{module} is required for this connector ({hint}); "
+            "it is not installed in this environment"
+        ) from e
+
+
+# ---------------------------------------------------------------------------
+# Vertex AI Vector Search
+# ---------------------------------------------------------------------------
+
+def build_tree_ah_index_metadata(
+    index_display_name: str,
+    dimensions: int,
+    contents_delta_uri: str = "",
+    approximate_neighbors_count: int = 150,
+    leaf_node_embedding_count: int = 1000,
+    leaf_nodes_to_search_percent: int = 10,
+    distance_measure_type: str = "DOT_PRODUCT_DISTANCE",
+    shard_size: str = "SHARD_SIZE_MEDIUM",
+    description: str = "created by vector_io_spark import",
+    project_id: str = "",
+) -> dict:
+    """TreeAH index-creation metadata, field-for-field the struct the
+    reference builds (vertexai_vector_search_import.py:579-649) — returned
+    as a plain dict; the SDK call wraps it in protobuf Structs."""
+    return {
+        "config": {
+            "dimensions": dimensions,
+            "approximateNeighborsCount": approximate_neighbors_count,
+            "distanceMeasureType": distance_measure_type,
+            "algorithmConfig": {
+                "treeAhConfig": {
+                    "leafNodeEmbeddingCount": leaf_node_embedding_count,
+                    "leafNodesToSearchPercent": leaf_nodes_to_search_percent,
+                }
+            },
+            "shardSize": shard_size,
+        },
+        "contentsDeltaUri": contents_delta_uri,
+        "indexDisplayName": index_display_name,
+        "description": description,
+        "labels": {"project": project_id, "tag": "vectorio-import"},
+    }
+
+
+def build_datapoints(
+    batch: pd.DataFrame,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    restrict_entries: list[dict] | None = None,
+    numeric_restrict_entries: list[dict] | None = None,
+    crowding_col: str | None = None,
+) -> list[dict]:
+    """Rows -> Vertex AI IndexDatapoint dicts: feature vector plus
+    categorical ``restricts`` (allow/deny lists built from named columns),
+    ``numeric_restricts`` ({namespace, value_int|value_float|value_double})
+    and an optional crowding tag column — the per-row assembly at
+    vertexai_vector_search_import.py:913-991, vectorized over the batch.
+
+    ``restrict_entries``: [{"namespace": n, "allow_list": [cols...],
+    "deny_list": [cols...]}]; ``numeric_restrict_entries``:
+    [{"namespace": col, "data_type": "value_int"|"value_float"|"value_double"}].
+    """
+    out: list[dict] = []
+    for row in batch.to_dict("records"):
+        dp: dict = {
+            "datapoint_id": str(row[id_col]),
+            "feature_vector": [float(x) for x in row[vector_col]],
+        }
+        restricts = []
+        for entry in restrict_entries or []:
+            r: dict = {"namespace": entry["namespace"]}
+            if entry.get("allow_list"):
+                r["allow_list"] = [str(row[c]) for c in entry["allow_list"]]
+            if entry.get("deny_list"):
+                r["deny_list"] = [str(row[c]) for c in entry["deny_list"]]
+            restricts.append(r)
+        if restricts:
+            dp["restricts"] = restricts
+        numeric = [
+            {"namespace": e["namespace"], e["data_type"]: row[e["namespace"]]}
+            for e in numeric_restrict_entries or []
+        ]
+        if numeric:
+            dp["numeric_restricts"] = numeric
+        if crowding_col is not None:
+            dp["crowding_tag"] = {"crowding_attribute": str(row[crowding_col])}
+        out.append(dp)
+    return out
+
+
+class VertexAIVectorSearchConnector(VectorDBConnector):
+    """Vertex AI Vector Search: TreeAH index DDL + rate-limited
+    ``upsert_datapoints`` (vertexai_vector_search_import.py:579-1050;
+    default 6000 requests/min — pass
+    ``rate_limit_per_minute=VertexAIVectorSearchConnector.REQUESTS_PER_MINUTE``
+    to ``partitioned_upsert`` and each Spark task takes its per-partition
+    share) and the zero-vector ``find_neighbors`` id sweep +
+    ``read_index_datapoints`` export (vertexai_vector_search_export.py:209-265).
+
+    The export's id sweep happens once at cursor-planning time (ids are
+    small); the full-datapoint fetches are split across Spark tasks —
+    the reference does both in one process.
+    """
+
+    DB_NAME_SLUG = "vertexai_vectorsearch"
+    REQUESTS_PER_MINUTE = 6000  # vertexai_vector_search_import.py:853
+    UPSERT_BATCH = 100          # import batch_size default
+    FETCH_BATCH = 1000
+
+    def __init__(
+        self,
+        project_id: str = "",
+        region: str = "us-central1",
+        client=None,
+        restrict_entries: list[dict] | None = None,
+        numeric_restrict_entries: list[dict] | None = None,
+        crowding_col: str | None = None,
+    ):
+        if client is None:
+            aip = _require(
+                "google.cloud.aiplatform", "pip install google-cloud-aiplatform"
+            )
+            aip.init(project=project_id, location=region)
+            client = aip
+        self.client = client
+        self.project_id = project_id
+        self.restrict_entries = restrict_entries
+        self.numeric_restrict_entries = numeric_restrict_entries
+        self.crowding_col = crowding_col
+
+    def list_collections(self) -> list[str]:
+        return [i.display_name for i in self.client.list_indexes()]
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        cfg = index_config or {}
+        metadata = build_tree_ah_index_metadata(
+            index_display_name=name,
+            dimensions=dimensions,
+            distance_measure_type=cfg.get(
+                "distance_measure_type",
+                {
+                    "cosine": "COSINE_DISTANCE",
+                    "euclidean": "SQUARED_L2_DISTANCE",
+                    "dotproduct": "DOT_PRODUCT_DISTANCE",
+                }.get(metric.lower().replace("_", ""), "DOT_PRODUCT_DISTANCE"),
+            ),
+            approximate_neighbors_count=cfg.get("approximate_neighbors_count", 150),
+            leaf_node_embedding_count=cfg.get("leaf_node_embedding_count", 1000),
+            leaf_nodes_to_search_percent=cfg.get("leaf_nodes_to_search_percent", 10),
+            shard_size=cfg.get("shard_size", "SHARD_SIZE_MEDIUM"),
+            contents_delta_uri=cfg.get("contents_delta_uri", ""),
+            project_id=self.project_id,
+        )
+        self.client.create_index(name, metadata)
+
+    def count(self, collection: str) -> int:
+        return int(self.client.index_stats(collection).get("vectorsCount", 0))
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        """Zero-vector find_neighbors sweep collects all datapoint ids
+        (vertexai_vector_search_export.py:233-239), then the id list is
+        chunked — one Spark task per chunk fetches full datapoints."""
+        total = self.count(collection)
+        dims = int(self.client.index_dims(collection))
+        ids = self.client.find_neighbor_ids(
+            collection, query=[0.0] * dims, num_neighbors=max(total, 1)
+        )
+        if not ids:
+            return []
+        chunk = max(1, math.ceil(len(ids) / parallelism))
+        return [
+            {"ids": list(ids[i : i + chunk])} for i in range(0, len(ids), chunk)
+        ]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        ids = cursor["ids"]
+        for i in range(0, len(ids), self.FETCH_BATCH):
+            points = self.client.read_index_datapoints(
+                collection, ids=ids[i : i + self.FETCH_BATCH]
+            )
+            if not points:
+                continue
+            yield pd.DataFrame(
+                [
+                    {
+                        "id": p["datapoint_id"],
+                        "vector": list(p["feature_vector"]),
+                        # restricts -> metadata dict, export.py:249-256
+                        **{
+                            r["namespace"]: list(r.get("allow_list", []))
+                            for r in p.get("restricts", [])
+                        },
+                    }
+                    for p in points
+                ]
+            )
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        datapoints = build_datapoints(
+            batch,
+            restrict_entries=self.restrict_entries,
+            numeric_restrict_entries=self.numeric_restrict_entries,
+            crowding_col=self.crowding_col,
+        )
+        self.client.upsert_datapoints(index=collection, datapoints=datapoints)
+
+
+# ---------------------------------------------------------------------------
+# AstraDB — JSON API and CQL
+# ---------------------------------------------------------------------------
+
+def clean_documents(documents: list[dict]) -> list[dict]:
+    """NaN -> None in-place (astradb_import.py clean_documents): the JSON
+    API rejects NaN literals."""
+    for doc in documents:
+        for k, v in doc.items():
+            if isinstance(v, float) and math.isnan(v):
+                doc[k] = None
+    return documents
+
+
+class AstraDBJsonConnector(VectorDBConnector):
+    """AstraDB JSON (Data) API: ``find`` pageState paging
+    (astradb_export.py:254-307 — _id / vector-or-$vector split, metadata =
+    every other field) and ``insert_many`` upserts in batches of 20
+    (astradb_import.py:240-270; partitioned_upsert's Spark tasks replace
+    the reference's 5-thread pool)."""
+
+    DB_NAME_SLUG = "astradb"
+    UPSERT_BATCH = 20  # astradb_import.py BATCH_SIZE
+
+    def __init__(self, api_endpoint: str = "", token: str = "", client=None):
+        if client is None:
+            astrapy = _require("astrapy.db", "pip install astrapy")
+            client = astrapy.AstraDB(token=token, api_endpoint=api_endpoint)
+        self.client = client
+
+    def list_collections(self) -> list[str]:
+        return self.client.get_collections()["status"]["collections"]
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        self.client.create_collection(
+            name, dimension=dimensions, metric=metric.lower()
+        )
+
+    def count(self, collection: str) -> int:
+        return int(
+            self.client.collection(collection)
+            .count_documents()["status"]["count"]
+        )
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        # pageState is an opaque server cursor: the JSON API offers no
+        # shard/token addressing, so the scan is a single cursor chain
+        # (the CQL connector below is the parallel path for Astra).
+        return [{"page_state": None}]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        col = self.client.collection(collection)
+        page_state = cursor.get("page_state")
+        while True:
+            res = col.find(sort=None, options={"pageState": page_state})
+            docs = res["data"]["documents"]
+            page_state = res["data"]["nextPageState"]
+            if docs:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "id": d["_id"],
+                            "vector": d.get("$vector", d.get("vector")),
+                            **{
+                                k: v
+                                for k, v in d.items()
+                                if k not in ("_id", "$vector", "vector")
+                            },
+                        }
+                        for d in docs
+                    ]
+                )
+            if page_state is None:
+                return
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        docs = [
+            {
+                "_id": str(row["id"]),
+                "$vector": list(row["vector"]),
+                **{k: v for k, v in row.items() if k not in ("id", "vector")},
+            }
+            for row in batch.to_dict("records")
+        ]
+        self.client.collection(collection).insert_many(
+            documents=clean_documents(docs)
+        )
+
+
+def cql_token_ranges(parallelism: int) -> list[tuple[int, int]]:
+    """Split Cassandra's Murmur3 token ring [-2^63, 2^63) into
+    ``parallelism`` contiguous ranges — the standard way to parallelize a
+    full-table CQL scan (each range is served by one replica set, so
+    ranges scale out with the cluster; this is what the Spark Cassandra
+    connector does and what the reference's single paging_state chain
+    (astradb_export.py:163-254) cannot)."""
+    lo, hi = -(2**63), 2**63
+    step = (hi - lo) // parallelism
+    edges = [lo + i * step for i in range(parallelism)] + [hi]
+    return [(edges[i], edges[i + 1]) for i in range(parallelism)]
+
+
+class AstraDBCqlConnector(VectorDBConnector):
+    """AstraDB via CQL: table DDL with a ``vector<float, N>`` column
+    (astradb_import.py:163-166), per-row INSERTs (astradb_import.py:207-213)
+    and a paged SELECT scan whose fetch size shrinks −10% on error
+    (astradb_export.py:240-254's ``fetch_size * 0.9`` loop — expressed via
+    ``BatchShrinkPolicy(shrink_factor=0.9)``). The scan is split by token
+    ranges so Spark tasks read disjoint ring segments in parallel."""
+
+    DB_NAME_SLUG = "astradb_cql"
+    FETCH_SIZE = 10_000  # astradb_export.py fetch_size default
+
+    def __init__(self, keyspace: str = "default_keyspace", session=None, **auth):
+        if session is None:
+            cassandra = _require("cassandra.cluster", "pip install cassandra-driver")
+            session = cassandra.Cluster(**auth).connect()
+            session.execute(f"USE {keyspace}")
+        self.session = session
+        self.keyspace = keyspace
+
+    def list_collections(self) -> list[str]:
+        res = self.session.execute(
+            "SELECT table_name FROM system_schema.tables "
+            f"WHERE keyspace_name='{self.keyspace}'"
+        )
+        return [row[0] for row in res]
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        self.session.execute(
+            f"CREATE TABLE IF NOT EXISTS {self.keyspace}.{name} "
+            f'(id text PRIMARY KEY, "$vector" vector<float,{dimensions}>)'
+        )
+
+    def count(self, collection: str) -> int:
+        row = self.session.execute(f"SELECT COUNT(*) FROM {collection}")
+        return int(row.one()[0])
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        return [
+            {"token_lo": lo, "token_hi": hi}
+            for lo, hi in cql_token_ranges(parallelism)
+        ]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        shrink = BatchShrinkPolicy(initial=self.FETCH_SIZE, shrink_factor=0.9)
+        fetch_size = shrink.initial
+        where = (
+            f"WHERE token(id) >= {cursor['token_lo']} "
+            f"AND token(id) < {cursor['token_hi']}"
+        )
+        paging_state = None
+        while True:
+            try:
+                rows = self.session.execute(
+                    f"SELECT * FROM {collection} {where}",
+                    fetch_size=fetch_size,
+                    paging_state=paging_state,
+                )
+            except Exception:
+                fetch_size = shrink.shrunk(fetch_size)  # -10%, floored
+                continue
+            page = [json.loads(r.doc_json) for r in rows]
+            if page:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "id": d["_id"],
+                            "vector": d.get("$vector", d.get("vector")),
+                            **{
+                                k: v
+                                for k, v in d.items()
+                                if k not in ("_id", "$vector", "vector")
+                            },
+                        }
+                        for d in page
+                    ]
+                )
+            paging_state = rows.paging_state
+            if paging_state is None:
+                return
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        for row in batch.to_dict("records"):
+            meta = {k: v for k, v in row.items() if k not in ("id", "vector")}
+            cols = ', '.join(meta.keys())
+            vals = ', '.join(str(v) for v in meta.values())
+            self.session.execute(
+                f'INSERT INTO {self.keyspace}.{collection} '
+                f'(id, "$vector"{", " + cols if cols else ""}) '
+                f"VALUES ('{row['id']}', {list(row['vector'])}"
+                f"{', ' + vals if vals else ''})"
+            )
+
+
+# ---------------------------------------------------------------------------
+# KDB.AI
+# ---------------------------------------------------------------------------
+
+ARROW_TO_KDB_PYTYPE = {
+    "string": "str",
+    "large_string": "str",
+    "double": "float64",
+    "float": "float32",
+    "int64": "int64",
+    "int32": "int32",
+    "int16": "int16",
+    "bool": "bool",
+    "timestamp[ns]": "datetime64[ns]",
+    "timestamp[us]": "datetime64[ns]",
+    "timestamp[ms]": "datetime64[ns]",
+}
+
+
+def kdb_compliant_name(name: str) -> str:
+    import re
+
+    return re.sub(r"[- ./]", "_", name)
+
+
+def kdb_schema_from_arrow(
+    fields: list[tuple[str, str]],
+    vector_col: str,
+    dims: int,
+    metric: str = "L2",
+    index_type: str = "flat",
+    all_vector_cols: list[str] | None = None,
+) -> tuple[dict, list[str]]:
+    """Parquet/Arrow schema -> KDB.AI table schema
+    (kdbai_import.py:126-199): the primary vector column gets a
+    ``vectorIndex`` entry {dims, metric, type}; every non-vector column
+    maps arrow type -> kdb pytype (string->str, double->float64); extra
+    vector columns are dropped. Returns (schema, columns_to_drop); all
+    names made compliant (``-``/`` ``/``.``/``/`` -> ``_``)."""
+    all_vec = {kdb_compliant_name(c) for c in (all_vector_cols or [vector_col])}
+    vector_col = kdb_compliant_name(vector_col)
+    schema: dict = {
+        "columns": [
+            {
+                "name": vector_col,
+                "vectorIndex": {
+                    "dims": dims,
+                    "metric": metric,
+                    "type": index_type.lower(),
+                },
+            }
+        ]
+    }
+    drop: list[str] = []
+    for raw_name, arrow_type in fields:
+        name = kdb_compliant_name(raw_name)
+        if name == vector_col:
+            continue
+        if name in all_vec:
+            drop.append(raw_name)
+            continue
+        pytype = ARROW_TO_KDB_PYTYPE.get(arrow_type, arrow_type)
+        schema["columns"].append({"name": name, "pytype": pytype})
+    return schema, drop
+
+
+class KDBAIConnector(VectorDBConnector):
+    """KDB.AI: table DDL synthesized from the data's arrow schema
+    (kdbai_import.py:126-199 via ``kdb_schema_from_arrow``), inserts in
+    batches of 10k shrinking ×2/3 only on the server's 'smaller batches'
+    complaint (kdbai_import.py:218-234), full-table ``query()`` export
+    (kdbai_export.py:108-120)."""
+
+    DB_NAME_SLUG = "kdbai"
+    UPSERT_BATCH = 10_000  # kdbai_import.py batch_size default
+
+    def __init__(self, endpoint: str = "", api_key: str = "", session=None,
+                 index_type: str = "flat"):
+        if session is None:
+            kdbai = _require("kdbai_client", "pip install kdbai-client")
+            session = kdbai.Session(api_key=api_key, endpoint=endpoint)
+        self.session = session
+        self.index_type = index_type
+
+    def list_collections(self) -> list[str]:
+        return list(self.session.list())
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        cfg = index_config or {}
+        fields = cfg.get("fields", [("id", "string")])
+        schema, _ = kdb_schema_from_arrow(
+            fields,
+            vector_col=cfg.get("vector_col", "vector"),
+            dims=dimensions,
+            metric=metric,
+            index_type=cfg.get("index_type", self.index_type),
+            all_vector_cols=cfg.get("all_vector_cols"),
+        )
+        if name not in self.session.list():
+            self.session.create_table(kdb_compliant_name(name), schema)
+
+    def count(self, collection: str) -> int:
+        return len(self.session.table(collection).query())
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        # table.query() has no cursor/offset surface in the reference's
+        # client — single full-table cursor
+        return [{}]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        yield self.session.table(collection).query()
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        table = self.session.table(collection)
+        batch = batch.rename(columns={c: kdb_compliant_name(c) for c in batch.columns})
+        policy = BatchShrinkPolicy(initial=self.UPSERT_BATCH, shrink_factor=2 / 3)
+        policy.run(
+            list(range(len(batch))),
+            lambda idx: table.insert(batch.iloc[idx[0] : idx[-1] + 1].reset_index(drop=True)),
+            should_shrink=lambda e: "smaller batches" in str(e),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Vespa
+# ---------------------------------------------------------------------------
+
+class VespaConnector(VectorDBConnector):
+    """Vespa: /document/v1 visit scan with continuation tokens
+    (marqo_vespa_util.py:66-95's get_all_documents), split across Spark
+    tasks with the visit API's native ``slices``/``sliceId`` parameters
+    (each slice enumerates a disjoint subset of the document space —
+    Vespa's own parallel-visit mechanism, which the reference's
+    single-continuation loop doesn't use), plus per-doc feed upserts."""
+
+    DB_NAME_SLUG = "vespa"
+    PAGE_HINT = 1000
+
+    def __init__(self, document_url: str = "", http_client=None):
+        if http_client is None:
+            httpx = _require("httpx", "pip install httpx")
+            http_client = httpx.Client()
+        self.http = http_client
+        self.document_url = document_url.strip("/")
+
+    def _doc_api(self, schema: str) -> str:
+        return f"{self.document_url}/document/v1/{schema}/{schema}/docid"
+
+    def list_collections(self) -> list[str]:
+        raise NotImplementedError(
+            "Vespa schemas are deployment artifacts; pass the schema name "
+            "explicitly as the collection"
+        )
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        raise NotImplementedError(
+            "Vespa schemas are created by application deployment, not a "
+            "data-plane API"
+        )
+
+    def count(self, collection: str) -> int:
+        total = 0
+        for pdf in self.read_cursor(collection, {"slice_id": 0, "slices": 1}):
+            total += len(pdf)
+        return total
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        return [
+            {"slice_id": i, "slices": parallelism} for i in range(parallelism)
+        ]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        continuation: str | None = None
+        while True:
+            params = {
+                "slices": str(cursor["slices"]),
+                "sliceId": str(cursor["slice_id"]),
+                "wantedDocumentCount": str(self.PAGE_HINT),
+            }
+            if continuation:
+                params["continuation"] = continuation
+            qs = "&".join(f"{k}={v}" for k, v in params.items())
+            resp = self.http.get(f"{self._doc_api(collection)}?{qs}")
+            resp.raise_for_status()
+            body = resp.json()
+            docs = body.get("documents", [])
+            if docs:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "id": d["id"].rsplit("::", 1)[-1],
+                            **d.get("fields", {}),
+                        }
+                        for d in docs
+                    ]
+                )
+            continuation = body.get("continuation")
+            if not continuation:
+                return
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        for row in batch.to_dict("records"):
+            doc_id = str(row.pop("id"))
+            resp = self.http.post(
+                f"{self._doc_api(collection)}/{doc_id}",
+                json={"fields": row},
+            )
+            resp.raise_for_status()
+
+
+# ---------------------------------------------------------------------------
+# Weaviate
+# ---------------------------------------------------------------------------
+
+class WeaviateConnector(VectorDBConnector):
+    """Weaviate: collection counts via aggregate.over_all
+    (weaviate_export.py:78-89 — the reference's export stops at the count
+    stub) extended with the public cursor-API scan (iterator with
+    ``after``-cursor paging, include_vector=True) and dynamic-batch
+    upserts, so the adapter is a full scan/sink rather than a stub."""
+
+    DB_NAME_SLUG = "weaviate"
+    PAGE = 1000
+
+    def __init__(self, url: str = "", api_key: str = "", client=None):
+        if client is None:
+            weaviate = _require("weaviate", "pip install weaviate-client")
+            client = weaviate.connect_to_wcs(
+                cluster_url=url,
+                auth_credentials=weaviate.auth.AuthApiKey(api_key),
+                skip_init_checks=True,
+            )
+        self.client = client
+
+    def list_collections(self) -> list[str]:
+        return list(self.client.collections.list_all().keys())
+
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        self.client.collections.create(name)
+
+    def count(self, collection: str) -> int:
+        col = self.client.collections.get(collection)
+        return int(col.aggregate.over_all(total_count=True).total_count)
+
+    def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        # after-cursors are opaque UUID positions — single cursor chain
+        return [{"after": None}]
+
+    def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
+        col = self.client.collections.get(collection)
+        after = cursor.get("after")
+        while True:
+            res = col.query.fetch_objects(
+                limit=self.PAGE, after=after, include_vector=True
+            )
+            objs = res.objects
+            if not objs:
+                return
+            yield pd.DataFrame(
+                [
+                    {
+                        "id": str(o.uuid),
+                        "vector": list(o.vector["default"]) if o.vector else None,
+                        **(o.properties or {}),
+                    }
+                    for o in objs
+                ]
+            )
+            after = objs[-1].uuid
+
+    def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        col = self.client.collections.get(collection)
+        with col.batch.dynamic() as b:
+            for row in batch.to_dict("records"):
+                b.add_object(
+                    properties={
+                        k: v for k, v in row.items() if k not in ("id", "vector")
+                    },
+                    uuid=str(row["id"]),
+                    vector=list(row["vector"]) if row.get("vector") is not None else None,
+                )
+
+
+CLOUD_CONNECTORS = {
+    cls.DB_NAME_SLUG: cls
+    for cls in (
+        VertexAIVectorSearchConnector,
+        AstraDBJsonConnector,
+        AstraDBCqlConnector,
+        KDBAIConnector,
+        VespaConnector,
+        WeaviateConnector,
+    )
+}
