@@ -38,6 +38,7 @@ def write_vdf(
     exported_from: str = "vdf_spark",
     id_column: str = "id",
     vector_columns: list[str] | None = None,
+    sparse_vector_columns: list[str] | None = None,
     metric: str | None = None,
     author: str | None = None,
     max_records_per_file: int | None = 1_000_000,
@@ -87,6 +88,9 @@ def write_vdf(
             dimensions=dims,
             model_name=model_name,
             vector_columns=present_vec_cols or vector_columns,
+            sparse_vector_columns=[
+                c for c in (sparse_vector_columns or []) if c in df.columns
+            ],
             data_path=subdir,
             metric=metric,
             index_config=index_config,

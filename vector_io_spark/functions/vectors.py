@@ -151,6 +151,38 @@ def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int
         )
         return df.withColumn(out, q)
     if precision in ("binary", "ubinary"):
+        # sign bits PACKED into bytes, MSB-first — np.packbits semantics,
+        # matching sentence_transformers.quantize_embeddings exactly
+        # (reembed.py:500-512): ubinary = packbits(v > 0) in 0..255,
+        # binary = packbits - 128 as int8. Output length ceil(d/8): 8x
+        # smaller than the unpacked 'bits' form. Pure codegen'd transform.
+        src = F.col(col)
+        n_bytes = F.ceil(F.size(src) / F.lit(8.0)).cast("int")
+
+        def byte_expr(b):  # b: 0-based byte index Column
+            total = F.lit(0)
+            for j in range(8):
+                bit = F.when(
+                    F.coalesce(
+                        F.try_element_at(src, (b * 8 + j + 1).cast("int")),
+                        F.lit(0.0),
+                    )
+                    > 0,
+                    F.lit(1 << (7 - j)),
+                ).otherwise(F.lit(0))
+                total = total + bit
+            return total
+
+        packed = F.transform(
+            F.sequence(F.lit(0), n_bytes - F.lit(1)),
+            lambda b: (
+                byte_expr(b) - (128 if precision == "binary" else 0)
+            ).cast("int"),
+        )
+        return df.withColumn(out, packed)
+    if precision == "bits":
+        # unpacked 0/1 per dimension (diagnostic form; 8x the storage of
+        # 'binary' — prefer the packed forms for persisted data)
         bits = F.transform(F.col(col), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
         return df.withColumn(out, bits)
     raise ValueError(f"unknown precision {precision!r}")

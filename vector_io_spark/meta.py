@@ -38,6 +38,9 @@ class NamespaceMeta:
     dimensions: int
     model_name: str | None = None
     vector_columns: list[str] = field(default_factory=lambda: ["vector"])
+    # sparse columns: struct<indices: array<int>, values: array<float>>
+    # (functions/sparse.py; Pinecone sparseValues / Qdrant sparse vectors)
+    sparse_vector_columns: list[str] = field(default_factory=list)
     data_path: str = "."
     metric: str | None = None
     index_config: dict[str, Any] | None = None

@@ -1308,24 +1308,32 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACKBITS_SQL = " + ".join(
+    f"(CASE WHEN embedding[(b-1)*8+{j + 1}] > 0 THEN {1 << (7 - j)} ELSE 0 END)"
+    for j in range(8)
+)
+
+
 @_register(
     "quantize_embeddings_binary",
-    """
-    SELECT vec_id, CAST(d AS BIGINT) AS dim,
-           CASE WHEN embedding[d] > 0 THEN 1 ELSE 0 END AS bit
-    FROM embeddings, generate_series(1, 64) t(d)
+    f"""
+    SELECT vec_id, CAST(b AS BIGINT) AS byte_pos,
+           CAST({_PACKBITS_SQL} - 128 AS INTEGER) AS packed
+    FROM embeddings, generate_series(1, 8) t(b)
     """,
 )
 def quantize_embeddings_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary embedding quantization (sign bit per dimension,
-    reembed.py:500-512's 'binary' precision) — shuffle-free codegen'd
-    transform."""
+    """Binary embedding quantization: sign bits PACKED into bytes
+    MSB-first, offset to int8 — np.packbits semantics matching
+    sentence_transformers 'binary' precision (reembed.py:500-512). 64
+    dims -> 8 bytes (8x smaller than unpacked bits). Shuffle-free
+    codegen'd transform."""
     from vector_io_spark.functions.vectors import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb, "embedding", "q", "binary")
-    return q.select("vec_id", F.posexplode("q").alias("pos", "bit")).select(
-        "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "bit"
+    return q.select("vec_id", F.posexplode("q").alias("pos", "packed")).select(
+        "vec_id", (F.col("pos") + 1).cast("bigint").alias("byte_pos"), "packed"
     )
 
 
@@ -1441,3 +1449,81 @@ def minhash_signature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minhash")[6].alias("sig_6"),
         F.col("minhash")[15].alias("sig_15"),
     )
+
+
+# ===========================================================================
+# Sparse vectors (functions/sparse.py convention)
+# ===========================================================================
+
+_SPARSE_T = 0.15  # abs-threshold used to derive sparse vectors from dense
+# 1-based positions of the kept entries (DuckDB lists are 1-based)
+_SPARSE_IDX = (
+    f"list_filter(range(1, len({{e}}) + 1), i -> abs({{e}}[i]) > {_SPARSE_T})"
+)
+
+
+@_register(
+    "sparse_stats",
+    f"""
+    SELECT vec_id,
+           CAST(len({_SPARSE_IDX.format(e='embedding')}) AS BIGINT) AS nnz,
+           round(sqrt(list_sum(list_transform({_SPARSE_IDX.format(e='embedding')},
+                 i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def sparse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector derivation check: nnz + L2 norm of the sparse form of
+    every embedding (abs > 0.15). Verifies sparse_from_dense keeps exactly
+    the right entries and sparse_norm accumulates like the oracle."""
+    from vector_io_spark.functions.sparse import (
+        sparse_from_dense,
+        sparse_nnz,
+        sparse_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sp = emb.select(
+        "vec_id", sparse_from_dense("embedding", threshold=_SPARSE_T).alias("sp")
+    )
+    return sp.select(
+        "vec_id",
+        sparse_nnz("sp").cast("long").alias("nnz"),
+        F.round(sparse_norm("sp"), 6).alias("l2_norm"),
+    )
+
+
+@_register(
+    "sparse_dot_topk",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_sum(list_transform(
+                       {_SPARSE_IDX.format(e='c.embedding')},
+                       i -> (CASE WHEN abs(q.embedding[i]) > {_SPARSE_T}
+                             THEN CAST(q.embedding[i] AS DOUBLE) ELSE 0.0 END)
+                            * c.embedding[i])), 6) AS score
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse top-10 dot-product search for 3 sparse query vectors over
+    the sparsified corpus: broadcast queries, codegen'd zip_with dot
+    (O(nnz) per row), windowed top-k — the corpus is scanned once and
+    never shuffled, same 100 TB shape as the dense brute-force path."""
+    from vector_io_spark.functions.sparse import sparse_from_dense, sparse_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sp = emb.select(
+        "vec_id", sparse_from_dense("embedding", threshold=_SPARSE_T).alias("sparse")
+    )
+    queries = sp.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "sparse"
+    )
+    return sparse_topk(sp, queries, k=10, metric="dot")

@@ -58,6 +58,11 @@ class QdrantConnector(VectorDBConnector):
             vectors_config=models.VectorParams(
                 size=dimensions, distance=getattr(models.Distance, metric.upper(), models.Distance.COSINE)
             ),
+            # replay the exported sparse-vectors config, the part of
+            # index_config qdrant_import.py:215-243 restores on create
+            sparse_vectors_config=(index_config or {}).get(
+                "sparse_vectors_config"
+            ),
         )
 
     def count(self, collection: str) -> int:
@@ -104,9 +109,11 @@ class PineconeConnector(VectorDBConnector):
     DB_NAME_SLUG = "pinecone"
     MAX_FETCH_SIZE = 1000  # pinecone_export.py:25
 
-    def __init__(self, api_key: str, index_name: str | None = None):
-        pinecone = _require("pinecone", "pip install pinecone-client")
-        self.client = pinecone.Pinecone(api_key=api_key)
+    def __init__(self, api_key: str = "", index_name: str | None = None, client=None):
+        if client is None:
+            pinecone = _require("pinecone", "pip install pinecone-client")
+            client = pinecone.Pinecone(api_key=api_key)
+        self.client = client
         self.index_name = index_name
 
     def list_collections(self) -> list[str]:
@@ -138,25 +145,50 @@ class PineconeConnector(VectorDBConnector):
                 fetched = index.fetch(ids=list(ids[i : i + self.MAX_FETCH_SIZE]))
                 yield pd.DataFrame(
                     [
-                        {"id": v.id, "vector": list(v.values), **(v.metadata or {})}
+                        {
+                            "id": v.id,
+                            "vector": list(v.values),
+                            # sparseValues passthrough into the engine's
+                            # struct convention (pinecone_export.py:233-235)
+                            **(
+                                {
+                                    "sparse_vector": {
+                                        "indices": list(v.sparse_values.indices),
+                                        "values": list(v.sparse_values.values),
+                                    }
+                                }
+                                if getattr(v, "sparse_values", None)
+                                else {}
+                            ),
+                            **(v.metadata or {}),
+                        }
                         for v in fetched.vectors.values()
                     ]
                 )
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
         index = self.client.Index(collection)
-        vectors = [
-            {
+        vectors = []
+        for row in batch.to_dict("records"):
+            vec = {
                 "id": str(row["id"]),
                 "values": row["vector"],
                 "metadata": {
                     k: v
                     for k, v in row.items()
-                    if k not in ("id", "vector") and v is not None  # None keys dropped, pinecone_import.py:246-252
+                    if k not in ("id", "vector", "sparse_vector")
+                    and v is not None  # None keys dropped, pinecone_import.py:246-252
                 },
             }
-            for row in batch.to_dict("records")
-        ]
+            # engine sparse struct -> Pinecone sparse_values
+            # (pinecone_export.py:460-462 carries sparseValues on upsert)
+            sv = row.get("sparse_vector")
+            if sv is not None:
+                vec["sparse_values"] = {
+                    "indices": list(sv["indices"]),
+                    "values": list(sv["values"]),
+                }
+            vectors.append(vec)
         index.upsert(vectors=vectors)
 
 
