@@ -100,10 +100,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist intermediates (signatures, shingle indexes);
-        # drop them so queries are timed in isolation, not under the
-        # accumulated cache pressure of earlier ones
-        spark.catalog.clearCache()
+        # no clearCache needed: operators release their own caches
+        # (dedup._materialize_release unpersists signature/shingle
+        # intermediates before returning)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -47,7 +47,9 @@ def test_remote_connector_registry_importable():
     from vector_io_spark.sources.remote import CONNECTORS
 
     assert set(CONNECTORS) == {
-        "qdrant", "pinecone", "milvus", "chroma", "lancedb", "turbopuffer"
+        "qdrant", "pinecone", "milvus", "chroma", "lancedb", "turbopuffer",
+        "vertexai_vectorsearch", "astradb", "astradb_cql", "kdbai",
+        "vespa", "weaviate",
     }
     # constructors are import-gated with a clear message
     with pytest.raises(ImportError, match="qdrant_client"):

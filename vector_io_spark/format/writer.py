@@ -60,10 +60,21 @@ def write_vdf(
     for (index_name, namespace), df in df_map.items():
         subdir = _dir_name(index_name, namespace)
         out_path = os.path.join(dataset_dir, subdir)
-        writer = df.write.mode("overwrite")
+        # count rows DURING the write via an Observation instead of
+        # re-reading the written dataset afterwards — at 100 TB the
+        # re-read is a second full scan per namespace. The observed
+        # metric is exact (computed on the rows the write job actually
+        # committed).
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df_observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        writer = df_observed.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(out_path)
+        count = int(obs.get["n_rows"])
 
         written = sorted(
             os.path.join(subdir, f)
@@ -78,7 +89,6 @@ def write_vdf(
             from vector_io_spark.functions.vectors import vector_dim
 
             dims = vector_dim(df, present_vec_cols[0])
-        count = df.sparkSession.read.parquet(out_path).count()
 
         ns_meta = NamespaceMeta(
             namespace=namespace,

@@ -146,6 +146,22 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("minhash"))
 
 
+def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize ``result`` (localCheckpoint: computes it once
+    and truncates lineage) and then ``unpersist`` the cached inputs that
+    fed it — so every pair-finding operator releases its signature/
+    shingle cache before returning instead of leaking it until someone
+    calls ``clearCache()``. The checkpointed frame is the verified pair
+    set (~|duplicates|, small); holding THAT in the block manager while
+    freeing the corpus-sized cache is the right memory trade at 100 TB.
+    On executor loss the checkpointed partitions are gone and the query
+    re-runs — same blast radius as any uncached job."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -203,7 +219,7 @@ def minhash_lsh_dup_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -218,6 +234,7 @@ def minhash_lsh_dup_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _materialize_release(pairs, sigs)
 
 
 # --------------------------------------------------------------------------
@@ -344,7 +361,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return _materialize_release(verified, shingle_arrays)
 
 
 # --------------------------------------------------------------------------
@@ -444,7 +461,7 @@ def simhash_dup_pairs(
     blocked = fp.select(id_col, "fp", F.posexplode(block_arr).alias("blk_id", "blk"))
     l, r = blocked.alias("l"), blocked.alias("r")
     ham = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp")))
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.blk_id") == F.col("r.blk_id"))
@@ -459,6 +476,7 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _materialize_release(pairs, fp)
 
 
 # --------------------------------------------------------------------------
@@ -607,7 +625,7 @@ def _signature_band_pairs(
     )
     banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band_id", "band_key"))
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -619,6 +637,7 @@ def _signature_band_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _materialize_release(pairs, sig_df)
 
 
 # --------------------------------------------------------------------------

@@ -15,6 +15,7 @@ implementation each adapter reproduces.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,9 +44,11 @@ class QdrantConnector(VectorDBConnector):
     SCROLL_BATCH = 1000  # qdrant_export.py:16
     UPSERT_BATCH = 64    # qdrant_import.py:311-315
 
-    def __init__(self, url: str, api_key: str | None = None):
-        qdrant_client = _require("qdrant_client", "pip install qdrant-client")
-        self.client = qdrant_client.QdrantClient(url=url, api_key=api_key)
+    def __init__(self, url: str = "", api_key: str | None = None, client=None):
+        if client is None:
+            qdrant_client = _require("qdrant_client", "pip install qdrant-client")
+            client = qdrant_client.QdrantClient(url=url, api_key=api_key)
+        self.client = client
 
     def list_collections(self) -> list[str]:
         return [c.name for c in self.client.get_collections().collections]
@@ -69,16 +72,43 @@ class QdrantConnector(VectorDBConnector):
         return self.client.count(collection).count
 
     def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
-        # scroll offsets are opaque -> one cursor; shard-aware splits
-        # would use shard_key selectors here
+        """One cursor per shard key when the collection uses custom
+        sharding (each Spark task scrolls one shard via
+        shard_key_selector — Qdrant's native parallel-scan addressing);
+        single scroll chain otherwise (offsets are opaque)."""
+        keys = self._shard_keys(collection)
+        if keys:
+            return [{"offset": None, "shard_key": k} for k in keys]
         return [{"offset": None}]
+
+    def _shard_keys(self, collection: str) -> list:
+        try:
+            info = self.client.collection_cluster_info(collection)
+        except Exception:
+            return []
+        keys = sorted(
+            {
+                getattr(s, "shard_key", None)
+                for s in (
+                    list(getattr(info, "local_shards", []) or [])
+                    + list(getattr(info, "remote_shards", []) or [])
+                )
+            }
+            - {None}
+        )
+        return keys
 
     def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
         offset = cursor.get("offset")
+        extra = (
+            {"shard_key_selector": cursor["shard_key"]}
+            if cursor.get("shard_key") is not None
+            else {}
+        )
         while True:
             points, offset = self.client.scroll(
                 collection, limit=self.SCROLL_BATCH, offset=offset,
-                with_payload=True, with_vectors=True,
+                with_payload=True, with_vectors=True, **extra,
             )
             if not points:
                 return
@@ -133,11 +163,23 @@ class PineconeConnector(VectorDBConnector):
         return self.client.Index(collection).describe_index_stats().total_vector_count
 
     def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
-        # list() gives id pages; split the id space by page strides
+        """Preferred: list() id pages split by page strides. Fallback for
+        indexes where list() is unavailable (pre-serverless pods): the
+        query+mark/unmark sweep (pinecone_export.py:184-259), which must
+        run as ONE cursor — it pages by mutating a per-sweep metadata
+        marker, so concurrent sweeps would race on the marker."""
+        index = self.client.Index(collection)
+        try:
+            next(iter(index.list()), None)  # probe: list() raises on pods
+        except Exception:
+            return [{"sweep": True}]
         return [{"page_start": i, "stride": parallelism} for i in range(parallelism)]
 
     def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
         index = self.client.Index(collection)
+        if cursor.get("sweep"):
+            yield from self._sweep_scan(index)
+            return
         for page_no, ids in enumerate(index.list()):
             if page_no % cursor["stride"] != cursor["page_start"]:
                 continue
@@ -165,6 +207,85 @@ class PineconeConnector(VectorDBConnector):
                         for v in fetched.vectors.values()
                     ]
                 )
+
+    PINECONE_MAX_K = 10_000  # pinecone_export.py PINECONE_MAX_K
+
+    def _sweep_scan(self, index) -> Iterator[pd.DataFrame]:
+        """Random-query sweep with mark/unmark
+        (pinecone_export.py:184-259 marking, :432-465 unmarking): query
+        for top-k vectors NOT yet carrying this sweep's marker, fetch
+        them, yield, mark them exported, repeat until the query returns
+        nothing new; finally strip the marker from everything touched.
+        Deterministic probe vectors (seeded RNG) so reruns are
+        reproducible."""
+        import numpy as np
+
+        marker = f"exported_vectorio_{uuid.uuid4().hex[:8]}"
+        dims = int(index.describe_index_stats()["dimension"])
+        rng = np.random.RandomState(42)
+        seen: set[str] = set()
+        while True:
+            res = index.query(
+                vector=rng.rand(dims).tolist(),
+                top_k=self.PINECONE_MAX_K,
+                filter={marker: {"$ne": True}},
+                include_values=False,
+            )
+            ids = [m["id"] for m in res["matches"] if m["id"] not in seen]
+            if not ids:
+                break
+            for i in range(0, len(ids), self.MAX_FETCH_SIZE):
+                chunk = ids[i : i + self.MAX_FETCH_SIZE]
+                fetched = index.fetch(ids=chunk)
+                vecs = fetched.vectors
+                yield pd.DataFrame(
+                    [
+                        {"id": v.id, "vector": list(v.values), **(v.metadata or {})}
+                        for v in vecs.values()
+                    ]
+                )
+                # mark exported (metadata flag rides along with values;
+                # sparseValues preserved, pinecone_export.py:233-235)
+                index.upsert(
+                    vectors=[
+                        {
+                            "id": v.id,
+                            "values": list(v.values),
+                            "metadata": {**(v.metadata or {}), marker: True},
+                            **(
+                                {
+                                    "sparse_values": {
+                                        "indices": list(v.sparse_values.indices),
+                                        "values": list(v.sparse_values.values),
+                                    }
+                                }
+                                if getattr(v, "sparse_values", None)
+                                else {}
+                            ),
+                        }
+                        for v in vecs.values()
+                    ]
+                )
+            seen.update(ids)
+        # unmark pass: restore metadata without the sweep marker
+        all_ids = sorted(seen)
+        for i in range(0, len(all_ids), self.MAX_FETCH_SIZE):
+            chunk = all_ids[i : i + self.MAX_FETCH_SIZE]
+            fetched = index.fetch(ids=chunk)
+            index.upsert(
+                vectors=[
+                    {
+                        "id": v.id,
+                        "values": list(v.values),
+                        "metadata": {
+                            k: val
+                            for k, val in (v.metadata or {}).items()
+                            if k != marker
+                        },
+                    }
+                    for v in fetched.vectors.values()
+                ]
+            )
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
         index = self.client.Index(collection)
@@ -200,10 +321,11 @@ class MilvusConnector(VectorDBConnector):
     DB_NAME_SLUG = "milvus"
     ITER_BATCH = 1000  # milvus_export.py:20
 
-    def __init__(self, uri: str, token: str | None = None):
-        pymilvus = _require("pymilvus", "pip install pymilvus")
-        pymilvus.connections.connect(uri=uri, token=token or "")
-        self._pymilvus = pymilvus
+    def __init__(self, uri: str = "", token: str | None = None, pymilvus_module=None):
+        if pymilvus_module is None:
+            pymilvus_module = _require("pymilvus", "pip install pymilvus")
+            pymilvus_module.connections.connect(uri=uri, token=token or "")
+        self._pymilvus = pymilvus_module
 
     def list_collections(self) -> list[str]:
         return self._pymilvus.utility.list_collections()
@@ -224,11 +346,26 @@ class MilvusConnector(VectorDBConnector):
         return self._pymilvus.Collection(collection).num_entities
 
     def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
-        return [{}]  # query_iterator is single-cursor; partitions would map here
+        """One cursor per Milvus partition (each Spark task drives a
+        query_iterator scoped with partition_names — partitions are
+        Milvus's horizontal scan split); single iterator for
+        unpartitioned collections."""
+        col = self._pymilvus.Collection(collection)
+        parts = [p.name for p in getattr(col, "partitions", []) or []]
+        if len(parts) > 1:
+            return [{"partition": p} for p in parts]
+        return [{}]
 
     def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
         col = self._pymilvus.Collection(collection)
-        it = col.query_iterator(batch_size=self.ITER_BATCH, output_fields=["*"])
+        extra = (
+            {"partition_names": [cursor["partition"]]}
+            if cursor.get("partition")
+            else {}
+        )
+        it = col.query_iterator(
+            batch_size=self.ITER_BATCH, output_fields=["*"], **extra
+        )
         while True:
             page = it.next()
             if not page:
@@ -350,11 +487,15 @@ class TurbopufferConnector(VectorDBConnector):
 
     DB_NAME_SLUG = "turbopuffer"
     BATCH = 10_000
+    QUERY_PAGE = 1000  # query API top_k page (id-ordered when unranked)
 
-    def __init__(self, api_key: str):
-        tpuf = _require("turbopuffer", "pip install turbopuffer")
-        tpuf.api_key = api_key
-        self._tpuf = tpuf
+    def __init__(self, api_key: str = "", tpuf_module=None,
+                 id_ranges: list[tuple[int, int]] | None = None):
+        if tpuf_module is None:
+            tpuf_module = _require("turbopuffer", "pip install turbopuffer")
+            tpuf_module.api_key = api_key
+        self._tpuf = tpuf_module
+        self.id_ranges = id_ranges
 
     def list_collections(self) -> list[str]:
         return [ns.name for ns in self._tpuf.namespaces()]
@@ -366,10 +507,23 @@ class TurbopufferConnector(VectorDBConnector):
         return self._tpuf.Namespace(collection).approx_count()
 
     def plan_cursors(self, collection: str, parallelism: int) -> list[dict]:
+        """Range cursors over a numeric id space when the caller provides
+        ``id_ranges`` (mirroring the reference's --id_range_start/end
+        escape hatch, pinecone_export.py:266-281): each Spark task scans
+        one [lo, hi) slice via the query API's documented Gte/Lt id
+        filters. Without ranges, one full-namespace ``vectors()``
+        iteration (the export cursor is opaque and single-threaded)."""
+        if self.id_ranges:
+            return [
+                {"id_gte": int(lo), "id_lt": int(hi)} for lo, hi in self.id_ranges
+            ]
         return [{}]
 
     def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
         ns = self._tpuf.Namespace(collection)
+        if "id_gte" in cursor:
+            yield from self._read_range(ns, cursor["id_gte"], cursor["id_lt"])
+            return
         buf = []
         for row in ns.vectors():
             buf.append({"id": row.id, "vector": row.vector, **(row.attributes or {})})
@@ -378,6 +532,32 @@ class TurbopufferConnector(VectorDBConnector):
                 buf = []
         if buf:
             yield pd.DataFrame(buf)
+
+    def _read_range(self, ns, lo: int, hi: int) -> Iterator[pd.DataFrame]:
+        """Filter-based pagination inside [lo, hi): repeatedly query with
+        ['id','Gte',cursor] + ['id','Lt',hi] and advance the cursor past
+        the max id returned — turbopuffer's documented id-filter paging."""
+        cur = lo
+        while cur < hi:
+            rows = ns.query(
+                filters=["And", [["id", "Gte", cur], ["id", "Lt", hi]]],
+                top_k=self.QUERY_PAGE,
+                include_vectors=True,
+                include_attributes=True,
+            )
+            rows = list(rows)
+            if not rows:
+                return
+            yield pd.DataFrame(
+                [
+                    {"id": r.id, "vector": r.vector, **(r.attributes or {})}
+                    for r in rows
+                ]
+            )
+            max_id = max(int(r.id) for r in rows)
+            if len(rows) < self.QUERY_PAGE:
+                return
+            cur = max_id + 1
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
         ns = self._tpuf.Namespace(collection)
