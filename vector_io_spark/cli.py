@@ -1,0 +1,186 @@
+"""Command-line surface: ``python -m vector_io_spark <command>``.
+
+Mirrors the reference's CLI shape (export_vdf_cli.py:33-56: discover every
+connector, give each its own argparse subparser named by DB_NAME_SLUG;
+import_vdf_cli.py likewise) minus the interactive prompting the SURVEY
+scoped out — every option is a flag, so the CLI is scriptable/CI-safe.
+
+Commands:
+  list-dbs                      print registered connector slugs
+  export <db> [db flags] --collections a,b --out DIR
+                                distributed scan -> VDF parquet dataset
+  import <db> [db flags] --dataset DIR [--index NAME]
+                                VDF dataset -> distributed batched upserts
+
+Per-DB flags are generated from each connector's constructor signature
+(--url, --api-key, ...); injectable test doubles (client/session/module
+params) are excluded. The embedded file-backed store is registered too,
+so the whole CLI is exercisable without any SDK.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import sys
+
+from vector_io_spark.session import get_spark
+
+
+def _registry() -> dict:
+    from vector_io_spark.sources.embedded import EmbeddedVectorDB
+    from vector_io_spark.sources.remote import CONNECTORS
+
+    return {**CONNECTORS, "embedded": EmbeddedVectorDB}
+
+
+_SKIP_PARAMS = {
+    "self", "client", "session", "http_client", "pymilvus_module",
+    "tpuf_module",
+}
+
+
+def _add_connector_flags(parser: argparse.ArgumentParser, cls: type) -> list[str]:
+    """One flag per constructor parameter (reference: make_parser per DB,
+    e.g. pinecone_export.py's --api-key/--index)."""
+    names = []
+    for name, p in inspect.signature(cls.__init__).parameters.items():
+        if name in _SKIP_PARAMS or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        flag = "--" + name.replace("_", "-")
+        required = p.default is inspect.Parameter.empty
+        parser.add_argument(flag, required=required, default=(
+            None if required else p.default
+        ))
+        names.append(name)
+    return names
+
+
+def build_parser() -> argparse.ArgumentParser:
+    top = argparse.ArgumentParser(prog="vector_io_spark")
+    sub = top.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("list-dbs", help="print registered connector slugs")
+
+    for command in ("export", "import"):
+        cmd = sub.add_parser(command)
+        db_sub = cmd.add_subparsers(dest="db", required=True)
+        for slug, cls in sorted(_registry().items()):
+            p = db_sub.add_parser(slug)
+            ctor_params = _add_connector_flags(p, cls)
+            p.set_defaults(_cls=cls, _ctor_params=ctor_params)
+            if command == "export":
+                p.add_argument("--collections", required=True,
+                               help="comma-separated collection names")
+                p.add_argument("--out", required=True, help="VDF dataset dir")
+                p.add_argument("--parallelism", type=int, default=32)
+                p.add_argument("--max-file-rows", type=int, default=1_000_000)
+                p.add_argument("--id-column", default="id")
+                p.add_argument("--model-name", default=None)
+            else:
+                p.add_argument("--dataset", required=True, help="VDF dataset dir")
+                p.add_argument("--index", default=None,
+                               help="only import this index (default: all)")
+                p.add_argument("--batch-size", type=int,
+                               default=getattr(cls, "UPSERT_BATCH", 1000))
+                p.add_argument("--rate-limit-per-minute", type=float,
+                               default=getattr(cls, "REQUESTS_PER_MINUTE", None))
+                p.add_argument("--num-partitions", type=int, default=None)
+                p.add_argument("--create-collections", action="store_true",
+                               help="create target collections from VDF meta")
+    return top
+
+
+def _connector_factory(args):
+    cls = args._cls
+    kwargs = {name: getattr(args, name) for name in args._ctor_params}
+    return lambda: cls(**kwargs)
+
+
+def cmd_export(args) -> int:
+    from vector_io_spark.format.writer import write_vdf
+    from vector_io_spark.sources.connectors import paginated_read
+
+    spark = get_spark(app_name="vector_io_spark_export")
+    factory = _connector_factory(args)
+    probe = factory()
+    df_map = {}
+    for coll in args.collections.split(","):
+        # schema probe: read the first cursor's first batch driver-side
+        cursors = probe.plan_cursors(coll, 1)
+        first = None
+        for cur in cursors:
+            for pdf in probe.read_cursor(coll, cur):
+                first = pdf
+                break
+            if first is not None:
+                break
+        if first is None:
+            print(f"collection {coll} is empty; skipping", file=sys.stderr)
+            continue
+        sdf = paginated_read(
+            spark, factory, coll,
+            schema=spark.createDataFrame(first).schema,
+            parallelism=args.parallelism,
+        )
+        df_map[(coll, "")] = sdf
+    if not df_map:
+        print("nothing to export", file=sys.stderr)
+        return 1
+    meta = write_vdf(
+        df_map,
+        args.out,
+        exported_from=args._cls.DB_NAME_SLUG,
+        id_column=args.id_column,
+        max_records_per_file=args.max_file_rows,
+        model_name=args.model_name,
+    )
+    for index, namespaces in meta.indexes.items():
+        for ns in namespaces:
+            print(f"exported {index}/{ns.namespace or '-'}: "
+                  f"{ns.exported_vector_count} rows -> {ns.data_path}")
+    return 0
+
+
+def cmd_import(args) -> int:
+    from vector_io_spark.format.reader import read_vdf
+    from vector_io_spark.sources.connectors import partitioned_upsert
+
+    spark = get_spark(app_name="vector_io_spark_import")
+    ds = read_vdf(spark, args.dataset)
+    factory = _connector_factory(args)
+    total = 0
+    for index, namespaces in ds.meta.indexes.items():
+        if args.index and index != args.index:
+            continue
+        for ns in namespaces:
+            df = ds.df(index, ns.namespace)
+            if args.create_collections:
+                factory().create_collection(
+                    index, ns.dimensions, ns.metric or "Cosine",
+                    index_config=ns.index_config,
+                )
+            n = partitioned_upsert(
+                df, factory, index,
+                batch_size=args.batch_size,
+                rate_limit_per_minute=args.rate_limit_per_minute,
+                num_partitions=args.num_partitions,
+            )
+            print(f"imported {index}/{ns.namespace or '-'}: {n} rows")
+            total += n
+    print(f"total imported: {total}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "list-dbs":
+        print("\n".join(sorted(_registry())))
+        return 0
+    if args.command == "export":
+        return cmd_export(args)
+    return cmd_import(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
