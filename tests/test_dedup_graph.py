@@ -63,3 +63,28 @@ def test_hf_source_import_gated(spark):
         read_hf_dataset(spark, "user/ds")
     with pytest.raises(ImportError, match="huggingface_hub"):
         push_to_hub("/tmp/nope", "user/ds")
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 300-link path graph: plain min-propagation needs 300 rounds;
+    pointer jumping must converge within max_iter=12 (2^12 >> 300) and
+    label every node with the chain's min id."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs, max_iter=12)
+    distinct = labels.select("component").distinct().collect()
+    assert [r["component"] for r in distinct] == [0]
+    assert labels.count() == n + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """With max_iter too small for the diameter, raise instead of
+    returning a partially merged labeling."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)

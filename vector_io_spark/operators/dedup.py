@@ -652,23 +652,26 @@ def connected_components(
     Combined with a keep-min policy this turns near-dup PAIRS into the
     survivor/victim partition a dedup pipeline actually applies.
 
-    Algorithm: iterative min-label propagation (large-star/small-star
-    simplification): each round joins every node's current label with its
-    neighbors' labels and takes the min; converges in O(log n) rounds for
-    real dup graphs (components are tiny cliques/chains). Each round is
-    one shuffle on node id — at 100 TB the frame is |nodes in pairs|,
-    which is ~|duplicates|, far smaller than the corpus.
+    Algorithm: min-label propagation with POINTER JUMPING. Each round
+    does (a) neighbor-min: every node takes the min of its own and its
+    neighbors' labels — one shuffle on node id; then (b) pointer jump:
+    every node replaces its label with its label's label
+    (``component := component[component]``, a self-join of the label
+    frame) — the path-halving step of the classic large-star/small-star
+    /Shiloach-Vishkin family. Propagation alone needs O(diameter) rounds
+    (a 1M-long duplicate chain — overlapping shard exports — would need
+    1M rounds); with jumping, label paths halve every round, so
+    convergence is O(log diameter) — ~20 rounds covers a million-link
+    chain. At 100 TB each round shuffles |nodes in pairs| rows, which is
+    ~|duplicates|, far smaller than the corpus.
 
-    The loop checks convergence with a count of changed labels; breaking
-    early keeps rounds to the component diameter. If ``max_iter`` rounds
-    pass with labels still changing (a component whose diameter exceeds
-    max_iter — e.g. a long overlapping-shard chain), the function RAISES
-    rather than silently returning a partially-merged labeling that would
-    keep several "survivors" from one duplicate cluster; pass a larger
-    ``max_iter`` (rounds needed = component diameter) or pre-shrink the
-    graph. Every ``checkpoint_every`` rounds the label frame's lineage is
-    truncated (localCheckpoint) so plan depth stays bounded for
-    high-diameter graphs.
+    The loop checks convergence with a count of changed labels. If
+    ``max_iter`` rounds pass with labels still changing (only possible
+    for diameter > 2^max_iter), the function RAISES rather than silently
+    returning a partially-merged labeling that would keep several
+    "survivors" from one duplicate cluster. Every ``checkpoint_every``
+    rounds the label frame's lineage is truncated (localCheckpoint) so
+    plan depth stays bounded.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -690,13 +693,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = labels.join(
+        propagated = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
+        )
+        # pointer jump: component := component's component. Labels are
+        # always ids of existing nodes (mins over node ids), so the
+        # self-join matches every row; left-join + coalesce guards the
+        # degenerate self-pointer case anyway.
+        jump_to = propagated.select(
+            F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
+        )
+        new_labels = (
+            propagated.join(
+                jump_to, propagated.component == jump_to.__jid, "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__jcomp"), F.col("component")),
+                ).alias("component"),
+            )
         )
         if (it + 1) % checkpoint_every == 0:
             # truncate lineage: each round nests the previous plan; at

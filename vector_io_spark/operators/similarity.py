@@ -72,6 +72,54 @@ def brute_force_topk(
     )
 
 
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_col: str = "packed",
+    query_id: str = "query_id",
+    query_col: str = "packed",
+) -> DataFrame:
+    """Exact top-k by Hamming distance over PACKED binary embeddings
+    (``quantize_embeddings(..., 'ubinary')`` output: sign bits packed
+    into bytes) — the standard first-stage retriever for
+    binary-quantized search: 8x less data scanned than unpacked bits,
+    32x less than float32, and the distance is pure integer xor+popcount
+    (codegen'd ``bit_count``), no floating point at all.
+
+    Same 100 TB plan shape as ``brute_force_topk``: queries broadcast,
+    corpus scanned once and never shuffled, only (query, id, distance)
+    triples enter the ranking exchange.
+
+    Returns (query_id, <corpus_id>, hamming, rank), distance ascending,
+    tie-break on corpus id.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_col).alias("__qp")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(corpus_col),
+            F.col("__qp"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = corpus.crossJoin(broadcast(q)).select(
+        "query_id", F.col(corpus_id), dist.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "hamming", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
