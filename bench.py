@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "embedding_cosine_lsh",  # scale path (hyperplane LSH), not the brute oracle
     "ann_topk_ivf",          # IVF cell-probe ANN (scale path)
+    "ann_topk_pq",           # product-quantization ADC ANN (scale path)
+    "ann_topk_hamming_packed",  # binary-quantized exact hamming retrieval
+    "session_stats",         # gap sessionization + rollup on events
     "text_quality",
     "token_counts",
     "language_id",
@@ -58,19 +61,8 @@ def _extra_queries():
             threshold=0.995, method="lsh",
         )
 
-    def ann_topk_ivf(spark, sf_dir):
-        from vector_io_spark.operators.similarity import ivf_topk
-
-        emb = _t(spark, sf_dir, "embeddings")
-        queries = emb.where(F.col("vec_id") < 32).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return ivf_topk(emb, queries, k=10, num_cells=16, nprobe=4,
-                        sample_fraction=0.5)
-
     return {
         "embedding_cosine_lsh": embedding_cosine_lsh,
-        "ann_topk_ivf": ann_topk_ivf,
     }
 
 

@@ -73,3 +73,44 @@ def test_two_phase_agg_matches_plain(spark, sf_dir):
     for k in plain:
         assert plain[k][1] == two[k][1] and plain[k][2] == two[k][2]
         assert abs(plain[k][0] - two[k][0]) < 1e-6
+
+
+def test_pq_topk_recall_and_compression(spark, sf_dir):
+    """PQ ADC: codes are M small ints; L2 ranking recall vs exact L2;
+    the query's own vector (zero quantization error relative to others)
+    should rank near the top."""
+    import numpy as np
+
+    from vector_io_spark.operators.similarity import (
+        pq_encode, pq_topk, train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    cb = train_pq_codebooks(emb, num_subspaces=8, codebook_size=16)
+    assert cb.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+    coded = pq_encode(emb, cb).select("vec_id", "pq_code").collect()
+    assert all(len(r["pq_code"]) == 8 for r in coded)
+    assert all(0 <= c < 16 for r in coded for c in r["pq_code"])
+
+    # finer quantization (2-dim subspaces) for the recall check: the
+    # synthetic embeddings are near-uniform, so neighbor contrast is
+    # small and coarse codes can't order it
+    approx = pq_topk(emb, queries, k=5, num_subspaces=32, codebook_size=64)
+    rows = approx.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r["adc_dist"] >= 0 for r in rows)
+
+    # exact L2 top-5 via numpy on the same data
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in data])
+    mat = np.vstack([r["embedding"] for r in data]).astype(np.float64)
+    exact_set = set()
+    for r in queries.collect():
+        d2 = ((mat - np.asarray(r["embedding"], dtype=np.float64)) ** 2).sum(axis=1)
+        for vid in ids[np.argsort(d2, kind="stable")[:5]]:
+            exact_set.add((r["query_id"], int(vid)))
+    approx_set = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"

@@ -68,9 +68,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session.py nanosAsLong); convert to proper timestamps (ns -> us).
     for col, dtype in df.dtypes:
         if col == "ts" and dtype == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("bigint"))
-            )
+            # integer div, NOT floor(x/1000.0): epoch nanos (~1.7e18)
+            # exceed double's 53-bit exact range, so float division is
+            # off by up to ~256 ns -> off-by-one micros
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 
@@ -1574,3 +1575,78 @@ def ann_topk_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "packed"
     )
     return hamming_topk(packed, queries, k=10)
+
+
+_SESSION_GAP_US = 3600 * 1_000_000  # 1h gap
+
+
+@_register(
+    "session_stats",
+    f"""
+    WITH sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM (
+            SELECT *, CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > {_SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, ts, value,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC) AS prev_us
+                FROM events
+            )
+        )
+    )
+    SELECT user_id, session_id,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h inactivity gap) + per-session rollup
+    on the events table: lag-gap flag and running session counter share
+    ONE window sort (one shuffle on user_id); the rollup groups on a
+    prefix-extension of that distribution. Gaps compare integer
+    microseconds — exact at any timestamp precision."""
+    from vector_io_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return session_stats(ev, "user_id", "ts", gap_seconds=3600.0, value_col="value")
+
+
+@_register("ann_topk_ivf")
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (scale path): k-means centroids from a BOUNDED
+    sample, shuffle-free cell assignment, queries probe nprobe cells.
+    No SQL oracle (k-means is not SQL-expressible); recall + exactness
+    of returned scores are pytest-verified (test_ivf_topk_recall)."""
+    from vector_io_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, num_cells=16, nprobe=4,
+                    sample_fraction=0.5)
+
+
+@_register("ann_topk_pq")
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (scale path): bounded-sample codebook
+    training, corpus encoded to 16 small ints, executors scan codes only
+    via per-query distance look-up tables. No SQL oracle (k-means);
+    recall + code shape are pytest-verified (test_pq_topk_recall...)."""
+    from vector_io_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10, num_subspaces=16, codebook_size=64)
