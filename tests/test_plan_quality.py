@@ -102,3 +102,45 @@ def test_dedup_exact_shuffles_once(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     df = dedup_exact_content(docs, "doc_id", "text")
     assert count_shuffles(df) == 1  # one exchange on the fingerprint
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key/count: joining them must show
+    ZERO exchanges (the write-time shuffle is reused) and a groupBy on the
+    bucket key must also skip its exchange."""
+    from vector_io_spark.format.bucketing import bucketed_join, write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8,
+                   path=str(tmp_path / "b_lineitem"))
+    try:
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+            assert count_shuffles(joined) == 0, formatted_plan(joined)
+            assert joined.count() == li.count()
+
+            # aggregation on the bucket key also reuses the distribution
+            agg = (
+                spark.table("b_lineitem")
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            assert count_shuffles(agg) == 0, formatted_plan(agg)
+
+            # control: the same join on plain parquet shuffles both sides
+            plain = orders.join(li, "o_orderkey")
+            assert count_shuffles(plain) > 0, formatted_plan(plain)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
