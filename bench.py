@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "embedding_cosine_lsh",  # scale path (hyperplane LSH), not the brute oracle
     "ann_topk_ivf",          # IVF cell-probe ANN (scale path)
     "ann_topk_pq",           # product-quantization ADC ANN (scale path)
+    "ann_topk_ivfpq",        # IVF+PQ residual-coded ANN (the 100 TB index)
     "ann_topk_hamming_packed",  # binary-quantized exact hamming retrieval
     "session_stats",         # gap sessionization + rollup on events
     "text_quality",

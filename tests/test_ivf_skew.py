@@ -114,3 +114,36 @@ def test_pq_topk_recall_and_compression(spark, sf_dir):
     approx_set = {(r["query_id"], r["vec_id"]) for r in rows}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivfpq_topk_recall(spark, sf_dir):
+    """IVF+PQ composition: self-match should surface (its cell is always
+    probed; residual code error is small near the centroid) and recall vs
+    exact L2 should be substantial at nprobe=half."""
+    import numpy as np
+
+    from vector_io_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = ivfpq_topk(
+        emb, queries, k=5, num_cells=8, nprobe=4,
+        num_subspaces=32, codebook_size=64,
+    ).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in data])
+    mat = np.vstack([r["embedding"] for r in data]).astype(np.float64)
+    exact_set = set()
+    for r in queries.collect():
+        d2 = ((mat - np.asarray(r["embedding"], dtype=np.float64)) ** 2).sum(axis=1)
+        for vid in ids[np.argsort(d2, kind="stable")[:5]]:
+            exact_set.add((r["query_id"], int(vid)))
+    approx_set = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"recall {recall}"
+    # every query's own vector must be found (rank 1 by construction of
+    # residual coding: ADC error ~ quantization noise, dist near 0)
+    firsts = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert firsts == {q: q for q in range(5)}

@@ -1650,3 +1650,19 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(emb, queries, k=10, num_subspaces=16, codebook_size=64)
+
+
+@_register("ann_topk_ivfpq")
+def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (FAISS IndexIVFPQ shape): coarse cells prune the corpus,
+    residual PQ codes + per-(query,cell) LUTs compute distances — the
+    canonical 100 TB ANN index. No SQL oracle (k-means); recall verified
+    by test_ivfpq_topk_recall."""
+    from vector_io_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, k=10, num_cells=16, nprobe=4,
+                      num_subspaces=16, codebook_size=64)
