@@ -282,3 +282,53 @@ def test_pinecone_list_path_still_preferred():
     conn = PineconeConnector(client=FakePodPinecone(ListableIndex({"a": {"values": [1.0]}})))
     cursors = conn.plan_cursors("idx", 3)
     assert len(cursors) == 3 and all("sweep" not in c for c in cursors)
+
+
+def test_lancedb_schema_evolution_defaults():
+    """Batch columns the table lacks are added with per-dtype defaults
+    (reference lancedb_import.py:116-128,155-166) before the add."""
+    import pandas as pd
+
+    from vector_io_spark.sources.remote import (
+        LanceDBConnector, lancedb_default_value,
+    )
+
+    assert lancedb_default_value(pd.Series(["x"]).dtype) == ""
+    assert lancedb_default_value(pd.Series([1]).dtype) == 0
+    assert lancedb_default_value(pd.Series([1.5]).dtype) == 0.0
+    assert lancedb_default_value(pd.Series([True]).dtype) is False
+    assert lancedb_default_value(pd.Series([pd.Timestamp("2024-01-01")]).dtype) is None
+
+    class FakeField:
+        def __init__(self, name):
+            self.name = name
+
+    class FakeTable:
+        def __init__(self):
+            self.schema = [FakeField("id"), FakeField("vector")]
+            self.added_columns = {}
+            self.batches = []
+
+        def add_columns(self, mapping):
+            self.added_columns.update(mapping)
+
+        def add(self, batch):
+            self.batches.append(batch)
+
+    class FakeDB:
+        def __init__(self, table):
+            self._t = table
+
+        def table_names(self):
+            return ["docs"]
+
+        def open_table(self, name):
+            return self._t
+
+    conn = LanceDBConnector.__new__(LanceDBConnector)
+    tbl = FakeTable()
+    conn.db = FakeDB(tbl)
+    batch = pd.DataFrame({"id": [1], "vector": [[0.1]], "lang": ["en"], "n": [3]})
+    conn.upsert_batch("docs", batch)
+    assert tbl.added_columns == {"lang": "''", "n": "0"}
+    assert len(tbl.batches) == 1

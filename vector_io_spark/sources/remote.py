@@ -23,6 +23,18 @@ import pandas as pd
 from vector_io_spark.sources.connectors import VectorDBConnector
 
 
+def lancedb_default_value(dtype):
+    """Per-dtype default used when evolving a LanceDB table's schema to
+    accept a batch with new columns (lancedb_import.py:155-166): text ->
+    '', ints -> 0, floats -> 0.0, bool -> False, anything else -> None."""
+    return {
+        "object": "",
+        "int64": 0,
+        "float64": 0.0,
+        "bool": False,
+    }.get(getattr(dtype, "name", str(dtype)), None)
+
+
 def _require(module: str, hint: str):
     import importlib
 
@@ -475,7 +487,15 @@ class LanceDBConnector(VectorDBConnector):
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
         if collection in self.db.table_names():
-            self.db.open_table(collection).add(batch)
+            tbl = self.db.open_table(collection)
+            # schema evolution: batch columns the table lacks are ADDED to
+            # the table with a per-dtype default expression
+            # (lancedb_import.py:116-128, get_default_value:155-166)
+            existing = {f.name for f in tbl.schema}
+            for col in batch.columns:
+                if col not in existing:
+                    tbl.add_columns({col: repr(lancedb_default_value(batch[col].dtype))})
+            tbl.add(batch)
         else:
             self.db.create_table(collection, batch)
 
