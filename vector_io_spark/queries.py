@@ -1649,7 +1649,10 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk(emb, queries, k=10, num_subspaces=16, codebook_size=64)
+    # training sample: ~256 vectors per codeword row is plenty (FAISS
+    # guidance); a tighter cap keeps driver-side Lloyd sub-second
+    return pq_topk(emb, queries, k=10, num_subspaces=16, codebook_size=64,
+                   max_train_rows=20_000)
 
 
 @_register("ann_topk_ivfpq")
@@ -1665,4 +1668,5 @@ def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk(emb, queries, k=10, num_cells=16, nprobe=4,
-                      num_subspaces=16, codebook_size=64)
+                      num_subspaces=16, codebook_size=64,
+                      max_train_rows=20_000)
