@@ -144,3 +144,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["revenue_change_forecast"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "LessThan(l_quantity"):
+        assert frag in plan, plan
+    # scalar aggregate: one single-partition exchange, nothing else
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["local_supplier_volume"](spark, sf_dir)
+    # customer/supplier/nation/region broadcast (orders too at this SF);
+    # the fact side shuffles at most once (big join) + the final group-by
+    assert count_broadcast_joins(df) >= 4, formatted_plan(df)
+    assert count_shuffles(df) <= 2, formatted_plan(df)
