@@ -332,3 +332,33 @@ def test_lancedb_schema_evolution_defaults():
     conn.upsert_batch("docs", batch)
     assert tbl.added_columns == {"lang": "''", "n": "0"}
     assert len(tbl.batches) == 1
+
+
+def test_qdrant_index_config_full_replay():
+    """All six exported index_config sections reach create
+    (qdrant_import.py:210-248), plus on_disk from params.vectors."""
+    from vector_io_spark.sources.remote import QdrantConnector
+
+    captured = {}
+
+    class FakeClient:
+        def recreate_collection(self, collection_name, vectors_config, **kw):
+            captured["name"] = collection_name
+            captured["vectors_config"] = vectors_config
+            captured.update(kw)
+
+    conn = QdrantConnector(client=FakeClient())
+    cfg = {
+        "params": {"vectors": {"on_disk": True}},
+        "hnsw_config": {"m": 32, "ef_construct": 256},
+        "optimizers_config": {"indexing_threshold": 10000},
+        "wal_config": {"wal_capacity_mb": 64},
+        "quantization_config": {"scalar": {"type": "int8"}},
+        "on_disk_payload": True,
+        "sparse_vectors_config": {"text": {"index": {"on_disk": False}}},
+    }
+    conn.create_collection("c1", 64, "cosine", index_config=cfg)
+    assert captured["name"] == "c1"
+    assert captured["vectors_config"]["on_disk"] is True
+    for k in QdrantConnector.REPLAYED_CONFIGS:
+        assert captured[k] == cfg[k], k

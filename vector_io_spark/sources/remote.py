@@ -65,19 +65,43 @@ class QdrantConnector(VectorDBConnector):
     def list_collections(self) -> list[str]:
         return [c.name for c in self.client.get_collections().collections]
 
-    def create_collection(self, name, dimensions, metric, index_config=None):
-        from qdrant_client import models  # type: ignore
+    # exported index_config sections replayed verbatim on create
+    # (qdrant_import.py:210-248)
+    REPLAYED_CONFIGS = (
+        "hnsw_config",
+        "optimizers_config",
+        "wal_config",
+        "quantization_config",
+        "on_disk_payload",
+        "sparse_vectors_config",
+    )
 
+    def create_collection(self, name, dimensions, metric, index_config=None):
+        cfg = index_config or {}
+        on_disk = (
+            cfg.get("params", {}).get("vectors", {}).get("on_disk")
+            if isinstance(cfg.get("params"), dict)
+            else None
+        )
+        try:  # typed params with the real SDK; plain dict (also accepted
+            # by the qdrant API) when testing against a fake client
+            from qdrant_client import models  # type: ignore
+
+            vectors_config = models.VectorParams(
+                size=dimensions,
+                distance=getattr(
+                    models.Distance, metric.upper(), models.Distance.COSINE
+                ),
+                on_disk=on_disk,
+            )
+        except ImportError:
+            vectors_config = {
+                "size": dimensions, "distance": metric, "on_disk": on_disk,
+            }
         self.client.recreate_collection(
             collection_name=name,
-            vectors_config=models.VectorParams(
-                size=dimensions, distance=getattr(models.Distance, metric.upper(), models.Distance.COSINE)
-            ),
-            # replay the exported sparse-vectors config, the part of
-            # index_config qdrant_import.py:215-243 restores on create
-            sparse_vectors_config=(index_config or {}).get(
-                "sparse_vectors_config"
-            ),
+            vectors_config=vectors_config,
+            **{k: cfg.get(k) for k in self.REPLAYED_CONFIGS},
         )
 
     def count(self, collection: str) -> int:
