@@ -362,3 +362,24 @@ def test_qdrant_index_config_full_replay():
     assert captured["vectors_config"]["on_disk"] is True
     for k in QdrantConnector.REPLAYED_CONFIGS:
         assert captured[k] == cfg[k], k
+
+
+def test_pinecone_spec_replay_serverless_and_pod():
+    from vector_io_spark.sources.remote import PineconeConnector
+
+    calls = []
+
+    class FakeClient:
+        def create_index(self, name, dimension, metric, spec):
+            calls.append((name, dimension, metric, spec))
+
+    conn = PineconeConnector.__new__(PineconeConnector)
+    conn.client = FakeClient()
+    conn.create_collection("a", 64, "Cosine",
+                           {"serverless": {"cloud": "gcp", "region": "eu-west4"}})
+    conn.create_collection("b", 32, "dotproduct", {"pod": {"environment": "us-west1-gcp"}})
+    conn.create_collection("c", 16, "euclidean", None)
+    assert calls[0] == ("a", 64, "cosine", {"cloud": "gcp", "region": "eu-west4"})
+    assert calls[1] == ("b", 32, "dotproduct",
+                        {"environment": "us-west1-gcp", "pod_type": "starter"})
+    assert calls[2] == ("c", 16, "euclidean", {"cloud": "aws", "region": "us-east-1"})

@@ -186,11 +186,28 @@ class PineconeConnector(VectorDBConnector):
         return [i["name"] for i in self.client.list_indexes()]
 
     def create_collection(self, name, dimensions, metric, index_config=None):
-        from pinecone import ServerlessSpec  # type: ignore
-
-        spec = (index_config or {}).get("spec") or ServerlessSpec(
-            cloud="aws", region="us-east-1"
-        )
+        """Create with serverless OR pod spec replayed from index_config
+        (pinecone_import.py:126-161: --serverless picks ServerlessSpec
+        (cloud, region); otherwise PodSpec(environment, pod_type
+        defaulting 'starter'))."""
+        cfg = index_config or {}
+        spec = cfg.get("spec")
+        if spec is None:
+            try:
+                from pinecone import PodSpec, ServerlessSpec  # type: ignore
+            except ImportError:  # fake-client tests: plain dicts
+                PodSpec = ServerlessSpec = dict  # type: ignore[assignment]
+            if "pod" in cfg:
+                pod = cfg["pod"] or {}
+                spec = PodSpec(
+                    environment=pod.get("environment", "us-east-1-aws"),
+                    pod_type=pod.get("pod_type") or "starter",
+                )
+            else:
+                sl = cfg.get("serverless") or {}
+                spec = ServerlessSpec(
+                    cloud=sl.get("cloud", "aws"), region=sl.get("region", "us-east-1")
+                )
         self.client.create_index(
             name=name, dimension=dimensions, metric=metric.lower(), spec=spec
         )
