@@ -1757,3 +1757,82 @@ def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@_register(
+    "cascade_hamming_cosine",
+    f"""
+    WITH packed AS (
+        SELECT vec_id, embedding,
+               list_transform(range(1, 9), b -> {_PACKBITS_LAMBDA_SQL}) AS pb
+        FROM embeddings
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, vec_id ASC) AS hrank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       list_sum(list_transform(range(1, 9),
+                            i -> bit_count(xor(c.pb[i], q.pb[i])))) AS hamming
+                FROM packed c, (SELECT * FROM packed WHERE vec_id < 3) q
+            )
+        ) WHERE hrank <= 100
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT s.query_id, s.vec_id,
+               round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round({_cos_sql('c.embedding', 'q.embedding')}, 6) DESC,
+                            s.vec_id ASC) AS rank
+        FROM shortlist s
+        JOIN embeddings c ON c.vec_id = s.vec_id
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ) WHERE rank <= 10
+    """,
+)
+def cascade_hamming_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search cascade — the production binary-quantization
+    retrieval pattern: stage 1 shortlists top-100 by Hamming distance
+    over PACKED sign bits (integer xor+popcount over 8 bytes — 32x less
+    scanned data than float32); stage 2 re-ranks ONLY the shortlist with
+    exact float cosine. At 100 TB the corpus is scanned once as codes;
+    float vectors are re-read for |queries|x100 rows via an id join —
+    the cascade keeps full-precision work proportional to the shortlist,
+    not the corpus. Deterministic (full tie-break ordering), hence
+    exactly oracle-verified end-to-end."""
+    from vector_io_spark.functions.vectors import (
+        cosine_similarity, quantize_embeddings,
+    )
+    from vector_io_spark.operators.similarity import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    packed = quantize_embeddings(emb, "embedding", "packed", "ubinary").select(
+        "vec_id", "packed"
+    )
+    qpacked = packed.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "packed"
+    )
+    shortlist = hamming_topk(packed, qpacked, k=100).select("query_id", "vec_id")
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "__qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "score", "rank")
+    )
