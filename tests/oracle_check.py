@@ -77,12 +77,21 @@ def compare(name: str, spark, con, sf_dir: str) -> list[str]:
 
 
 def main() -> int:
+    from pyspark.sql import SparkSession
+
     from vector_io_spark.queries import ORACLE, QUERIES
-    from vector_io_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark(app_name="oracle_check", shuffle_partitions=16)
+    # BARE session, not our session factory: the external driver builds
+    # its own SparkSession, so this gate must prove every query
+    # self-configures (queries._ensure_session_conf) with no help
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
     con = duck_con(sf_dir)
     failures = 0
     for name in names:

@@ -268,3 +268,29 @@ def test_flaky_connector_retry_recovers(spark, sf_dir, tmp_path):
     )
     assert n == 100
     assert db.count("emb") == 100
+
+
+def test_resize_media_fake_kernel(spark, sf_dir):
+    import pytest as _pytest
+
+    from vector_io_spark.operators.multimodal import attach_media_meta, resize_media
+
+    docs = load(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    with_meta = attach_media_meta(docs, "blob", "image", "png")
+    resized = resize_media(with_meta, "blob", target_width=8, target_height=8)
+    rows = resized.select("doc_id", "blob", "blob_resized", "blob_meta").collect()
+    for r in rows:
+        assert len(r["blob_resized"]) <= 64
+        if len(r["blob"]) <= 64:
+            assert bytes(r["blob_resized"]) == bytes(r["blob"])
+        assert r["blob_meta"]["width"] == 8 and r["blob_meta"]["height"] == 8
+    # deterministic: same input -> same output
+    again = resize_media(with_meta, "blob", target_width=8, target_height=8)
+    a = {r["doc_id"]: bytes(r["blob_resized"]) for r in rows}
+    b = {r["doc_id"]: bytes(r["blob_resized"]) for r in again.collect()}
+    assert a == b
+
+    with _pytest.raises(Exception, match="NotImplementedError|real resize"):
+        resize_media(with_meta, "blob", decoder="stub").collect()

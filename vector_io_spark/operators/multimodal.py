@@ -158,3 +158,59 @@ def sample_frames(
 
     frames = src.select("__row_id", binary_col).mapInPandas(run, schema=frame_schema)
     return frames.join(src.drop(binary_col), "__row_id").drop("__row_id")
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str,
+    target_width: int = 64,
+    target_height: int = 64,
+    out_col: str | None = None,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize plumbing (image thumbnailing / audio downsampling): the
+    fake kernel deterministically subsamples the byte stream to
+    ``target_width*target_height`` bytes (stride sampling — stands in
+    for bilinear resize); ``decoder='stub'`` marks where PIL's
+    ``Image.resize`` plugs in. The metadata struct is updated so
+    downstream ops see the new dimensions. Same no-bytes-through-shuffle
+    rule: resize BEFORE any join/groupBy so shuffles carry thumbnails,
+    not originals."""
+    out_col = out_col or f"{binary_col}_resized"
+    target = target_width * target_height
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "real resize requires PIL/ffmpeg — not available in "
+                    "this environment; use decoder='fake'"
+                )
+            out = pdf.copy()
+            resized = []
+            for blob in pdf[binary_col]:
+                if blob is None:
+                    resized.append(None)
+                    continue
+                b = bytes(blob)
+                if len(b) <= target:
+                    resized.append(b)
+                else:
+                    stride = len(b) / target
+                    resized.append(bytes(b[int(i * stride)] for i in range(target)))
+            out[out_col] = resized
+            yield out
+
+    meta_col = f"{binary_col}_meta"
+    resized_df = df.mapInPandas(run, schema=out_schema)
+    if meta_col in df.columns:
+        resized_df = resized_df.withColumn(
+            meta_col,
+            F.col(meta_col).withField("width", F.lit(target_width)).withField(
+                "height", F.lit(target_height)
+            ),
+        )
+    return resized_df
