@@ -78,3 +78,38 @@ def test_cli_import_then_export_roundtrip(spark, sf_dir, tmp_path, capsys):
     got = {r["id"]: r["label"] for r in back.collect()}
     assert got == orig
     assert ds.meta.exported_from == "embedded"
+
+
+def test_cli_reembed_consolidate_count_idlist(spark, sf_dir, tmp_path, capsys):
+    """The four dataset-local CLI entry points (reference reembed_vdf /
+    consolidate_parquet_vdf / count_vdf / get_id_list_vdf)."""
+    src = str(tmp_path / "src")
+    docs = load(spark, sf_dir, "documents").limit(50).select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    write_vdf({("docs", ""): docs}, src, vector_columns=[])
+
+    out2 = str(tmp_path / "reembedded")
+    assert main(["reembed", "--dataset", src, "--out", out2,
+                 "--text-column", "text", "--dims", "8"]) == 0
+    assert "reembedded docs" in capsys.readouterr().out
+    from vector_io_spark.format.reader import read_vdf
+    ds2 = read_vdf(spark, out2)
+    ns = ds2.meta.indexes["docs"][0]
+    assert ns.dimensions == 8 and len(ns.vector_columns) == 1
+    vec_col = ns.vector_columns[0]
+    assert ns.model_map[vec_col]["text_column"] == "text"
+    assert ds2.df("docs").where(F.col(vec_col).isNull()).count() == 0
+
+    out3 = str(tmp_path / "consolidated")
+    assert main(["consolidate", "--dataset", out2, "--out", out3]) == 0
+    assert spark.read.parquet(out3).count() == 50
+
+    assert main(["count", "--dataset", out2]) == 0
+    out = capsys.readouterr().out
+    assert "docs/-: 50" in out and "total: 50" in out
+
+    out4 = str(tmp_path / "ids")
+    assert main(["get-id-list", "--dataset", out2, "--out", out4]) == 0
+    ids = spark.read.csv(out4).count()
+    assert ids == 50

@@ -11,6 +11,15 @@ Commands:
                                 distributed scan -> VDF parquet dataset
   import <db> [db flags] --dataset DIR [--index NAME]
                                 VDF dataset -> distributed batched upserts
+  reembed --dataset DIR --out DIR --text-column COL [--model-name ...]
+                                VDF -> VDF' with a new embedding column
+                                (reference reembed_vdf entry point)
+  consolidate --dataset DIR --out FILE_DIR
+                                union every namespace (schema-widening)
+                                into one parquet dir (consolidate_parquet)
+  count --dataset DIR           per-namespace + total row counts (count_vdf)
+  get-id-list --dataset DIR --out DIR [--id-column id]
+                                sorted distinct ids as CSV (get_id_list_vdf)
 
 Per-DB flags are generated from each connector's constructor signature
 (--url, --api-key, ...); injectable test doubles (client/session/module
@@ -88,6 +97,29 @@ def build_parser() -> argparse.ArgumentParser:
                 p.add_argument("--num-partitions", type=int, default=None)
                 p.add_argument("--create-collections", action="store_true",
                                help="create target collections from VDF meta")
+
+    re_p = sub.add_parser("reembed", help="VDF -> VDF' with a new embedding column")
+    re_p.add_argument("--dataset", required=True)
+    re_p.add_argument("--out", required=True)
+    re_p.add_argument("--text-column", required=True)
+    re_p.add_argument("--model-name", default="hash-embedder")
+    re_p.add_argument("--dims", type=int, default=16)
+    re_p.add_argument("--backend", default="hash",
+                      help="hash | litellm | sentence-transformers")
+    re_p.add_argument("--batch-size", type=int, default=96)
+
+    co_p = sub.add_parser("consolidate",
+                          help="union all namespaces into one parquet dir")
+    co_p.add_argument("--dataset", required=True)
+    co_p.add_argument("--out", required=True)
+
+    ct_p = sub.add_parser("count", help="per-namespace + total row counts")
+    ct_p.add_argument("--dataset", required=True)
+
+    il_p = sub.add_parser("get-id-list", help="sorted distinct ids as CSV")
+    il_p.add_argument("--dataset", required=True)
+    il_p.add_argument("--out", required=True)
+    il_p.add_argument("--id-column", default="id")
     return top
 
 
@@ -172,6 +204,66 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_reembed(args) -> int:
+    from vector_io_spark.embed import reembed_vdf
+    from vector_io_spark.format.reader import read_vdf
+
+    spark = get_spark(app_name="vector_io_spark_reembed")
+    ds = read_vdf(spark, args.dataset)
+    meta = reembed_vdf(
+        ds, args.out, args.text_column,
+        model_name=args.model_name, dims=args.dims,
+        backend=args.backend, batch_size=args.batch_size,
+    )
+    for index, namespaces in meta.indexes.items():
+        for ns in namespaces:
+            print(f"reembedded {index}/{ns.namespace or '-'}: "
+                  f"{ns.exported_vector_count} rows -> {args.out}")
+    return 0
+
+
+def cmd_consolidate(args) -> int:
+    from vector_io_spark.format.consolidate import consolidate
+    from vector_io_spark.format.reader import read_vdf
+
+    spark = get_spark(app_name="vector_io_spark_consolidate")
+    ds = read_vdf(spark, args.dataset)
+    frames = [ds.df(i, ns.namespace)
+              for i, ns_list in ds.meta.indexes.items() for ns in ns_list]
+    if not frames:
+        print("dataset has no namespaces", file=sys.stderr)
+        return 1
+    out = consolidate(frames)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"consolidated {len(frames)} namespace(s) -> {args.out}")
+    return 0
+
+
+def cmd_count(args) -> int:
+    from vector_io_spark.format.reader import read_vdf
+
+    spark = get_spark(app_name="vector_io_spark_count")
+    ds = read_vdf(spark, args.dataset)
+    total = 0
+    for index, ns_list in ds.meta.indexes.items():
+        for ns in ns_list:
+            n = ds.df(index, ns.namespace).count()
+            total += n
+            print(f"{index}/{ns.namespace or '-'}: {n}")
+    print(f"total: {total}")
+    return 0
+
+
+def cmd_id_list(args) -> int:
+    from vector_io_spark.sources.parquet_util import get_id_list
+
+    spark = get_spark(app_name="vector_io_spark_id_list")
+    ids = get_id_list(spark, args.dataset, id_column=args.id_column)
+    ids.coalesce(1).write.mode("overwrite").csv(args.out)
+    print(f"{ids.count()} distinct ids -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "list-dbs":
@@ -179,6 +271,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "export":
         return cmd_export(args)
+    if args.command == "reembed":
+        return cmd_reembed(args)
+    if args.command == "consolidate":
+        return cmd_consolidate(args)
+    if args.command == "count":
+        return cmd_count(args)
+    if args.command == "get-id-list":
+        return cmd_id_list(args)
     return cmd_import(args)
 
 
