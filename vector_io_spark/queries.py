@@ -1836,3 +1836,56 @@ def cascade_hamming_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+@_register(
+    "session_window_native",
+    f"""
+    WITH sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM (
+            SELECT *, CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us >= {_SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, ts, value,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC) AS prev_us
+                FROM events
+            )
+        )
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) + {_SESSION_GAP_US} AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (batch mode), verified
+    against an independent lag/cumsum SQL formulation of the same
+    semantics. Boundary rule differs from the lag-based session_stats
+    operator: session_window closes at last_event + gap EXCLUSIVE, so a
+    gap of exactly 1h starts a new session (>=, not >), and the window
+    end is last_event + gap. One shuffle on user_id; the session merge
+    runs inside Spark's UpdatingSessionsExec, no window sort needed."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
