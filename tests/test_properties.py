@@ -5,6 +5,7 @@ from __future__ import annotations
 
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -93,3 +94,51 @@ def test_config_hash_invariant_under_key_order(obj):
 
     assert config_hash(obj) == config_hash(shuffle_keys(obj))
     assert canonicalize(obj) == canonicalize(shuffle_keys(obj))
+
+
+@_settings
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=40),
+)
+def test_sessionize_session_count_matches_gap_count(spark, gaps):
+    """For one user with events at cumulative offsets, the number of
+    sessions is exactly 1 + #(gaps > threshold), and session ids are
+    contiguous starting at 1."""
+    from vector_io_spark.operators.sessions import sessionize
+
+    threshold = 1800.0
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    rows = [(1, float(t)) for t in ts]
+    df = spark.createDataFrame(rows, "user_id long, sec double").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = sessionize(df, "user_id", "ts", gap_seconds=threshold)
+    session_ids = sorted(r["session_id"] for r in got.collect())
+    expected_sessions = 1 + sum(1 for g in gaps[1:] if g > threshold)
+    assert session_ids[-1] == expected_sessions
+    assert set(session_ids) == set(range(1, expected_sessions + 1))
+
+
+@_settings
+@given(
+    vecs=st.lists(
+        st.lists(finite_floats, min_size=8, max_size=8),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_pq_encode_codes_in_range_and_deterministic(spark, vecs):
+    from vector_io_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = train_pq_codebooks(df, num_subspaces=4, codebook_size=4,
+                            max_train_rows=100)
+    assert cb.shape[0] == 4 and cb.shape[2] == 2
+    a = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(df, cb).collect()}
+    b = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(df, cb).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in a.values())
