@@ -135,3 +135,52 @@ def test_reembed_vdf_meta_update(spark, sf_dir, tmp_path):
     assert ns.model_map[new_col]["text_column"] == "text"
     ds2 = read_vdf(spark, dst)
     assert new_col in ds2.df("docs").columns
+
+
+def test_vdf_sorted_layout_file_ranges_disjoint(spark, sf_dir, tmp_path):
+    """sort_by layout: every written file covers a disjoint id interval
+    (parquet footer min/max proves it), and an id-range read back prunes
+    via pushed filters while returning exactly the right rows."""
+    import pyarrow.parquet as pq
+
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+    out = str(tmp_path / "vdf_sorted")
+    # tiny input: AQE coalesces the range shuffle to one partition, so
+    # multiple files come from maxRecordsPerFile rotation — which must
+    # preserve the sort and hence range-disjointness, same as at scale
+    write_vdf(
+        {("emb_index", ""): emb},
+        out,
+        vector_columns=["embedding"],
+        sort_by=["id"],
+        max_records_per_file=400,
+    )
+    files = sorted(
+        os.path.join(out, "emb_index", f)
+        for f in os.listdir(os.path.join(out, "emb_index"))
+        if f.endswith(".parquet")
+    )
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("id")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, ranges  # disjoint intervals
+
+    from vector_io_spark.operators.filters import filter_id_range
+    from tests.conftest import load as _  # noqa: F401
+    from vector_io_spark.format.reader import read_vdf as _read
+
+    df2 = _read(spark, out).df("emb_index")
+    got = filter_id_range(df2, "id", 100, 199)
+    assert got.count() == emb.where("id between 100 and 199").count()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan

@@ -1,0 +1,106 @@
+"""Sampling + corpus-statistics operators.
+
+The oracle gate proves value parity with DuckDB; these tests pin the
+operator *semantics*: rates near their expectation, stability under
+repartitioning (the property df.sample lacks), expected-copies law for
+the weighted upsampler, and plan shape (sampling must stay a shuffle-free
+codegen'd filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.corpus import tfidf_top_terms, vocab_topk
+from vector_io_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    upsample_by_weight,
+)
+from vector_io_spark.plans import count_shuffles
+
+
+def test_deterministic_sample_rate_and_stability(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    keyed = li.withColumn(
+        "k", F.concat_ws("|", "l_orderkey", "l_linenumber")
+    )
+    total = keyed.count()
+    got = deterministic_sample(keyed, "k", 0.25, seed="t")
+    n = got.count()
+    assert abs(n / total - 0.25) < 0.02
+    # membership is a pure function of (key, seed): repartitioning the
+    # input must select the exact same rows
+    reparted = deterministic_sample(keyed.repartition(7), "k", 0.25, seed="t")
+    assert reparted.count() == n
+    assert got.exceptAll(reparted).count() == 0
+    # sampling adds no exchange
+    assert count_shuffles(deterministic_sample(li, "l_orderkey", 0.5)) == 0
+
+
+def test_stratified_sample_per_stratum_rates(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 1.0}
+    got = stratified_sample(
+        docs, "lang", fr, key_col="doc_id", seed="s", default_fraction=0.0
+    )
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = {r["lang"]: r["n"] for r in
+           got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(out) <= {"en", "de"}  # default 0.0 drops unlisted strata
+    assert out["de"] == base["de"]  # fraction 1.0 keeps everything
+    assert abs(out["en"] / base["en"] - 0.5) < 0.1
+
+
+def test_upsample_by_weight_expected_copies(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(400)
+    # integer weight: exactly w copies, no randomness
+    w2 = docs.withColumn("w", F.lit(2.0))
+    out2 = upsample_by_weight(w2, "w", "doc_id")
+    assert out2.count() == 2 * docs.count()
+    assert out2.groupBy("doc_id").count().where("count != 2").count() == 0
+    # zero weight drops every row
+    w0 = docs.withColumn("w", F.lit(0.0))
+    assert upsample_by_weight(w0, "w", "doc_id").count() == 0
+    # fractional weight: E[copies] = w, so n_out/n_in ~ 1.5
+    w15 = docs.withColumn("w", F.lit(1.5))
+    ratio = upsample_by_weight(w15, "w", "doc_id").count() / docs.count()
+    assert abs(ratio - 1.5) < 0.1
+    # copy_idx is 1..copies
+    idx = out2.groupBy("doc_id").agg(
+        F.min("copy_idx").alias("lo"), F.max("copy_idx").alias("hi")
+    )
+    assert idx.where("lo != 1 OR hi != 2").count() == 0
+
+
+def test_vocab_topk_descending_and_k(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    rows = vocab_topk(docs, "text", k=20).collect()
+    assert len(rows) == 20
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_tfidf_log_variant_formula(spark, sf_dir):
+    """The log variant must compute tf * (ln((N+1)/(df+1)) + 1) exactly
+    (verified numerically against the returned tf/doc_freq), and its
+    compression must damp rare-term dominance relative to the rational
+    form — that's the point of log idf."""
+    import math
+
+    docs = load(spark, sf_dir, "documents").limit(100)
+    n_docs = docs.count()
+    logv = tfidf_top_terms(docs, "doc_id", "text", top_n=2, log_idf=True)
+    for r in logv.collect():
+        want = r["tf"] * (math.log((n_docs + 1) / (r["doc_freq"] + 1)) + 1)
+        assert abs(r["score"] - want) < 1e-5, r
+    # log damps rare-term dominance: max idf ratio across the vocabulary
+    # shrinks strictly under ln(x)+1 when the rational spread exceeds e
+    plain = tfidf_top_terms(docs, "doc_id", "text", top_n=2, log_idf=False)
+    ratio_spread = [r["score"] / r["tf"] for r in plain.collect()]
+    log_spread = [r["score"] / r["tf"] for r in logv.collect()]
+    assert max(ratio_spread) / min(ratio_spread) > max(log_spread) / min(
+        log_spread
+    )

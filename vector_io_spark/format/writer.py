@@ -44,6 +44,7 @@ def write_vdf(
     max_records_per_file: int | None = 1_000_000,
     model_name: str | None = None,
     index_config: dict | None = None,
+    sort_by: list[str] | None = None,
 ) -> VDFMeta:
     """Write one DataFrame per (index, namespace) as a VDF dataset.
 
@@ -51,6 +52,14 @@ def write_vdf(
     ``maxRecordsPerFile`` so huge namespaces rotate into bounded files (the
     reference's 1024 MB cap, export_vdf_cli.py:65). Counts and dimensions
     are computed from the written data.
+
+    ``sort_by``: range-partition + sort the data on these columns before
+    writing (one range shuffle). Every output file then covers a disjoint
+    key interval and its parquet row groups carry tight min/max stats, so
+    later id-range scans prune whole files/row groups instead of reading
+    the namespace — the data-layout lever that matters at 100 TB. Files
+    stay range-disjoint under ``maxRecordsPerFile`` rotation because each
+    task writes its sorted rows contiguously.
     """
     vector_columns = vector_columns or ["vector"]
     os.makedirs(dataset_dir, exist_ok=True)
@@ -68,6 +77,8 @@ def write_vdf(
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        if sort_by:
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         obs = Observation()
         df_observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         writer = df_observed.write.mode("overwrite")

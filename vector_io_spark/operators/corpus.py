@@ -1,0 +1,88 @@
+"""Corpus-level text statistics (vocabulary, TF-IDF).
+
+Unlike the per-row functions in ``functions/text.py`` (zero-shuffle
+column expressions), these are genuine corpus aggregations: they explode
+documents into tokens and aggregate across the whole dataset. The plans
+are kept to the minimum shuffle count:
+
+- ``vocab_topk``: one shuffle (token count is partial-aggregated map-side
+  before the exchange), then a global top-k (TakeOrderedAndProject — only
+  k rows per partition reach the driver side of the sort).
+- ``tfidf_top_terms``: tf and document-frequency share the same exploded
+  child; the df table is |vocab| rows (AQE picks broadcast vs shuffle
+  join by its actual size — do NOT hint broadcast, vocabulary can be
+  huge at web scale), and the final per-document top-n is one window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_io_spark.functions.text import WORD_RE, tokens
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """Top-k corpus vocabulary by term frequency.
+
+    Ties broken by token ascending so the result is deterministic (and
+    engine-portable). Columns: ``token``, ``freq``.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col), pattern)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+    pattern: str = WORD_RE,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Top-n characteristic terms per document by smoothed TF-IDF.
+
+    ``log_idf=False`` (default) scores ``tf * (N+1)/(df+1)`` — a rational
+    idf whose doubles are bit-identical across engines (int-to-double
+    division and multiply only, no libm), which is what the DuckDB oracle
+    verifies. ``log_idf=True`` uses the textbook
+    ``tf * (ln((N+1)/(df+1)) + 1)``. The two genuinely rank differently:
+    log compresses the idf range, damping rare-term dominance (a tf=1
+    hapax can top the rational score but not the log score) — pick per
+    use case; only the rational form is engine-exact for the oracle.
+
+    Columns: ``<id_col>``, ``term``, ``tf``, ``doc_freq``, ``score``.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col), pattern)).alias("term")
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.count()  # single scalar aggregate — not a data collect
+
+    ratio = F.lit(float(n_docs + 1)) / (F.col("doc_freq") + F.lit(1)).cast(
+        "double"
+    )
+    idf = (F.log(ratio) + F.lit(1.0)) if log_idf else ratio
+    scored = tf.join(doc_freq, "term").withColumn(
+        "score", F.round(F.col("tf").cast("double") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= top_n)
+        .drop("__rank")
+        .select(id_col, "term", "tf", "doc_freq", "score")
+    )

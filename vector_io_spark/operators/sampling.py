@@ -1,0 +1,133 @@
+"""Deterministic sampling operators for training-data mixes.
+
+A 100 TB pre-training pipeline spends much of its life building *data
+mixes*: downsample over-represented sources, upsample scarce high-quality
+ones, and do both reproducibly so a re-run (or a resumed run) selects the
+same rows. Spark's ``df.sample`` is seeded per-partition, so its output
+changes whenever partitioning changes — useless for reproducible mixes.
+
+These operators derive the keep/copy decision from ``md5(key || seed)``
+instead: the decision is a pure per-row function of the row's key, stable
+under repartitioning, AQE re-planning, task retries and cluster size, and
+reproducible bit-for-bit by any engine with md5 (the DuckDB oracle
+verifies exactly that).
+
+Scale notes: all three operators are narrow per-row transforms — no
+shuffle, no driver state, no sketch. They run inside whole-stage codegen
+at scan speed, and compose with scan-time column pruning (the md5 only
+reads the key column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO_32 = float(2**32)
+
+
+def hash_uniform_hex(key: Column, seed: str) -> Column:
+    """First 8 hex chars of ``md5(key || '|' || seed)`` — a uniform draw
+    over [0, 2^32) encoded as fixed-width lowercase hex.
+
+    Fixed-width hex orders lexicographically exactly as its numeric value,
+    so fraction thresholds can be compared as string literals — no base
+    conversion, and the whole predicate stays inside codegen.
+    """
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit("|" + seed))), 1, 8
+    )
+
+
+def hash_uniform(key: Column, seed: str) -> Column:
+    """The same draw as :func:`hash_uniform_hex`, as a double in [0, 1).
+
+    Exact in both engines: the 32-bit integer is exactly representable in
+    a double, and dividing by 2^32 is a power-of-two scale (no rounding).
+    """
+    return F.conv(hash_uniform_hex(key, seed), 16, 10).cast("double") / F.lit(
+        _TWO_32
+    )
+
+
+def _threshold_hex(fraction: float) -> str | None:
+    """fraction -> 8-hex keep-threshold; None means "keep everything"."""
+    if fraction >= 1.0:
+        return None
+    return format(max(int(fraction * 2**32), 0), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep a row iff its key's uniform draw falls below ``fraction``.
+
+    Unlike ``df.sample``, membership depends only on (key, seed): stable
+    across partitioning, retries, and engines.
+    """
+    thr = _threshold_hex(fraction)
+    if thr is None:
+        return df
+    return df.where(hash_uniform_hex(F.col(key_col), seed) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mix primitive
+    (e.g. ``{"en": 0.3, "de": 1.0}`` keeps 30% of English, all German).
+
+    The fractions map is a driver-side literal compiled into one CASE
+    expression; strata absent from the map get ``default_fraction``.
+    A narrow filter: no shuffle, no join, codegen'd.
+    """
+    u = hash_uniform_hex(F.col(key_col), seed)
+
+    def keep(fraction: float) -> Column:
+        thr = _threshold_hex(fraction)
+        return F.lit(True) if thr is None else (u < F.lit(thr))
+
+    cond: Column | None = None
+    for stratum, fraction in fractions.items():
+        branch = F.col(strata_col) == F.lit(stratum)
+        cond = (
+            F.when(branch, keep(fraction))
+            if cond is None
+            else cond.when(branch, keep(fraction))
+        )
+    default = keep(default_fraction)
+    cond = default if cond is None else cond.otherwise(default)
+    return df.where(cond)
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    seed: str = "upsample",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a weighted mix: emit each row ``floor(w)`` times plus
+    one more with probability ``frac(w)`` (so E[copies] = w exactly).
+    Weights < 1 downsample, > 1 upsample — one operator covers both
+    directions of mix adjustment.
+
+    The Bernoulli draw is the deterministic hash uniform, so the
+    materialized mix is reproducible row-for-row. Narrow explode, no
+    shuffle; output volume is sum(w), decided per-row.
+    """
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(F.col(key_col), seed)
+    copies = (
+        F.floor(w).cast("int")
+        + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))

@@ -1889,3 +1889,166 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ===========================================================================
+# Deterministic sampling / corpus statistics (training-data-mix extensions)
+# ===========================================================================
+
+def _hex8_num_sql(h: str) -> str:
+    """DuckDB replica of Spark's conv(hex8, 16, 10) as an exact double:
+    each nibble value times a power of 16 — every term and the sum are
+    integers < 2^32, exactly representable, so both engines produce the
+    identical double."""
+    nib = "(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1) * power(16, {p})"
+    return "(" + " + ".join(nib.format(h=h, k=k, p=8 - k) for k in range(1, 9)) + ")"
+
+
+_MIX_FRACTIONS = {"en": 0.3, "de": 1.0, "es": 0.5, "fr": 0.25}
+_MIX_DEFAULT = 0.125
+
+
+def _strata_case_sql() -> str:
+    from vector_io_spark.operators.sampling import _threshold_hex
+
+    h = "substr(md5(CAST(doc_id AS VARCHAR) || '|strata'), 1, 8)"
+    arms = []
+    for stratum, frac in _MIX_FRACTIONS.items():
+        thr = _threshold_hex(frac)
+        cond = "TRUE" if thr is None else f"{h} < '{thr}'"
+        arms.append(f"WHEN '{stratum}' THEN {cond}")
+    return (
+        f"CASE lang {' '.join(arms)} "
+        f"ELSE {h} < '{_threshold_hex(_MIX_DEFAULT)}' END"
+    )
+
+
+@_register(
+    "stratified_sample_mix",
+    f"""
+    SELECT doc_id, lang, source FROM documents WHERE {_strata_case_sql()}
+    """,
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mix primitive
+    (downsample over-represented languages, keep scarce ones whole).
+    Membership is md5(key||seed)-derived: stable under repartitioning,
+    task retries and engine choice, unlike df.sample. Pure codegen'd
+    filter — zero shuffles at any scale."""
+    from vector_io_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions=_MIX_FRACTIONS,
+        key_col="doc_id",
+        seed="strata",
+        default_fraction=_MIX_DEFAULT,
+    )
+
+
+@_register(
+    "upsample_weighted",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               CAST(0.25 AS DOUBLE) * (1 + doc_id % 8) AS wt,
+               {_hex8_num_sql("substr(md5(CAST(doc_id AS VARCHAR) || '|upsample'), 1, 8)")}
+                   / 4294967296.0 AS u
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang,
+               CAST(floor(wt) AS INT)
+                   + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+        FROM w
+    )
+    SELECT doc_id, lang, CAST(ci AS INT) AS copy_idx
+    FROM (
+        SELECT doc_id, lang,
+               unnest(generate_series(1, CAST(copies AS BIGINT))) AS ci
+        FROM c
+    )
+    """,
+)
+def upsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-mix materialization: each row emitted floor(w) times plus
+    a deterministic-Bernoulli extra with p = frac(w), so E[copies] = w
+    exactly. Weights here ramp 0.25..2.0 by doc_id so both the
+    downsample (<1) and upsample (>1) directions are exercised. Narrow
+    explode, no shuffle; every copy decision is a per-row hash."""
+    from vector_io_spark.operators.sampling import upsample_by_weight
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("wt", F.lit(0.25) * (1 + F.col("doc_id") % 8))
+    )
+    out = upsample_by_weight(
+        docs, weight_col="wt", key_col="doc_id", seed="upsample"
+    )
+    return out.select("doc_id", "lang", "copy_idx")
+
+
+@_register(
+    "vocab_topk",
+    """
+    SELECT token, count(*) AS freq
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k by term frequency. One shuffle (map-side
+    partial counts), then TakeOrderedAndProject for the global top-k —
+    only k rows per partition cross to the final sort at any corpus
+    size. Ties broken by token for engine-portable determinism."""
+    from vector_io_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "text", k=100)
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+               round(CAST(tf.tf AS DOUBLE)
+                     * (CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+                        / CAST(dfq.doc_freq + 1 AS DOUBLE)), 6) AS score
+        FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, tf, doc_freq, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF with a
+    rational idf ((N+1)/(df+1) — libm-free, so scores are bit-identical
+    across engines; the textbook log form is available via log_idf=True).
+    tf and doc-frequency share one exploded child; the vocab-sized
+    df table joins WITHOUT a broadcast hint (AQE decides — vocabulary is
+    not guaranteed small at web scale); one window for the per-doc
+    top-n."""
+    from vector_io_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=3
+    )
