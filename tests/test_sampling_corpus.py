@@ -104,3 +104,57 @@ def test_tfidf_log_variant_formula(spark, sf_dir):
     assert max(ratio_spread) / min(ratio_spread) > max(log_spread) / min(
         log_spread
     )
+
+
+def test_assign_split_partition_and_rates(spark, sf_dir):
+    from vector_io_spark.operators.sampling import assign_split
+    import pytest
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    total = li.count()
+    got = assign_split(li, "l_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = {r["split"]: r["n"] for r in
+           got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(out.values()) == total  # every key assigned exactly once
+    assert abs(out["train"] / total - 0.8) < 0.02
+    assert abs(out["val"] / total - 0.1) < 0.02
+    # assignment is stable under repartitioning
+    again = assign_split(
+        li.repartition(5), "l_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert got.exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        assign_split(li, "l_orderkey", {"a": 0.5, "b": 0.2})
+
+
+def test_redact_pii_patterns(spark):
+    from vector_io_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jo.doe+x@sub.example.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("server 192.168.001.1 down", "server <IP> down"),
+        ("call +44 (0) 7911 123456 now", "call <PHONE> now"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "raw string, want string")
+    bad = df.where(redact_pii("raw") != F.col("want"))
+    assert bad.count() == 0, bad.select(redact_pii("raw")).collect()
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from vector_io_spark.operators.corpus import repetition_stats
+
+    rows = [
+        (1, "buy now buy now buy now buy now"),
+        (2, "a genuinely varied sentence with unique words only"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_token_frac"] > 0.7       # 8 tokens, 2 distinct
+    assert out[1]["top_bigram_frac"] > 0.9      # "buy now"/"now buy" dominate
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["dup_token_frac"] == 1.0

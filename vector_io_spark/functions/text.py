@@ -167,3 +167,34 @@ def rolling_fingerprints(c: Column | str, n: int = 8, keep_every: int = 4) -> Co
         hashes, lambda h: F.substring(h, 32, 1).isin(list(thresh_digits))
     )
     return F.array_sort(F.array_distinct(kept))
+
+
+# PII scrub patterns: portable across Java regex (Spark) and RE2 (DuckDB)
+# — no backreferences, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+PII_PHONE_RE = "\\+?\\d[\\d\\s().-]{6,}\\d"
+
+
+def redact_pii(
+    c: Column | str,
+    email: bool = True,
+    ipv4: bool = True,
+    phone: bool = True,
+) -> Column:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass.
+
+    Order matters: emails first (their local part can look like a phone),
+    then IPs (dotted digits would otherwise feed the phone pattern), then
+    phones. Pure regexp_replace chain — codegen'd, zero shuffle, scan
+    speed on raw text.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    if email:
+        c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    if ipv4:
+        c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    if phone:
+        c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return c

@@ -86,3 +86,60 @@ def tfidf_top_terms(
         .drop("__rank")
         .select(id_col, "term", "tf", "doc_freq", "score")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and top-bigram fraction (the two cheapest of the paper's
+    repetition filters; high values flag boilerplate/spam for removal).
+
+    Token stats are per-row array expressions (no shuffle); the top-bigram
+    count needs one explode + grouped max — the group key is (doc, bigram)
+    so partial aggregation collapses repeats map-side before the exchange.
+
+    Columns: ``<id_col>``, ``n_tokens``, ``n_distinct``,
+    ``dup_token_frac``, ``top_bigram_frac``.
+    """
+    toks = tokens(F.col(text_col), pattern)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("__toks"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        base.where(F.col("n_tokens") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("max_bg"))
+    )
+    one = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    return (
+        base.drop("__toks")
+        .join(bg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / one, 6
+            ).alias("dup_token_frac"),
+            F.round(
+                (F.coalesce(F.col("max_bg"), F.lit(0)).cast("double") * 2.0)
+                / one,
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

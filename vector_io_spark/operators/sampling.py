@@ -131,3 +131,41 @@ def upsample_by_weight(
         F.array().cast("array<int>")
     )
     return df.withColumn(copy_col, F.explode(seq))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the hash uniform is cut
+    at the cumulative weights, so each key lands in exactly one split and
+    always the same one — across runs, partitionings, and engines.
+
+    Weights must sum to ~1; the final split takes the residual interval
+    (so rounding never leaves a row unassigned). Narrow projection, no
+    shuffle.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform_hex(F.col(key_col), seed)
+    names = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = _threshold_hex(min(cum, 1.0))
+        branch = F.lit(True) if thr is None else (u < F.lit(thr))
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

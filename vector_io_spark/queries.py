@@ -2052,3 +2052,116 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(
         _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=3
     )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql() -> str:
+    from vector_io_spark.operators.sampling import _threshold_hex
+
+    h = "substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8)"
+    names = list(_SPLIT_WEIGHTS)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_WEIGHTS[name]
+        arms.append(f"WHEN {h} < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+@_register(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id, lang, {_split_case_sql()} AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (0.8/0.1/0.1): the hash
+    uniform cut at cumulative weights, so every key lands in exactly one
+    split, identically on every run/partitioning/engine. Narrow
+    projection — zero shuffles."""
+    from vector_io_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_split(docs, "doc_id", _SPLIT_WEIGHTS, seed="split")
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.1 tel +1 (555) 123-45'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@_register(
+    "redact_pii",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               {_PII_SUFFIX_SQL},
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d\\s().-]{{6,}}\\d', '<PHONE>', 'g') AS clean
+    FROM documents
+    """,
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails -> <EMAIL>, IPv4 -> <IP>, phone-shaped
+    digit runs -> <PHONE>) over text with synthesized PII appended (the
+    corpus itself is letters-only, so the oracle would otherwise verify
+    an identity map). Pure regexp_replace chain: codegen'd, zero
+    shuffles, scan speed — the patterns avoid lookaround/backrefs so
+    Java regex and RE2 agree."""
+    from vector_io_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel +1 (555) 123-45"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return docs.select("doc_id", redact_pii(pii).alias("clean"))
+
+
+@_register(
+    "repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, max(cnt) AS max_bg
+        FROM (
+            SELECT doc_id, bigram, count(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS bigram
+                FROM tok
+            ) GROUP BY doc_id, bigram
+        ) GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS dup_token_frac,
+           round((CAST(coalesce(max_bg, 0) AS DOUBLE) * 2.0)
+                     / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS top_bigram_frac
+    FROM tok LEFT JOIN bg ON tok.doc_id = bg.doc_id
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram fraction per document. Array-expression token stats (no
+    shuffle) + one explode/grouped-max for the dominant bigram, partial-
+    aggregated map-side on the (doc, bigram) key."""
+    from vector_io_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
