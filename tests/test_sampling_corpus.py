@@ -158,3 +158,23 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2]["dup_token_frac"] == 0.0
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
     assert out[4]["n_tokens"] == 0 and out[4]["dup_token_frac"] == 1.0
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from vector_io_spark.operators.corpus import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox yesterday evening"),  # shares 8-grams
+            (2, "completely unrelated material with zero carryover"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in
+           decontaminate(tr, ev, n=8, keep_every=4).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got

@@ -143,3 +143,36 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    keep_every: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    winnowed character-n-gram fingerprint with an eval/benchmark set —
+    the standard guard against test-set leakage into pre-training data.
+
+    Both sides reuse :func:`functions.text.rolling_fingerprints` (md5
+    n-grams downsampled ~1/keep_every), so the join key set stays bounded.
+    The eval side is deduplicated to distinct fingerprints before the
+    join; eval sets are typically small, and AQE will broadcast the
+    distinct-fp table when it is (no hint — "typically" is not a plan
+    guarantee). Join output is ~|contaminated n-grams|, never all-pairs.
+
+    Returns ``(<id_col>, n_shared)`` for contaminated training docs only.
+    """
+    from vector_io_spark.functions.text import rolling_fingerprints
+
+    fps = rolling_fingerprints(F.col(text_col), n=n, keep_every=keep_every)
+    train_fps = train_df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    eval_fps = eval_df.select(F.explode(fps).alias("fp")).distinct()
+    return (
+        train_fps.join(eval_fps, "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -2165,3 +2165,82 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_io_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_FPS_CTE = """
+    fps AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+                   list_transform(
+                       CASE WHEN length(text) >= 8
+                            THEN range(1, length(text) - 6)
+                            ELSE [] END,
+                       i -> md5(substr(text, i, 8))),
+                   h -> strpos('0123', substr(h, 32, 1)) > 0))) AS fp
+        FROM documents
+    )
+"""
+
+
+@_register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH {_FPS_CTE},
+    ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_shared
+    FROM tr JOIN ev USING (fp)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing a winnowed 8-gram
+    fingerprint with a held-out eval slice (doc_id % 97 == 0 here).
+    Fingerprint sets are per-row expressions; the overlap is one join on
+    the downsampled fp key — output ~|contaminated n-grams|, never
+    all-pairs. The per-doc fp arrays are already distinct, so count(*)
+    after the distinct-ev join IS the shared-fingerprint count."""
+    from vector_io_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    tr = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, "doc_id", "text", n=8, keep_every=4)
+
+
+@_register(
+    "dup_cluster_histogram",
+    """
+    SELECT sz AS cluster_size, count(*) AS n_clusters
+    FROM (
+        SELECT count(*) AS sz
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+              UNION ALL SELECT doc_id + 2000000, text FROM documents
+                        WHERE doc_id % 3 = 0)
+        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+    )
+    GROUP BY sz
+    """,
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup audit view (how
+    much of the corpus is 2x, 3x, ... replicated). Two algebraic
+    aggregations, both map-side partial: group by content fingerprint,
+    then histogram the group sizes. The corpus here carries injected 2x
+    duplicates plus 3x for every third doc."""
+    from vector_io_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tripled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        tripled.groupBy(doc_fingerprint("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
