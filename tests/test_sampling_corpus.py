@@ -178,3 +178,57 @@ def test_decontaminate_flags_overlap_only(spark):
            decontaminate(tr, ev, n=8, keep_every=4).collect()}
     assert 1 in got and got[1] >= 1
     assert 2 not in got
+
+
+def test_random_projection_linear_and_correlated(spark, sf_dir):
+    """Projection is exactly linear (proj(2v) == 2*proj(v) — pins the
+    implementation), and with only 16 axes on concentrated random 64-d
+    data, projected pairwise distances still correlate positively with
+    the originals (full JL preservation would need k ~ log(n)/eps²
+    axes, far more than 16 — so the floor here is deliberately modest)."""
+    from vector_io_spark.functions.vectors import random_projection
+
+    emb0 = load(spark, sf_dir, "embeddings").limit(60)
+    doubled = emb0.select(
+        "vec_id",
+        random_projection("embedding", 64, 16).alias("p1"),
+        random_projection(
+            F.transform("embedding", lambda x: x * 2), 64, 16
+        ).alias("p2"),
+    )
+    bad = doubled.where(
+        F.exists(
+            F.zip_with("p1", "p2", lambda a, b: F.abs(b - a * 2) > 1e-9),
+            lambda v: v,
+        )
+    )
+    assert bad.count() == 0
+    from vector_io_spark.functions.vectors import l2_distance
+
+    emb = load(spark, sf_dir, "embeddings").limit(60)
+    proj = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        random_projection("embedding", 64, 16).alias("p"),
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            l2_distance(F.col("a.e"), F.col("b.e")).alias("d_orig"),
+            l2_distance(
+                F.transform(F.col("a.p"), lambda x: x.cast("float")),
+                F.transform(F.col("b.p"), lambda x: x.cast("float")),
+            ).alias("d_proj"),
+        )
+        .collect()
+    )
+    import math
+
+    xs = [r["d_orig"] for r in pairs]
+    ys = [r["d_proj"] for r in pairs]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    vy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    assert cov / (vx * vy) > 0.25, cov / (vx * vy)

@@ -197,3 +197,41 @@ def l1_distance(a: Column | str, b: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
+
+
+def random_projection(
+    a: Column | str, in_dims: int, out_dims: int, seed: str = "p"
+) -> Column:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project an
+    array<float> onto ``out_dims`` deterministic pseudo-random axes.
+
+    Coefficient (j, d) is the first md5 nibble of ``"{seed}{j}:{d}"``
+    minus 7.5 (mean-zero, same family as the simhash hyperplanes in
+    operators/dedup.py) — computed driver-side with hashlib, bit-identical
+    to the md5 of any engine, so projections are exactly reproducible
+    (and DuckDB-verifiable). The coefficients ship as plan literals
+    (out_dims × in_dims doubles); the per-row work is a codegen'd
+    zip_with/aggregate chain — zero shuffle, scan speed.
+    """
+    import hashlib
+
+    a = F.col(a) if isinstance(a, str) else a
+
+    def coef(j: int, d: int) -> float:
+        nib = int(hashlib.md5(f"{seed}{j}:{d}".encode()).hexdigest()[0], 16)
+        return nib - 7.5
+
+    axes = [
+        F.array(*[F.lit(coef(j, d)) for d in range(in_dims)])
+        for j in range(out_dims)
+    ]
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(a, axis, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for axis in axes
+        ]
+    )

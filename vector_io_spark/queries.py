@@ -2244,3 +2244,84 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sz").alias("cluster_size"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+@_register(
+    "l2_normalize_embeddings",
+    f"""
+    SELECT vec_id, CAST(d AS BIGINT) AS dim,
+           CASE WHEN sqrt({_dot_sql("embedding", "embedding")}) = 0
+                THEN embedding[d]
+                ELSE CAST(CAST(embedding[d] AS DOUBLE)
+                          / sqrt({_dot_sql("embedding", "embedding")}) AS REAL)
+           END AS nval
+    FROM embeddings, generate_series(1, 64) t(d)
+    """,
+)
+def l2_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of the embedding column (the usual prep before
+    cosine ANN so dot == cosine). Pure codegen'd HOF chain, zero shuffle;
+    float32 output verified bit-for-bit (double math, one final REAL
+    cast, same sequential accumulation both engines)."""
+    from vector_io_spark.functions.vectors import normalize_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(normalize_vector("embedding")).alias("pos", "nval")
+    ).select("vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "nval")
+
+
+@_register(
+    "label_centroids",
+    """
+    SELECT label, CAST(d AS BIGINT) AS dim,
+           round(avg(CAST(embedding[d] AS DOUBLE)), 4) AS centroid,
+           count(*) AS n_members
+    FROM embeddings, generate_series(1, 64) t(d)
+    GROUP BY label, d
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (retrieval prototypes / cluster
+    seeds): one partial-aggregated shuffle on (label, dim) after a
+    posexplode — the distributive formulation of a vector mean, no
+    driver-side vectors at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@_register(
+    "random_projection_16d",
+    """
+    SELECT vec_id, CAST(j AS BIGINT) AS proj_dim,
+           round(list_sum(list_transform(range(1, 65),
+               d -> CAST(embedding[d] AS DOUBLE)
+                    * (strpos('0123456789abcdef',
+                              substr(md5('p' || (j - 1) || ':' || (d - 1)), 1, 1))
+                       - 1 - 7.5))), 6) AS pval
+    FROM embeddings, generate_series(1, 16) t(j)
+    """,
+)
+def random_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64d -> 16d random projection with md5-derived mean-zero axes
+    (functions.vectors.random_projection). The coefficients are plan
+    literals; the projection is a per-row zip_with/aggregate chain whose
+    sequential double accumulation the oracle reproduces exactly."""
+    from vector_io_spark.functions.vectors import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection("embedding", in_dims=64, out_dims=16, seed="p")
+    return emb.select(
+        "vec_id", F.posexplode(proj).alias("pos", "raw")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("proj_dim"),
+        F.round("raw", 6).alias("pval"),
+    )
