@@ -44,6 +44,7 @@ def brute_force_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors for every query row.
 
@@ -52,6 +53,12 @@ def brute_force_topk(
     100 TB side — is scanned in place and never shuffled; the shuffle that
     ranks top-k moves only (query, id, score) triples, and Catalyst plans
     per-partition partial top-k (TakeOrdered-style) under the window+filter.
+
+    ``exclude_self=True`` drops rows where query_id == corpus id — the
+    kNN-GRAPH construction mode, where the query batch is drawn from the
+    corpus itself (run batch-by-batch over the corpus at scale: each
+    batch broadcast, the corpus re-scanned — embarrassingly parallel
+    across batches, never an N×N shuffle).
     """
     score_fn = _METRIC_FNS[metric]
     q = queries.select(
@@ -63,6 +70,8 @@ def brute_force_topk(
         F.col(corpus_id),
         F.round(score_fn(F.col(corpus_vec), F.col("__qv")), 6).alias("score"),
     )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col(corpus_id))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(corpus_id).asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
     return (

@@ -2325,3 +2325,137 @@ def random_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("proj_dim"),
         F.round("raw", 6).alias("pval"),
     )
+
+
+_SEMDEDUP_PROJ_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "d -> CAST(embedding[d] AS DOUBLE) "
+    "* (strpos('0123456789abcdef', "
+    "substr(md5('s' || j || ':' || (d - 1)), 1, 1)) - 1 - 7.5)))"
+)
+
+
+@_register(
+    "semdedup_keep",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(range(0, 8), j ->
+                   CASE WHEN {_SEMDEDUP_PROJ_SQL} > 0
+                        THEN '1' ELSE '0' END), '') AS cell
+        FROM corpus WHERE embedding IS NOT NULL
+    ),
+    cent AS (
+        SELECT cell, list(cv ORDER BY d) AS centroid FROM (
+            SELECT cell, d, avg(CAST(embedding[d] AS DOUBLE)) AS cv
+            FROM base, generate_series(1, 64) t(d)
+            GROUP BY cell, d
+        ) GROUP BY cell
+    ),
+    scored AS (
+        SELECT b.vec_id, b.cell, b.embedding,
+               {_cos_sql('b.embedding', 'c.centroid')} AS c2c
+        FROM base b JOIN cent c USING (cell)
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM scored a JOIN scored b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+          AND (b.c2c < a.c2c OR (b.c2c = a.c2c AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.cell, round(s.c2c, 6) AS c2c,
+           d.vec_id IS NULL AS keep
+    FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py) on a corpus
+    with injected exact duplicates: deterministic hyperplane cells,
+    per-cell centroids, within-cell cosine pruning keeping the member
+    least similar to its centroid. Every stage — cell bits, centroid
+    means, prune decisions — is reproduced exactly by the oracle because
+    both engines run the identical sequential-double arithmetic on
+    md5-derived axes."""
+    from vector_io_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    return semdedup(corpus, num_planes=8, threshold=0.95, seed="s")
+
+
+@_register(
+    "profile_lineitem",
+    """
+    SELECT 'l_quantity' AS column, count(*) AS n_rows,
+           count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+           round(avg(l_quantity), 4) AS mean_val,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           min(l_extendedprice), max(l_extendedprice),
+           round(avg(l_extendedprice), 4),
+           round(quantile_cont(l_extendedprice, 0.5), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount),
+           min(l_discount), max(l_discount),
+           round(avg(l_discount), 4),
+           round(quantile_cont(l_discount, 0.5), 4)
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/aggregates.py::profile_columns) over
+    lineitem's numeric measures: one aggregation pass, long-form output.
+    Exact mode here for oracle parity (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort + linearly interpolate);
+    ``approx=True`` is the fully-distributive 100 TB path."""
+    from vector_io_spark.operators.aggregates import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+@_register(
+    "knn_graph_batch",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c,
+                 (SELECT * FROM embeddings WHERE vec_id < 100) q
+            WHERE c.vec_id <> q.vec_id
+        )
+    ) WHERE rank <= 5
+    """,
+)
+def knn_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction, one query batch: exact cosine 5-NN for the
+    first 100 corpus rows against the full corpus, self-matches excluded
+    (brute_force_topk(exclude_self=True)). At scale the graph is built
+    batch-by-batch — each batch broadcast, the corpus scanned in place,
+    batches embarrassingly parallel — never an N×N shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5, exclude_self=True)
+
+
