@@ -245,22 +245,11 @@ def ivf_topk(
     # k-means on the driver: centroids are num_cells × dim — tiny. (MLlib
     # KMeans would shuffle the full corpus; for centroid-fitting a sample
     # is standard IVF practice and numpy converges in milliseconds.)
-    rng = np.random.RandomState(seed)
-    centroids = train[rng.choice(len(train), size=min(num_cells, len(train)), replace=False)]
-    for _ in range(10):  # Lloyd iterations
-        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = train[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-
-    cent = centroids  # closure-captured, broadcast with the UDF
+    cent = _lloyd(train, num_cells, seed)  # closure-captured with the UDF
 
     def _cell_batch(vs):
         mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
 
     cell_udf = pandas_udf(_cell_batch, IntegerType())
     corpus_cells = corpus.withColumn("__cell", cell_udf(F.col(corpus_vec)))
@@ -268,8 +257,7 @@ def ivf_topk(
     # queries probe their nprobe nearest cells
     def _probe_batch(vs):
         mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        order = np.argsort(_sq_dists(mat, cent), axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
     from pyspark.sql.types import ArrayType
@@ -298,19 +286,43 @@ def ivf_topk(
     )
 
 
+def _sq_dists(x, cent):
+    """Squared L2 distances (N, K) via the ||x||²−2x·c+||c||² expansion:
+    one BLAS matmul and O(N·K) memory — the naive broadcast form
+    materializes an (N, K, dim) temporary, which at the 100k-row training
+    cap × 64 cells × 64 dims is ~3 GB per iteration."""
+    import numpy as np
+
+    x2 = (x**2).sum(axis=1)
+    c2 = (cent**2).sum(axis=1)
+    d2 = x2[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
+    return np.maximum(d2, 0.0)  # clamp negative rounding residue
+
+
 def _lloyd(train, k: int, seed: int, iters: int = 10):
-    """Tiny driver-side k-means (numpy). Deterministic given seed."""
+    """Tiny driver-side k-means (numpy). Deterministic given seed.
+    Centroid update is vectorized per dimension (bincount with weights),
+    so an iteration is O(N·K) + O(N·dim) — no per-centroid Python loop."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    cent = train[rng.choice(len(train), size=min(k, len(train)), replace=False)]
+    cent = train[
+        rng.choice(len(train), size=min(k, len(train)), replace=False)
+    ].copy()
+    prev = None
     for _ in range(iters):
-        d2 = ((train[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            members = train[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        assign = _sq_dists(train, cent).argmin(axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break  # converged: next update is a no-op
+        prev = assign
+        counts = np.bincount(assign, minlength=len(cent))
+        sums = np.empty_like(cent)
+        for d in range(train.shape[1]):
+            sums[:, d] = np.bincount(
+                assign, weights=train[:, d], minlength=len(cent)
+            )
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz][:, None]
     return cent
 
 
@@ -377,8 +389,7 @@ def pq_encode(
         codes = np.empty((len(mat), m_sub), dtype=np.int32)
         for m in range(m_sub):
             block = mat[:, m * sub : (m + 1) * sub]
-            d2 = ((block[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = d2.argmin(axis=1)
+            codes[:, m] = _sq_dists(block, cb[m]).argmin(axis=1)
         return pd.Series(list(codes))
 
     enc = pandas_udf(_encode, ArrayType(IntegerType()))
@@ -532,8 +543,7 @@ def ivfpq_topk(
     sub = dim // num_subspaces
 
     cents = _lloyd(train, num_cells, seed)  # (C, dim)
-    d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = train - cents[d2.argmin(axis=1)]
+    resid = train - cents[_sq_dists(train, cents).argmin(axis=1)]
     cb = np.stack(
         [
             _lloyd(resid[:, m * sub : (m + 1) * sub], codebook_size, seed + m)
@@ -543,14 +553,12 @@ def ivfpq_topk(
 
     def _encode(vs):
         mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        cell = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        cell = _sq_dists(mat, cents).argmin(axis=1)
         res = mat - cents[cell]
         codes = np.empty((len(mat), num_subspaces), dtype=np.int32)
         for m in range(num_subspaces):
             block = res[:, m * sub : (m + 1) * sub]
-            codes[:, m] = (
-                ((block[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            )
+            codes[:, m] = _sq_dists(block, cb[m]).argmin(axis=1)
         out = pd.DataFrame({"cell": cell.astype("int32")})
         out["code"] = list(codes)
         return out
