@@ -1,0 +1,97 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+cohort retention — the clickstream/product-analytics companions to
+``operators/sessions.py``.
+
+Reference scope: the reference engine has no event analytics; these extend
+the events-table coverage the same way sessionization does (SURVEY.md
+"LLM-data-pipeline operators" extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: a user converts step i iff they
+    have a ``steps[i]`` event STRICTLY AFTER their step-(i−1) conversion
+    time (conversion time = earliest such event). Returns one row per
+    step: (step, event_type, n_users).
+
+    Plan shape for 100 TB: the scan is filtered to the funnel's event
+    types (predicate pushdown — other types never leave parquet), then
+    each step is a per-user min-aggregation joined to the previous step's
+    (user, time) table. Every aggregation and join keys on ``user_col``,
+    so the exchange established by step 1 is reused down the chain, and
+    step tables shrink monotonically (step i+1 ⊆ step i users). Nothing
+    is collected or broadcast-unbounded; per-user event lists are never
+    materialized (no collect_list — bot users with millions of events
+    cost nothing beyond their aggregated rows).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = df.where(F.col(type_col).isin(list(steps))).select(
+        user_col, type_col, ts_col
+    )
+    prior: DataFrame | None = None
+    out: DataFrame | None = None
+    for i, s in enumerate(steps):
+        ev = base.where(F.col(type_col) == s)
+        if prior is not None:
+            ev = ev.join(prior, user_col).where(F.col(ts_col) > F.col("__t"))
+        prior = ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        row = prior.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of the
+    user's first event; every (cohort_week, week_offset) cell counts the
+    distinct cohort users active that week. Returns
+    (cohort_week DATE, week_offset, n_users).
+
+    Plan shape: one per-user min-aggregation (the cohort table, ≤ one row
+    per user), joined back on the user key — same exchange — then a
+    distinct-count keyed by the (cohort, offset) grid, whose cardinality
+    is weeks², not rows. The week offset is computed as day-difference
+    of the two Monday truncations integer-divided by 7 — identical
+    semantics in Spark and DuckDB (both truncate weeks to Monday), so the
+    result is engine-exact.
+    """
+    first = df.groupBy(user_col).agg(
+        F.to_date(F.date_trunc("week", F.min(ts_col))).alias("cohort_week")
+    )
+    act = df.join(first, user_col).select(
+        user_col,
+        "cohort_week",
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col(ts_col))),
+                F.col("cohort_week"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct(F.col(user_col)).alias("n_users")
+    )

@@ -2459,3 +2459,62 @@ def knn_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5, exclude_self=True)
 
 
+
+
+@_register(
+    "funnel_signup_purchase",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+           count(*) AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase (operators/events.py::
+    funnel): per-step strictly-increasing conversion times, per-user
+    min-aggregations chained on one user-key exchange."""
+    from vector_io_spark.operators.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "click", "purchase"])
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (operators/events.py::
+    cohort_retention): Monday-truncated first-activity cohorts, exact
+    week offsets (day-diff of truncations / 7 — identical in both
+    engines), distinct active users per cell."""
+    from vector_io_spark.operators.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    ret = cohort_retention(ev)
+    return ret.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
