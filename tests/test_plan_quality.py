@@ -167,3 +167,46 @@ def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
     # the fact side shuffles at most once (big join) + the final group-by
     assert count_broadcast_joins(df) >= 4, formatted_plan(df)
     assert count_shuffles(df) <= 2, formatted_plan(df)
+
+
+def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
+    """The centroid table (≤ 2^num_planes rows) broadcasts; the corpus
+    self-join is a hash join on the cell key — never a cartesian."""
+    from vector_io_spark.operators.semdedup import semdedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = semdedup(emb)
+    assert_no_cartesian(df)
+    assert count_broadcast_joins(df) >= 1, formatted_plan(df)
+
+
+def test_funnel_pushes_type_filter(spark, sf_dir):
+    from vector_io_spark.operators.events import funnel
+
+    ev = load(spark, sf_dir, "events")
+    df = funnel(ev, ["signup", "purchase"])
+    plan = formatted_plan(df)
+    # only funnel step types leave the scan: In-filter pushed to parquet
+    assert "In(event_type" in plan, plan
+    assert_read_schema_only(df, "user_id", "event_type", "ts")
+
+
+def test_profile_columns_single_scan_both_modes(spark, sf_dir):
+    """Profiling N columns is ONE table scan in both modes. Approx mode
+    (the 100 TB path) additionally avoids the Expand that the exact
+    multi-column COUNT DISTINCT rewrite inserts (Expand multiplies the
+    pre-aggregation row flow ×|distinct cols|)."""
+    import re
+
+    from vector_io_spark.operators.aggregates import profile_columns
+    from vector_io_spark.plans import simple_plan
+
+    def scan_nodes(df):
+        return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))
+
+    li = load(spark, sf_dir, "lineitem")
+    approx = profile_columns(li, ["l_quantity", "l_discount"], approx=True)
+    assert "Expand" not in simple_plan(approx)
+    assert scan_nodes(approx) == 1
+    exact = profile_columns(li, ["l_quantity", "l_discount"])
+    assert scan_nodes(exact) == 1

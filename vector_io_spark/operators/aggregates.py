@@ -36,12 +36,13 @@ def profile_columns(
 
     One aggregation pass over the table; every stat except the exact
     median and exact distinct-count is distributive (map-side partials).
-    ``approx=True`` is the 100 TB path: ``approx_count_distinct`` (HLL,
-    no Expand) and ``approx_percentile`` (t-digest) keep the pass fully
-    distributive at a 1e-2 relative error — exact mode is for oracle
-    parity and small/medium tables (exact COUNT DISTINCT over multiple
-    columns plans an Expand: rows × |cols| into one exchange; exact
-    percentile sorts per column).
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct`` (HLL)
+    and ``approx_percentile`` (t-digest) are plain fixed-size aggregate
+    buffers at ~1e-2 relative error — exact mode is for oracle parity
+    and small/medium tables (the multi-column exact-distinct rewrite
+    inserts an Expand that multiplies pre-aggregation row flow by the
+    number of distinct columns, and exact percentile buffers per-column
+    value multisets). Both modes are a single scan of the table.
 
     Output long-form: (column, n_rows, n_nonnull, n_distinct, min_val,
     max_val, mean_val, p50).
