@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",        # IVF+PQ residual-coded ANN (the 100 TB index)
     "ann_topk_hamming_packed",  # binary-quantized exact hamming retrieval
     "session_stats",         # gap sessionization + rollup on events
+    "semdedup_keep",         # semantic dedup: cells + centroid prune
+    "knn_graph_batch",       # kNN-graph construction (one query batch)
+    "funnel_signup_purchase",  # ordered funnel over events
     "text_quality",
     "token_counts",
     "language_id",

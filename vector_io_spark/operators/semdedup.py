@@ -34,6 +34,8 @@ from pyspark.sql.functions import broadcast
 
 from vector_io_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
+    l2_norm,
     random_projection,
 )
 
@@ -94,9 +96,18 @@ def semdedup(
         "cell",
         F.col(vec_col),
         cosine_similarity(F.col(vec_col), F.col("centroid")).alias("c2c"),
+        # hoisted norm: computed once per row here instead of re-derived
+        # inside every within-cell pair check (bit-identical — the pair
+        # cosine below uses the same sqrt(dot(x,x)) subexpression)
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
 
     a, b = scored.alias("a"), scored.alias("b")
+    pair_den = F.col("a.__n") * F.col("b.__n")
+    pair_cos = F.when(
+        pair_den != 0.0,
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / pair_den,
+    )
     dropped = (
         a.join(
             b,
@@ -104,10 +115,7 @@ def semdedup(
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .where(
-            (
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                >= threshold
-            )
+            (pair_cos >= threshold)
             & (
                 (F.col("b.c2c") < F.col("a.c2c"))
                 | (
