@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_io_spark.functions.text import doc_fingerprint, tokens, word_shingles
-from vector_io_spark.functions.vectors import cosine_similarity
+from vector_io_spark.functions.vectors import dot_product
 
 
 def _rebalance_for_cpu(df: DataFrame) -> DataFrame:
@@ -511,10 +511,28 @@ def dedup_embedding_cosine(
 
     Returns (id_a, id_b, cos_sim), id_a < id_b.
     """
-    l, r = df.alias("l"), df.alias("r")
     if method == "brute":
+        from vector_io_spark.functions.vectors import l2_norm
+
+        # hoist ||v|| to one computation per row (bit-identical: the pair
+        # cosine below reuses the same sqrt(dot(x,x)) subexpression)
+        normed = df.withColumn("__n", l2_norm(F.col(vec_col)))
+        l, r = normed.alias("l"), normed.alias("r")
         pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    elif method == "lsh":
+        den = F.col("l.__n") * F.col("r.__n")
+        sim = F.round(
+            F.when(
+                den != 0.0,
+                dot_product(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / den,
+            ),
+            6,
+        )
+        return pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        ).where(F.col("cos_sim") >= threshold)
+    if method == "lsh":
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -550,17 +568,7 @@ def dedup_embedding_cosine(
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim")
         )
-    else:
-        raise ValueError(f"unknown method {method!r}")
-    sim = F.round(cosine_similarity(f"l.{vec_col}", f"r.{vec_col}"), 6)
-    return (
-        pairs.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    raise ValueError(f"unknown method {method!r}")
 
 
 def _plane_coeff(i: int, d: int) -> float:
