@@ -90,15 +90,25 @@ def language_id(c: Column | str, pretokenized: bool = False) -> Column:
     regexp is the expensive part and is otherwise re-evaluated per profile).
     """
     toks = (F.col(c) if isinstance(c, str) else c) if pretokenized else tokens(c)
-    scores = [(_lang, _marker_hits(toks, m)) for _lang, m in _LANG_MARKERS.items()]
-    # argmax with first-wins tie-break, expressed as nested CASE WHEN
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    # argmax with first-wins tie-break: array_max over (score, -index, lang)
+    # structs compares lexicographically, so the winner is the highest
+    # score and, among ties, the earliest profile. Each profile's
+    # marker-hit expression appears exactly ONCE in the plan — a nested
+    # CASE WHEN chain would embed the running best twice per level and
+    # grow the expression tree 2^|profiles|.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _marker_hits(toks, m).alias("score"),
+                    F.lit(-i).alias("neg_idx"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, (lang, m) in enumerate(_LANG_MARKERS.items())
+            ]
+        )
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_score(c: Column | str) -> Column:

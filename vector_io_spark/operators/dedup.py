@@ -304,22 +304,23 @@ def ngram_jaccard_pairs(
         ),
     ).persist()
     shingle_arrays.count()  # eager fill: 4 downstream consumers
-    sh = shingle_arrays.select(id_col, F.explode("sh_arr").alias("shingle"))
+    sh = shingle_arrays.select(
+        id_col,
+        F.size("sh_arr").alias("n_sh"),
+        F.explode("sh_arr").alias("shingle"),
+    )
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     # rarity rank per document: order each doc's shingles by (global df,
     # shingle) and keep the first (|X| - ceil(t*|X|) + 1) as the prefix.
-    # n_sh and the rank come from TWO window functions over the SAME
-    # partition key — one shuffle, no join. (A join against a per-doc
-    # sizes table — let alone a broadcast of it — would ship one row per
-    # document; at 100 TB that's billions of rows, an instant broadcast
-    # failure. The window formulation keeps the per-doc count co-located
-    # with the rows that need it.)
+    # n_sh rides along from size(sh_arr) at explode time — no second
+    # window pass and no join against a per-doc sizes table (a broadcast
+    # of one row per document would be billions of rows at 100 TB, an
+    # instant broadcast failure; the rank window already co-locates each
+    # doc's rows, so the count is free).
     ranked = sh.join(doc_freq, "shingle")
     w = Window.partitionBy(id_col).orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
-    w_all = Window.partitionBy(id_col)
     prefixes = (
         ranked.withColumn("__rk", F.row_number().over(w))
-        .withColumn("n_sh", F.count("*").over(w_all))
         .where(
             F.col("__rk")
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
