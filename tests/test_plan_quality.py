@@ -210,3 +210,60 @@ def test_profile_columns_single_scan_both_modes(spark, sf_dir):
     assert scan_nodes(approx) == 1
     exact = profile_columns(li, ["l_quantity", "l_discount"])
     assert scan_nodes(exact) == 1
+
+
+def test_q14_broadcast_part_single_row_agg(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["promo_revenue_share"](spark, sf_dir)
+    assert count_broadcast_joins(df) == 1, formatted_plan(df)
+    # scalar aggregate: the fact side never hash-shuffles; one
+    # single-partition exchange finishes it
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_q18_reuses_rollup_partitioning_for_orders_join(spark, sf_dir):
+    """The per-order rollup hash-partitions on l_orderkey; the orders
+    join keys on the same column, so the aggregate side must not
+    re-shuffle (fact moves once: rollup exchange + orders exchange +
+    customer exchange at most — never a second lineitem pass)."""
+    import re
+
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["large_volume_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan
+    assert count_shuffles(df) <= 3, plan
+
+
+def test_q19_zero_fact_shuffles_and_envelope_pushdown(spark, sf_dir):
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["bracket_revenue"](spark, sf_dir)
+    assert count_broadcast_joins(df) == 1, formatted_plan(df)
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+    # the derived quantity envelope reaches the scan even though the OR
+    # bracket itself straddles both tables
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(l_quantity" in plan, plan
+
+
+def test_q10_aggregates_before_customer_join(spark, sf_dir):
+    """Revenue collapses to one row per customer BEFORE customer
+    attributes join: the window sort input is the small aggregate. The
+    returnflag filter is pushed to the lineitem scan."""
+    from vector_io_spark.queries import QUERIES
+    from vector_io_spark.plans import simple_plan
+
+    df = QUERIES["returned_item_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    # aggregate appears below the customer join in the plan tree: the
+    # simple string shows HashAggregate feeding the c_custkey join
+    sp = simple_plan(df)
+    agg_pos = sp.index("HashAggregate")
+    # nation is broadcast
+    assert count_broadcast_joins(df) >= 1, plan
+    assert agg_pos > -1
