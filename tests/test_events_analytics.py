@@ -57,3 +57,25 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_rfm_bucket_sizes_and_segment_concat(spark, sf_dir):
+    from vector_io_spark.operators.events import rfm_segments
+    from vector_io_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")  # nanos->timestamp conversion
+    rows = rfm_segments(ev, as_of="2024-02-01").collect()
+    n = len(rows)
+    assert n == ev.select("user_id").distinct().count()
+    # ntile(4): bucket sizes differ by at most 1, remainder to low buckets
+    for col in ("r_score", "f_score", "m_score"):
+        from collections import Counter
+
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        big = n // 4 + (1 if n % 4 else 0)
+        assert all(sizes[b] == big for b in range(1, n % 4 + 1))
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        assert r["monetary"] == round(r["monetary"], 2)

@@ -147,3 +147,56 @@ def test_ivfpq_topk_recall(spark, sf_dir):
     # residual coding: ADC error ~ quantization noise, dist near 0)
     firsts = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert firsts == {q: q for q in range(5)}
+
+
+def test_mmr_diversifies_and_keeps_relevance_order(spark):
+    """A corpus with a cluster of 3 near-identical high-relevance vectors
+    plus 2 distinct moderate ones: plain top-4 takes the whole clone
+    cluster; MMR must pick 1 clone then reach for the distinct vectors.
+    Also: pick 1 is the plain argmax, ranks are 1..k, and a
+    single-candidate query still returns its one row."""
+    import math
+
+    from vector_io_spark.operators.similarity import mmr_topk
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    clone = [0.99, 0.14, 0.0, 0.0]   # ~cos 0.990 to q, mutually ~1.0
+    clone2 = [0.99, 0.141, 0.0, 0.0]
+    clone3 = [0.99, 0.139, 0.0, 0.0]
+    distinct1 = [0.8, 0.0, 0.6, 0.0]  # cos 0.8 to q, ~0.79 to clones
+    distinct2 = [0.8, 0.0, 0.0, 0.6]
+    rows = [
+        (10, clone), (11, clone2), (12, clone3),
+        (20, distinct1), (21, distinct2),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, q)], "query_id long, embedding array<double>"
+    )
+    out = mmr_topk(corpus, queries, k=4, shortlist=5, lam=0.5).collect()
+    assert [r["mmr_rank"] for r in sorted(out, key=lambda r: r["mmr_rank"])] == [
+        1, 2, 3, 4,
+    ]
+    picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    # pick 1 = plain argmax (a clone); picks 2 and 3 must be the two
+    # distinct vectors — a plain top-4 would have taken all three clones
+    assert picked[0] in (10, 11, 12)
+    assert set(picked[1:3]) == {20, 21}, picked
+    assert sum(1 for v in picked if v in (10, 11, 12)) == 2
+
+    # scores are the documented formula over rounded sims
+    r1 = next(r for r in out if r["mmr_rank"] == 1)
+    qsim_clone = round(
+        sum(a * b for a, b in zip(q, [0.99, 0.14, 0.0, 0.0]))
+        / (math.sqrt(sum(a * a for a in q))
+           * math.sqrt(sum(b * b for b in [0.99, 0.14, 0.0, 0.0]))),
+        6,
+    )
+    if r1["vec_id"] == 10:
+        assert r1["mmr_score"] == 0.5 * qsim_clone
+
+    # single-candidate query: shortlist of 1 still yields one row
+    one = mmr_topk(
+        corpus.where(F.col("vec_id") == 20), queries, k=4, shortlist=5
+    ).collect()
+    assert len(one) == 1 and one[0]["vec_id"] == 20 and one[0]["mmr_rank"] == 1

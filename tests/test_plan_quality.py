@@ -267,3 +267,19 @@ def test_q10_aggregates_before_customer_join(spark, sf_dir):
     # nation is broadcast
     assert count_broadcast_joins(df) >= 1, plan
     assert agg_pos > -1
+
+
+def test_mmr_never_shuffles_corpus(spark, sf_dir):
+    """Both corpus touches (shortlist scoring + candidate-vector
+    fetch) are broadcast-side joins: no cartesian, and every exchange
+    moves only shortlist-sized data (the corpus never hash-shuffles on
+    a data-dependent key)."""
+    from vector_io_spark.operators.similarity import mmr_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    df = mmr_topk(emb, queries, k=4, shortlist=12)
+    assert_no_cartesian(df)
+    assert count_broadcast_joins(df) >= 2, formatted_plan(df)

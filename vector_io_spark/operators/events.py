@@ -95,3 +95,54 @@ def cohort_retention(
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct(F.col(user_col)).alias("n_users")
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    as_of: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation.
+
+    Per user: days since last activity relative to ``as_of``, event
+    count, and monetary total (summed as exact integer cents so the
+    result is independent of aggregation order). Each metric is then
+    quartile-bucketed with ntile — 1 = best (most recent / most
+    frequent / highest spend), ties broken on user id — and the three
+    digits concatenate into the segment label ('111' = champions).
+
+    Scale shape: the events table collapses to one row per user in a
+    single hash aggregate (the only data-proportional shuffle); the
+    ntile windows sort just the per-user aggregate, which is orders of
+    magnitude smaller than the event log. At extreme user counts swap
+    ntile for approx-quantile cut points — same output contract.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    per_user = events.groupBy(user_col).agg(
+        F.datediff(F.to_date(F.lit(as_of)), F.to_date(F.max(ts_col)))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        (F.sum(cents) / 100.0).alias("monetary"),
+    )
+    uid = F.col(user_col).asc()
+    w_r = Window.orderBy(F.col("recency_days").asc(), uid)
+    w_f = Window.orderBy(F.col("frequency").desc(), uid)
+    w_m = Window.orderBy(F.col("monetary").desc(), uid)
+    return per_user.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(buckets).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(buckets).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(buckets).over(w_m).cast("bigint").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )

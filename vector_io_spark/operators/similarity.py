@@ -671,3 +671,107 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", corpus_id, "adc_dist", "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    shortlist: int = 12,
+    lam: float = 0.5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily select k
+    results maximizing ``lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s)``
+    (max over the empty set = 0, so pick 1 is plain highest relevance).
+    Ties break on ascending corpus id at every step.
+
+    Scale shape: (1) shortlist = exact/ANN top-`shortlist` per query —
+    the corpus is scanned once, broadcast-query style, and never
+    shuffled; (2) candidate vectors come back via a broadcast hash join
+    of the tiny shortlist against the corpus (again no corpus shuffle);
+    (3) the O(shortlist²) pairwise-similarity table and the greedy loop
+    touch only q×N rows — the loop runs per-query in applyInPandas,
+    embarrassingly parallel across queries.
+
+    Numeric parity: every similarity is computed ONCE, Catalyst-side,
+    and rounded to 6 decimals BEFORE the greedy loop; the loop itself
+    does only exact double ops (0.5-scaling, subtraction, max,
+    comparisons), so any engine replaying the same greedy over the same
+    rounded similarities reproduces scores bit-for-bit.
+
+    Returns (query_id, vec_id, mmr_rank 1..k, mmr_score).
+    """
+    import pandas as pd
+
+    from vector_io_spark.functions.vectors import cosine_similarity
+
+    sl = brute_force_topk(
+        corpus, queries, k=shortlist, corpus_id=corpus_id,
+        corpus_vec=corpus_vec, query_id=query_id, query_vec=query_vec,
+    ).select("query_id", F.col(corpus_id).alias("cand_id"), F.col("score").alias("qsim"))
+    # candidate vectors: broadcast the shortlist so the corpus side of
+    # this join never shuffles (scan + broadcast hash join)
+    sl_vec = corpus.select(
+        F.col(corpus_id).alias("cand_id"), F.col(corpus_vec).alias("__v")
+    ).join(broadcast(sl), "cand_id")
+    a = sl_vec.select(
+        "query_id",
+        F.col("cand_id").alias("id_a"),
+        F.col("qsim"),
+        F.col("__v").alias("__va"),
+    )
+    b = sl_vec.select(
+        "query_id", F.col("cand_id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    # diagonal (id_a == id_b) rows stay: the greedy never reads them
+    # (penalty pairs are cand × already-selected, disjoint sets), and
+    # they guarantee a single-candidate query still reaches the loop
+    pairs = (
+        a.join(b, "query_id")
+        .select(
+            "query_id",
+            "id_a",
+            "qsim",
+            "id_b",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("psim"),
+        )
+    )
+
+    lam = float(lam)
+    rem = 1.0 - lam
+    kk = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        qsim = {}
+        psim = {}
+        for row in pdf.itertuples(index=False):
+            qsim[row.id_a] = row.qsim
+            psim[(row.id_a, row.id_b)] = row.psim
+        sel: list = []
+        out = []
+        while len(sel) < kk and len(sel) < len(qsim):
+            best = None
+            for cand, qs in qsim.items():
+                if cand in sel:
+                    continue
+                pen = max((psim[(cand, s)] for s in sel), default=0.0)
+                score = lam * qs - rem * pen
+                if best is None or score > best[0] or (
+                    score == best[0] and cand < best[1]
+                ):
+                    best = (score, cand)
+            sel.append(best[1])
+            out.append((qid, best[1], len(sel), best[0]))
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank", "mmr_score"]
+        )
+
+    schema = (
+        "query_id long, vec_id long, mmr_rank long, mmr_score double"
+    )
+    return pairs.groupBy("query_id").applyInPandas(_greedy, schema)

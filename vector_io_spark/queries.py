@@ -2713,3 +2713,159 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+_MMR_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 3),
+    sl0 AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS qsim
+        FROM embeddings c, q
+    ),
+    sl AS (
+        SELECT query_id, cand_id, qsim FROM (
+            SELECT query_id, cand_id, qsim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qsim DESC, cand_id ASC) AS rk
+            FROM sl0
+        ) WHERE rk <= 12
+    ),
+    slv AS (
+        SELECT sl.query_id, sl.cand_id, sl.qsim, e.embedding
+        FROM sl JOIN embeddings e ON e.vec_id = sl.cand_id
+    ),
+    p AS (
+        SELECT x.query_id, x.cand_id AS id_a, y.cand_id AS id_b,
+               round({_cos_sql('x.embedding', 'y.embedding')}, 6) AS psim
+        FROM slv x JOIN slv y ON x.query_id = y.query_id
+    ),
+    s1 AS (
+        SELECT query_id, cand_id, 0.5 * qsim - 0.5 * 0.0 AS score FROM (
+            SELECT query_id, cand_id, qsim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qsim DESC, cand_id ASC) AS rk
+            FROM sl
+        ) WHERE rk = 1
+    ),
+    c2 AS (
+        SELECT sl.query_id, sl.cand_id, 0.5 * sl.qsim - 0.5 * p1.psim AS score
+        FROM sl
+        JOIN s1 ON s1.query_id = sl.query_id AND sl.cand_id <> s1.cand_id
+        JOIN p p1 ON p1.query_id = sl.query_id AND p1.id_a = sl.cand_id
+                 AND p1.id_b = s1.cand_id
+    ),
+    s2 AS (
+        SELECT query_id, cand_id, score FROM (
+            SELECT query_id, cand_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC) AS rk
+            FROM c2
+        ) WHERE rk = 1
+    ),
+    c3 AS (
+        SELECT sl.query_id, sl.cand_id,
+               0.5 * sl.qsim - 0.5 * greatest(p1.psim, p2.psim) AS score
+        FROM sl
+        JOIN s1 ON s1.query_id = sl.query_id AND sl.cand_id <> s1.cand_id
+        JOIN s2 ON s2.query_id = sl.query_id AND sl.cand_id <> s2.cand_id
+        JOIN p p1 ON p1.query_id = sl.query_id AND p1.id_a = sl.cand_id
+                 AND p1.id_b = s1.cand_id
+        JOIN p p2 ON p2.query_id = sl.query_id AND p2.id_a = sl.cand_id
+                 AND p2.id_b = s2.cand_id
+    ),
+    s3 AS (
+        SELECT query_id, cand_id, score FROM (
+            SELECT query_id, cand_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC) AS rk
+            FROM c3
+        ) WHERE rk = 1
+    ),
+    c4 AS (
+        SELECT sl.query_id, sl.cand_id,
+               0.5 * sl.qsim
+               - 0.5 * greatest(p1.psim, p2.psim, p3.psim) AS score
+        FROM sl
+        JOIN s1 ON s1.query_id = sl.query_id AND sl.cand_id <> s1.cand_id
+        JOIN s2 ON s2.query_id = sl.query_id AND sl.cand_id <> s2.cand_id
+        JOIN s3 ON s3.query_id = sl.query_id AND sl.cand_id <> s3.cand_id
+        JOIN p p1 ON p1.query_id = sl.query_id AND p1.id_a = sl.cand_id
+                 AND p1.id_b = s1.cand_id
+        JOIN p p2 ON p2.query_id = sl.query_id AND p2.id_a = sl.cand_id
+                 AND p2.id_b = s2.cand_id
+        JOIN p p3 ON p3.query_id = sl.query_id AND p3.id_a = sl.cand_id
+                 AND p3.id_b = s3.cand_id
+    ),
+    s4 AS (
+        SELECT query_id, cand_id, score FROM (
+            SELECT query_id, cand_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC) AS rk
+            FROM c4
+        ) WHERE rk = 1
+    )
+    SELECT query_id, CAST(cand_id AS BIGINT) AS vec_id,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank, score AS mmr_score
+    FROM (
+        SELECT query_id, cand_id, 1 AS mmr_rank, score FROM s1
+        UNION ALL SELECT query_id, cand_id, 2, score FROM s2
+        UNION ALL SELECT query_id, cand_id, 3, score FROM s3
+        UNION ALL SELECT query_id, cand_id, 4, score FROM s4
+    )
+"""
+
+
+@_register("mmr_diversified_topk", _MMR_SQL)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified search (operators/similarity.py::mmr_topk):
+    top-12 cosine shortlist per query, then greedy re-rank picking 4
+    results that maximize 0.5*relevance - 0.5*max-similarity-to-selected.
+    The oracle unrolls the same greedy into four chained SQL stages over
+    the same rounded similarity tables — bit-exact because every
+    similarity is rounded once before the loop and the loop itself is
+    exact double arithmetic in both engines."""
+    from vector_io_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_topk(emb, queries, k=4, shortlist=12, lam=0.5)
+
+
+@_register(
+    "rfm_segments",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(ts) AS DATE),
+                              DATE '2024-02-01') AS BIGINT) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+                AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                AS BIGINT) AS m_score,
+           concat(CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+                       AS VARCHAR),
+                  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                       AS VARCHAR),
+                  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                       AS VARCHAR)) AS segment
+    FROM per_user
+    """,
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/events.py::rfm_segments): one hash
+    aggregate over the event log, exact-cents monetary sums, ntile
+    quartiles with user-id tie-breaks (deterministic in any engine)."""
+    from vector_io_spark.operators.events import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, as_of="2024-02-01")
