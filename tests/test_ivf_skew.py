@@ -200,3 +200,28 @@ def test_mmr_diversifies_and_keeps_relevance_order(spark):
         corpus.where(F.col("vec_id") == 20), queries, k=4, shortlist=5
     ).collect()
     assert len(one) == 1 and one[0]["vec_id"] == 20 and one[0]["mmr_rank"] == 1
+
+
+def test_hard_negatives_exclude_same_label_and_rank_correctly(spark, sf_dir):
+    from vector_io_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    out = hard_negatives(emb, queries, k=5).collect()
+    qlabels = {r["query_id"]: r["label"] for r in queries.collect()}
+    assert len(out) == 15
+    for r in out:
+        assert r["neg_label"] != qlabels[r["query_id"]]
+    # per query: ranks 1..5, scores non-increasing
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -232,3 +232,55 @@ def test_random_projection_linear_and_correlated(spark, sf_dir):
     vx = math.sqrt(sum((x - mx) ** 2 for x in xs))
     vy = math.sqrt(sum((y - my) ** 2 for y in ys))
     assert cov / (vx * vy) > 0.25, cov / (vx * vy)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from vector_io_spark.operators.sampling import assign_split, leakage_safe_split
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    # chains 0-1-2, 10-11, plus singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (300, 301), (301, 302), (302, 303)],
+        "id_a long, id_b long",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(docs, "doc_id", pairs, w).collect()}
+    assert len(out) == 400
+    for cluster in ([0, 1, 2], [10, 11], [300, 301, 302, 303]):
+        assert len({out[i] for i in cluster}) == 1, cluster
+    # non-clustered rows match plain assign_split (same hash, same seed)
+    plain = {r["doc_id"]: r["split"] for r in
+             assign_split(docs, "doc_id", w).collect()}
+    clustered = {0, 1, 2, 10, 11, 300, 301, 302, 303}
+    for i in set(out) - clustered:
+        assert out[i] == plain[i]
+    # cluster split = the root's plain split (component = min id)
+    assert out[0] == plain[0] and out[10] == plain[10] and out[300] == plain[300]
+
+
+def test_distribution_drift_psi_zero_for_identical_and_positive_for_shift(spark):
+    import math
+
+    from vector_io_spark.operators.corpus import distribution_drift
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    rows = distribution_drift(a, a, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    psi = sum(r["psi_contrib"] for r in rows)
+    assert abs(psi) < 1e-12  # identical slices: every term is exactly 0
+    assert all(r["n_a"] == r["n_b"] == 100 for r in rows)
+
+    shifted = spark.range(0, 1000).select(
+        (F.col("id") % 50 + 50).cast("double").alias("v")
+    )
+    rows2 = distribution_drift(a, shifted, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    psi2 = sum(r["psi_contrib"] for r in rows2)
+    assert psi2 > 0.25, psi2  # half the mass moved: clearly "shifted"
+    assert math.isfinite(psi2)
+    # smoothing keeps empty-bin terms finite
+    assert all(math.isfinite(r["psi_contrib"]) for r in rows2)
+    # out-of-range values clamp into edge bins instead of dropping
+    edge = spark.createDataFrame([(-5.0,), (640.0,)], "v double")
+    rows3 = distribution_drift(edge, edge, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert sum(r["n_a"] for r in rows3) == 2
+    assert {r["bin"] for r in rows3} == {0, 9}

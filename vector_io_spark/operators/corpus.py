@@ -176,3 +176,65 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    metric_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Binned distribution comparison between two corpus slices (e.g.
+    yesterday's crawl vs today's, or source A vs source B) — the
+    monitoring primitive behind population-stability checks on quality
+    scores, document lengths, token counts.
+
+    Fixed-width bins over [lo, hi) (clamped at the edges so nothing
+    drops); per bin: counts and Laplace-smoothed proportions from both
+    sides, plus the PSI contribution
+    ``(p_a - p_b) * ln(p_a / p_b)``. Sum psi_contrib for the scalar PSI
+    (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Each side is one scan + one |bins|-sized aggregate; the bin join is
+    |bins| rows. Nothing here is data-proportional after the aggregates,
+    so the plan is identical at any scale. The exact-count columns are
+    engine-exact; psi_contrib involves ``ln`` whose last ulp is
+    libm-dependent — treat it as a monitoring value, not an
+    oracle-comparable one.
+    """
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(metric_col).cast("double")
+        clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(hi - 1e-9))
+        b = F.floor((clamped - lo) / ((hi - lo) / n_bins)).cast("bigint")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+    a = binned(df_a, "n_a")
+    b = binned(df_b, "n_b")
+    # outer join over <= n_bins rows; totals via a window over the tiny
+    # bin frame (no second scan of either input)
+    j = (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    tot_a = F.sum("n_a").over(w)
+    tot_b = F.sum("n_b").over(w)
+    s = float(smoothing)
+    p_a = (F.col("n_a") + s) / (tot_a + s * n_bins)
+    p_b = (F.col("n_b") + s) / (tot_b + s * n_bins)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        ((p_a - p_b) * F.log(p_a / p_b)).alias("psi_contrib"),
+    )

@@ -169,3 +169,41 @@ def assign_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    dup_pairs: DataFrame,
+    weights: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: duplicate-pair edges are collapsed to connected components
+    and the split hash is taken over the COMPONENT id, so every member
+    of a duplicate cluster lands in the same split. Rows in no cluster
+    hash on their own key (identical to :func:`assign_split`).
+
+    Why it matters: hash-splitting raw ids puts two near-identical
+    documents in train and test with probability ~2·p·(1-p) each — at
+    web scale that is millions of leaked eval documents. Splitting on
+    the cluster id makes leakage structurally impossible for any pair
+    the dedup stage found.
+
+    Scale shape: components are ~|duplicates| (far smaller than the
+    corpus); the label frame joins the corpus on the key — AQE
+    broadcasts it when small, hash-joins otherwise. No other shuffle is
+    added on top of :func:`assign_split`'s zero.
+    """
+    from vector_io_spark.operators.dedup import connected_components
+
+    comp = connected_components(dup_pairs).withColumnsRenamed(
+        {"id": key_col, "component": "__component"}
+    )
+    keyed = df.join(comp, key_col, "left").withColumn(
+        "__gk", F.coalesce(F.col("__component"), F.col(key_col))
+    )
+    return assign_split(keyed, "__gk", weights, seed=seed, split_col=split_col).drop(
+        "__gk", "__component"
+    )

@@ -775,3 +775,57 @@ def mmr_topk(
         "query_id long, vec_id long, mmr_rank long, mmr_score double"
     )
     return pairs.groupBy("query_id").applyInPandas(_greedy, schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    query_label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for each
+    query, the top-k most-similar corpus vectors with a DIFFERENT label
+    (high-similarity wrong-class examples — the negatives that actually
+    move a contrastive loss, vs easy random negatives).
+
+    Same 100 TB shape as brute_force_topk: the query batch (with labels)
+    broadcasts, the corpus is scanned in place and never shuffled, the
+    label filter rides the broadcast join, and only (query, id, score)
+    triples reach the top-k window.
+
+    Returns (query_id, vec_id, neg_label, score, rank).
+    """
+    from vector_io_spark.functions.vectors import l2_norm
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.col(query_label).alias("__ql"),
+        l2_norm(query_vec).alias("__qn"),
+    )
+    c = corpus.withColumn("__cn", l2_norm(corpus_vec))
+    den = F.col("__cn") * F.col("__qn")
+    score = F.when(den != 0.0, dot_product(F.col(corpus_vec), F.col("__qv")) / den)
+    scored = (
+        c.crossJoin(broadcast(q))
+        .where(F.col(label_col) != F.col("__ql"))
+        .select(
+            "query_id",
+            F.col(corpus_id),
+            F.col(label_col).alias("neg_label"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "neg_label", "score", "rank")
+    )

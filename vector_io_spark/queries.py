@@ -2869,3 +2869,149 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return rfm_segments(ev, as_of="2024-02-01")
+
+
+def _split_case_sql_over(key: str) -> str:
+    from vector_io_spark.operators.sampling import _threshold_hex
+
+    h = f"substr(md5(CAST({key} AS VARCHAR) || '|split'), 1, 8)"
+    names = list(_SPLIT_WEIGHTS)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_WEIGHTS[name]
+        arms.append(f"WHEN {h} < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+@_register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.9
+    ),
+    undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS gk
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, {_split_case_sql_over('gk')} AS split
+    FROM keyed
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split (operators/sampling.py::
+    leakage_safe_split): near-dup pairs (exact shingle-jaccard >= 0.9,
+    the PPJoin operator) collapse to connected components, and the
+    0.8/0.1/0.1 hash split keys on the COMPONENT — so a near-duplicate
+    of a training document can never land in test. Oracle: the same
+    pairs via naive inverted-index SQL, components via recursive-CTE
+    transitive closure, identical md5 hash cuts."""
+    from vector_io_spark.operators.dedup import ngram_jaccard_pairs
+    from vector_io_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.9
+    ).select("id_a", "id_b")
+    return leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs, _SPLIT_WEIGHTS, seed="split"
+    )
+
+
+@_register(
+    "hard_negative_mining",
+    f"""
+    SELECT query_id, vec_id, neg_label, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               c.label AS neg_label,
+               round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_cos_sql('c.embedding', 'q.embedding')}, 6)
+                            DESC, c.vec_id ASC) AS rank
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE c.label <> q.label
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per query, the 5 most-similar corpus vectors with a different label
+    — contrastive-training negatives. Broadcast-query plan; the corpus
+    is scanned once, never shuffled; the label inequality rides the
+    broadcast join."""
+    from vector_io_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, queries, k=5)
+
+
+@_register(
+    "quality_drift_by_source",
+    """
+    WITH a AS (
+        SELECT CAST(floor(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+                                599.999999999) / 60.0) AS BIGINT) AS bin,
+               count(*) AS n_a
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT CAST(floor(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+                                599.999999999) / 60.0) AS BIGINT) AS bin,
+               count(*) AS n_b
+        FROM documents WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(a.bin, b.bin) AS bin,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    )
+    SELECT bin, n_a, n_b,
+           round((n_a + 0.5) / (sum(n_a) OVER () + 5.0), 6) AS p_a,
+           round((n_b + 0.5) / (sum(n_b) OVER () + 5.0), 6) AS p_b
+    FROM j
+    """,
+)
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/corpus.py::
+    distribution_drift): document-length histograms for two source
+    slices, fixed 60-char bins over [0,600), Laplace-smoothed
+    proportions. The PSI contribution column is dropped here (ln's last
+    ulp is libm-dependent, not oracle-comparable); the pytest asserts
+    the PSI sum within tolerance. Each slice is one scan collapsing to
+    <= 10 rows — plan identical at any scale."""
+    from vector_io_spark.operators.corpus import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    slice_a = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    slice_b = docs.where(~F.col("source").isin("src0", "src1", "src2", "src3"))
+    return distribution_drift(
+        slice_a, slice_b, "n_chars", lo=0.0, hi=600.0, n_bins=10
+    ).drop("psi_contrib")
