@@ -208,3 +208,47 @@ def redact_pii(
     if phone:
         c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
     return c
+
+
+def char_entropy(c: Column | str) -> Column:
+    """Unigram character entropy (bits/char) — a perplexity proxy for
+    quality filtering: natural prose sits ~4-4.5 bits, base64/minified
+    blobs higher, repeated-char spam near 0.
+
+    This is the one text scorer here that is NOT a Catalyst expression:
+    per-document character histograms need either an explode + two
+    corpus-wide shuffles keyed by doc id (awful at 100 TB — the exploded
+    frame is |chars| rows) or a per-row histogram, which Spark SQL cannot
+    express without a fixed alphabet. An Arrow-batched pandas UDF keeps
+    it shuffle-free: each batch computes numpy bincounts per row, and the
+    scan stays a map-only job. (Same justification as the md5-heavy
+    signature UDFs — see operators/dedup.py.)
+
+    Rounded to 4 decimals so the DuckDB oracle (explode + group-by SQL,
+    different summation order) hashes identically.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _entropy_batch(s):
+        out = np.empty(len(s), dtype=np.float64)
+        for i, txt in enumerate(s):
+            if txt is None or len(txt) == 0:
+                out[i] = np.nan
+                continue
+            _, counts = np.unique(
+                np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32),
+                return_counts=True,
+            )
+            p = counts / counts.sum()
+            out[i] = -(p * np.log2(p)).sum()
+        return pd.Series(np.round(out, 4))
+
+    # no type hints: this module uses `from __future__ import annotations`,
+    # which stringifies them beyond pandas_udf's resolver — pass the
+    # return type positionally instead.
+    _entropy = pandas_udf(_entropy_batch, DoubleType())
+
+    return _entropy(F.col(c) if isinstance(c, str) else c)

@@ -238,3 +238,73 @@ def distribution_drift(
         F.round(p_b, 6).alias("p_b"),
         ((p_a - p_b) * F.log(p_a / p_b)).alias("psi_contrib"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs_per_line: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate line removal: a (trimmed) line
+    that appears in MORE than ``max_docs_per_line`` distinct documents is
+    boilerplate (nav bars, cookie banners, license footers) and is dropped
+    from every document; the remaining lines are reassembled in order.
+    Lines shorter than ``min_line_chars`` after trimming are kept as-is
+    (blank separators aren't evidence of duplication).
+
+    Plan: explode lines with position -> per-line distinct-doc count
+    (partial-aggregated map-side; the group key is the line text, so the
+    exchange carries one row per distinct line, not per occurrence) ->
+    join occurrences to counts on the line key -> re-aggregate per doc
+    with ``array_sort`` on (pos, line) structs. Two shuffles total (line
+    count, doc reassembly), both keyed well; no UDF, no driver state.
+    At 100 TB the heavy intermediate is the exploded line table — the
+    same frame every corpus-level text op here pays — and the count
+    table is |distinct lines|, which partial aggregation keeps compact.
+
+    Returns ``(id, clean_text, n_lines_kept, n_lines_removed)``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__key", F.trim(F.col("line")))
+
+    eligible = F.length("__key") >= min_line_chars
+    counts = (
+        lines.where(eligible)
+        .groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__ndocs"))
+        # only boilerplate keys matter downstream; at web scale this
+        # shrinks the join side from |distinct lines| to |boilerplate|
+        .where(F.col("__ndocs") > max_docs_per_line)
+    )
+    flagged = lines.join(counts, "__key", "left").select(
+        id_col,
+        "pos",
+        "line",
+        (eligible & F.col("__ndocs").isNotNull()).alias("__drop"),
+    )
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("__drop"), F.struct(F.col("pos"), F.col("line")))
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            kept_arr.alias("__kept"),
+            F.sum(F.when(F.col("__drop"), 1).otherwise(0)).alias(
+                "n_lines_removed"
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "\n", F.transform(F.col("__kept"), lambda s: s["line"])
+            ).alias("clean_text"),
+            F.size("__kept").alias("n_lines_kept"),
+            F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        )
+    )

@@ -3015,3 +3015,237 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         slice_a, slice_b, "n_chars", lo=0.0, hi=600.0, n_bins=10
     ).drop("psi_contrib")
+
+
+# ===========================================================================
+# Round 3: chunking / packing / line-dedup / versioning / entropy
+# ===========================================================================
+
+@_register(
+    "chunk_documents",
+    """
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text), 1) + 1, 448)) AS chunk_start
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(floor((chunk_start - 1) / 448.0) AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT)                      AS chunk_start,
+           substr(text, chunk_start, 512)                   AS chunk_text,
+           length(substr(text, chunk_start, 512))           AS n_chunk_chars
+    FROM c
+    """,
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-window chunking (operators/chunking.py::
+    chunk_documents): 512-char windows, 64-char overlap (step 448).
+    Map-only explode — zero shuffles at any scale."""
+    from vector_io_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(d, "doc_id", "text", chunk_size=512, overlap=64)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+        F.col("n_chunk_chars").cast("long").alias("n_chunk_chars"),
+    )
+
+
+@_register(
+    "pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pack_offset,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+               AS BIGINT) AS pack_bin,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048
+               AS BIGINT) AS offset_in_bin
+    FROM t
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (operators/chunking.py::
+    pack_sequences): documents laid end-to-end in id order, cut every
+    2048 whitespace tokens. The oracle uses one global window; the Spark
+    plan computes the identical cumsum in two phases (per-bucket window
+    + broadcast bucket offsets) so no corpus-sized single-reducer stage
+    exists."""
+    from vector_io_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=2048)
+
+
+@_register(
+    "line_dedup_boilerplate",
+    """
+    WITH doc AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    l AS (
+        SELECT doc_id, u['pos'] AS pos, u['line'] AS line,
+               trim(u['line']) AS key
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ls) + 1),
+                            i -> {'pos': i, 'line': ls[i]})) AS u
+              FROM doc)
+    ),
+    boiler AS (
+        SELECT key FROM l WHERE length(key) >= 1
+        GROUP BY key HAVING count(DISTINCT doc_id) > 2
+    )
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN b.key IS NULL THEN l.line END,
+                               chr(10) ORDER BY pos), '') AS clean_text,
+           count(*) FILTER (WHERE b.key IS NULL)     AS n_lines_kept,
+           count(*) FILTER (WHERE b.key IS NOT NULL) AS n_lines_removed
+    FROM l LEFT JOIN boiler b ON l.key = b.key
+    GROUP BY l.doc_id
+    """,
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (operators/corpus.py::
+    line_dedup): trimmed lines appearing in > 2 distinct documents are
+    dropped everywhere; documents reassembled in line order."""
+    from vector_io_spark.operators.corpus import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = line_dedup(d, "doc_id", "text", max_docs_per_line=2)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
+@_register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(concat_ws(chr(1),
+               coalesce(text, chr(0) || 'null'),
+               coalesce(source, chr(0) || 'null'))) AS h
+        FROM documents
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(concat_ws(chr(1),
+                   coalesce(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                                 ELSE text END, chr(0) || 'null'),
+                   coalesce(source, chr(0) || 'null'))) AS h
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000,
+               md5(concat_ws(chr(1),
+                   coalesce(text, chr(0) || 'null'),
+                   coalesce(source, chr(0) || 'null')))
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+    """,
+)
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/versioning.py::snapshot_diff): old = the
+    documents table; new = a deterministic mutation (drop ids %17=0,
+    rewrite text for %13=0, add %19=0 under shifted ids). Both sides
+    reduce to (id, md5) before the full-outer join, so the shuffle moves
+    digests, not documents."""
+    from vector_io_spark.operators.versioning import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    return snapshot_diff(d, new, "doc_id", ["text", "source"])
+
+
+@_register(
+    "incremental_dedup",
+    """
+    WITH new_batch AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' (fresh)' ELSE text END AS text
+        FROM documents
+    )
+    SELECT n.doc_id, n.text
+    FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE md5(s.text) = md5(n.text))
+    """,
+)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl shard against the historical
+    corpus (operators/versioning.py::incremental_dedup): anti-join on
+    md5(text) — only genuinely fresh content survives. Shuffle carries
+    16-byte digests; Spark's runtime bloom-filter join prunes the probe
+    side at scale."""
+    from vector_io_spark.operators.versioning import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" (fresh)")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return incremental_dedup(new_batch, d, "doc_id", "text")
+
+
+@_register(
+    "char_entropy_quality",
+    """
+    WITH ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                      i -> substr(text, i, 1))) AS c
+        FROM documents WHERE length(text) > 0
+    ),
+    f AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           round(-sum((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 4)
+               AS char_entropy
+    FROM f JOIN t USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram char entropy per document (functions/text.py::
+    char_entropy) — perplexity-proxy quality score. Spark side is a
+    shuffle-free Arrow-batched UDF (numpy histogram per row); the oracle
+    explodes characters and aggregates in SQL — same value to 4 dp."""
+    from vector_io_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.select("doc_id", char_entropy("text").alias("char_entropy"))
