@@ -59,6 +59,11 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     (events.ts is TIMESTAMP(NANOS), illegal in Spark 4 by default)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp[us] parquet with isAdjustedToUTC=false would read as
+    # TIMESTAMP_NTZ (no watermarks, no unix_micros); read as TIMESTAMP
+    # instead — session tz is UTC so the instant interpretation matches
+    # DuckDB's naive-timestamp oracle semantics.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

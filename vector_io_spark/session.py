@@ -49,6 +49,10 @@ def get_spark(
         # in Spark by default; read as long nanos and convert explicitly
         # (see queries._t's events handling).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] with isAdjustedToUTC=false reads as TIMESTAMP, not
+        # TIMESTAMP_NTZ (NTZ breaks watermarks/unix_micros; session tz is
+        # UTC so the instant interpretation is identical).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

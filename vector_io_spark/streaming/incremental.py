@@ -127,11 +127,16 @@ def windowed_event_counts(
     from pyspark.sql import functions as F
 
     out = stream_df
-    if dict(out.dtypes).get(ts_col) == "bigint":
+    dtype = dict(out.dtypes).get(ts_col)
+    if dtype == "bigint":
         # TIMESTAMP(NANOS) parquet read as long nanos (nanosAsLong conf)
         out = out.withColumn(
             ts_col, F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("bigint"))
         )
+    elif dtype == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with tz); parquet isAdjustedToUTC=false
+        # columns arrive as NTZ — reinterpret as UTC instants
+        out = out.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     if out.isStreaming:
         out = out.withWatermark(ts_col, watermark)
     return (
