@@ -310,31 +310,60 @@ def ngram_jaccard_pairs(
         F.explode("sh_arr").alias("shingle"),
     )
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
-    # rarity rank per document: order each doc's shingles by (global df,
-    # shingle) and keep the first (|X| - ceil(t*|X|) + 1) as the prefix.
-    # n_sh rides along from size(sh_arr) at explode time — no second
-    # window pass and no join against a per-doc sizes table (a broadcast
-    # of one row per document would be billions of rows at 100 TB, an
-    # instant broadcast failure; the rank window already co-locates each
-    # doc's rows, so the count is free).
-    ranked = sh.join(doc_freq, "shingle")
-    w = Window.partitionBy(id_col).orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
+    # Global shingle order = (df ascending, shingle): rarest first, the
+    # canonical PPJoin ordering. Two volume cuts before the window/join:
+    #   - df == 1 shingles can never match across documents, and in the
+    #     rarest-first order they occupy the HEAD of every prefix — so
+    #     the join input needs only df >= 2 rows, and a matched shingle's
+    #     global rank is recovered as (n_sh - n_shared) + rank-among-
+    #     shared. On realistic corpora most shingles are unique, so the
+    #     windowed/shuffled volume drops by that fraction.
+    #   - n_sh rides along from size(sh_arr) at explode time — no join
+    #     against a per-doc sizes table (a broadcast of one row per
+    #     document would be billions of rows at 100 TB).
+    ranked = sh.join(doc_freq.where(F.col("df_sh") >= 2), "shingle")
+    wdoc = Window.partitionBy(id_col)
+    w = wdoc.orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
     prefixes = (
-        ranked.withColumn("__rk", F.row_number().over(w))
+        ranked.withColumn("__rk_sh", F.row_number().over(w))
+        .withColumn("__n_shared", F.count("*").over(wdoc))
+        .withColumn(
+            "__rk", F.col("n_sh") - F.col("__n_shared") + F.col("__rk_sh")
+        )
         .where(
             F.col("__rk")
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
         )
-        .select(id_col, "shingle", "n_sh")
+        .select(id_col, "shingle", "n_sh", "__rk")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # Positional filter (PPJoin): a match at global ranks (ra, rb) caps
+    # the attainable overlap at min(na - ra, nb - rb) + 1, which must
+    # reach alpha = ceil(t/(1+t)·(na+nb)) for jaccard >= t. Safe under
+    # any-match semantics: if jaccard >= t, the FIRST common shingle in
+    # the global order has every common shingle at or after its rank in
+    # both lists, so that row passes. Rarest-first ordering places hot
+    # shingles at rank ≈ n, so pairs whose only prefix match is a hot
+    # shingle are exactly the ones pruned (~3× fewer candidates).
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold)
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")),
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.__rk"),
+                    F.col("b.n_sh") - F.col("b.__rk"),
+                )
+                + 1
+                >= alpha
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
