@@ -3254,3 +3254,424 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
     return d.select("doc_id", char_entropy("text").alias("char_entropy"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H relational breadth, part 3: Q7/Q8/Q12/Q13/Q17/Q21/Q22 shapes
+# (adapted to the reduced schemas: no partsupp, no l_shipmode/receiptdate,
+# no c_phone — lateness derives from l_shipdate vs o_orderdate, and Q22's
+# phone prefix becomes the customer's nation)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey,
+    LATERAL (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l_shipdate) AS l_year) x
+    WHERE ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+        OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Scale plan: BOTH fact inputs are nation-pruned before the big join —
+    supplier×nation (filtered to the 2 nations) broadcasts onto lineitem,
+    customer×nation broadcasts its nation side then the filtered customer
+    set joins orders on custkey; the final orderkey join meets two
+    pre-filtered (~2/25) streams, so the widest shuffle moves a small
+    fraction of the fact table. Exact integer-cents revenue."""
+    two = ["NATION_1", "NATION_2"]
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(two))
+    s2n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(c2n, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long").alias("__cents"),
+        )
+    )
+    return (
+        li.join(F.broadcast(s2n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("__cents") / 100.0).alias("revenue"))
+    )
+
+
+@_register(
+    "market_share_by_year",
+    """
+    SELECT l_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                              ELSE 0 END) AS DOUBLE)
+                 / sum(cents), 6) AS mkt_share
+    FROM (
+        SELECT year(l_shipdate) AS l_year, n1.n_name AS supp_nation,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+    ) GROUP BY l_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of PROMO-part revenue among
+    EUROPE customers, by ship year. Plan: part (type-filtered, ~1/6)
+    broadcasts onto lineitem — the scan-side prune; supplier→nation is a
+    broadcast dim; the customer side reduces orders to (orderkey) for
+    EUROPE customers via broadcast nation⨝region, so the orderkey join is
+    the only big-big edge. Share = exact-cents ratio rounded to 6 dp —
+    bit-identical across engines given identical integer sums."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    s2n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    eu_nations = n.join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("__eu_nk"))
+    eu_orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            _t(spark, sf_dir, "customer")
+            .join(F.broadcast(eu_nations), F.col("c_nationkey") == F.col("__eu_nk"))
+            .select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("__cents"),
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("__cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s2n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(eu_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum("__cents"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "late_shipment_by_priority",
+    """
+    SELECT ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 180
+                         THEN 'very_late'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                         THEN 'late'
+                    ELSE 'ontime' END AS ship_bucket
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) GROUP BY ship_bucket
+    """,
+)
+def late_shipment_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode column): line counts by order
+    priority class per lateness bucket, lateness = ship minus order date.
+    One orderkey shuffle joins the two facts; the CASE aggregation is a
+    single-pass map-side-combined count — 3 output rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(days > 180, "very_late").when(days > 90, "late").otherwise("ontime")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("ship_bucket"), "o_orderpriority")
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    customers with zero qualifying orders included (the LEFT OUTER is the
+    point of Q13). Plan: aggregate orders to (custkey, cnt) FIRST — one
+    fact-sized shuffle — then a left join from customers onto the
+    already-aggregated counts (never row-level orders), coalescing null
+    to 0; the second groupBy is over |distinct counts| rows."""
+    o_cnt = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(o_cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 / 700.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity lines (below 20% of the
+    part's average quantity) for one brand, as a yearly average. The
+    correlated scalar subquery decorrelates into a per-part aggregate:
+    brand-filtered part keys broadcast onto lineitem (scan prune to
+    ~1/25), the per-part avg is computed over that pruned stream, and the
+    threshold joins back by partkey WITHOUT a broadcast hint — per-part
+    aggregates grow with |part| and AQE picks the strategy; quantity sums
+    are integers in doubles, exact in both engines."""
+    pk = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("__tk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__qlim")
+    )
+    return (
+        li.join(thresh, F.col("l_partkey") == F.col("__tk"))
+        .where(F.col("l_quantity") < F.col("__qlim"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 700.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "suppliers_kept_waiting",
+    """
+    SELECT s_name, numwait FROM (
+        SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait,
+               row_number() OVER (ORDER BY count(DISTINCT l1.l_orderkey)
+                                  DESC, s_name ASC) AS rk
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+    ) WHERE rk <= 100
+    """,
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order (late = shipped > 90 days after the
+    order date; the reference schema's receiptdate/commitdate don't
+    exist here). The EXISTS / NOT-EXISTS pair decorrelates into ONE
+    per-order aggregate — n_suppliers and n_late_suppliers via
+    conditional countDistinct — instead of two extra fact self-joins:
+    a supplier qualifies on an order iff they shipped late, n_supp >= 2
+    and n_late == 1 (they are that one). One orderkey shuffle builds the
+    per-order stats; late lines join those ~|orders| rows, then collapse
+    to per-supplier counts; supplier names broadcast onto the counts."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "__late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "__late")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late"),
+    )
+    qual = (
+        li.where(F.col("__late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+            ),
+            F.col("l_orderkey") == F.col("__ok"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("s_name", "numwait")
+    )
+
+
+@_register(
+    "idle_customer_balance",
+    """
+    SELECT n_name, count(*) AS numcust,
+           sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+               AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n_name
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation stands in for the phone country code):
+    above-average-balance customers with no recent orders, aggregated by
+    nation. The scalar subquery is a 1-row broadcast cross join; the
+    NOT EXISTS is a left-anti join against date-filtered DISTINCT
+    custkeys (the filter prunes the anti side before the shuffle). The
+    average is compared in doubles — both engines divide the identical
+    integer-exact sum by the same count."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) / 100.0
+            ).alias("totacctbal"),
+        )
+    )
