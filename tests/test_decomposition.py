@@ -1,0 +1,78 @@
+"""PCA / whitening: covariance exactness, spectral properties, parity
+with a single-node numpy reference on the same data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_io_spark.operators.decomposition import (
+    covariance_pairs,
+    fit_pca,
+    pca_project,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _dense_cov(emb_df):
+    X = np.vstack(emb_df.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    # replicate the operator's fixed-point quantization exactly
+    Q = np.round(X * 1e4)
+    n = len(Q)
+    s = Q.sum(axis=0)
+    return (Q.T @ Q - np.outer(s, s) / n) / n / 1e8, X
+
+
+def test_covariance_matches_quantized_numpy(emb):
+    rows = covariance_pairs(emb, "embedding", scale=4).collect()
+    ref, _ = _dense_cov(emb)
+    for r in rows:
+        assert r["cov"] == pytest.approx(
+            round(ref[r["i"] - 1, r["j"] - 1], 8), abs=1e-8
+        )
+    d = ref.shape[0]
+    assert len(rows) == d * (d + 1) // 2
+
+
+def test_fit_pca_spectral_contract(emb):
+    mean, comps, vals = fit_pca(emb, "embedding", k=8)
+    # orthonormal columns, descending eigenvalues, deterministic sign
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-8)
+    assert all(np.diff(vals) <= 1e-12)
+    for c in range(comps.shape[1]):
+        assert comps[np.argmax(np.abs(comps[:, c])), c] > 0
+    # eigenvalues match numpy's on the (quantized) covariance
+    ref, _ = _dense_cov(emb)
+    vals_ref = np.sort(np.linalg.eigvalsh(np.round(ref, 8)))[::-1][:8]
+    assert np.allclose(vals, vals_ref, atol=1e-6)
+
+
+def test_project_and_whiten(emb):
+    mean, comps, vals = fit_pca(emb, "embedding", k=4)
+    out = pca_project(emb, mean, comps, vals, out_col="p")
+    W = np.vstack(out.select("p").toPandas()["p"].to_numpy())
+    assert W.shape[1] == 4
+    # projection reproduces numpy (X - mu) @ comps to rounding
+    _, X = _dense_cov(emb)
+    ref = np.round((X - mean) @ comps, 6)
+    got = np.vstack(
+        out.select("vec_id", "p").toPandas().sort_values("vec_id")["p"].to_numpy()
+    )
+    ref_sorted = ref[np.argsort(emb.toPandas()["vec_id"].to_numpy(), kind="stable")]
+    assert np.allclose(got, ref_sorted, atol=1e-6)
+    # whitening: unit variance per component on the training data
+    wout = pca_project(emb, mean, comps, vals, out_col="w", whiten=True)
+    Wv = np.vstack(wout.select("w").toPandas()["w"].to_numpy())
+    assert np.allclose(Wv.var(axis=0, ddof=0), 1.0, atol=1e-3)
+
+
+def test_fit_deterministic(emb):
+    m1 = fit_pca(emb, "embedding", k=3)
+    m2 = fit_pca(emb, "embedding", k=3)
+    for a, b in zip(m1, m2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -3675,3 +3675,44 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PCA / whitening (operators/decomposition.py)
+# --------------------------------------------------------------------------
+
+
+def _cov_oracle() -> str:
+    from vector_io_spark.operators.decomposition import covariance_pairs_sql
+
+    return covariance_pairs_sql("embeddings", "embedding", scale=4, ddof=0)
+
+
+@_register("embedding_covariance", _cov_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle covariance of the embedding column
+    (operators/decomposition.py::covariance_pairs). Values quantized to
+    fixed-point BIGINT so every cross-row sum is an integer —
+    order-independent and bit-identical in any engine; the corpus is
+    read once, never collected, and the shuffle carries partial-
+    aggregated (i, j) moment sums only."""
+    from vector_io_spark.operators.decomposition import covariance_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_pairs(emb, "embedding", scale=4, ddof=0)
+
+
+@_register("pca_whiten_project")
+def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened 8-d projection of the embeddings (rows-only check:
+    eigendecomposition is not SQL-expressible; parity with numpy and the
+    whitening contract are pytest-verified in test_decomposition.py).
+    Fit touches only distributed sufficient statistics (O(d²) driver
+    state); projection is a shuffle-free Arrow-batched matmul."""
+    from vector_io_spark.operators.decomposition import fit_pca, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, vals = fit_pca(emb, "embedding", k=8)
+    return pca_project(
+        emb, mean, comps, vals, vec_col="embedding", out_col="pca_w", whiten=True
+    ).select("vec_id", "pca_w")
