@@ -283,3 +283,54 @@ def test_mmr_never_shuffles_corpus(spark, sf_dir):
     df = mmr_topk(emb, queries, k=4, shortlist=12)
     assert_no_cartesian(df)
     assert count_broadcast_joins(df) >= 2, formatted_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join (enabled by default) injects a
+    might_contain probe on the FACT side of a selective fact⨝dim join, so
+    fact rows that cannot match are dropped at the scan before the
+    shuffle — the 100 TB semi-join-reduction path. The injection
+    thresholds are sized for real clusters (application side >= 10 GB
+    scan); here we scale them to the test fixture and assert the
+    optimizer actually plants the filter."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join (broadcast joins don't need a bloom) and
+        # make the fixture-size fact table eligible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        o = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the result is still exact (bloom is a pre-filter, the real
+        # join verifies)
+        exact = (
+            li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
