@@ -284,3 +284,45 @@ def test_distribution_drift_psi_zero_for_identical_and_positive_for_shift(spark)
     rows3 = distribution_drift(edge, edge, "v", lo=0.0, hi=100.0, n_bins=10).collect()
     assert sum(r["n_a"] for r in rows3) == 2
     assert {r["bin"] for r in rows3} == {0, 9}
+
+
+def test_weighted_reservoir_topk_properties(spark):
+    from vector_io_spark.operators.sampling import weighted_reservoir_topk
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2", 100.0 if i < 20 else 1.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_reservoir_topk(df, "w", "id", k=5, group_cols=["grp"])
+    got = out.collect()
+    # exactly k per group
+    from collections import Counter
+    per = Counter(r["grp"] for r in got)
+    assert per == {"g1": 5, "g2": 5}
+    # deterministic: second run identical
+    got2 = weighted_reservoir_topk(df, "w", "id", k=5, group_cols=["grp"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # heavy rows (w=100, ids<20) dominate the sample: with 10 heavy ids
+    # per group vs 90 light at 100:1 odds, most picks are heavy
+    heavy = sum(1 for r in got if r["id"] < 20)
+    assert heavy >= 7, got
+    # zero/negative weights are excluded entirely
+    zw = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    kept = weighted_reservoir_topk(zw, "w", "id", k=10).collect()
+    assert [r["id"] for r in kept] == [3]
+
+
+def test_bigram_lm_score_flags_gibberish(spark):
+    from vector_io_spark.operators.corpus import bigram_lm_scores
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, fluent) for i in range(10)] + [
+        (100, "zxq vbnk wqpz jkltr mnbv qwerty zxcvb plmokn"),
+        (101, "a"),  # single token: no bigram, excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 101 not in out  # < 2 tokens -> no bigrams
+    # repeated fluent text has high-probability bigrams; gibberish is
+    # all unseen-once bigrams -> much worse (higher) neg logprob
+    assert out[100]["avg_neg_logprob"] > out[0]["avg_neg_logprob"] + 1.0
+    assert out[0]["n_bigrams"] == len(fluent.split()) - 1

@@ -308,3 +308,77 @@ def line_dedup(
             F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = WORD_RE,
+    scale: int = 6,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    KenLM-style perplexity-proxy quality filter: low average bigram
+    log-probability flags incoherent / boilerplate / wrong-language text.
+
+    Model: Laplace-smoothed conditional p(w2 | w1) =
+    (c(w1 w2) + 1) / (c(w1·) + V), trained on the corpus itself in one
+    aggregation over the exploded bigram stream; c(w1·) and the V
+    distinct continuations derive from the bigram-count table (|vocab|²
+    bounded rows), never a second corpus pass.
+
+    Engine-exactness: each DISTINCT bigram's log-probability is computed
+    once and quantized to ``round(ln(p)·10^scale)`` BIGINT micro-logs, so
+    the per-document aggregation sums INTEGERS — order-independent and
+    bit-identical across engines; only the final per-doc average divides
+    in doubles.
+
+    Scale shape: explode → count (map-side combined, one shuffle) →
+    equi-join doc-bigrams with the logprob table (NO broadcast hint —
+    bigram vocabulary grows with the corpus; AQE picks the strategy) →
+    per-doc aggregate. The documents themselves shuffle as (id, bigram)
+    pairs, never full text.
+
+    Returns (id, n_bigrams, avg_neg_logprob) — higher = less fluent.
+    """
+    toks = tokens(text_col, pattern)
+    d = df.select(F.col(id_col), toks.alias("__t")).where(F.size("__t") >= 2)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        ),
+    )
+    bg = d.select(id_col, F.explode(bigram).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("__c12"))
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    uc = bc.groupBy(w1.alias("__w1")).agg(F.sum("__c12").alias("__c1"))
+    v = bc.select(
+        F.countDistinct(w1).alias("__v")
+    )
+    lp = (
+        bc.join(uc, w1 == F.col("__w1"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("__c12") + 1.0)
+                    / (F.col("__c1") + F.col("__v"))
+                )
+                * (10 ** scale)
+            )
+            .cast("long")
+            .alias("__mlp"),
+        )
+    )
+    return (
+        bg.join(lp, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.sum("__mlp") / F.count("*") / F.lit(float(10 ** scale)), 4
+            ).alias("avg_neg_logprob"),
+        )
+    )

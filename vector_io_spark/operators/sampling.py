@@ -20,7 +20,7 @@ reads the key column).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TWO_32 = float(2**32)
@@ -206,4 +206,54 @@ def leakage_safe_split(
     )
     return assign_split(keyed, "__gk", weights, seed=seed, split_col=split_col).drop(
         "__gk", "__component"
+    )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: str = "wres",
+    key_out: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u from the md5 hash uniform and ranks
+    by ln(u)/w — the top-k per group is a weight-proportional sample,
+    reproducible across retries, engines and partitionings (unlike
+    ``df.sample``'s partition-seeded RNG).
+
+    One window pass (shuffle on ``group_cols``); no collect, no state.
+    The E-S key is rounded to 10 dp so engine log ulp differences can't
+    reorder ranks, and ties (astronomically rare with 32-bit uniforms)
+    break on the sample key ascending.
+    """
+    w = F.col(weight_col).cast("double")
+    # (h + 0.5) / 2^32 ∈ (0, 1): never 0 (ln(0) = -inf) and engine-exact
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + seed))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    es = F.round(F.log(u) / w, 10)
+    part = group_cols or []
+    win = (
+        Window.partitionBy(*part).orderBy(
+            F.col(key_out).desc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        df.where(w > 0)
+        .withColumn(key_out, es)
+        .withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -3716,3 +3716,108 @@ def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(
         emb, mean, comps, vals, vec_col="embedding", out_col="pca_w", whiten=True
     ).select("vec_id", "pca_w")
+
+
+# --------------------------------------------------------------------------
+# Grouped exact percentiles, weighted reservoir sampling, bigram LM score
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "order_value_percentiles",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the type-7
+    definition, verified value-exact). Exact percentile sorts within
+    each group; the 100 TB path is ``approx_percentile`` (t-digest,
+    mergeable sketch, one pass) as exercised by profile_columns — this
+    query pins the exact semantics both implementations approximate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@_register(
+    "weighted_reservoir_sample",
+    """
+    SELECT source, doc_id, es_key FROM (
+        SELECT source, doc_id, es_key,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY es_key DESC, doc_id ASC) AS rk
+        FROM (
+            SELECT source, doc_id,
+                   round(ln((CAST(CAST('0x' ||
+                           substr(md5(CAST(doc_id AS VARCHAR) || '|wres'),
+                                  1, 8) AS VARCHAR) AS UBIGINT)
+                           + 0.5) / 4294967296.0)
+                         / CAST(n_chars AS DOUBLE), 10) AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+    ) WHERE rk <= 50
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py::weighted_reservoir_topk): 50 docs per source,
+    inclusion odds ∝ n_chars, deterministic across engines/retries via
+    the md5-hash uniform. One window shuffle; no RNG state."""
+    from vector_io_spark.operators.sampling import weighted_reservoir_topk
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_reservoir_topk(
+        d, "n_chars", "doc_id", k=50, group_cols=["source"], seed="wres"
+    ).select("source", "doc_id", "es_key")
+
+
+@_register(
+    "bigram_lm_score",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+    uc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1
+           FROM bc GROUP BY 1),
+    v AS (SELECT count(DISTINCT split_part(bigram, ' ', 1)) AS v FROM bc),
+    lp AS (
+        SELECT bigram,
+               CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)
+                   AS mlp
+        FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1, v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(mlp) AS DOUBLE) / count(*) / 1000000.0, 4)
+               AS avg_neg_logprob
+    FROM bg JOIN lp USING (bigram) GROUP BY doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document
+    (operators/corpus.py::bigram_lm_scores) — the perplexity-proxy
+    quality filter. Distinct-bigram log-probs quantized to integer
+    micro-logs make the per-doc sums engine-exact."""
+    from vector_io_spark.operators.corpus import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d, "doc_id", "text")
