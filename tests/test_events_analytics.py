@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from vector_io_spark.operators.events import cohort_retention, funnel
 
 
@@ -79,3 +81,84 @@ def test_rfm_bucket_sizes_and_segment_concat(spark, sf_dir):
     for r in rows:
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
         assert r["monetary"] == round(r["monetary"], 2)
+
+
+def test_attribution_window_semantics(spark):
+    """First/last touch: only preceding touch events count, NULLs when a
+    purchase has no prior touch, deterministic same-ts ordering by id."""
+    import datetime as dt
+
+    from vector_io_spark.operators.events import attribute_conversions
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: view(1) click(2) purchase(3) purchase(4)
+        (1, 1, ts(0), "view"),
+        (2, 1, ts(10), "click"),
+        (3, 1, ts(25), "purchase"),
+        (4, 1, ts(100), "purchase"),
+        # user 2: purchase with NO prior touch (error precedes)
+        (5, 2, ts(0), "error"),
+        (6, 2, ts(5), "purchase"),
+        # user 3: same-timestamp touch+purchase -> touch counts only if
+        # ordered before by id
+        (7, 3, ts(0), "click"),
+        (8, 3, ts(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["event_id"]: r for r in attribute_conversions(df).collect()}
+    assert got[3]["first_touch_id"] == 1 and got[3]["last_touch_id"] == 2
+    assert got[3]["seconds_since_touch"] == 15
+    # second purchase still attributes to the same touches (no new touch)
+    assert got[4]["last_touch_id"] == 2 and got[4]["seconds_since_touch"] == 90
+    assert got[6]["first_touch_id"] is None
+    assert got[6]["last_touch_id"] is None
+    assert got[6]["seconds_since_touch"] is None
+    assert got[8]["last_touch_id"] == 7 and got[8]["seconds_since_touch"] == 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """After write_zordered on (x, y), per-file min-max ranges are tight
+    on BOTH columns: a selective predicate on either dimension can skip
+    most files — the single-column-sort counterfactual only prunes one."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vector_io_spark.format.bucketing import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(
+        df, out, ["x", "y"], mins=[0, 0], maxs=[127, 127], bits=7, num_files=16
+    )
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        for col, spans in (("x", spans_x), ("y", spans_y)):
+            i = names.index(col)
+            lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+    # every file's span in each dimension is a fraction of the domain:
+    # z-ordering bounds both, a 1-D sort would leave one at ~full width
+    assert max(spans_x) <= 64, spans_x
+    assert max(spans_y) <= 64, spans_y
+    # round-trip: data survives the layout unchanged
+    back = spark.read.parquet(out)
+    assert back.count() == n

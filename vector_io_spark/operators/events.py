@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,4 +145,61 @@ def rfm_segments(
     ).withColumn(
         "segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_types: tuple = ("click", "view"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion event,
+    the earliest and the most recent preceding touch event of the same
+    user, plus the seconds elapsed since the last touch.
+
+    ONE window pass over (user, ts): running first/last of the touch
+    id via ``first/last(..., ignorenulls=True)`` with a rows-preceding
+    frame — no self-join of the event stream against itself (an events⨝
+    events join would shuffle the fact twice and explode on active
+    users). Conversions with no preceding touch surface with NULL
+    attribution rather than disappearing — the unattributed-rate is a
+    metric in itself.
+
+    Deterministic tie-break: same-timestamp events order by id.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.when(
+        F.col(type_col).isin(*touch_types), F.col(id_col)
+    )
+    touch_ts = F.when(
+        F.col(type_col).isin(*touch_types), F.col(ts_col)
+    )
+    out = (
+        df.select(id_col, user_col, ts_col, type_col)
+        .withColumn("first_touch_id", F.first(touch_id, ignorenulls=True).over(w))
+        .withColumn("last_touch_id", F.last(touch_id, ignorenulls=True).over(w))
+        .withColumn("last_touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+    )
+    gap = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("last_touch_ts")))
+        / F.lit(1000000)
+    ).cast("long")
+    return (
+        out.where(F.col(type_col) == conversion_type)
+        .select(
+            id_col,
+            user_col,
+            ts_col,
+            "first_touch_id",
+            "last_touch_id",
+            gap.alias("seconds_since_touch"),
+        )
     )

@@ -3821,3 +3821,80 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_lm_scores(d, "doc_id", "text")
+
+
+@_register(
+    "conversion_attribution",
+    """
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           first_touch_id, last_touch_id, seconds_since_touch
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_id END IGNORE NULLS)
+                   OVER w AS first_touch_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS last_touch_id,
+               CAST(floor(epoch(ts - last_value(
+                       CASE WHEN event_type IN ('click', 'view')
+                            THEN ts END IGNORE NULLS) OVER w))
+                    AS BIGINT) AS seconds_since_touch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution for purchases
+    (operators/events.py::attribute_conversions): one window pass, no
+    events⨝events self-join; unattributed conversions keep NULLs."""
+    from vector_io_spark.operators.events import attribute_conversions
+
+    e = _t(spark, sf_dir, "events")
+    out = attribute_conversions(e)
+    # epoch micros, not raw timestamps: Arrow ships Spark timestamps as
+    # ns and DuckDB's as us — the bigint form compares exactly
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "first_touch_id",
+        "last_touch_id",
+        "seconds_since_touch",
+    )
+
+
+@_register(
+    "zorder_locality",
+    """
+    SELECT z, count(*) AS n FROM (
+        SELECT CAST(list_sum(list_transform(range(0, 16),
+                   b -> (((qa >> b) & 1) << (b * 2))
+                      + (((qb >> b) & 1) << (b * 2 + 1)))) AS BIGINT) AS z
+        FROM (
+                SELECT greatest(0, least(65535,
+                           CAST(floor(CAST(user_id AS DOUBLE) / 149 * 65535
+                                      + 0.5) AS BIGINT))) AS qa,
+                       greatest(0, least(65535,
+                           CAST(floor((value - 0.01) / (490.02 - 0.01)
+                                      * 65535 + 0.5) AS BIGINT))) AS qb
+                FROM events
+            )
+    ) GROUP BY z
+    """,
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (user_id, value)
+    (format/bucketing.py::zorder_value) — the multi-dimensional layout
+    key that makes parquet min–max pruning work on BOTH columns after a
+    single sort. Pure bit arithmetic, exact in any engine; grouped to
+    keep the compared result compact."""
+    from vector_io_spark.format.bucketing import zorder_value
+
+    e = _t(spark, sf_dir, "events")
+    z = zorder_value(
+        ["user_id", "value"], mins=[0, 0.01], maxs=[149, 490.02], bits=16
+    )
+    return e.select(z.alias("z")).groupBy("z").agg(F.count("*").alias("n"))
