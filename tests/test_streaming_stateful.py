@@ -95,3 +95,81 @@ def test_streaming_dedup_fingerprint_key_on_documents(spark, sf_dir, tmp_path):
     assert out.count() == n_distinct_fp
     # first-writer-wins: every surviving doc_id is from the original set
     assert out.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_streaming_sessionize_gap_and_watermark_close(spark, tmp_path):
+    """Sessions close on (a) a later in-gap event arriving -> emitted in
+    that batch; (b) event-time watermark passing last+gap -> state
+    timeout. Counts/sums/time bounds are exact."""
+    import datetime as dt
+
+    from vector_io_spark.streaming.stateful import streaming_sessionize
+
+    landing = str(tmp_path / "s_landing")
+    out_dir = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ckpt")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def run():
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        sess = streaming_sessionize(
+            stream, gap_seconds=60, watermark="0 seconds"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: user 1 has two sessions separated by > gap, the second
+    # still open; user 2 one open session
+    b1 = spark.createDataFrame(
+        [
+            (1, ts(0), 1.0),
+            (1, ts(30), 2.0),
+            (1, ts(200), 4.0),  # > 60s after previous -> new session
+            (2, ts(10), 8.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got1 = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .orderBy("user_id", "session_start_us")
+        .collect()
+    ]
+    us = lambda s: int(ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    # user 1's FIRST session closed by the 200s event; user 2's closed by
+    # state timeout in the same run (watermark delay 0 -> the batch's max
+    # event time, 200s, already passed last+gap = 70s)
+    assert got1 == [(1, us(0), us(30), 2, 3.0), (2, us(10), us(10), 1, 8.0)]
+
+    # batch 2: much later events advance the watermark far past every
+    # open session's last+gap -> timeout flushes user 1's second session;
+    # the new event opens a fresh (still-open) session
+    b2 = spark.createDataFrame(
+        [(3, ts(100000), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got2 = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["value_sum"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2[(1, us(0))] == (us(30), 2, 3.0)
+    assert got2[(1, us(200))] == (us(200), 1, 4.0)
+    assert got2[(2, us(10))] == (us(10), 1, 8.0)
+    assert (3, us(100000)) not in got2  # still open

@@ -82,3 +82,104 @@ def streaming_dedup_by_key(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization across micro-batches: per user, events
+    separated by more than ``gap_seconds`` split sessions; a session is
+    emitted only once it CLOSES — either a later event opens the next
+    session, or the event-time watermark passes (last_event + gap) and
+    the state times out. This is the stateful-streaming twin of the
+    batch ``operators/sessions.py::session_stats`` (same gap semantics).
+
+    State per user is one open session: (start_us, last_us, n_events,
+    value_sum) — constant bytes per active user, partitioned across
+    executors by the state store; closed sessions leave state entirely.
+    Late events older than the watermark are dropped by Spark before the
+    operator runs (exactly the documented watermark contract).
+
+    Output: (user, session_start_us, session_end_us, n_events,
+    value_sum) per CLOSED session, append mode.
+    """
+    from pyspark.sql import functions as F
+
+    wm = stream.withWatermark(ts_col, watermark)
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start_us long, session_end_us long, "
+        "n_events long, value_sum double"
+    )
+
+    def sessionize(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(ts_col, kind="stable")
+        ts_us = (batch[ts_col].astype("int64")) // 1000  # ns -> us
+        vals = (
+            batch[value_col].astype(float)
+            if value_col is not None
+            else pd.Series([0.0] * len(batch))
+        )
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = None
+        closed = []
+        for t, v in zip(ts_us.to_numpy(), vals.to_numpy()):
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [t, t, 1, float(v)]
+            else:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update(tuple(cur))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "value_sum": [c[3] for c in closed],
+                }
+            )
+
+    return wm.groupBy(user_col).applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=(
+            "start_us long, last_us long, n_events long, value_sum double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
