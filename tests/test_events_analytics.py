@@ -146,19 +146,24 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
     ]
     assert len(files) >= 8
-    spans_x, spans_y = [], []
+    ranges = {"x": [], "y": []}
     for f in files:
         md = pq.read_metadata(f)
         names = md.schema.names
-        for col, spans in (("x", spans_x), ("y", spans_y)):
+        for col in ("x", "y"):
             i = names.index(col)
             lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
             hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
-            spans.append(hi - lo)
-    # every file's span in each dimension is a fraction of the domain:
-    # z-ordering bounds both, a 1-D sort would leave one at ~full width
-    assert max(spans_x) <= 64, spans_x
-    assert max(spans_y) <= 64, spans_y
+            ranges[col].append((lo, hi))
+    # pruning property: a 1/8-of-domain predicate on EITHER dimension
+    # overlaps a minority of files (files whose min-max misses [0, 15]
+    # are skipped by parquet stats). A single-column sort would leave one
+    # dimension at ~every-file-overlaps; z-order bounds both. (A strict
+    # per-file span bound is NOT guaranteed — files straddling high-order
+    # curve boundaries legitimately span the full domain.)
+    for col in ("x", "y"):
+        touched = sum(1 for lo, hi in ranges[col] if lo <= 15 and hi >= 0)
+        assert touched <= len(files) // 2, (col, ranges[col])
     # round-trip: data survives the layout unchanged
     back = spark.read.parquet(out)
     assert back.count() == n
