@@ -235,3 +235,52 @@ def random_projection(
             for axis in axes
         ]
     )
+
+
+def minmax_scale_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-dimension min-max scaling to [0, 1] using DISTRIBUTED range
+    stats: one posexplode→groupBy(dim) pass (shuffle carries dims ×
+    partitions partials, corpus-size independent), the d-row stat table
+    collapses to a single array row and broadcast-joins back, and the
+    rescale is a zip_with — whole pipeline stays in Catalyst, exact
+    per-element arithmetic (no cross-row float sums, so the result is
+    engine-deterministic given identical inputs).
+
+    Constant dimensions (max == min) scale to 0. Output rounded to 6 dp.
+    """
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+        .groupBy("__p")
+        .agg(
+            F.min("__v").cast("double").alias("__lo"),
+            F.max("__v").cast("double").alias("__hi"),
+        )
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__p", "__lo", "__hi"))
+        ).alias("__s")
+    ).select(
+        F.transform("__s", lambda s: s["__lo"]).alias("__los"),
+        F.transform("__s", lambda s: s["__hi"]).alias("__his"),
+    )
+    scaled = F.zip_with(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__los"),
+            lambda v, lo: v.cast("double") - lo,
+        ),
+        F.zip_with(
+            F.col("__his"), F.col("__los"), lambda hi, lo: hi - lo
+        ),
+        lambda num, span: F.round(
+            F.when(span > 0, num / span).otherwise(F.lit(0.0)), 6
+        ),
+    )
+    return df.crossJoin(F.broadcast(packed)).withColumn(out_col, scaled).drop(
+        "__los", "__his"
+    )

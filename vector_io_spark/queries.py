@@ -3898,3 +3898,145 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "value"], mins=[0, 0.01], maxs=[149, 490.02], bits=16
     )
     return e.select(z.alias("z")).groupBy("z").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "events_cube",
+    """
+    SELECT event_type, source_bucket, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS total_value
+    FROM (
+        SELECT event_type,
+               CASE WHEN user_id % 3 = 0 THEN 'a'
+                    WHEN user_id % 3 = 1 THEN 'b' ELSE 'c' END
+                   AS source_bucket,
+               value
+        FROM events
+    ) GROUP BY CUBE (event_type, source_bucket)
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k margin combinations in ONE pass —
+    Spark expands the grouping sets before the exchange, so the fact
+    scans once and partial aggregation still combines map-side;
+    complements the ROLLUP coverage in events_rollup). Exact-cents
+    value sums."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("user_id") % 3 == 0, "a")
+        .when(F.col("user_id") % 3 == 1, "b")
+        .otherwise("c")
+    )
+    return (
+        e.select("event_type", bucket.alias("source_bucket"), "value")
+        .cube("event_type", "source_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "user_event_pivot",
+    """
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)
+                AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) of per-user event counts over an EXPLICIT value
+    list — with the list given, Spark skips the extra distinct-values
+    job and the pivot compiles to the same one-shuffle conditional
+    aggregation the oracle spells out. Never pivot on an unbounded
+    column at scale: the value list IS the output schema."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce(F.col("click"), F.lit(0)).alias("click"),
+        F.coalesce(F.col("purchase"), F.lit(0)).alias("purchase"),
+        F.coalesce(F.col("view"), F.lit(0)).alias("view"),
+    )
+
+
+@_register(
+    "id_set_intersect_except",
+    """
+    SELECT 'both' AS src, doc_id FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        INTERSECT
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    UNION ALL
+    SELECT 'only_even' AS src, doc_id FROM (
+        SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        EXCEPT
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
+def id_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (dedup + membership — Spark
+    compiles both to left-semi/anti joins with aggregate dedup;
+    completes the set-op family next to id_set_union). The shuffle
+    carries ids only."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    even = d.where(F.col("doc_id") % 2 == 0)
+    three = d.where(F.col("doc_id") % 3 == 0)
+    both = even.intersect(three).select(F.lit("both").alias("src"), "doc_id")
+    only_even = even.exceptAll(three).distinct().select(
+        F.lit("only_even").alias("src"), "doc_id"
+    )
+    return both.unionByName(only_even)
+
+
+@_register(
+    "minmax_scaled_embeddings",
+    """
+    WITH stats AS (
+        SELECT i, min(CAST(v AS DOUBLE)) AS lo,
+               max(CAST(v AS DOUBLE)) AS hi FROM (
+            SELECT unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+        GROUP BY i
+    ),
+    ex AS (
+        SELECT vec_id, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           round(CASE WHEN hi > lo
+                      THEN (CAST(v AS DOUBLE) - lo) / (hi - lo)
+                      ELSE 0.0 END, 6) AS scaled_v
+    FROM ex JOIN stats USING (i)
+    """,
+)
+def minmax_scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max scaling to [0,1]
+    (functions/vectors.py::minmax_scale_vectors): distributed range
+    stats, broadcast stat arrays, zip_with rescale — all Catalyst.
+    Compared exploded (vec_id, dim, value) so DuckDB needs no list
+    reconstruction; exact per-element arithmetic."""
+    from vector_io_spark.functions.vectors import minmax_scale_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = minmax_scale_vectors(emb, "embedding", "scaled")
+    return out.select(
+        "vec_id", F.posexplode("scaled").alias("__p", "scaled_v")
+    ).select(
+        "vec_id", (F.col("__p") + 1).cast("bigint").alias("dim"), "scaled_v"
+    )
