@@ -225,3 +225,41 @@ def test_hard_negatives_exclude_same_label_and_rank_correctly(spark, sf_dir):
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """Persisted IVF layout: cell dirs on disk, probe scan's plan prunes
+    partitions to the probed cells only, recall vs brute force holds."""
+    import os
+
+    from vector_io_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, num_cells=8, seed=7)
+    # hive-style cell directories exist
+    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    assert len(cell_dirs) >= 4, cell_dirs
+
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .selectExpr("vec_id as query_id", "embedding")
+    )
+    got = ivf_index_probe_topk(spark, path, queries, k=5, nprobe=4)
+    # plan gate: the cells scan carries a PartitionFilter on cell
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    exact = brute_force_topk(emb, queries, k=5)
+    hits = got.select("query_id", "vec_id").intersect(
+        exact.select("query_id", "vec_id")
+    )
+    recall = hits.count() / exact.count()
+    assert recall >= 0.6, recall
+    # self-match always survives (its own cell is always probed)
+    self_rows = got.where(F.col("query_id") == F.col("vec_id"))
+    assert self_rows.count() == 5

@@ -829,3 +829,114 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", corpus_id, "neg_label", "score", "rank")
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    num_cells: int = 16,
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index as a CELL-PARTITIONED parquet layout:
+    ``<path>/cells/cell=<i>/…`` holds each cell's (id, vector) rows and
+    ``<path>/centroids`` the num_cells × dim centroid table. This is the
+    amortization step the ad-hoc ``ivf_topk`` docstring points at — pay
+    centroid training + assignment ONCE, then every probe reads only
+    ``nprobe``/num_cells of the data via Hive-style PARTITION PRUNING
+    (directory-level skipping, cheaper than any row filter).
+
+    Training is the same bounded-sample driver k-means as ``ivf_topk``
+    (collect capped at max_train_rows); assignment is one shuffle-free
+    Arrow pass; the write's partitionBy shuffles each row once to its
+    cell file — at 100 TB this is the index-build job.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = np.vstack(
+        [r[0] for r in sample.limit(max_train_rows).collect()]
+    ).astype(np.float64)
+    cent = _lloyd(train, num_cells, seed)
+
+    def _cell_batch(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
+
+    cell_udf = pandas_udf(_cell_batch, IntegerType())
+    (
+        corpus.select(corpus_id, corpus_vec)
+        .withColumn("cell", cell_udf(F.col(corpus_vec)))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a persisted :func:`write_ivf_index` layout.
+    The centroid table (num_cells rows) collects to the driver; each
+    query's ``nprobe`` nearest cells resolve there; the scan then reads
+    ONLY those cell directories — ``.where(cell.isin(...))`` becomes a
+    PartitionFilter, so unprobed cells cost zero I/O (gated by
+    ``test_ivf_index_partition_pruned_probe``). Scoring and ranking are
+    the standard broadcast-queries / window top-k shape.
+    """
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    qrows = queries.select(query_id, query_vec).collect()
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_pairs = [
+        (qrows[qi][0], int(c)) for qi in range(len(qrows)) for c in probes[qi]
+    ]
+    qvec_map = {r[0]: r[1] for r in qrows}
+    probe_df = spark.createDataFrame(
+        [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
+        f"{query_id} long, cell int, __qv array<float>",
+    )
+    cells = sorted({c for _, c in probe_pairs})
+    scan = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(cells))
+    scored = scan.join(broadcast(probe_df), "cell").select(
+        F.col(query_id).alias("query_id"),
+        F.col(corpus_id),
+        F.round(cosine_similarity(F.col(corpus_vec), F.col("__qv")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )
