@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "language_id",
     "sanitize_nan_inf",
     "parse_json_metadata",
+    # round-3 additions (BENCH_r03+ only — totals not comparable back)
+    "bigram_lm_score",       # corpus LM train + per-doc score (2 shuffles)
+    "suppliers_kept_waiting",  # Q21 shape: decorrelated exists/not-exists
+    "embedding_covariance",  # fixed-point exact d x d moment aggregation
+    "conversion_attribution",  # one-window-pass first/last touch
 ]
 
 
