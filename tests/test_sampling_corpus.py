@@ -326,3 +326,30 @@ def test_bigram_lm_score_flags_gibberish(spark):
     # all unseen-once bigrams -> much worse (higher) neg logprob
     assert out[100]["avg_neg_logprob"] > out[0]["avg_neg_logprob"] + 1.0
     assert out[0]["n_bigrams"] == len(fluent.split()) - 1
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS one-sided error: every estimate >= true count; exact for
+    tokens whose buckets have no collisions in any row."""
+    from vector_io_spark.operators.corpus import cms_estimate, count_min_sketch
+
+    rows = [
+        (i, ("alpha " * 20) + ("beta " * 5) + f"uniq{chr(97 + i // 26)}{chr(97 + i % 26)}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sketch = count_min_sketch(df, "text", depth=3, width=64)
+    # sketch size is bounded: at most depth*width cells regardless of corpus
+    assert sketch.count() <= 3 * 64
+    items = spark.createDataFrame(
+        [("alpha",), ("beta",), ("uniqah",), ("absent",)], "tok string"
+    )
+    est = {r["tok"]: r["est_n"] for r in cms_estimate(sketch, items, "tok", 3, 64).collect()}
+    assert est["alpha"] >= 1000 and est["beta"] >= 250
+    assert est["uniqah"] >= 1
+    # an absent token can only collide upward, never negative
+    assert est["absent"] >= 0
+    # exact truth lower-bounds every estimate
+    truth = {"alpha": 1000, "beta": 250, "uniqah": 1, "absent": 0}
+    for k, v in truth.items():
+        assert est[k] >= v

@@ -382,3 +382,74 @@ def bigram_lm_scores(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def _cms_bucket(col, j: int, width: int):
+    """Deterministic CMS hash row j: md5-derived 32-bit value mod width —
+    engine-portable (md5 + hex slice everywhere, no library RNG)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"|cms{j}"))), 1, 8), 16, 10
+    ).cast("long")
+    return (h % width).cast("long")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """Count-min sketch of the corpus token stream: ``depth`` hash rows ×
+    ``width`` buckets of EXACT counts — the mergeable fixed-size summary
+    that answers approximate frequency queries over arbitrarily large
+    corpora. The sketch table is depth·width rows (KBs) no matter the
+    corpus size; building it is one explode + one map-side-combined
+    groupBy per hash row, unioned — the shuffle carries at most
+    depth·width·partitions partial counts.
+
+    Returns (h, bucket, n). Estimates (``cms_estimate``) upper-bound true
+    counts (classic CMS one-sided error ≤ e·N/width with prob 1-e^-depth).
+    """
+    toks = df.select(F.explode(tokens(text_col, pattern)).alias("__tok"))
+    rows = []
+    for j in range(depth):
+        rows.append(
+            toks.groupBy(
+                F.lit(j).cast("long").alias("h"),
+                _cms_bucket(F.col("__tok"), j, width).alias("bucket"),
+            ).agg(F.count("*").alias("n"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the CMS: estimate = min over hash rows of the item's
+    bucket count (missing bucket = 0). The sketch side is depth·width
+    rows — broadcast; items explode to depth probe rows each."""
+    probes = items.select(
+        item_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__h0"),
+    ).select(item_col, F.col("__h0").cast("long").alias("h"))
+    # per-row bucket must use ITS hash row seed: a CASE over the static
+    # depth (tiny, codegen'd)
+    bucket = F.lit(None).cast("long")
+    for j in range(depth):
+        bucket = F.when(
+            F.col("h") == j, _cms_bucket(F.col(item_col).cast("string"), j, width)
+        ).otherwise(bucket)
+    probes = probes.withColumn("bucket", bucket)
+    return (
+        probes.join(F.broadcast(sketch), ["h", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

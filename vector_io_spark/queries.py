@@ -4040,3 +4040,62 @@ def minmax_scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", (F.col("__p") + 1).cast("bigint").alias("dim"), "scaled_v"
     )
+
+
+@_register(
+    "cms_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    truth AS (
+        SELECT tok, count(*) AS true_n,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+        FROM toks GROUP BY tok
+    ),
+    top AS (SELECT tok, true_n FROM truth WHERE rk <= 50),
+    cells AS (
+        SELECT h, bucket, count(*) AS n FROM (
+            SELECT j.j AS h,
+                   CAST(CAST('0x' || substr(md5(tok || '|cms' || j.j), 1, 8)
+                             AS UBIGINT) % 1024 AS BIGINT) AS bucket
+            FROM toks, (SELECT unnest(range(0, 4)) AS j) j
+        ) GROUP BY h, bucket
+    ),
+    est AS (
+        SELECT tok, min(coalesce(n, 0)) AS est_n FROM (
+            SELECT t.tok, j.j AS h,
+                   CAST(CAST('0x' || substr(md5(t.tok || '|cms' || j.j), 1, 8)
+                             AS UBIGINT) % 1024 AS BIGINT) AS bucket
+            FROM top t, (SELECT unnest(range(0, 4)) AS j) j
+        ) p LEFT JOIN cells USING (h, bucket)
+        GROUP BY tok
+    )
+    SELECT top.tok, top.true_n, est.est_n
+    FROM top JOIN est USING (tok)
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for the top-50
+    tokens (operators/corpus.py::{count_min_sketch,cms_estimate}). The
+    md5-derived hash rows make the sketch cells bit-identical across
+    engines, so even the APPROXIMATE estimates verify exactly; est_n >=
+    true_n (one-sided CMS error) is pytest-asserted."""
+    from vector_io_spark.operators.corpus import cms_estimate, count_min_sketch
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from vector_io_spark.functions.text import tokens as _tokens
+
+    toks = d.select(F.explode(_tokens("text")).alias("tok"))
+    w = Window.orderBy(F.col("true_n").desc(), F.col("tok").asc())
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("tok", "true_n")
+    )
+    sketch = count_min_sketch(d, "text", depth=4, width=1024)
+    est = cms_estimate(sketch, top.select("tok"), "tok", depth=4, width=1024)
+    return top.join(est, "tok").select("tok", "true_n", "est_n")
