@@ -1,0 +1,167 @@
+"""Keyword (BM25) scoring and hybrid rank fusion (RRF).
+
+Hybrid search — fuse a lexical ranking with a dense-vector ranking — is
+first-class in the vector-DB ecosystem the reference targets (Pinecone/
+Qdrant/Weaviate all expose it); this module provides the Spark-native
+version: BM25 from one corpus aggregation pass, reciprocal-rank fusion
+as a union + groupBy.
+
+Engine-exactness: per-(doc, term) BM25 contributions and per-(ranker,
+rank) RRF contributions are quantized to fixed-point BIGINTs before any
+cross-row sum, so aggregation order can never change a result bit.
+
+Scale shape: the token stream filters to the QUERY TERMS immediately
+after the explode (a handful of terms — the filtered stream is tiny no
+matter the corpus); corpus constants (N, avgdl) are one aggregate row
+broadcast everywhere; rankings union as (id, rank) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_io_spark.functions.text import WORD_RE, tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pattern: str = WORD_RE,
+    scale: int = 6,
+) -> DataFrame:
+    """BM25 score of every document against a bag of query terms.
+
+    idf(t) = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   (Lucene form)
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                       (tf(t,d) + k1·(1 - b + b·dl(d)/avgdl))
+
+    One explode pass computes doc lengths AND query-term tfs (the
+    filter to query terms happens inside the aggregation, so the only
+    corpus-sized shuffle is the per-doc aggregate); N/avgdl/df are a
+    broadcast scalar row + a terms-sized table. Per-(doc, term) scores
+    quantize to 10^-scale units before the per-doc sum. Documents
+    matching no term are absent (score 0 by convention).
+    """
+    term_arr = F.array(*[F.lit(t) for t in query_terms])
+    per_doc = df.select(
+        F.col(id_col),
+        tokens(text_col, pattern).alias("__t"),
+    ).select(
+        id_col,
+        F.size("__t").cast("long").alias("__dl"),
+        F.filter("__t", lambda t: F.array_contains(term_arr, t)).alias("__qt"),
+    )
+    per_doc = per_doc.persist()
+    consts = per_doc.agg(
+        F.count("*").alias("__n_docs"),
+        F.sum("__dl").alias("__sum_dl"),
+    )
+    tf = per_doc.select(
+        id_col, "__dl", F.explode("__qt").alias("term")
+    ).groupBy(id_col, "__dl", "term").agg(F.count("*").cast("long").alias("__tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("__df")
+    )
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    unit = float(10 ** scale)
+    contrib = F.round(
+        idf
+        * (F.col("__tf") * (k1 + 1.0))
+        / (
+            F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+        )
+        * unit
+    ).cast("long")
+    out = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c") / unit, 4).alias("bm25")
+        )
+    )
+    return out
+
+
+def bm25_sql(
+    table: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 6,
+) -> str:
+    """DuckDB oracle replicating :func:`bm25_scores` bit-for-bit."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    unit = float(10 ** scale)
+    return f"""
+    WITH d AS (
+        SELECT {id_col},
+               regexp_extract_all(lower({text_col}), '[a-z]+') AS toks
+        FROM {table}
+    ),
+    pd AS (SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl,
+                  list_filter(toks, t -> t IN ({terms})) AS qt
+           FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (SELECT {id_col}, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT {id_col}, dl, unnest(qt) AS term FROM pd)
+           GROUP BY {id_col}, dl, term),
+    dfreq AS (SELECT term, CAST(count(DISTINCT {id_col}) AS BIGINT) AS df
+              FROM tf GROUP BY term)
+    SELECT {id_col},
+           round(CAST(sum(CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({k1} + 1.0))
+               / (tf + {k1} * (1.0 - {b}
+                   + {b} * CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               * {unit}) AS BIGINT)) AS DOUBLE) / {unit}, 4) AS bm25
+    FROM tf JOIN dfreq USING (term), consts
+    GROUP BY {id_col}
+    """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    scale: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = Σ_r 1/(rrf_k + rank_r(d)) over
+    every ranking that contains d. Each contribution quantizes to
+    10^-scale units (BIGINT) before the sum — exact for ANY number of
+    rankers. Input rankings are (id, rank) pairs; union + one groupBy,
+    nothing corpus-sized moves.
+    """
+    unit = float(10 ** scale)
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.round(unit / (F.lit(rrf_k) + F.col(rank_col)))
+                .cast("long")
+                .alias("__c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.round(F.sum("__c") / unit, 6).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_rankers"),
+    )

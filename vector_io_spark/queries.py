@@ -4099,3 +4099,105 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = count_min_sketch(d, "text", depth=4, width=1024)
     est = cms_estimate(sketch, top.select("tok"), "tok", depth=4, width=1024)
     return top.join(est, "tok").select("tok", "true_n", "est_n")
+
+
+def _bm25_oracle() -> str:
+    from vector_io_spark.operators.ranking import bm25_sql
+
+    return bm25_sql("documents", ["hash", "join", "filter"])
+
+
+@_register("bm25_keyword_search", _bm25_oracle())
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring (operators/ranking.py::bm25_scores): corpus
+    stats from one aggregation pass, token stream filtered to the query
+    terms at explode time, per-(doc, term) contributions quantized to
+    integer micro-units so per-doc sums are engine-exact."""
+    from vector_io_spark.operators.ranking import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, ["hash", "join", "filter"])
+
+
+@_register(
+    "hybrid_rrf_search",
+    f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        FROM ({{BM25}}) QUALIFY rank <= 100
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT vec_id,
+                   round({{COS}}, 6) AS score
+            FROM embeddings, qv
+        ) QUALIFY rank <= 100
+    ),
+    fused AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(1000000000.0 / (60 + rank))
+                                   AS BIGINT)) AS DOUBLE) / 1e9, 6)
+                   AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_rankers
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_rankers FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                      AS rk
+        FROM fused
+    ) WHERE rk <= 20
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical ranking ⊕ dense cosine ranking fused
+    by reciprocal-rank fusion (operators/ranking.py::rrf_fuse) — the
+    Pinecone/Qdrant/Weaviate hybrid-query shape, Spark-native. Both
+    rankings are (id, rank) pairs; fusion is a union + groupBy of
+    fixed-point contributions (exact for any ranker count); final top-20
+    sorts ~|shortlist| rows."""
+    from vector_io_spark.operators.ranking import bm25_scores, rrf_fuse
+    from vector_io_spark.functions.vectors import cosine_similarity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_scores(d, ["hash", "join", "filter"])
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        bm.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    wd = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("__q")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 100)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex, dense], "doc_id")
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "rrf_score", "n_rankers")
+    )
+
+
+# splice the BM25 subquery + portable cosine into the hybrid oracle
+ORACLE["hybrid_rrf_search"] = ORACLE["hybrid_rrf_search"].replace(
+    "{BM25}", _bm25_oracle()
+).replace("{COS}", _cos_sql("embedding", "q"))
