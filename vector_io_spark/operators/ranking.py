@@ -57,6 +57,7 @@ def bm25_scores(
         F.filter("__t", lambda t: F.array_contains(term_arr, t)).alias("__qt"),
     )
     per_doc = per_doc.persist()
+    per_doc.count()  # eager fill: 2 consumers (consts agg + tf explode)
     consts = per_doc.agg(
         F.count("*").alias("__n_docs"),
         F.sum("__dl").alias("__sum_dl"),
@@ -90,6 +91,10 @@ def bm25_scores(
             F.round(F.sum("__c") / unit, 4).alias("bm25")
         )
     )
+    # materialize the (small) score table, then release the token cache —
+    # same cache-hygiene contract as dedup._materialize_release
+    out = out.localCheckpoint(eager=True)
+    per_doc.unpersist()
     return out
 
 
