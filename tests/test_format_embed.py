@@ -184,3 +184,25 @@ def test_vdf_sorted_layout_file_ranges_disjoint(spark, sf_dir, tmp_path):
     assert got.count() == emb.where("id between 100 and 199").count()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
+
+
+def test_ignore_corrupt_files_read_survives(spark, tmp_path):
+    """100 TB operational reality: a few corrupt shards must not kill a
+    corpus read. With spark.sql.files.ignoreCorruptFiles the scan skips
+    unreadable files and returns every healthy row; default conf fails
+    loudly instead of silently dropping (both behaviors verified)."""
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    spark.range(100).selectExpr("id", "id * 2 as v").coalesce(1).write.parquet(path)
+    # plant a corrupt shard that LOOKS like parquet
+    with open(f"{path}/part-corrupt.snappy.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    # default: loud failure (no silent data loss)
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")

@@ -4201,3 +4201,94 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["hybrid_rrf_search"] = ORACLE["hybrid_rrf_search"].replace(
     "{BM25}", _bm25_oracle()
 ).replace("{COS}", _cos_sql("embedding", "q"))
+
+
+@_register(
+    "matryoshka_truncate",
+    f"""
+    SELECT vec_id, CAST(d AS BIGINT) AS dim,
+           round(CAST(sub[d] AS DOUBLE)
+                 / sqrt({_dot_sql("sub", "sub")}), 6) AS mval
+    FROM (SELECT vec_id, embedding[1:16] AS sub FROM embeddings),
+         generate_series(1, 16) t(d)
+    WHERE {_dot_sql("sub", "sub")} > 0
+    """,
+)
+def matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first 16 dims
+    and re-L2-normalize (MRL-trained embeddings are front-loaded, so the
+    prefix is a usable cheap representation — 4× less scan per ANN
+    probe). Slice + HOF renormalize, zero shuffle, codegen'd; sequential
+    double accumulation matches the oracle bit-for-bit."""
+    from vector_io_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = F.slice(F.col("embedding"), 1, 16)
+    n = l2_norm(sub)
+    out = emb.select(
+        "vec_id",
+        F.transform(sub, lambda v: F.round(v.cast("double") / n, 6)).alias(
+            "__m"
+        ),
+    ).where(n > 0)
+    return out.select(
+        "vec_id", F.posexplode("__m").alias("__p", "mval")
+    ).select("vec_id", (F.col("__p") + 1).cast("bigint").alias("dim"), "mval")
+
+
+@_register(
+    "value_outliers_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(d.value, 2) AS value,
+           round((d.value - d.med) / (1.4826 * NULLIF(m.mad, 0)), 4)
+               AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 3.0 * 1.4826 * m.mad
+    """,
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (1.4826·MAD ≈ σ
+    for normal data), immune to the outliers it hunts — the right
+    screen for heavy-tailed pipeline metrics where mean/std break. Two
+    grouped exact percentiles (same type-7 parity as
+    order_value_percentiles) + broadcast stat joins; the event stream
+    never shuffles, only the per-type stat rows do."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "__adev", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("__et")).agg(
+        F.percentile("__adev", F.lit(0.5)).alias("__mad")
+    )
+    sigma = 1.4826 * F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("__et"))
+        .where(F.col("__adev") > 3.0 * sigma)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+            F.round(
+                (F.col("value") - F.col("__med"))
+                / F.when(sigma != 0, sigma),
+                4,
+            ).alias("robust_z"),
+        )
+    )
