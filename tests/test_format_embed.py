@@ -206,3 +206,45 @@ def test_ignore_corrupt_files_read_survives(spark, tmp_path):
         assert spark.read.parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from vector_io_spark.format.writer import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink's droppings: 64 tiny files
+    spark.range(10_000).selectExpr("id", "id % 7 as k").repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src >= 32
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert n_out == 1  # 10k rows is far below one target file
+    # data survives byte-exact
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count() == 10_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # sorted variant restores range locality
+    dst2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, dst2, target_file_mb=1, sort_by=["id"])
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(dst2, f) for f in os.listdir(dst2) if f.endswith(".parquet")
+    )
+    if len(files) > 1:
+        ranges = []
+        for f in files:
+            md = pq.read_metadata(f)
+            i = md.schema.names.index("id")
+            ranges.append(
+                (
+                    min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups)),
+                    max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups)),
+                )
+            )
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint id ranges across files

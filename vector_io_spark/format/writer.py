@@ -131,3 +131,41 @@ def write_vdf(
     )
     write_meta(dataset_dir, meta)
     return meta
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_mb``
+    outputs — the standing maintenance job of any long-running 100 TB
+    ingest (streaming sinks and per-batch writers accumulate KB-scale
+    files whose open/footer overhead eventually dominates scan time).
+
+    Sizing comes from the FILESYSTEM (sum of part sizes), not a count()
+    pass over the data; the rewrite is one job — ``repartition(n)`` for
+    plain compaction (AQE-balanced round-robin) or a range-partitioned
+    sort when ``sort_by`` is given (restores pruning locality at the
+    same time). Returns the number of files written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst)
+    return sum(
+        1 for f in os.listdir(dst) if f.endswith(".parquet")
+    )

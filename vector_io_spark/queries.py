@@ -4292,3 +4292,53 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@_register(
+    "temperature_mix_weights",
+    """
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    powed AS (
+        SELECT source, n,
+               CAST(round(pow(CAST(n AS DOUBLE) / total, 0.7) * 1e12)
+                    AS BIGINT) AS pw
+        FROM counts, tot
+    )
+    SELECT source, n,
+           round(CAST(pw AS DOUBLE)
+                 / (SELECT CAST(sum(pw) AS DOUBLE) FROM powed), 6)
+               AS mix_weight
+    FROM powed
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (q_s ∝ p_s^0.7 — the multilingual
+    /multi-source rebalancing rule: tempering up-weights small sources
+    without discarding large ones). The per-source pow term quantizes to
+    pico-units before the normalizing sum, so the 5-row weight table is
+    engine-exact; feed it to upsample_by_weight for the materialized
+    mix."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("__total"))
+    powed = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.round(
+            F.pow(F.col("n").cast("double") / F.col("__total"), 0.7) * 1e12
+        )
+        .cast("long")
+        .alias("__pw"),
+    )
+    denom = powed.agg(F.sum("__pw").alias("__spw"))
+    return powed.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n",
+        F.round(F.col("__pw").cast("double") / F.col("__spw"), 6).alias(
+            "mix_weight"
+        ),
+    )
