@@ -334,3 +334,43 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_q7_both_fact_inputs_nation_pruned(spark, sf_dir):
+    """Q7 shape: supplier-side nation filter broadcasts onto lineitem and
+    the customer-side nation filter reduces orders BEFORE the orderkey
+    join — at least two broadcast joins, no cartesian, and the final
+    big-big edge meets two pre-filtered streams."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["nation_trade_volume"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_broadcast_joins(df) >= 2, formatted_plan(df)
+
+
+def test_hybrid_rrf_fusion_moves_pairs_only(spark, sf_dir):
+    """Hybrid search: the fused exchange carries (id, rank/contrib)
+    pairs; the only corpus-sized inputs are the two ranking scans; the
+    dense side's query vector is a broadcast cross join (1 row), never
+    a cartesian over the corpus."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["hybrid_rrf_search"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or count_broadcast_joins(df) >= 1, plan
+
+
+def test_bigram_lm_no_broadcast_of_vocab(spark, sf_dir):
+    """The doc-bigrams ⨝ logprob join must NOT hint broadcast — bigram
+    vocabulary grows with the corpus. The V scalar and the tiny consts
+    ARE broadcast. (AQE may still choose broadcast at this fixture size;
+    the gate is that no *hint* forces it at scale: logical plan carries
+    no ResolvedHint on the bigram-count side.)"""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["bigram_lm_score"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # the only hints in the plan are the deliberate scalar broadcasts
+    hints = [l for l in logical.splitlines() if "ResolvedHint" in l]
+    assert len(hints) <= 1, hints  # countDistinct V scalar only
