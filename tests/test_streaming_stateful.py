@@ -173,3 +173,50 @@ def test_streaming_sessionize_gap_and_watermark_close(spark, tmp_path):
     assert got2[(1, us(200))] == (us(200), 1, 4.0)
     assert got2[(2, us(10))] == (us(10), 1, 8.0)
     assert (3, us(100000)) not in got2  # still open
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static join: a micro-batched event stream enriches against
+    a static dimension (per-user segment) — the standard streaming
+    pattern for joining a 100 TB-scale stream against reference data;
+    the static side re-resolves per micro-batch (picks up dim updates)
+    and the join needs no watermark (static side never grows state)."""
+    from tests.conftest import load
+
+    landing = str(tmp_path / "e_landing")
+    out_dir = str(tmp_path / "e_out")
+    ckpt = str(tmp_path / "e_ckpt")
+
+    events = load(spark, sf_dir, "events").limit(200)
+    events.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
+    stream = spark.readStream.schema(schema).parquet(landing)
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "segment"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200  # inner join loses nothing: dim covers all users
+    bad = got.where(
+        ((F.col("user_id") % 2 == 0) & (F.col("segment") != "even"))
+        | ((F.col("user_id") % 2 != 0) & (F.col("segment") != "odd"))
+    )
+    assert bad.count() == 0
