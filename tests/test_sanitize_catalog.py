@@ -183,3 +183,32 @@ def test_version_compatibility():
     with pytest.warns(UserWarning):
         assert not check_version_compatibility("9.9.9", "0.1.0")
     assert check_version_compatibility(None, "0.1.0")
+
+
+def test_compression_ratio_orders_by_redundancy(spark):
+    """zlib ratio: repeated text << natural prose < random-ish; empty/
+    null -> null."""
+    from vector_io_spark.functions.text import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    randomish = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),
+        (2, ("the quick brown fox jumps over the lazy dog. " * 5
+             + "a market survey of distributed query engines shows "
+             "varied shuffle strategies. ") * 4),
+        (3, randomish),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["r"] for r in df.select("id", compression_ratio("text").alias("r")).collect()}
+    assert got[4] is None and got[5] is None
+    assert got[1] < 0.05                   # pure repetition
+    assert got[1] < got[2] < got[3]        # redundancy ordering
+    assert got[3] > 0.5                    # high-entropy text barely compresses
+    # deterministic
+    again = {r["id"]: r["r"] for r in df.select("id", compression_ratio("text").alias("r")).collect()}
+    assert got == again

@@ -252,3 +252,36 @@ def char_entropy(c: Column | str) -> Column:
     _entropy = pandas_udf(_entropy_batch, DoubleType())
 
     return _entropy(F.col(c) if isinstance(c, str) else c)
+
+
+def compression_ratio(c: Column | str, level: int = 6) -> Column:
+    """zlib compression ratio (compressed/raw bytes) — the Gopher-style
+    redundancy signal: highly repetitive/boilerplate text compresses far
+    below natural prose (~0.3-0.5); near-random or encrypted blobs sit
+    near 1.0. Deterministic (zlib is), but not SQL-expressible — verify
+    by pytest, not oracle.
+
+    Arrow-batched pandas UDF (zlib releases the GIL; per-row cost is the
+    compressor, not Python) — shuffle-free, composes with scan pruning
+    like every other per-row scorer here.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    c = F.col(c) if isinstance(c, str) else c
+
+    def _ratio_batch(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(round(len(zlib.compress(raw, level)) / len(raw), 4))
+        return pd.Series(out, dtype="float64")
+
+    udf = pandas_udf(_ratio_batch, DoubleType())
+    return udf(c)

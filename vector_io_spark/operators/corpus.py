@@ -453,3 +453,53 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+def doc_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its DISTINCT bigrams that
+    occur nowhere else in the corpus (document frequency 1). High
+    novelty = fresh content; near-zero = template/boilerplate assembled
+    from corpus-common phrases — a dedup-adjacent ranking signal that
+    catches recombined text exact dedup misses.
+
+    One explode pass; bigram df is a map-side-combined count keyed by
+    (16-byte) hashed bigram; the join back moves (id, hash) pairs. All
+    integer counts + one final ratio — engine-exact.
+    """
+    toks = tokens(text_col, pattern)
+    d = df.select(F.col(id_col), toks.alias("__t")).where(F.size("__t") >= 2)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        ),
+    )
+    bg = d.select(
+        id_col, F.explode(F.array_distinct(bigram)).alias("__b")
+    ).withColumn("__h", F.xxhash64("__b")).drop("__b")
+    dfreq = bg.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    return (
+        bg.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_bigrams"), 4
+            ).alias("novelty"),
+        )
+    )

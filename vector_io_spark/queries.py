@@ -4342,3 +4342,37 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+@_register(
+    "doc_novelty",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM d WHERE len(toks) >= 2
+    ),
+    dfreq AS (SELECT bigram, CAST(count(*) AS BIGINT) AS df
+              FROM bg GROUP BY bigram)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty
+    FROM bg JOIN dfreq USING (bigram) GROUP BY doc_id
+    """,
+)
+def doc_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty (operators/corpus.py::doc_novelty):
+    fraction of distinct bigrams unique to the document — catches
+    recombined boilerplate exact dedup misses. Hashed bigrams keep the
+    shuffle at 8-byte keys; counts are engine-exact."""
+    from vector_io_spark.operators.corpus import doc_novelty
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_novelty(d)
