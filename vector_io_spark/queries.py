@@ -4376,3 +4376,80 @@ def doc_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return doc_novelty(d)
+
+
+@_register(
+    "charclass_profile",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+                 AS DOUBLE) / length(text), 4) AS frac_lower,
+           round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                 AS DOUBLE) / length(text), 4) AS frac_upper,
+           round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / length(text), 4) AS frac_digit,
+           round(CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+                 AS DOUBLE) / length(text), 4) AS frac_space
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per document (lower/upper/digit/space
+    fractions) — the cheapest script/garbage screen (binary-ish blobs and
+    wrong-charset text jump out immediately). Pure codegen'd regexp
+    length arithmetic, zero shuffle, scan-speed at any corpus size."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n = F.length("text")
+
+    def frac(pat):
+        return F.round(
+            (n - F.length(F.regexp_replace(F.col("text"), pat, ""))).cast(
+                "double"
+            )
+            / n,
+            4,
+        )
+
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        frac("[a-z]").alias("frac_lower"),
+        frac("[A-Z]").alias("frac_upper"),
+        frac("[0-9]").alias("frac_digit"),
+        frac("\\s").alias("frac_space"),
+    )
+
+
+@_register(
+    "dedup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    sized AS (
+        SELECT source, h, count(*) AS c FROM fp GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_redundant,
+           round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+               AS dup_rate
+    FROM sized GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication audit: redundant docs (beyond one
+    survivor per content hash) and the dup rate — the triage report that
+    decides WHERE dedup effort goes before any near-dup pass runs. The
+    shuffle carries (source, 16-byte md5) pairs, partial-aggregated
+    map-side; documents never move."""
+    d = _t(spark, sf_dir, "documents").select("source", F.md5("text").alias("__h"))
+    sized = d.groupBy("source", "__h").agg(F.count("*").alias("__c"))
+    return sized.groupBy("source").agg(
+        F.sum("__c").alias("n_docs"),
+        (F.sum("__c") - F.count("*")).alias("n_redundant"),
+        F.round(
+            (F.sum("__c") - F.count("*")).cast("double") / F.sum("__c"), 4
+        ).alias("dup_rate"),
+    )
