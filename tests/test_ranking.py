@@ -30,3 +30,24 @@ def test_rrf_fuse_membership_and_order(spark):
     assert got[1]["rrf_score"] > got[3]["rrf_score"]
     # every score positive, two-ranker doc beats equally-ranked singleton
     assert got[2]["rrf_score"] > got[9]["rrf_score"]
+
+
+def test_bm25_sparse_vector_struct_invariants(spark):
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+
+    rows = [(1, "hash join hash scan"), (2, "filter " * 30), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_sparse_vectors(df, vocab_buckets=64)
+    got = {r["doc_id"]: r["sparse"] for r in out.collect()}
+    assert 3 not in got or len(got[3]["indices"]) == 0
+    for sv in got.values():
+        idx = sv["indices"]
+        assert list(idx) == sorted(idx)              # ascending
+        assert len(idx) == len(set(idx))             # merged collisions
+        assert len(idx) == len(sv["values"])
+        assert all(v > 0 for v in sv["values"])      # BM25 weights positive
+    # schema matches the engine's sparse convention
+    f = dict(out.dtypes)["sparse"]
+    assert f == "struct<indices:array<int>,values:array<float>>"
+    # repeated-term doc: one entry, tf folded in (weight reflects tf=30)
+    assert len(got[2]["indices"]) == 1

@@ -170,3 +170,95 @@ def rrf_fuse(
         F.round(F.sum("__c") / unit, 6).alias("rrf_score"),
         F.count("*").cast("long").alias("n_rankers"),
     )
+
+
+def bm25_sparse_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_buckets: int = 4096,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pattern: str = WORD_RE,
+    scale: int = 6,
+    out_col: str = "sparse",
+) -> DataFrame:
+    """Every document as a BM25-weighted SPARSE VECTOR in the engine's
+    ``struct<indices, values>`` convention — the learned-sparse /
+    keyword side of a hybrid index, ready for the Pinecone
+    ``sparseValues`` / Qdrant sparse-vector sinks (terms hash into
+    ``vocab_buckets`` dimensions; colliding terms merge their counts
+    BEFORE weighting — the standard hashing-trick trade).
+
+    Same corpus-stat pass as :func:`bm25_scores` but over ALL terms;
+    weights quantize to 10^-scale units for engine-exact values, emitted
+    micro-units / 10^scale as float32. Indices ascend (groupBy + sort at
+    assembly). One explode + two aggregations; documents shuffle as
+    (id, bucket, weight) triples only.
+    """
+    per_doc = df.select(
+        F.col(id_col), tokens(text_col, pattern).alias("__t")
+    ).select(
+        id_col,
+        F.size("__t").cast("long").alias("__dl"),
+        F.col("__t"),
+    )
+    per_doc = per_doc.persist()
+    per_doc.count()  # eager fill: consts + tf consumers
+    consts = per_doc.agg(
+        F.count("*").alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
+    )
+    tf = (
+        per_doc.select(id_col, "__dl", F.explode("__t").alias("__term"))
+        .withColumn(
+            # md5-derived bucket (not xxhash64): engine-portable so the
+            # DuckDB oracle reproduces the hashed dimensions exactly
+            "__bucket",
+            (
+                F.conv(F.substring(F.md5("__term"), 1, 8), 16, 10).cast("long")
+                % vocab_buckets
+            ).cast("int"),
+        )
+        .groupBy(id_col, "__dl", "__bucket")
+        .agg(F.count("*").cast("long").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__bucket").agg(
+        F.countDistinct(id_col).cast("long").alias("__df")
+    )
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    unit = float(10 ** scale)
+    w_micro = F.round(
+        idf
+        * (F.col("__tf") * (k1 + 1.0))
+        / (
+            F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+        )
+        * unit
+    ).cast("long")
+    entries = (
+        tf.join(dfreq, "__bucket")
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, "__bucket", w_micro.alias("__w"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__bucket", "__w"))
+            ).alias("__e")
+        )
+        .select(
+            id_col,
+            F.struct(
+                F.transform("__e", lambda e: e["__bucket"]).alias("indices"),
+                F.transform(
+                    "__e", lambda e: (e["__w"] / unit).cast("float")
+                ).alias("values"),
+            ).alias(out_col),
+        )
+    )
+    out = entries.localCheckpoint(eager=True)
+    per_doc.unpersist()
+    return out

@@ -4453,3 +4453,55 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("__c") - F.count("*")).cast("double") / F.sum("__c"), 4
         ).alias("dup_rate"),
     )
+
+
+@_register(
+    "bm25_sparse_entries",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket)
+    SELECT doc_id, bucket,
+           CAST(CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+    FROM tf JOIN dfreq USING (bucket), consts
+    """,
+)
+def bm25_sparse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-weighted sparse document vectors
+    (operators/ranking.py::bm25_sparse_vectors), compared as exploded
+    (doc, bucket, weight) entries — the struct<indices, values> assembly
+    itself is pytest-gated (ascending indices, float32). The hashed
+    4096-bucket space is md5-derived so even the hashing trick verifies
+    exactly."""
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sv = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+    return sv.select(
+        "doc_id",
+        F.explode(F.arrays_zip("sparse.indices", "sparse.values")).alias("__e"),
+    ).select(
+        "doc_id",
+        F.col("__e.indices").alias("bucket"),
+        F.col("__e.values").alias("weight"),
+    )
