@@ -4505,3 +4505,110 @@ def bm25_sparse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__e.indices").alias("bucket"),
         F.col("__e.values").alias("weight"),
     )
+
+
+@_register(
+    "sparse_keyword_retrieval",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    w AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    qb AS (
+        SELECT DISTINCT CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                             % 4096 AS INT) AS bucket
+        FROM (SELECT unnest(['hash', 'join', 'filter']) AS term)
+    )
+    SELECT doc_id, score FROM (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                   AS BIGINT)) AS DOUBLE) / 1e6, 4)
+                   AS score,
+               row_number() OVER (
+                   ORDER BY sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                     AS BIGINT)) DESC, doc_id ASC) AS rk
+        FROM w JOIN qb USING (bucket)
+        GROUP BY doc_id
+    ) WHERE rk <= 20
+    """,
+)
+def sparse_keyword_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-sparse retrieval: documents encoded once as
+    BM25 sparse vectors, a keyword query as a unit-weight sparse vector
+    over the same hashed space, scored with the engine's Catalyst
+    sparse_dot (per-row map lookup, zero shuffle beyond the top-k) —
+    the SPLADE-shaped retrieval path a Pinecone/Qdrant sparse index
+    serves, on Spark. Top-20 by exact micro-unit sums."""
+    from vector_io_spark.functions.sparse import sparse_dot
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+    terms = ["hash", "join", "filter"]
+    qbuckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(
+                (
+                    F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                    % 4096
+                ).cast("int")
+            )
+            .collect()
+        }
+    )
+    qv = F.struct(
+        F.array(*[F.lit(b) for b in qbuckets]).alias("indices"),
+        F.array(*[F.lit(1.0).cast("float") for _ in qbuckets]).alias("values"),
+    )
+    # exact integer micro-unit scoring: weights are 1e-6-quantized
+    # floats, so round(w*1e6) recovers the integers and the per-doc sum
+    # is order-independent
+    scored = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with(
+                qv["indices"],
+                qv["values"],
+                lambda i, v: F.coalesce(
+                    F.map_from_arrays(
+                        F.col("sparse.indices"), F.col("sparse.values")
+                    )[i],
+                    F.lit(0.0),
+                ).cast("double"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 1e6).cast("long"),
+        ).alias("__micro"),
+    ).where(F.col("__micro") > 0)
+    w = Window.orderBy(F.col("__micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", F.round(F.col("__micro") / 1e6, 4).alias("score"))
+    )
