@@ -284,3 +284,15 @@ def minmax_scale_vectors(
     return df.crossJoin(F.broadcast(packed)).withColumn(out_col, scaled).drop(
         "__los", "__his"
     )
+
+
+def chebyshev_distance(a: Column | str, b: Column | str) -> Column:
+    """Chebyshev (L∞) distance: max per-dimension absolute difference.
+    array_max over a zip_with — unlike the summed metrics it needs NO
+    accumulation order guarantee at all (max is commutative-associative
+    exactly), so it is trivially engine-exact."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.array_max(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from vector_io_spark.functions.vectors import (
+    chebyshev_distance,
     cosine_similarity,
     dot_product,
     l1_distance,
@@ -32,6 +33,7 @@ _METRIC_FNS = {
     "dot": dot_product,
     "euclid": l2_distance,
     "manhattan": l1_distance,
+    "chebyshev": chebyshev_distance,
 }
 
 
@@ -60,7 +62,7 @@ def brute_force_topk(
     batch broadcast, the corpus re-scanned — embarrassingly parallel
     across batches, never an N×N shuffle).
     """
-    asc = metric in ("euclid", "manhattan")  # distances rank ascending
+    asc = metric in ("euclid", "manhattan", "chebyshev")  # distances rank ascending
     if metric == "cosine":
         # hoist the norms: ||c|| once per corpus row, ||q|| once per query
         # row, instead of re-deriving both inside every (corpus × query)

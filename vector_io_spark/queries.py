@@ -4612,3 +4612,37 @@ def sparse_keyword_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("doc_id", F.round(F.col("__micro") / 1e6, 4).alias("score"))
     )
+
+
+@_register(
+    "ann_topk_chebyshev",
+    """
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_max(list_transform(range(1, len(c.embedding) + 1),
+                     i -> abs(CAST(c.embedding[i] AS DOUBLE)
+                              - CAST(q.embedding[i] AS DOUBLE)))), 6)
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_max(list_transform(
+                       range(1, len(c.embedding) + 1),
+                       i -> abs(CAST(c.embedding[i] AS DOUBLE)
+                                - CAST(q.embedding[i] AS DOUBLE)))), 6) ASC,
+                   c.vec_id ASC) AS rank
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev (L∞) top-k — completes the brute-force metric family
+    (cosine/dot/euclid/manhattan/hamming/+chebyshev). Same broadcast-
+    query scan-once plan; L∞ needs no accumulation-order care (max is
+    exactly associative)."""
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    return brute_force_topk(emb, q, k=10, metric="chebyshev")
