@@ -374,3 +374,48 @@ def test_bigram_lm_no_broadcast_of_vocab(spark, sf_dir):
     # the only hints in the plan are the deliberate scalar broadcasts
     hints = [l for l in logical.splitlines() if "ResolvedHint" in l]
     assert len(hints) <= 1, hints  # countDistinct V scalar only
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (enabled in session.py) splits a hot-key partition
+    at runtime: the final adaptive plan marks the join skew=true and the
+    result stays exact. This is the zero-code-change half of the skew
+    story; operators/skew.py::salted_join is the explicit half for joins
+    AQE can't fix (e.g. when the hot side must stay un-split for a
+    downstream window). Thresholds here scale the 10 GB-class defaults
+    to fixture size — detection logic is identical at 100 TB.
+
+    Caveat the test encodes: the skew detector sees POST-PRUNING bytes.
+    A count(*) would drop the payload column and nothing would be skewed
+    — the aggregate must consume the wide column for the hot partition
+    to weigh anything."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        small = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        j = big.join(small, "k").select(F.sum(F.length("pad")).alias("n"))
+        (got,) = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # exactness: hot key 0 joins (9/10 * 400k) rows * 64-char pad;
+        # non-hot keys < 50k contribute their own
+        expected = 360_000 * 64 + sum(
+            64 for i in range(400_000) if i % 10 == 9 and i < 50_000
+        )
+        assert got["n"] == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
