@@ -4646,3 +4646,84 @@ def ann_topk_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id as query_id", "embedding"
     )
     return brute_force_topk(emb, q, k=10, metric="chebyshev")
+
+
+@_register(
+    "customer_revenue_percentiles",
+    """
+    SELECT o_custkey,
+           round(revenue, 2) AS revenue,
+           round(percent_rank() OVER (ORDER BY revenue ASC, o_custkey ASC),
+                 6) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY revenue ASC, o_custkey ASC), 6)
+               AS cume,
+           CAST(ntile(10) OVER (ORDER BY revenue ASC, o_custkey ASC)
+                AS BIGINT) AS decile
+    FROM (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                   AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    """,
+)
+def customer_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over per-customer revenue — the
+    remaining ranking-window family members (row_number/ntile appear in
+    Q10/RFM). The window sorts the per-customer AGGREGATE (|customers|
+    rows), never order rows; fully deterministic ordering via the
+    (revenue, custkey) tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
+    return per.select(
+        "o_custkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@_register(
+    "event_interarrival_stats",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           round(quantile_cont(gap_s, 0.5), 1) AS median_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM (
+        SELECT user_id,
+               CAST(floor(epoch(ts - lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+                    AS BIGINT) AS gap_s
+        FROM events
+    ) WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap distribution (lag diff + grouped exact
+    median) — the activity-cadence profile behind bot/burst detection
+    and session-gap tuning. One window sort keyed like sessionization,
+    one grouped aggregate; gaps are exact integer seconds."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        / F.lit(1_000_000)
+    ).cast("long")
+    gaps = e.withColumn("gap_s", gap).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 1).alias("median_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
