@@ -76,3 +76,25 @@ def test_fit_deterministic(emb):
     m2 = fit_pca(emb, "embedding", k=3)
     for a, b in zip(m1, m2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_label_separation_orders_cluster_quality(spark):
+    """Tight well-separated synthetic clusters -> low db_ratio; an
+    overlapping diffuse pair -> high ratio."""
+    import numpy as np
+
+    from vector_io_spark.operators.decomposition import label_separation
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # labels 0/1: tight clusters far apart; labels 2/3: overlapping blobs
+    for i in range(60):
+        rows.append((0, (np.array([10.0, 0.0]) + rng.normal(0, 0.1, 2)).tolist()))
+        rows.append((1, (np.array([-10.0, 0.0]) + rng.normal(0, 0.1, 2)).tolist()))
+        rows.append((2, (np.array([0.0, 0.3]) + rng.normal(0, 2.0, 2)).tolist()))
+        rows.append((3, (np.array([0.0, -0.3]) + rng.normal(0, 2.0, 2)).tolist()))
+    df = spark.createDataFrame(rows, "label long, embedding array<double>")
+    got = {r["label"]: r for r in label_separation(df).collect()}
+    assert got[0]["db_ratio"] < 0.05 and got[1]["db_ratio"] < 0.05
+    assert got[2]["db_ratio"] > 1.0 and got[3]["db_ratio"] > 1.0
+    assert all(got[l]["n"] == 60 for l in range(4))

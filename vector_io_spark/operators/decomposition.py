@@ -203,3 +203,117 @@ def pca_project(
 
     udf = pandas_udf(_proj, ArrayType(DoubleType()))
     return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def label_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    dist_scale: int = 6,
+) -> DataFrame:
+    """Per-class embedding-space diagnostics: how tight is each class and
+    how far is its nearest neighbor class — the fast centroid-based
+    proxy for silhouette analysis (true silhouette is all-pairs; this is
+    one corpus pass + a |labels|² driver-free comparison).
+
+    Per label: n, mean intra-class distance-to-own-centroid, distance to
+    the NEAREST other centroid, and their ratio (Davies-Bouldin-style —
+    lower = better separated).
+
+    Exactness: centroids come from fixed-point integer sums (exact at
+    any parallelism, rounded to 8 dp); per-point distances are
+    sequential-double row arithmetic quantized to 10^-dist_scale before
+    the per-label mean. Centroid table is |labels| rows — broadcast;
+    the corpus shuffles once (per-label partial sums).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * (10 ** scale)).cast("long"),
+    )
+    d = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("label"), q.alias("__q")
+    )
+    sums = (
+        d.select("label", F.posexplode("__q").alias("__i", "__v"))
+        .groupBy("label", "__i")
+        .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+    )
+    unit = float(10 ** scale)
+    cent = (
+        sums.withColumn(
+            "__c", F.round(F.col("__s") / F.col("__n") / unit, 8)
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__i", "__c"))).alias("__e"),
+            F.first("__n").alias("n"),
+        )
+        .select(
+            "label",
+            "n",
+            F.transform("__e", lambda e: e["__c"]).alias("centroid"),
+        )
+    )
+    # point -> every centroid distance; own vs nearest-other
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("__pl"), F.col(vec_col).alias("__pv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__pv"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dunit = float(10 ** dist_scale)
+    scored = (
+        pts.crossJoin(F.broadcast(cent.select("label", "centroid")))
+        .select(
+            "__pl",
+            "label",
+            F.round(F.sqrt(d2) * dunit).cast("long").alias("__d"),
+        )
+    )
+    intra = (
+        scored.where(F.col("__pl") == F.col("label"))
+        .groupBy(F.col("__pl").alias("label"))
+        .agg(
+            F.round(F.sum("__d") / F.count("*") / dunit, 4).alias(
+                "mean_intra_dist"
+            )
+        )
+    )
+    # centroid-to-centroid distances (|labels|² rows — trivial)
+    ca = cent.select(F.col("label").alias("__la"), F.col("centroid").alias("__ca"))
+    cb = cent.select(F.col("label").alias("__lb"), F.col("centroid").alias("__cb"))
+    cd = F.aggregate(
+        F.zip_with(F.col("__ca"), F.col("__cb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    inter = (
+        ca.crossJoin(cb)
+        .where(F.col("__la") != F.col("__lb"))
+        .select("__la", F.round(F.sqrt(cd), 4).alias("__cd"))
+        .groupBy(F.col("__la").alias("label"))
+        .agg(F.min("__cd").alias("nearest_other_centroid_dist"))
+    )
+    return (
+        cent.select("label", "n")
+        .join(intra, "label")
+        .join(inter, "label")
+        .select(
+            "label",
+            "n",
+            "mean_intra_dist",
+            "nearest_other_centroid_dist",
+            F.round(
+                F.col("mean_intra_dist")
+                / F.col("nearest_other_centroid_dist"),
+                4,
+            ).alias("db_ratio"),
+        )
+    )

@@ -4727,3 +4727,72 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.5)), 1).alias("median_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@_register(
+    "label_separation_report",
+    """
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))
+                   AS qv,
+               embedding
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sums AS (
+        SELECT label, t.i AS i, CAST(sum(qv[t.i]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) t
+        GROUP BY label, t.i
+    ),
+    cent AS (
+        SELECT label,
+               list(round(CAST(s AS DOUBLE) / n / 10000.0, 8) ORDER BY i)
+                   AS centroid,
+               any_value(n) AS n
+        FROM sums GROUP BY label
+    ),
+    scored AS (
+        SELECT e.label AS pl, c.label AS cl,
+               CAST(round(sqrt(list_sum(list_transform(
+                   range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))))
+                   * 1000000) AS BIGINT) AS d
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.embedding IS NOT NULL
+    ),
+    intra AS (
+        SELECT pl AS label,
+               round(CAST(sum(d) AS DOUBLE) / count(*) / 1000000.0, 4)
+                   AS mean_intra_dist
+        FROM scored WHERE pl = cl GROUP BY pl
+    ),
+    inter AS (
+        SELECT a.label,
+               min(round(sqrt(list_sum(list_transform(
+                   range(1, len(a.centroid) + 1),
+                   i -> (a.centroid[i] - b.centroid[i])
+                      * (a.centroid[i] - b.centroid[i])))), 4))
+                   AS nearest_other_centroid_dist
+        FROM cent a JOIN cent b ON a.label <> b.label GROUP BY a.label
+    )
+    SELECT cent.label, CAST(cent.n AS BIGINT) AS n,
+           intra.mean_intra_dist, inter.nearest_other_centroid_dist,
+           round(intra.mean_intra_dist / inter.nearest_other_centroid_dist,
+                 4) AS db_ratio
+    FROM cent JOIN intra USING (label) JOIN inter USING (label)
+    """,
+)
+def label_separation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding cluster diagnostics
+    (operators/decomposition.py::label_separation): exact fixed-point
+    centroids, mean intra-class distance, nearest-other-centroid
+    distance and their Davies-Bouldin-style ratio — the embedding-space
+    health report before training a classifier or building a
+    label-partitioned index."""
+    from vector_io_spark.operators.decomposition import label_separation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_separation(emb, "label", "embedding")
