@@ -4796,3 +4796,68 @@ def label_separation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return label_separation(emb, "label", "embedding")
+
+
+@_register(
+    "quantize_robust_int8",
+    """
+    WITH ex AS (
+        SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ),
+    cal AS (
+        SELECT i, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+        FROM ex GROUP BY i
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(least(127, greatest(-128,
+               round((least(hi, greatest(lo, v)) - lo)
+                     / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END)
+                     * 255 - 128)))
+               AS BIGINT) AS q
+    FROM ex JOIN cal USING (i)
+    """,
+)
+def quantize_robust_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated int8 quantization: clip each dimension to
+    its [p1, p99] before the affine map, so a single outlier can't
+    stretch the range and crush everyone else's resolution — the robust
+    variant of quantize_embeddings' min-max calibration. Calibration =
+    one grouped exact percentile pass (t-digest approx at 100 TB); the
+    quantization itself is per-row arithmetic, engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("__p", "__v0"),
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).cast("long").alias("dim"),
+        F.col("__v0").cast("double").alias("__v"),
+    )
+    cal = ex.groupBy(F.col("dim").alias("__d")).agg(
+        F.percentile("__v", F.lit(0.01)).alias("__lo"),
+        F.percentile("__v", F.lit(0.99)).alias("__hi"),
+    )
+    clipped = F.least(F.col("__hi"), F.greatest(F.col("__lo"), F.col("__v")))
+    span = F.when(
+        F.col("__hi") > F.col("__lo"), F.col("__hi") - F.col("__lo")
+    ).otherwise(F.lit(1.0))
+    return (
+        ex.join(F.broadcast(cal), F.col("dim") == F.col("__d"))
+        .select(
+            "vec_id",
+            "dim",
+            F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-128),
+                    F.round(
+                        (clipped - F.col("__lo")) / span * 255 - 128
+                    ),
+                ),
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
