@@ -262,3 +262,55 @@ def bm25_sparse_vectors(
     out = entries.localCheckpoint(eager=True)
     per_doc.unpersist()
     return out
+
+
+def ranking_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    scale: int = 9,
+) -> DataFrame:
+    """Offline retrieval evaluation: per-query recall@k and MRR of a
+    predicted ranking against a ground-truth ranking (both as
+    (query, id, rank) rows — the shape every topk operator here emits).
+
+    recall@k = |pred_k ∩ truth_k| / k;
+    MRR      = 1 / (rank in pred of the best-ranked truth item), 0 if
+    none retrieved. Pure joins + grouped aggregates over shortlist-sized
+    frames (k rows per query per side) — evaluation cost is independent
+    of corpus size. Ratios quantize to 10^-scale units so any later
+    macro-average is exact.
+    """
+    p = pred.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__pr"),
+    )
+    t = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id")
+    )
+    hits = p.join(t, ["__q", "__id"])
+    agg = hits.groupBy("__q").agg(
+        F.count("*").alias("__n_hit"),
+        F.min("__pr").alias("__best"),
+    )
+    all_q = truth.select(F.col(query_col).alias("__q")).distinct()
+    unit = float(10 ** scale)
+    return (
+        all_q.join(agg, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(
+                F.coalesce(F.col("__n_hit"), F.lit(0)) / float(k), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(
+                    F.round(1.0 / F.col("__best") * unit) / unit, F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+        )
+    )

@@ -4861,3 +4861,65 @@ def quantize_robust_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
+
+
+@_register(
+    "retrieval_eval_euclid_vs_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 3),
+    cosr AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY round({{COS}}, 6) DESC, c.vec_id ASC)
+                       AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    ),
+    eucr AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY round(sqrt(list_sum(list_transform(
+                           range(1, len(c.embedding) + 1),
+                           i -> (CAST(c.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))
+                              * (CAST(c.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))))), 6) ASC,
+                       c.vec_id ASC) AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT e.qid, count(*) AS n_hit, min(e.rank) AS best
+        FROM eucr e JOIN cosr c ON e.qid = c.qid AND e.vec_id = c.vec_id
+        GROUP BY e.qid
+    )
+    SELECT q.qid AS query_id,
+           round(coalesce(n_hit, 0) / 10.0, 6) AS recall_at_k,
+           round(coalesce(round(1.0 / best * 1e9) / 1e9, 0.0), 6) AS mrr
+    FROM (SELECT DISTINCT qid FROM cosr) q LEFT JOIN hits USING (qid)
+    """,
+)
+def retrieval_eval_euclid_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval eval (operators/ranking.py::ranking_metrics):
+    recall@10 and MRR of the euclidean ranking against the cosine
+    ranking for 3 queries — the harness that scores every ANN variant
+    here against the exact baseline; both rankings deterministic, so
+    even the metrics verify exactly."""
+    from vector_io_spark.operators.ranking import ranking_metrics
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    truth = brute_force_topk(emb, q, k=10, metric="cosine")
+    pred = brute_force_topk(emb, q, k=10, metric="euclid")
+    return ranking_metrics(pred, truth, k=10)
+
+
+ORACLE["retrieval_eval_euclid_vs_cosine"] = ORACLE[
+    "retrieval_eval_euclid_vs_cosine"
+].replace("{COS}", _cos_sql("c.embedding", "q.qv"))
