@@ -4923,3 +4923,132 @@ def retrieval_eval_euclid_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFra
 ORACLE["retrieval_eval_euclid_vs_cosine"] = ORACLE[
     "retrieval_eval_euclid_vs_cosine"
 ].replace("{COS}", _cos_sql("c.embedding", "q.qv"))
+
+
+@_register(
+    "hourly_event_bursts",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+        SELECT h, event_type, n,
+               CAST(sum(n) OVER w AS BIGINT) AS trail_n,
+               CAST(count(*) OVER w AS BIGINT) AS trail_k
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h ASC
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(epoch_us(h) AS BIGINT) AS hour_us, event_type, n,
+           trail_n, trail_k,
+           round(CAST(n AS DOUBLE) * trail_k / trail_n, 4) AS burst_ratio
+    FROM rolled
+    WHERE trail_k >= 6 AND n * trail_k > 2 * trail_n
+    """,
+)
+def hourly_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours where an event type runs at >2× its
+    trailing-24h hourly average — the ops alert behind crawl-rate /
+    abuse monitoring. Two-level aggregation (facts collapse to
+    |hours|×|types| rows BEFORE the window), and the burst test
+    cross-multiplies INTEGER counts (n·k > 2·Σ) so no float threshold
+    can disagree between engines; the reported ratio is display-only."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(-24, -1)
+    )
+    rolled = hourly.select(
+        "h",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("trail_n"),
+        F.count("*").over(w).alias("trail_k"),
+    )
+    return rolled.where(
+        (F.col("trail_k") >= 6)
+        & (F.col("n") * F.col("trail_k") > 2 * F.col("trail_n"))
+    ).select(
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        "event_type",
+        "n",
+        "trail_n",
+        "trail_k",
+        F.round(
+            F.col("n").cast("double") * F.col("trail_k") / F.col("trail_n"), 4
+        ).alias("burst_ratio"),
+    )
+
+
+@_register(
+    "quota_constrained_topk",
+    """
+    SELECT doc_id, source, score FROM (
+        SELECT doc_id, source, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS global_rk
+        FROM (
+            SELECT doc_id, source, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score DESC, doc_id ASC)
+                       AS src_rk
+            FROM (
+                SELECT doc_id, source,
+                       round(CAST(n_chars AS DOUBLE)
+                             * (CAST(CAST('0x' || substr(md5(
+                                   CAST(doc_id AS VARCHAR) || '|score'),
+                                   1, 8) AS UBIGINT) AS DOUBLE)
+                                / 4294967296.0), 4) AS score
+                FROM documents
+            )
+        ) WHERE src_rk <= 5
+    ) WHERE global_rk <= 20
+    """,
+)
+def quota_constrained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-quota top-k: best 20 documents by score with AT MOST 5
+    per source — the result-diversification constraint every search/
+    curation surface needs (cap any one domain/source). Two stacked
+    ranking windows: the per-source quota prunes to ≤5·|sources| rows,
+    and only THAT shortlist feeds the global sort. The demo score is a
+    deterministic hash-weighted length (stand-in for any ranking
+    signal)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|score"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars").cast("double") * u, 4).alias("score"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wg = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("src_rk", F.row_number().over(ws))
+        .where(F.col("src_rk") <= 5)
+        .withColumn("global_rk", F.row_number().over(wg))
+        .where(F.col("global_rk") <= 20)
+        .select("doc_id", "source", "score")
+    )
