@@ -5052,3 +5052,83 @@ def quota_constrained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("global_rk") <= 20)
         .select("doc_id", "source", "score")
     )
+
+
+@_register(
+    "fuzzy_entity_resolution",
+    """
+    WITH clean AS (
+        SELECT c_custkey, c_name FROM customer
+    ),
+    dirty AS (
+        -- one digit replaced by 'X' at a key-dependent position 10..18
+        SELECT c_custkey + 1000000 AS dirty_id,
+               substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1)
+               || 'X'
+               || substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1)
+                   AS dirty_name
+        FROM customer
+    ),
+    b1 AS (
+        SELECT d.dirty_id, c.c_custkey,
+               levenshtein(d.dirty_name, c.c_name) AS dist
+        FROM dirty d JOIN clean c
+          ON substr(d.dirty_name, 13, 6) = substr(c.c_name, 13, 6)
+         AND length(d.dirty_name) = length(c.c_name)
+    ),
+    b2 AS (
+        SELECT d.dirty_id, c.c_custkey,
+               levenshtein(d.dirty_name, c.c_name) AS dist
+        FROM dirty d JOIN clean c
+          ON substr(d.dirty_name, 1, 12) = substr(c.c_name, 1, 12)
+         AND length(d.dirty_name) = length(c.c_name)
+    )
+    SELECT DISTINCT dirty_id, c_custkey, CAST(dist AS BIGINT) AS dist
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    WHERE dist <= 1
+    """,
+)
+def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution without the cross join: records with one
+    corrupted character resolve back to their source via MULTI-PASS
+    BLOCKING (two complementary substring keys — a single-char edit can
+    break at most one, so the union has full recall by construction)
+    and Levenshtein verification on block-colliding pairs only. The
+    blocking joins are equi-joins on short keys — candidate volume is
+    |block collisions|, never n²; this is the scalable shape of
+    dedupe/record-linkage at 100 TB. Integer edit distances — exact in
+    any engine."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000).alias("dirty_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1)"),
+            F.lit("X"),
+            F.expr("substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1)"),
+        ).alias("dirty_name"),
+    )
+    clean = c
+    pairs = []
+    for lo, ln in ((13, 6), (1, 12)):
+        cond = (
+            (
+                F.substring(F.col("dirty_name"), lo, ln)
+                == F.substring(F.col("c_name"), lo, ln)
+            )
+            & (F.length("dirty_name") == F.length("c_name"))
+        )
+        pairs.append(
+            dirty.join(clean, cond).select(
+                "dirty_id",
+                "c_custkey",
+                F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+    return (
+        pairs[0]
+        .unionByName(pairs[1])
+        .where(F.col("dist") <= 1)
+        .distinct()
+    )
