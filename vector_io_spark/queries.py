@@ -5132,3 +5132,142 @@ def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
         .distinct()
     )
+
+
+@_register(
+    "session_conversion_rate",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts - lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sid
+        FROM marked
+    ),
+    per AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CASE WHEN n_events >= 8 THEN 'long'
+                WHEN n_events >= 3 THEN 'mid' ELSE 'short' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_view * has_purchase) AS BIGINT) AS n_converted,
+           round(CAST(sum(has_view * has_purchase) AS DOUBLE) / count(*), 4)
+               AS conversion_rate
+    FROM per WHERE has_view = 1 GROUP BY 1
+    """,
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion per gap-session, bucketed by session
+    length — the funnel metric computed over the SAME lag+cumsum session
+    assignment as `sessionization` (30-min gap). One window sort keyed
+    (user, ts), then two grouped aggregates; everything integer until
+    the final display ratio."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("__new", new_s).withColumn(
+        "sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_view"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    bucket = (
+        F.when(F.col("n_events") >= 8, "long")
+        .when(F.col("n_events") >= 3, "mid")
+        .otherwise("short")
+    )
+    conv = F.col("has_view") * F.col("has_purchase")
+    return (
+        per.where(F.col("has_view") == 1)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(conv).alias("n_converted"),
+            F.round(F.sum(conv).cast("double") / F.count("*"), 4).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
+@_register(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+        FROM toks GROUP BY tok
+    )
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST((SELECT sum(n) FROM counts WHERE rk <= k) AS BIGINT)
+               AS covered,
+           CAST((SELECT sum(n) FROM counts) AS BIGINT) AS total,
+           round(CAST((SELECT sum(n) FROM counts WHERE rk <= k) AS DOUBLE)
+                 / (SELECT sum(n) FROM counts), 4) AS coverage
+    FROM (SELECT unnest([5, 10, 20, 500]) AS k)
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the top-k most frequent tokens (Zipf head mass at k =
+    10/50/100/500) — sizes tokenizer vocabularies and stopword lists.
+    One token count (map-side combined), one rank window over |vocab|
+    rows, then a cumulative-sum lookup at the four curve points."""
+    from vector_io_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    total = ranked.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(5,), (10,), (20,), (500,)], "top_k long")
+    # <=k aggregation (not rank equality): robust when k exceeds |vocab|
+    at_k = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("rk") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(F.sum("n").alias("covered"))
+    )
+    return at_k.crossJoin(F.broadcast(total)).select(
+        "top_k",
+        "covered",
+        "total",
+        F.round(F.col("covered").cast("double") / F.col("total"), 4).alias(
+            "coverage"
+        ),
+    )
