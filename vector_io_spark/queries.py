@@ -5069,35 +5069,37 @@ def quota_constrained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS dirty_name
         FROM customer
     ),
-    b1 AS (
-        SELECT d.dirty_id, c.c_custkey,
-               levenshtein(d.dirty_name, c.c_name) AS dist
-        FROM dirty d JOIN clean c
-          ON substr(d.dirty_name, 13, 6) = substr(c.c_name, 13, 6)
-         AND length(d.dirty_name) = length(c.c_name)
+    dv AS (
+        SELECT dirty_id, dirty_name, t.i AS i,
+               substr(dirty_name, 1, t.i - 1)
+               || substr(dirty_name, t.i + 1) AS variant
+        FROM dirty, LATERAL (SELECT unnest(range(10, 19)) AS i) t
     ),
-    b2 AS (
-        SELECT d.dirty_id, c.c_custkey,
-               levenshtein(d.dirty_name, c.c_name) AS dist
-        FROM dirty d JOIN clean c
-          ON substr(d.dirty_name, 1, 12) = substr(c.c_name, 1, 12)
-         AND length(d.dirty_name) = length(c.c_name)
+    cv AS (
+        SELECT c_custkey, c_name, t.i AS i,
+               substr(c_name, 1, t.i - 1) || substr(c_name, t.i + 1)
+                   AS variant
+        FROM clean, LATERAL (SELECT unnest(range(10, 19)) AS i) t
     )
-    SELECT DISTINCT dirty_id, c_custkey, CAST(dist AS BIGINT) AS dist
-    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
-    WHERE dist <= 1
+    SELECT DISTINCT dirty_id, c_custkey,
+           CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
+    FROM dv JOIN cv USING (i, variant)
+    WHERE levenshtein(dirty_name, c_name) <= 1
     """,
 )
 def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution without the cross join: records with one
-    corrupted character resolve back to their source via MULTI-PASS
-    BLOCKING (two complementary substring keys — a single-char edit can
-    break at most one, so the union has full recall by construction)
-    and Levenshtein verification on block-colliding pairs only. The
-    blocking joins are equi-joins on short keys — candidate volume is
-    |block collisions|, never n²; this is the scalable shape of
-    dedupe/record-linkage at 100 TB. Integer edit distances — exact in
-    any engine."""
+    corrupted character resolve back to their source via a DELETION-
+    NEIGHBORHOOD join — each side emits its name with position i deleted
+    (i over the region where edits can occur), and two same-length names
+    are substitution-distance <= 1 IFF some deletion variant matches
+    exactly. The equi-join key (i, 17-char variant) carries the string's
+    full entropy, so blocks stay tiny no matter how skewed any substring
+    is — the failure mode of naive substring blocking on zero-padded
+    ids (a near-constant prefix block degenerates to a quadratic
+    verify). Candidate volume ~= |true matches|; Levenshtein re-verifies
+    each. Exact integer distances, identical result set to a full
+    cross-join + dist <= 1 filter."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     dirty = c.select(
         (F.col("c_custkey") + 1000000).alias("dirty_id"),
@@ -5107,28 +5109,28 @@ def fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1)"),
         ).alias("dirty_name"),
     )
-    clean = c
-    pairs = []
-    for lo, ln in ((13, 6), (1, 12)):
-        cond = (
-            (
-                F.substring(F.col("dirty_name"), lo, ln)
-                == F.substring(F.col("c_name"), lo, ln)
-            )
-            & (F.length("dirty_name") == F.length("c_name"))
+    idx = F.explode(F.sequence(F.lit(10), F.lit(18))).alias("i")
+
+    def variants(df, name_col):
+        return df.select("*", idx).withColumn(
+            "variant",
+            F.concat(
+                F.expr(f"substr({name_col}, 1, i - 1)"),
+                F.expr(f"substr({name_col}, i + 1)"),
+            ),
         )
-        pairs.append(
-            dirty.join(clean, cond).select(
-                "dirty_id",
-                "c_custkey",
-                F.levenshtein(F.col("dirty_name"), F.col("c_name"))
-                .cast("long")
-                .alias("dist"),
-            )
-        )
+
+    dv = variants(dirty, "dirty_name")
+    cv = variants(c, "c_name")
     return (
-        pairs[0]
-        .unionByName(pairs[1])
+        dv.join(cv, ["i", "variant"])
+        .select(
+            "dirty_id",
+            "c_custkey",
+            F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+            .cast("long")
+            .alias("dist"),
+        )
         .where(F.col("dist") <= 1)
         .distinct()
     )
