@@ -419,3 +419,95 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_global_rank_family_has_no_single_partition_window(spark, sf_dir):
+    """rfm_segments and customer_revenue_percentiles compute exact global
+    ntile/percent_rank/cume_dist — historically via unpartitioned windows
+    (single-task sort of every user/customer; WindowGroupLimit cannot
+    rescue rank-less window functions). The distributed two-pass rank in
+    operators/ranks.py must keep these plans free of ANY unpartitioned
+    window operator."""
+    from vector_io_spark.plans import assert_no_unpartitioned_window
+    from vector_io_spark.queries import QUERIES
+
+    for name in ("rfm_segments", "customer_revenue_percentiles"):
+        assert_no_unpartitioned_window(QUERIES[name](spark, sf_dir))
+
+
+def test_attach_global_rank_matches_window_row_number(spark):
+    """Bit-exactness of the distributed rank vs the single-partition
+    window it replaces, including ntile's uneven-bucket distribution
+    (97 rows / 10 buckets -> first 7 buckets get 10, rest get 9)."""
+    from pyspark.sql import Window
+
+    from vector_io_spark.operators.ranks import (
+        attach_global_rank,
+        exact_cume_dist,
+        exact_ntile,
+        exact_percent_rank,
+    )
+
+    df = spark.range(0, 97).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 19).alias("key"),  # heavy ties
+    )
+    order = [F.col("key").desc(), F.col("id").asc()]
+    got = (
+        attach_global_rank(df, order, rank_col="rk", total_col="tot")
+        .select(
+            "id",
+            F.col("rk"),
+            exact_ntile(10, "rk", "tot").alias("nt"),
+            F.round(exact_percent_rank("rk", "tot"), 9).alias("pr"),
+            F.round(exact_cume_dist("rk", "tot"), 9).alias("cd"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    w = Window.orderBy(*order)
+    want = (
+        df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.ntile(10).over(w).cast("long").alias("nt"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_attach_global_rank_empty_and_single_row(spark):
+    from vector_io_spark.operators.ranks import attach_global_rank
+
+    empty = spark.range(0).select(F.col("id"))
+    out = attach_global_rank(empty, [F.col("id")], rank_col="rk", total_col="t")
+    assert out.count() == 0 and set(out.columns) == {"id", "rk", "t"}
+
+    one = attach_global_rank(
+        spark.range(5, 6), [F.col("id")], rank_col="rk", total_col="t"
+    ).collect()
+    assert [(r["rk"], r["t"]) for r in one] == [(1, 1)]
+
+
+def test_global_topk_window_group_limit_fires(spark, sf_dir):
+    """Every global row_number-top-k in the headline set is scale-safe
+    ONLY because WindowGroupLimit pre-truncates map-side. Gate each plan
+    so an expression change that disqualifies the rank filter (reverting
+    to a full single-partition sort) fails loudly instead of silently."""
+    from vector_io_spark.plans import assert_window_group_limit
+    from vector_io_spark.queries import QUERIES
+
+    for name in (
+        "returned_item_report",
+        "suppliers_kept_waiting",
+        "cms_heavy_hitters",
+        "hybrid_rrf_search",
+        "sparse_keyword_retrieval",
+        "quota_constrained_topk",
+        "vocab_coverage",
+    ):
+        assert_window_group_limit(QUERIES[name](spark, sf_dir))

@@ -115,12 +115,16 @@ def rfm_segments(
     digits concatenate into the segment label ('111' = champions).
 
     Scale shape: the events table collapses to one row per user in a
-    single hash aggregate (the only data-proportional shuffle); the
-    ntile windows sort just the per-user aggregate, which is orders of
-    magnitude smaller than the event log. At extreme user counts swap
-    ntile for approx-quantile cut points — same output contract.
+    single hash aggregate (the only data-proportional shuffle). Each
+    quartile score then comes from a DISTRIBUTED exact global rank
+    (operators/ranks.py: range-partition → per-partition counts →
+    broadcast offsets → arithmetic ntile) — never an unpartitioned
+    ntile window, which would sort every user on one task. Three range
+    shuffles of the per-user aggregate replace three single-partition
+    sorts; results are bit-identical (total order via the user-id
+    tie-break).
     """
-    from pyspark.sql import Window
+    from vector_io_spark.operators.ranks import attach_global_rank, exact_ntile
 
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     per_user = events.groupBy(user_col).agg(
@@ -131,20 +135,29 @@ def rfm_segments(
         (F.sum(cents) / 100.0).alias("monetary"),
     )
     uid = F.col(user_col).asc()
-    w_r = Window.orderBy(F.col("recency_days").asc(), uid)
-    w_f = Window.orderBy(F.col("frequency").desc(), uid)
-    w_m = Window.orderBy(F.col("monetary").desc(), uid)
-    return per_user.select(
+    scored = per_user
+    for name, order in (
+        ("r_score", [F.col("recency_days").asc(), uid]),
+        ("f_score", [F.col("frequency").desc(), uid]),
+        ("m_score", [F.col("monetary").desc(), uid]),
+    ):
+        scored = attach_global_rank(
+            scored, order, rank_col="_rk", total_col="_tot"
+        )
+        scored = scored.withColumn(
+            name, exact_ntile(buckets, "_rk", "_tot")
+        ).drop("_rk", "_tot")
+    return scored.select(
         user_col,
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(buckets).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(buckets).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(buckets).over(w_m).cast("bigint").alias("m_score"),
-    ).withColumn(
-        "segment",
-        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
     )
 
 

@@ -82,3 +82,54 @@ def count_broadcast_joins(df: DataFrame) -> int:
 def codegen_stage_count(df: DataFrame) -> int:
     plan = simple_plan(df)
     return plan.count("WholeStageCodegen")
+
+
+def _walk_jvm_plan(node, out: list) -> None:
+    out.append(node)
+    children = node.children()
+    for i in range(children.size()):
+        _walk_jvm_plan(children.apply(i), out)
+
+
+def count_unpartitioned_windows(df: DataFrame) -> int:
+    """Number of window operators with an EMPTY partition spec — each one
+    moves its whole input to a single partition (the straggler pattern
+    WindowGroupLimit can rescue only for rank<=k filters; ntile and
+    percent_rank windows have no such rescue). Zero is the only
+    acceptable count for data-proportional inputs at 100 TB."""
+    nodes: list = []
+    _walk_jvm_plan(df._jdf.queryExecution().sparkPlan(), nodes)
+    n = 0
+    for nd in nodes:
+        name = nd.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec"):
+            if nd.partitionSpec().isEmpty():
+                n += 1
+    return n
+
+
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    n = count_unpartitioned_windows(df)
+    assert n == 0, (
+        f"{n} unpartitioned (single-task) window(s) in plan:\n"
+        f"{simple_plan(df)}"
+    )
+
+
+def assert_window_group_limit(df: DataFrame) -> None:
+    """Assert Spark's WindowGroupLimit optimization fired: a global
+    row_number().over(orderBy(...)) <= k top-k is only scale-safe because
+    each map task pre-truncates to k rows before the single-partition
+    window sees anything. If an expression change disqualifies the rank
+    filter, the plan silently reverts to a full single-partition sort —
+    this gate makes that loud."""
+    plan = simple_plan(df)
+    # Two equally scale-safe rescues exist: InferWindowGroupLimit
+    # (map-side per-partition truncation to k) and
+    # LimitPushDownThroughWindow (an outer LIMIT k rewrites the window
+    # input to a distributed TakeOrderedAndProject). Either one keeps
+    # the single-partition window's input at O(k).
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+        f"neither WindowGroupLimit nor TakeOrderedAndProject fired — global "
+        f"top-k would move the full input to one task; plan:\n{plan}"
+    )

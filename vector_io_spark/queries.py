@@ -4670,22 +4670,36 @@ def ann_topk_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile over per-customer revenue — the
     remaining ranking-window family members (row_number/ntile appear in
-    Q10/RFM). The window sorts the per-customer AGGREGATE (|customers|
-    rows), never order rows; fully deterministic ordering via the
-    (revenue, custkey) tie-break."""
+    Q10/RFM). All three derive from ONE distributed exact global rank
+    (operators/ranks.py: range-partition + broadcast offsets), not an
+    unpartitioned window — the per-customer aggregate never lands on a
+    single task. The (revenue, custkey) tie-break makes the order total,
+    which is what licenses the arithmetic percent_rank/cume_dist."""
+    from vector_io_spark.operators.ranks import (
+        attach_global_rank,
+        exact_cume_dist,
+        exact_ntile,
+        exact_percent_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         (
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
         ).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
-    return per.select(
+    ranked = attach_global_rank(
+        per,
+        [F.col("revenue").asc(), F.col("o_custkey").asc()],
+        rank_col="_rk",
+        total_col="_tot",
+    )
+    return ranked.select(
         "o_custkey",
         F.round("revenue", 2).alias("revenue"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(exact_percent_rank("_rk", "_tot"), 6).alias("pct_rank"),
+        F.round(exact_cume_dist("_rk", "_tot"), 6).alias("cume"),
+        exact_ntile(10, "_rk", "_tot").alias("decile"),
     )
 
 
@@ -5244,10 +5258,16 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the fraction of all token occurrences
     covered by the top-k most frequent tokens (Zipf head mass at k =
     10/50/100/500) — sizes tokenizer vocabularies and stopword lists.
-    One token count (map-side combined), one rank window over |vocab|
-    rows, then a cumulative-sum lookup at the four curve points."""
+    One token count (map-side combined), one LITERAL rk <= max(k)
+    filter directly on the rank window — that literal is what lets
+    InferWindowGroupLimit truncate each map task to max(k) rows before
+    the global sort (a filter against the joined k column would not
+    qualify and the window would sort the whole vocabulary on one
+    task). `total` sums the UNRANKED counts so it never forces the full
+    window either."""
     from vector_io_spark.functions.text import tokens as _tokens
 
+    curve_ks = [5, 10, 20, 500]
     d = _t(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(_tokens("text")).alias("tok"))
@@ -5255,9 +5275,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    ranked = counts.withColumn("rk", F.row_number().over(w))
-    total = ranked.agg(F.sum("n").alias("total"))
-    ks = spark.createDataFrame([(5,), (10,), (20,), (500,)], "top_k long")
+    ranked = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= max(curve_ks)
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(k,) for k in curve_ks], "top_k long")
     # <=k aggregation (not rank equality): robust when k exceeds |vocab|
     at_k = (
         ranked.crossJoin(F.broadcast(ks))
