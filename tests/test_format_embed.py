@@ -248,3 +248,46 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         ranges.sort()
         for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2  # disjoint id ranges across files
+
+
+def test_zorder_value_rejects_sign_bit_overflow(spark):
+    """4 columns at the default bits=16 would interleave into bit 63 —
+    the long's sign bit — making negative z-values sort first and
+    breaking range-partition locality. Must raise, not silently wrap."""
+    import pytest
+
+    from vector_io_spark.format.bucketing import zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(["a", "b", "c", "d"], [0, 0, 0, 0], [1, 1, 1, 1], bits=16)
+    # 4 cols at 15 bits (60 total) is fine
+    zorder_value(["a", "b", "c", "d"], [0, 0, 0, 0], [1, 1, 1, 1], bits=15)
+
+
+def test_bm25_sql_custom_pattern_and_quoted_terms(spark, sf_dir):
+    """bm25_sql must mirror bm25_scores for a non-default token pattern
+    and must not break on a term containing a single quote."""
+    import duckdb
+
+    from tests.conftest import load
+    from vector_io_spark.operators.ranking import bm25_scores, bm25_sql
+
+    pattern = "[a-z0-9]+"
+    terms = ["hash", "o'brien", "42"]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, terms, pattern=pattern).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            bm25_sql("documents", terms, pattern=pattern)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

@@ -220,3 +220,81 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
         | ((F.col("user_id") % 2 != 0) & (F.col("segment") != "odd"))
     )
     assert bad.count() == 0
+
+
+def test_streaming_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """Stragglers arriving in a LATER micro-batch but within the
+    watermark must (a) never regress the open session's end/timeout,
+    (b) merge via min/max when inside [start-gap, last+gap], and
+    (c) close as their own earlier session when more than gap older
+    than the open session's start — not pollute the current one."""
+    import datetime as dt
+
+    from vector_io_spark.streaming.stateful import streaming_sessionize
+
+    landing = str(tmp_path / "o_landing")
+    out_dir = str(tmp_path / "o_out")
+    ckpt = str(tmp_path / "o_ckpt")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def run():
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        sess = streaming_sessionize(stream, gap_seconds=60, watermark="1 hour")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    us = lambda s: int(ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    # batch 1: open session [1000, 1030]
+    spark.createDataFrame(
+        [(7, ts(1000), 1.0), (7, ts(1030), 2.0)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    assert spark.read.parquet(out_dir).count() == 0  # nothing closed yet
+
+    # batch 2, all older than the open session's end, all within the
+    # 1 h watermark: 900 is gap-older than start (1000-900 > 60) ->
+    # its own earlier session; 980 extends start (1000-980 <= 60);
+    # 1010 falls inside the session body
+    spark.createDataFrame(
+        [(7, ts(900), 4.0), (7, ts(980), 8.0), (7, ts(1010), 16.0)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got2 = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .orderBy("session_start_us")
+        .collect()
+    ]
+    assert got2 == [(7, us(900), us(900), 1, 4.0)]
+
+    # batch 3: a far-future event closes the merged open session —
+    # boundaries are min/max of all five events in [980, 1030]
+    spark.createDataFrame(
+        [(7, ts(5000), 32.0)],
+        "user_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got3 = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .orderBy("session_start_us")
+        .collect()
+    ]
+    assert got3 == [
+        (7, us(900), us(900), 1, 4.0),
+        (7, us(980), us(1030), 4, 27.0),
+    ]

@@ -81,6 +81,14 @@ def zorder_value(
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        # the top interleaved bit would land in the long's sign bit:
+        # negative z-values sort before all positive ones and break
+        # range-partition locality (e.g. 4 cols at the default bits=16)
+        raise ValueError(
+            f"bits * len(cols) = {bits * n} > 63 overflows the signed-long "
+            f"z-value; lower bits to <= {63 // n} for {n} columns"
+        )
     scaled = []
     top = (1 << bits) - 1
     for c, lo, hi in zip(cols, mins, maxs):

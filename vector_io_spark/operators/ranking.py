@@ -105,15 +105,23 @@ def bm25_sql(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    pattern: str = WORD_RE,
     scale: int = 6,
 ) -> str:
-    """DuckDB oracle replicating :func:`bm25_scores` bit-for-bit."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    """DuckDB oracle replicating :func:`bm25_scores` bit-for-bit.
+
+    ``pattern`` mirrors bm25_scores' tokenizer regex — both engines use
+    RE2-compatible syntax, so the pattern splices through verbatim
+    (single quotes escaped). Terms are likewise quote-escaped, so a
+    term containing ``'`` can't break or silently diverge the oracle.
+    """
+    sq = lambda s: s.replace("'", "''")
+    terms = ", ".join(f"'{sq(t)}'" for t in query_terms)
     unit = float(10 ** scale)
     return f"""
     WITH d AS (
         SELECT {id_col},
-               regexp_extract_all(lower({text_col}), '[a-z]+') AS toks
+               regexp_extract_all(lower({text_col}), '{sq(pattern)}') AS toks
         FROM {table}
     ),
     pd AS (SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl,

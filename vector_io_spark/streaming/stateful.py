@@ -105,6 +105,20 @@ def streaming_sessionize(
     Late events older than the watermark are dropped by Spark before the
     operator runs (exactly the documented watermark contract).
 
+    Out-of-order events WITHIN the watermark (arriving in a later
+    micro-batch than newer events) are handled against the nearest
+    session boundary: the batch is first sessionized on its own sorted
+    timeline, then interval-merged with the open session — an event
+    inside ``[start - gap, last + gap]`` extends via min/max (never
+    regressing ``session_end_us`` or the timeout), and an event more
+    than ``gap_seconds`` older than the open session's start closes as
+    its own earlier session rather than polluting the current one.
+    Best-effort caveat (state holds only ONE open session): such an
+    earlier session is emitted at the end of the micro-batch, so a
+    still-later straggler that would have merged into it starts a fresh
+    session instead — the documented divergence from the batch twin,
+    which sees the whole timeline at once.
+
     Output: (user, session_start_us, session_end_us, n_events,
     value_sum) per CLOSED session, append mode.
     """
@@ -144,22 +158,37 @@ def streaming_sessionize(
             if value_col is not None
             else pd.Series([0.0] * len(batch))
         )
-        if state.exists:
-            cur = list(state.get)
-        else:
-            cur = None
-        closed = []
+        # 1. sessionize this batch on its own (sorted) timeline
+        sessions: list[list] = []
         for t, v in zip(ts_us.to_numpy(), vals.to_numpy()):
             t = int(t)
-            if cur is None:
-                cur = [t, t, 1, float(v)]
-            elif t - cur[1] > gap_us:
-                closed.append(cur)
-                cur = [t, t, 1, float(v)]
+            if not sessions or t - sessions[-1][1] > gap_us:
+                sessions.append([t, t, 1, float(v)])
             else:
-                cur[1] = t
-                cur[2] += 1
-                cur[3] += float(v)
+                s = sessions[-1]
+                s[1] = t
+                s[2] += 1
+                s[3] += float(v)
+        # 2. interval-merge with the open session from state: sessions
+        # within gap of each other's nearest boundary coalesce with
+        # min/max extents, so a straggler can never regress the open
+        # session's end or land in the wrong session
+        if state.exists:
+            sessions.append(list(state.get))
+            sessions.sort(key=lambda s: (s[0], s[1]))
+            merged = [sessions[0]]
+            for s in sessions[1:]:
+                p = merged[-1]
+                if s[0] - p[1] <= gap_us:
+                    p[0] = min(p[0], s[0])
+                    p[1] = max(p[1], s[1])
+                    p[2] += s[2]
+                    p[3] += s[3]
+                else:
+                    merged.append(s)
+            sessions = merged
+        closed = sessions[:-1]
+        cur = sessions[-1]
         state.update(tuple(cur))
         # close the open session when the watermark passes last + gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
