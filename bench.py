@@ -2,7 +2,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: [min, max]}, "n": N, "sf": ...}.
+
+Protocol (pinned in round 3): each query runs $SPARK_GRAFT_BENCH_N times
+(default 3, interleaved round-robin so scheduler noise doesn't correlate
+with one query); "queries" reports the per-query MEDIAN and "spread" the
+[min, max] envelope — single-run numbers on 1-3 s pandas-UDF stages were
+±40% scheduling noise, which medians separate from real regressions.
 
 Queries execute through the noop sink (full plan runs, nothing collected,
 nothing pruned by a count-only optimization).
@@ -52,6 +58,11 @@ BENCH_QUERIES = [
     "suppliers_kept_waiting",  # Q21 shape: decorrelated exists/not-exists
     "embedding_covariance",  # fixed-point exact d x d moment aggregation
     "conversion_attribution",  # one-window-pass first/last touch
+    "rfm_segments",          # distributed exact ntile (ranks.py two-pass)
+    "customer_revenue_percentiles",  # distributed percent_rank/cume/ntile
+    "vocab_coverage",        # WindowGroupLimit-gated Zipf head mass
+    "hybrid_rrf_search",     # bm25 + dense legs, RRF fusion
+    "fuzzy_entity_resolution",  # deletion-neighborhood blocking + verify
 ]
 
 
@@ -100,15 +111,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # no clearCache needed: operators release their own caches
-        # (dedup._materialize_release unpersists signature/shingle
-        # intermediates before returning)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    samples: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES}
+    for _rep in range(n_runs):
+        for name in BENCH_QUERIES:
+            fn = registry[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            # no clearCache needed: operators release their own caches
+            # (dedup._materialize_release unpersists signature/shingle
+            # intermediates before returning)
+
+    import statistics
+
+    timings = {q: round(statistics.median(s), 3) for q, s in samples.items()}
+    spread = {q: [min(s), max(s)] for q, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -122,6 +140,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n": n_runs,
                 "sf": sf_val,
             }
         )
