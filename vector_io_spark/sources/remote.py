@@ -644,7 +644,10 @@ CONNECTORS = {
 }
 
 # cloud adapters (Vertex AI, AstraDB JSON/CQL, KDB.AI, Vespa, Weaviate)
-# live in remote_cloud.py; one merged registry for the CLI / callers
+# live in remote_cloud.py; txtai + Azure AI Search in remote_extra.py;
+# one merged registry for the CLI / callers
 from vector_io_spark.sources.remote_cloud import CLOUD_CONNECTORS  # noqa: E402
+from vector_io_spark.sources.remote_extra import EXTRA_CONNECTORS  # noqa: E402
 
 CONNECTORS.update(CLOUD_CONNECTORS)
+CONNECTORS.update(EXTRA_CONNECTORS)
