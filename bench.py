@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "vocab_coverage",        # WindowGroupLimit-gated Zipf head mass
     "hybrid_rrf_search",     # bm25 + dense legs, RRF fusion
     "fuzzy_entity_resolution",  # deletion-neighborhood blocking + verify
+    "ann_topk_pq_exact",     # oracle-exact distributed PQ train+ADC rank
 ]
 
 

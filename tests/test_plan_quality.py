@@ -511,3 +511,17 @@ def test_global_topk_window_group_limit_fires(spark, sf_dir):
         "vocab_coverage",
     ):
         assert_window_group_limit(QUERIES[name](spark, sf_dir))
+
+
+def test_pq_exact_broadcasts_codebook_and_lut(spark, sf_dir):
+    """The exact-PQ ADC scan must keep every corpus-side join broadcast
+    (centroids m*K*sub_dim rows, LUTs |queries|*m*K rows) — the corpus
+    shuffles only for the training aggregates and the final per-query
+    ADC sum, never for a join."""
+    from vector_io_spark.plans import formatted_plan
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["ann_topk_pq_exact"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

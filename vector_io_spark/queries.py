@@ -5295,3 +5295,63 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@_register(
+    "pq_train_encode",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["pq_exact_sql"]
+    ).pq_exact_sql(output="codes"),
+)
+def pq_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PQ codebook training + corpus encoding, ORACLE-EXACT:
+    fixed-point k-means (md5-seeded init, 2 Lloyd updates, integer
+    distances, exact-sum means) whose every intermediate is bit-identical
+    to the unrolled-CTE DuckDB replay — the hash-verified counterpart of
+    the numpy-trained scale path in ann_topk_pq (operators/pq_exact.py).
+    Output: one (vec_id, subspace, code) row per corpus subvector."""
+    from vector_io_spark.operators.pq_exact import pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, _ = pq_train(emb)
+    return codes
+
+
+@_register(
+    "pq_trained_codebook",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["pq_exact_sql"]
+    ).pq_exact_sql(output="codebook"),
+)
+def pq_trained_codebook_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook itself (s, c, j, cq fixed-point
+    coordinates) as a query output — DuckDB retrains from scratch via
+    the same deterministic procedure and must land on identical
+    centroids, closing the 'emit the trained codebooks, verifiable in
+    SQL' correctness gap for the PQ family."""
+    from vector_io_spark.operators.pq_exact import pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cent = pq_train(emb)
+    return cent
+
+
+@_register(
+    "ann_topk_pq_exact",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["pq_adc_sql"]
+    ).pq_adc_sql(),
+)
+def ann_topk_pq_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k with a FULL hash-exact oracle: the
+    codebook trains distributedly in exact fixed-point (pq_exact.py),
+    the corpus scans as codes only, and DuckDB retrains + re-ranks from
+    scratch to the identical result — the oracle-grade counterpart of
+    ann_topk_pq's numpy-sampled scale path."""
+    from vector_io_spark.operators.pq_exact import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries)
