@@ -49,7 +49,7 @@ def test_remote_connector_registry_importable():
     assert set(CONNECTORS) == {
         "qdrant", "pinecone", "milvus", "chroma", "lancedb", "turbopuffer",
         "vertexai_vectorsearch", "astradb", "astradb_cql", "kdbai",
-        "vespa", "weaviate",
+        "vespa", "weaviate", "txtai", "azureai",
     }
     # constructors are import-gated with a clear message
     with pytest.raises(ImportError, match="qdrant_client"):
@@ -88,3 +88,33 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_lsh_max_bucket_cap_drops_mega_bucket_only(spark):
+    """max_bucket_size excludes boilerplate mega-buckets from pair
+    generation while pairs from small buckets survive — the worst-case
+    guard for template/empty-page clusters whose band bucket would
+    otherwise self-join quadratically."""
+    from vector_io_spark.operators.dedup import minhash_lsh_dup_pairs
+
+    # 30 identical boilerplate docs (one mega bucket) + 2 distinct
+    # near-dup docs that share a small bucket
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(30)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_lsh_dup_pairs(df, "doc_id", "text", threshold=0.4)
+    capped = minhash_lsh_dup_pairs(
+        df, "doc_id", "text", threshold=0.4, max_bucket_size=10
+    )
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un_pairs and (100, 101) in cap_pairs
+    # the 30-doc boilerplate cluster contributes C(30,2)=435 pairs
+    # uncapped and zero capped (every band bucket holds all 30)
+    assert len(un_pairs) == 435 + 1
+    assert cap_pairs == {(100, 101)}

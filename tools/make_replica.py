@@ -64,7 +64,13 @@ def replicate_fact(spark: SparkSession, name: str, n: int) -> DataFrame:
         out = out.withColumn(c, F.col(c) + F.col("__copy") * F.lit(stride))
     if name == "documents":
         # per-copy re-tokenization: same-length md5 pseudo-words keep the
-        # token/char statistics, destroy cross-copy shingle overlap
+        # token/char statistics, destroy cross-copy shingle overlap.
+        # The pseudo-word alphabet must be LETTERS ONLY: raw md5 hex
+        # contains digits, and the engine's [a-z]+ tokenizers would split
+        # each pseudo-word at every digit into short a-f fragments — a
+        # collapsed shared vocabulary across all copies that produced
+        # artificial quadratic minhash-bucket collisions in the first
+        # round-3 sf1 bench (9.4M candidate pairs, max bucket 2004).
         out = out.withColumn(
             "text",
             F.when(F.col("__copy") == 0, F.col("text")).otherwise(
@@ -72,7 +78,13 @@ def replicate_fact(spark: SparkSession, name: str, n: int) -> DataFrame:
                     F.transform(
                         F.split(F.col("text"), " "),
                         lambda w: F.substring(
-                            F.md5(F.concat(w, F.col("__copy").cast("string"))),
+                            F.translate(
+                                F.md5(
+                                    F.concat(w, F.col("__copy").cast("string"))
+                                ),
+                                "0123456789",
+                                "ghijklmnop",
+                            ),
                             1,
                             F.length(w),
                         ),
@@ -82,12 +94,28 @@ def replicate_fact(spark: SparkSession, name: str, n: int) -> DataFrame:
             ),
         )
     if name == "embeddings":
+        # Per-copy perturbation must DECORRELATE copies, not just nudge
+        # them — and it must vary PER ROW: a per-(copy, dim)-only offset
+        # adds the same vector to every row of a copy, which (at unit
+        # embedding norms) makes whole copies nearly parallel and
+        # collapses each copy into one quadratic LSH mega-bucket
+        # (measured: max bucket 2102, 40M candidate pairs). The phase
+        # term mixes vec_id so every row gets its own offset direction;
+        # amplitude 0.1/dim on unit-norm vectors puts sibling cosine at
+        # ~0.87 — far from near-dup thresholds — while copy 0 stays
+        # pristine.
         out = out.withColumn(
             "embedding",
             F.transform(
                 F.col("embedding"),
                 lambda x, j: (
-                    x + F.sin((j + 1) * (F.col("__copy") + 1)) * F.lit(0.05)
+                    x
+                    + F.sin(
+                        (j + 1) * (F.col("__copy") * 7 + 3)
+                        + F.col("vec_id") * 0.618
+                    )
+                    * F.lit(0.1)
+                    * F.when(F.col("__copy") == 0, 0.0).otherwise(1.0)
                 ).cast("float"),
             ),
         )

@@ -162,6 +162,28 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Optional hot-bucket guard for LSH band joins: buckets larger than
+    the cap are EXCLUDED from pair generation. Real web corpora have
+    boilerplate clusters (empty pages, templates) whose members all land
+    in one band bucket and self-join quadratically; a true near-dup pair
+    inside a dropped mega-bucket still collides in one of the OTHER
+    bands with high probability, so the recall cost is small while the
+    worst-case cost drops from O(max_bucket²) to O(cap²·n_buckets).
+    Default None (exact banding semantics — the oracle-checked paths
+    pass None)."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        banded.withColumn("__bucket_n", F.count("*").over(w))
+        .where(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -170,6 +192,7 @@ def minhash_lsh_dup_pairs(
     shingle_k: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding, verified with the
     estimated Jaccard from full signatures.
@@ -179,6 +202,9 @@ def minhash_lsh_dup_pairs(
     verify sig-overlap >= threshold. The only shuffles move (band_key, id)
     pairs — tiny — and the band join only collides near-duplicates, so at
     100 TB the join output is ~|duplicate pairs|, not |rows|².
+    ``max_bucket_size`` guards against boilerplate mega-buckets (see
+    :func:`_cap_buckets`) — set it on corpora with template/empty-page
+    clusters; leave None for exact banding semantics.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -208,6 +234,7 @@ def minhash_lsh_dup_pairs(
     banded = banded_src.select(
         id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
     )
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     est = (
@@ -519,8 +546,9 @@ def dedup_embedding_cosine(
     vec_col: str,
     threshold: float = 0.95,
     method: str = "lsh",
-    num_planes: int = 32,
-    bands: int = 4,
+    num_planes: int = 128,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
@@ -535,9 +563,19 @@ def dedup_embedding_cosine(
     (sign bits of dot(v, plane_i) using deterministic md5-derived planes),
     band join on signature chunks, cosine verify. The cross product never
     materializes; only hash-colliding (i.e. angularly close) pairs meet.
-    Defaults (32 planes / 4 bands = 8-bit band keys) keep random-vector
-    bucket collisions ~1/256 per band while near-dups (cosine >= 0.95,
-    angle <= 18°) still collide with high probability.
+
+    Geometry sizing: band-key width = num_planes/bands BITS, so the
+    bucket space per band is 2^(num_planes/bands) — it must exceed the
+    corpus size or bucket occupancy (and pair generation) grows
+    LINEARLY with n, making the join quadratic. The round-2 default
+    (32/4 = 8-bit keys = 256 buckets) hit exactly that wall at a 40k-
+    vector bench: ~150 vectors/bucket, ~12M candidate pairs. Defaults
+    are now 128 planes / 8 bands = 16-bit keys (65k buckets; recall at
+    the 0.95 threshold boundary ~0.80 per the (1-θ/π)^16-per-band
+    curve, ~0.994 at 0.99, 1.0 for exact twins); size bits/band ≈
+    log2(corpus) + slack, and raise bands to recover recall.
+    ``max_bucket_size`` additionally guards boilerplate mega-buckets
+    (:func:`_cap_buckets`).
 
     Returns (id_a, id_b, cos_sim), id_a < id_b.
     """
@@ -573,7 +611,10 @@ def dedup_embedding_cosine(
             & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
         )
         sig_df = _hyperplane_signature(nonzero, id_col, vec_col, num_planes)
-        cand = _signature_band_pairs(sig_df, id_col, num_planes, bands=bands)
+        cand = _signature_band_pairs(
+            sig_df, id_col, num_planes, bands=bands,
+            max_bucket_size=max_bucket_size,
+        )
         pairs = (
             cand.join(df.select(F.col(id_col).alias("id_a"), F.col(vec_col)), "id_a")
             .withColumnRenamed(vec_col, "__va")
@@ -649,7 +690,11 @@ def _hyperplane_signature(
 
 
 def _signature_band_pairs(
-    sig_df: DataFrame, id_col: str, num_planes: int, bands: int
+    sig_df: DataFrame,
+    id_col: str,
+    num_planes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     sig_df = sig_df.persist()  # feeds both sides of the self-join
     sig_df.count()  # eager fill: the self-join's concurrent map stages
@@ -662,6 +707,7 @@ def _signature_band_pairs(
         ]
     )
     banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band_id", "band_key"))
+    banded = _cap_buckets(banded, max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
