@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "hybrid_rrf_search",     # bm25 + dense legs, RRF fusion
     "fuzzy_entity_resolution",  # deletion-neighborhood blocking + verify
     "ann_topk_pq_exact",     # oracle-exact distributed PQ train+ADC rank
+    "ann_topk_ivf_exact",    # oracle-exact IVF coarse quantizer + probe
 ]
 
 

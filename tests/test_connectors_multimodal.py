@@ -294,3 +294,65 @@ def test_resize_media_fake_kernel(spark, sf_dir):
 
     with _pytest.raises(Exception, match="NotImplementedError|real resize"):
         resize_media(with_meta, "blob", decoder="stub").collect()
+
+
+def test_pil_decoder_gate_raises_without_pillow(spark, sf_dir):
+    """decoder='pil' must fail fast on the driver with an actionable
+    ImportError when pillow is absent (this container), never a
+    per-task executor failure."""
+    import importlib.util
+
+    import pytest
+
+    from vector_io_spark.operators.multimodal import extract_media_features
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("pillow installed — covered by test_pil_real_decode")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    with pytest.raises(ImportError, match="pillow"):
+        extract_media_features(docs, "blob", decoder="pil")
+
+
+def test_pil_real_decode_features_and_resize(spark):
+    """Real-codec path: decode a generated PNG, extract true
+    width/height/channel features, bilinear-resize, and verify the
+    output re-decodes at the target size. Skips where pillow is not
+    installed; everything upstream of the kernel is identical to the
+    fake-kernel path already tested."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from vector_io_spark.operators.multimodal import (
+        extract_media_features,
+        resize_media,
+    )
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(32, 16, (255, 0, 0))), (2, png(8, 8, (0, 128, 0)))],
+        "id long, blob binary",
+    )
+    feats = {
+        r["id"]: r["f"]
+        for r in extract_media_features(df, "blob", out_col="f", decoder="pil")
+        .select("id", "f")
+        .collect()
+    }
+    assert feats[1][:3] == [32.0, 16.0, 3.0]  # width, height, channels
+    assert feats[1][3] == 255.0 and feats[1][4] == 0.0  # R mean, G mean
+    assert feats[2][:3] == [8.0, 8.0, 3.0]
+
+    out = resize_media(df, "blob", target_width=4, target_height=4, decoder="pil")
+    for r in out.select("blob_resized").collect():
+        img = Image.open(io.BytesIO(bytes(r["blob_resized"])))
+        assert img.size == (4, 4)

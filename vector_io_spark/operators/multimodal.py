@@ -85,6 +85,49 @@ def _fake_features(data: bytes | None) -> list[float] | None:
     ]
 
 
+def _import_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:
+        raise ImportError(
+            "decoder='pil' requires pillow (pip install pillow); it is not "
+            "installed in this environment — use decoder='fake' for the "
+            "deterministic byte-level kernel"
+        ) from e
+    return Image
+
+
+def _pil_features(image_mod, data: bytes | None) -> list[float] | None:
+    """Real image kernel: decode with PIL, 8 features = width, height,
+    channel count, per-channel means (first 3), global pixel std, and
+    byte length — enough to drive dedup/quality filters on real images."""
+    if data is None:
+        return None
+    import io
+    import statistics
+
+    img = image_mod.open(io.BytesIO(data))
+    img.load()
+    bands = img.getbands()
+    stats = [0.0, 0.0, 0.0]
+    pixels: list[float] = []
+    for i, _band in enumerate(bands[:3]):
+        hist_vals = list(img.getdata(band=i))
+        stats[i] = sum(hist_vals) / max(len(hist_vals), 1)
+        pixels.extend(float(v) for v in hist_vals)
+    std = statistics.pstdev(pixels) if pixels else 0.0
+    return [
+        float(img.width),
+        float(img.height),
+        float(len(bands)),
+        round(stats[0], 4),
+        round(stats[1], 4),
+        round(stats[2], 4),
+        round(std, 4),
+        float(len(data)),
+    ]
+
+
 def extract_media_features(
     df: DataFrame,
     binary_col: str,
@@ -94,16 +137,23 @@ def extract_media_features(
     """Decode + feature-extract as one ``mapInPandas`` stage.
 
     decoder='fake'  -> deterministic byte-level features (testable now)
-    decoder='stub'  -> NotImplementedError placeholder for a real codec
-                       (PIL / torchaudio / ffmpeg), marking exactly where
-                       the real kernel plugs in
+    decoder='pil'   -> real image decode via pillow (import-gated; the
+                       executor imports PIL lazily inside the kernel so
+                       the driver needs no codec)
+    decoder='stub'  -> NotImplementedError placeholder for the remaining
+                       codecs (ffmpeg / torchaudio), marking exactly
+                       where those kernels plug in
     """
+    if decoder == "pil":
+        _import_pil()  # fail fast on the driver, not per-task
+
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField(out_col, T.ArrayType(T.FloatType()), True)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _import_pil() if decoder == "pil" else None
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
@@ -111,10 +161,16 @@ def extract_media_features(
                     "not available in this environment; use decoder='fake'"
                 )
             out = pdf.copy()
-            out[out_col] = [
-                _fake_features(bytes(b) if b is not None else None)
-                for b in pdf[binary_col]
-            ]
+            if decoder == "pil":
+                out[out_col] = [
+                    _pil_features(image_mod, bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
+            else:
+                out[out_col] = [
+                    _fake_features(bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -171,18 +227,23 @@ def resize_media(
     """Resize plumbing (image thumbnailing / audio downsampling): the
     fake kernel deterministically subsamples the byte stream to
     ``target_width*target_height`` bytes (stride sampling — stands in
-    for bilinear resize); ``decoder='stub'`` marks where PIL's
-    ``Image.resize`` plugs in. The metadata struct is updated so
-    downstream ops see the new dimensions. Same no-bytes-through-shuffle
-    rule: resize BEFORE any join/groupBy so shuffles carry thumbnails,
-    not originals."""
+    for bilinear resize); ``decoder='pil'`` does a REAL bilinear
+    ``Image.resize`` and re-encodes to PNG (import-gated pillow, lazy
+    executor-side import); ``decoder='stub'`` marks where the remaining
+    codecs plug in. The metadata struct is updated so downstream ops see
+    the new dimensions. Same no-bytes-through-shuffle rule: resize
+    BEFORE any join/groupBy so shuffles carry thumbnails, not
+    originals."""
     out_col = out_col or f"{binary_col}_resized"
     target = target_width * target_height
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)]
     )
+    if decoder == "pil":
+        _import_pil()  # fail fast on the driver, not per-task
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _import_pil() if decoder == "pil" else None
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
@@ -196,7 +257,18 @@ def resize_media(
                     resized.append(None)
                     continue
                 b = bytes(blob)
-                if len(b) <= target:
+                if decoder == "pil":
+                    import io
+
+                    img = image_mod.open(io.BytesIO(b))
+                    small = img.resize(
+                        (target_width, target_height),
+                        image_mod.Resampling.BILINEAR,
+                    )
+                    buf = io.BytesIO()
+                    small.save(buf, format="PNG")
+                    resized.append(buf.getvalue())
+                elif len(b) <= target:
                     resized.append(b)
                 else:
                     stride = len(b) / target

@@ -5355,3 +5355,25 @@ def ann_topk_pq_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(emb, queries)
+
+
+@_register(
+    "ann_topk_ivf_exact",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["ivf_exact_sql"]
+    ).ivf_exact_sql(),
+)
+def ann_topk_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN with a FULL hash-exact oracle: fixed-point
+    k-means coarse quantizer (one subspace spanning all dims), nprobe
+    nearest-cell probing, exact integer distances within probed cells —
+    DuckDB retrains/re-probes/re-ranks to the identical result. The
+    oracle-grade counterpart of ann_topk_ivf's sampled numpy path;
+    closes the IVF family's rows-only correctness gap."""
+    from vector_io_spark.operators.pq_exact import ivf_exact_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_exact_topk(emb, queries)
