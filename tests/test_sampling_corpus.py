@@ -353,3 +353,38 @@ def test_cms_overestimates_never_under(spark):
     truth = {"alpha": 1000, "beta": 250, "uniqah": 1, "absent": 0}
     for k, v in truth.items():
         assert est[k] >= v
+
+
+def test_bpe_learns_expected_merges_on_toy_corpus(spark):
+    """BPE on a corpus where 'ab' dominates: first merge must be (a, b)
+    with the exact weighted count; after merging, 'ab' exists as one
+    symbol in the vocabulary and the pre-merge pair is gone."""
+    from vector_io_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("abab abab abx",), ("abab zz",), ("abx zz zz",)],
+        "text string",
+    )
+    # words: abab x3, abx x2, zz x3
+    merges, vocab = bpe_train(df, "text", num_merges=2)
+    # pair (a,b) occurs 2*3 (abab) + 1*2 (abx) = 8 -> first merge
+    assert merges[0][1:] == ("a", "b", 8)
+    # second merge: four pairs tie at 3 — (ab,</w>), (ab,ab), (z,z),
+    # (z,</w>); lexicographic tie-break picks (ab,</w>) ('<' sorts
+    # before letters)
+    assert merges[1][1:] == ("ab", "</w>", 3)
+    v = {r["token"]: r["n_occurrences"] for r in vocab.collect()}
+    # abab -> 'ab ab</w>' x3; abx -> 'ab x </w>' x2; zz -> 'z z </w>' x3
+    assert v["ab</w>"] == 3 and v["ab"] == 5 and v["z"] == 6
+    assert "a" not in v and "b" not in v   # fully merged away
+
+
+def test_bpe_double_replace_run_semantics(spark):
+    """Documented double-replace behavior on a repeated-pair run:
+    'aaaa' with merge (a,a) -> two 'aa' symbols (pass 1 gets position 1,
+    pass 2 gets the re-exposed position 3)."""
+    from vector_io_spark.operators.bpe import _apply_merge
+
+    words = spark.createDataFrame([("a a a a </w>", 1)], "ws string, n long")
+    out = _apply_merge(words, "a", "a").collect()[0]["ws"]
+    assert out == "aa aa </w>"

@@ -5377,3 +5377,38 @@ def ann_topk_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_exact_topk(emb, queries)
+
+
+@_register(
+    "bpe_merge_table",
+    __import__(
+        "vector_io_spark.operators.bpe", fromlist=["bpe_sql"]
+    ).bpe_sql(output="merges"),
+)
+def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training on the documents corpus: 8
+    merge steps, each one pair-count shuffle + a distributed argmax;
+    only the argmax row reaches the driver. DuckDB retrains from scratch
+    (unrolled CTE rounds) and must learn the IDENTICAL merge table —
+    tokenizer vocabulary induction as an oracle-exact operator
+    (operators/bpe.py)."""
+    from vector_io_spark.operators.bpe import bpe_merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(d, "text", num_merges=8)
+
+
+@_register(
+    "bpe_vocab",
+    __import__(
+        "vector_io_spark.operators.bpe", fromlist=["bpe_sql"]
+    ).bpe_sql(output="vocab"),
+)
+def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symbol vocabulary after applying the 8 learned BPE merges
+    (token, weighted occurrence count) — verifies merge APPLICATION
+    (the double-replace pass semantics) beyond the merge table itself."""
+    from vector_io_spark.operators.bpe import bpe_vocab_df
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_vocab_df(d, "text", num_merges=8)
