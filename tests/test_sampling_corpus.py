@@ -366,7 +366,7 @@ def test_bpe_learns_expected_merges_on_toy_corpus(spark):
         "text string",
     )
     # words: abab x3, abx x2, zz x3
-    merges, vocab = bpe_train(df, "text", num_merges=2)
+    merges, vocab, word_map = bpe_train(df, "text", num_merges=2)
     # pair (a,b) occurs 2*3 (abab) + 1*2 (abx) = 8 -> first merge
     assert merges[0][1:] == ("a", "b", 8)
     # second merge: four pairs tie at 3 — (ab,</w>), (ab,ab), (z,z),
@@ -388,3 +388,21 @@ def test_bpe_double_replace_run_semantics(spark):
     words = spark.createDataFrame([("a a a a </w>", 1)], "ws string, n long")
     out = _apply_merge(words, "a", "a").collect()[0]["ws"]
     assert out == "aa aa </w>"
+
+
+def test_bpe_encode_counts_tokens_per_doc(spark):
+    """Encode under the trained merges: doc token counts shrink as
+    merges apply (n_tokens <= chars+1 per word) and words stay exact."""
+    from vector_io_spark.operators.bpe import bpe_encode_df
+
+    df = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abx zz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_df(df, num_merges=2).collect()
+    }
+    # merges learned on this corpus: (a,b) then lexicographic tie winner.
+    # Every word segments to at most len(word)+1 symbols and at least 1.
+    assert got[1][0] == 2 and got[2][0] == 2
+    assert 2 <= got[1][1] <= 2 * 5 and 2 <= got[2][1] <= 3 + 3

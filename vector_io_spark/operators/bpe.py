@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 WORD_RE = "[a-z]+"
 MARKER = "</w>"
+ENCODE_ID = "doc_id"  # id column spliced into the 'encode' oracle SQL
 
 
 def word_counts(
@@ -59,6 +60,7 @@ def _symbolize(wc: DataFrame) -> DataFrame:
     """word -> space-delimited character symbols + end-of-word marker:
     'the' -> 't h e </w>'."""
     return wc.select(
+        "word",
         F.concat(
             F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
             F.lit(" " + MARKER),
@@ -102,10 +104,12 @@ def bpe_train(
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
-    Returns (merges, vocab): merges = [(step, left, right, pair_count)]
-    (the tokenizer artifact — O(num_merges) driver state), vocab = the
-    symbol vocabulary (token, n_occurrences) AFTER applying all merges,
-    as a DataFrame. Deterministic: tie-broken argmax per step.
+    Returns (merges, vocab, words): merges = [(step, left, right,
+    pair_count)] (the tokenizer artifact — O(num_merges) driver state);
+    vocab = the symbol vocabulary (token, n_occurrences) AFTER applying
+    all merges; words = the per-word segmentation (word, ws, n) — the
+    encode map a tokenizer applies to new text. Deterministic:
+    tie-broken argmax per step.
     """
     words = _symbolize(word_counts(df, text_col, pattern)).persist()
     words.count()  # eager fill: every merge step re-reads the vocab table
@@ -132,9 +136,10 @@ def bpe_train(
             .agg(F.sum("n").alias("n_occurrences"))
         )
         vocab = vocab.localCheckpoint(eager=True)
+        word_map = words.localCheckpoint(eager=True)
     finally:
         words.unpersist()
-    return merges, vocab
+    return merges, vocab, word_map
 
 
 def bpe_merges_df(
@@ -143,7 +148,7 @@ def bpe_merges_df(
 ) -> DataFrame:
     """The learned merge table as a DataFrame (step, left, right,
     pair_count) — the oracle-checkable tokenizer artifact."""
-    merges, _ = bpe_train(df, text_col, num_merges, pattern)
+    merges, _, _ = bpe_train(df, text_col, num_merges, pattern)
     # left/right are SQL keywords — left_sym/right_sym keeps the oracle
     # column names splice-safe
     return df.sparkSession.createDataFrame(
@@ -156,8 +161,41 @@ def bpe_vocab_df(
     pattern: str = WORD_RE,
 ) -> DataFrame:
     """Post-merge symbol vocabulary (token, n_occurrences)."""
-    _, vocab = bpe_train(df, text_col, num_merges, pattern)
+    _, vocab, _ = bpe_train(df, text_col, num_merges, pattern)
     return vocab
+
+
+def bpe_encode_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 8,
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """ENCODE side of the tokenizer: per-document token statistics under
+    the trained merges — (id, n_words, n_tokens). The per-word
+    segmentation table is |vocab|-sized, so it broadcasts and the encode
+    pass is one corpus explode + broadcast join + per-doc aggregate (no
+    vocabulary shuffle). n_tokens is what a context-length planner /
+    token-budget accountant actually needs."""
+    _, _, word_map = bpe_train(df, text_col, num_merges, pattern)
+    tok_per_word = word_map.select(
+        "word", F.size(F.split(F.col("ws"), " ")).cast("long").alias("__wt")
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0)
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(tok_per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wt").alias("n_tokens"),
+        )
+    )
 
 
 def bpe_sql(
@@ -181,8 +219,9 @@ def bpe_sql(
         ) GROUP BY word
     ),
     w0 AS MATERIALIZED (
-        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {MARKER}'
-            AS ws, n
+        SELECT word,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {MARKER}'
+                   AS ws, n
         FROM wc
     )"""
     ]
@@ -200,7 +239,7 @@ def bpe_sql(
         ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ),
     w{t} AS MATERIALIZED (
-        SELECT trim(replace(replace(
+        SELECT word, trim(replace(replace(
                    ' ' || ws || ' ',
                    ' ' || (SELECT a FROM b{t}) || ' ' || (SELECT b FROM b{t})
                        || ' ',
@@ -223,6 +262,18 @@ def bpe_sql(
     SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
         SELECT unnest(string_split(ws, ' ')) AS token, n FROM w{num_merges}
     ) GROUP BY token"""
+    elif output == "encode":
+        select = f"""
+    SELECT d.{ENCODE_ID} AS {ENCODE_ID},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(m.ws, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT {ENCODE_ID},
+               unnest(regexp_extract_all(lower({text_col}), '{pattern}'))
+                   AS word
+        FROM {table}
+    ) d JOIN w{num_merges} m USING (word)
+    GROUP BY d.{ENCODE_ID}"""
     else:
         raise ValueError(f"unknown output {output!r}")
     return "WITH " + ",".join(parts) + "\n    " + select

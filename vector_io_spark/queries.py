@@ -5412,3 +5412,21 @@ def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_vocab_df(d, "text", num_merges=8)
+
+
+@_register(
+    "bpe_encode_docs",
+    __import__(
+        "vector_io_spark.operators.bpe", fromlist=["bpe_sql"]
+    ).bpe_sql(output="encode"),
+)
+def bpe_encode_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the trained tokenizer: per-document word/token
+    counts under the 8 learned BPE merges — the token-budget accounting
+    a context-length planner runs over the corpus. The |vocab|-sized
+    segmentation table broadcasts; the corpus does one explode +
+    broadcast join + per-doc aggregate."""
+    from vector_io_spark.operators.bpe import bpe_encode_df
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_df(d, "doc_id", "text", num_merges=8)
