@@ -167,3 +167,26 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # round-trip: data survives the layout unchanged
     back = spark.read.parquet(out)
     assert back.count() == n
+
+
+def test_pagerank_toy_graph_ordering_and_mass(spark):
+    """Star graph: the hub everyone links to must out-rank the spokes;
+    total rank mass stays <= 1 (dangling leak) and every node gets at
+    least the teleport base."""
+    from vector_io_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["rq"] for r in pagerank(edges, iters=10).collect()}
+    # hub and a trade mass along the 2-cycle (finite-iteration parity
+    # decides which leads), but both must dominate the pure spokes,
+    # which are symmetric and sit at the teleport base
+    assert min(got["hub"], got["a"]) > got["b"] == got["c"]
+    total = sum(got.values())
+    # no dangling nodes here -> mass conserves up to one rounding unit
+    # per node; leak could only shrink it
+    assert total <= 1_000_000_000_000 + 4
+    base = (1 - 0.85) / 4
+    assert all(v >= base * 1e12 * 0.99 for v in got.values())

@@ -1,0 +1,140 @@
+"""Distributed PageRank with an engine-exact fixed-point iteration.
+
+Graph centrality is a standard data-curation signal (rank documents /
+entities by link structure, weight training samples by influence). The
+textbook float power-iteration accumulates in engine-specific order, so
+it could only ever get rows-only checks; this implementation is exact:
+
+- ranks live in integer PICO-RANK units (scale 1e12);
+- each per-edge share is ``floor(rank / out_degree)`` — integer floor
+  division, identical everywhere;
+- the damping multiply happens once per node per iteration on a sum
+  < 2^53 (one IEEE double multiply + round — bit-identical across
+  engines), so iteration T is reproducible bit-for-bit and the DuckDB
+  replay (:func:`pagerank_sql`, unrolled MATERIALIZED CTE rounds) must
+  match hash-exactly.
+
+Dangling nodes (no out-edges) leak their rank mass — the standard
+simplification; totals then sum below 1, deterministically. Every
+iteration is one edges⋈ranks shuffle + one dst-grouped aggregate
+(map-side combined) — the classic distributed-PageRank shape; the rank
+table is node-sized, never corpus-sized.
+
+Reference context: vector-io has no graph operators; this extends the
+curation surface (SURVEY north-star) following the published PageRank
+formulation (Page et al. 1999).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # pico-rank units
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Exact fixed-point PageRank over a (src, dst) edge list (edges are
+    deduplicated — simple-graph semantics). Returns (node, rank_q,
+    rank): integer pico-rank and its double rendering."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    import math
+
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    # half-away-from-zero on the SAME double the SQL replay computes —
+    # Python's round() is banker's and would diverge on .5 boundaries
+    r0q = int(math.floor(SCALE / n + 0.5))
+    baseq = int(math.floor((1.0 - damping) * SCALE / n + 0.5))
+    ranks = nodes.select("node", F.lit(r0q).cast("long").alias("rq"))
+    for _ in range(iters):
+        shares = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("rq") / F.col("d")).cast("long").alias("sh"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("sh").alias("s"))
+        )
+        ranks = nodes.join(
+            shares, nodes["node"] == shares["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(baseq)
+                + F.round(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+            ).alias("rq"),
+        )
+    out = ranks.select(
+        "node", "rq", F.round(F.col("rq") / F.lit(float(SCALE)), 9).alias("rank")
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB replay: ``edges_sql`` is a SELECT producing (src, dst);
+    the power iteration unrolls into MATERIALIZED CTE rounds that must
+    reproduce :func:`pagerank` bit-for-bit."""
+    parts = [
+        f"""
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+        SELECT node,
+               CAST(round({SCALE} / (SELECT n FROM nn)) AS BIGINT) AS rq
+        FROM nodes
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    c{t} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(floor(r.rq / g.d) AS BIGINT)) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{t - 1} r ON e.src = r.node
+        JOIN deg g ON e.src = g.src
+        GROUP BY e.dst
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(round((1.0 - {damping}) * {SCALE} / (SELECT n FROM nn))
+                    AS BIGINT)
+               + CAST(round({damping} * coalesce(c.s, 0)) AS BIGINT) AS rq
+        FROM nodes n LEFT JOIN c{t} c ON n.node = c.node
+    )""")
+    select = (
+        f"SELECT node, rq, round(rq / {float(SCALE)}, 9) AS rank "
+        f"FROM r{iters}"
+    )
+    return "WITH " + ",".join(parts) + "\n    " + select

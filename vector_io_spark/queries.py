@@ -5430,3 +5430,35 @@ def bpe_encode_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_encode_df(d, "doc_id", "text", num_merges=8)
+
+
+_PAGERANK_EDGES_SQL = """
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+@_register(
+    "supplier_pagerank",
+    __import__(
+        "vector_io_spark.operators.graph", fromlist=["pagerank_sql"]
+    ).pagerank_sql(_PAGERANK_EDGES_SQL, iters=5),
+)
+def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (who supplies
+    the best-connected customers), 5 exact fixed-point power iterations
+    (operators/graph.py): integer pico-rank units, floor-division edge
+    shares, one damping multiply per node per round — DuckDB replays the
+    identical iteration bit-for-bit. Each round is one edges⋈ranks
+    shuffle + a dst-grouped map-combined aggregate; rank state is
+    node-sized."""
+    from vector_io_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=5)
