@@ -190,3 +190,30 @@ def test_pagerank_toy_graph_ordering_and_mass(spark):
     assert total <= 1_000_000_000_000 + 4
     base = (1 - 0.85) / 4
     assert all(v >= base * 1e12 * 0.99 for v in got.values())
+
+
+def test_logreg_learns_separable_data_and_is_deterministic(spark):
+    """On linearly separable data the hard-sigmoid GD must actually
+    learn (>95% train accuracy, correct weight sign); training twice
+    must produce bit-identical weights (the determinism the oracle
+    replay depends on). The synthetic benchmark tables have labels
+    independent of features by construction, so learnability is pinned
+    here instead."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.classifier import Q, logreg_train
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        ((F.col("id") % 100) * Q / 100).cast("long").alias("x"),
+        ((F.col("id") % 100) >= 50).cast("long").alias("y"),
+    )
+    feats = {"bias": F.lit(Q).cast("long"), "x": F.col("x")}
+    w1, scored = logreg_train(df, feats, F.col("y"), iters=15, lr=4.0)
+    acc = scored.select(
+        F.avg((F.col("pred") == F.col("y")).cast("double"))
+    ).first()[0]
+    assert acc > 0.95, (w1, acc)
+    assert w1[1] > 0 > w1[0]  # positive slope, negative bias
+    w2, _ = logreg_train(df, feats, F.col("y"), iters=15, lr=4.0)
+    assert w1 == w2

@@ -5462,3 +5462,46 @@ def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return pagerank(edges, iters=5)
+
+
+@_register(
+    "quality_classifier_weights",
+    __import__(
+        "vector_io_spark.operators.classifier", fromlist=["logreg_sql"]
+    ).logreg_sql(output="weights"),
+)
+def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an English-vs-other hard-sigmoid logistic classifier over
+    integer text features (operators/classifier.py): 5 batch-GD rounds,
+    each one map-combined d-value gradient aggregate — only d weights
+    ever reach the driver. Integer/IEEE-only arithmetic (no exp), so
+    DuckDB retrains to the IDENTICAL weights. Note: this synthetic
+    corpus draws lang labels independently of the text, so the
+    achievable accuracy here equals the majority rate — what this query
+    verifies is the exact distributed TRAINING; learnability on
+    separable data is pinned by
+    test_logreg_learns_separable_data_and_is_deterministic."""
+    from vector_io_spark.operators.classifier import doc_features, logreg_train
+
+    d = _t(spark, sf_dir, "documents")
+    w, _ = logreg_train(d, doc_features(), F.col("lang") == "en")
+    names = sorted(doc_features())
+    order = list(doc_features())
+    rows = [(k, w[order.index(k)]) for k in names]
+    return spark.createDataFrame(rows, "feature string, w_q long")
+
+
+@_register(
+    "quality_classifier_scores",
+    __import__(
+        "vector_io_spark.operators.classifier", fromlist=["logreg_sql"]
+    ).logreg_sql(output="scores"),
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document micro-probability + prediction under the trained
+    classifier — the inference pass is a zero-shuffle projection."""
+    from vector_io_spark.operators.classifier import doc_features, logreg_train
+
+    d = _t(spark, sf_dir, "documents")
+    _, scored = logreg_train(d, doc_features(), F.col("lang") == "en")
+    return scored.select("doc_id", "score_q", "pred")
