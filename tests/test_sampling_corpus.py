@@ -406,3 +406,30 @@ def test_bpe_encode_counts_tokens_per_doc(spark):
     # Every word segments to at most len(word)+1 symbols and at least 1.
     assert got[1][0] == 2 and got[2][0] == 2
     assert 2 <= got[1][1] <= 2 * 5 and 2 <= got[2][1] <= 3 + 3
+
+
+def test_dsir_importance_prefers_target_domain(spark):
+    """Documents sharing the target domain's vocabulary must get higher
+    importance weights than off-domain documents; a mixed document lands
+    between the two."""
+    from vector_io_spark.operators.corpus import dsir_importance
+
+    target = [(i, "alpha beta gamma delta alpha beta", "t") for i in range(5)]
+    other = [(10 + i, "omega sigma tau rho omega sigma", "o") for i in range(5)]
+    probe = [
+        (100, "alpha beta gamma delta", "p"),    # pure target vocab
+        (101, "omega sigma tau rho", "p"),       # pure off-domain vocab
+        (102, "alpha beta omega sigma", "p"),    # mixed
+    ]
+    df = spark.createDataFrame(
+        target + other + probe, "doc_id long, text string, source string"
+    )
+    got = {
+        r["doc_id"]: r["avg_log_w"]
+        for r in dsir_importance(
+            df, F.col("source") == "t", buckets=512
+        ).collect()
+    }
+    assert got[100] > got[102] > got[101]
+    # target training docs themselves score high, off-domain low
+    assert min(got[i] for i in range(5)) > max(got[10 + i] for i in range(5))

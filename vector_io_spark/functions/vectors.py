@@ -62,6 +62,12 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
     ``zip_with`` + ``aggregate`` keeps the whole computation JVM-side;
     accumulation in double for stability.
+
+    Measured alternative (round 3, do not retry blindly): unrolling the
+    sum into 64 ``get(a, j) * get(b, j)`` terms is bit-identical but 4×
+    SLOWER (8.6 s -> 32 s on a 20k×64-query scan) — the giant expression
+    exceeds the codegen method-size limit and falls back to interpreted
+    evaluation. The HOF loop is the fast exact-order form.
     """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(

@@ -507,3 +507,153 @@ def doc_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    pattern: str = WORD_RE,
+    scale: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights: score every document by how much
+    it resembles a TARGET domain relative to the raw corpus — the
+    published data-selection recipe (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed n-gram bag
+    features, per-feature log-likelihood ratio between a target model
+    and the raw-source model, per-document sum.
+
+    Model: unigrams + bigrams hash (md5, engine-portable) into
+    ``buckets`` buckets; each side is a Laplace-smoothed bucket
+    multinomial p(g) = (c(g)+1)/(N+B). Each bucket's log ratio
+    ln p_target − ln p_raw quantizes once to micro-log BIGINT, so the
+    per-document aggregation sums INTEGERS — order-independent and
+    engine-exact (same contract as bigram_lm_scores).
+
+    Scale shape: one exploded pass builds the gram stream; target and
+    raw bucket counts come from ONE conditional aggregate over it
+    (B-bounded rows, map-side combined); the B-row ratio table
+    broadcasts back onto the stream; one per-doc sum. Nothing
+    vocabulary-sized shuffles and nothing data-proportional hits the
+    driver.
+
+    Returns (id, n_grams, log_w_q, avg_log_w) — resample with
+    ``operators/sampling.py::upsample_by_weight`` on exp(avg_log_w) or
+    rank-select the top mass.
+    """
+    toks = tokens(text_col, pattern)
+    d = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("__t"),
+        toks.alias("__w"),
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("__w") - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+        ),
+    )
+    grams = d.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.when(F.size("__w") >= 2, F.concat(F.col("__w"), bigram))
+            .otherwise(F.col("__w"))
+        ).alias("g"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("g"), F.lit("|dsir"))), 1, 8), 16, 10
+    ).cast("long")
+    stream = grams.select(id_col, "__t", (h % buckets).alias("b"))
+    stream = stream.persist()
+    totals = stream.agg(
+        F.sum("__t").alias("nt"), F.count("*").alias("ns")
+    ).first()
+    n_t, n_s = int(totals["nt"]), int(totals["ns"])
+    bucket_stats = stream.groupBy("b").agg(
+        F.sum("__t").alias("ct"), F.count("*").alias("cs")
+    )
+    unit = 10 ** scale
+    lr_q = F.round(
+        (
+            F.log((F.col("ct") + 1.0) / float(n_t + buckets))
+            - F.log((F.col("cs") + 1.0) / float(n_s + buckets))
+        )
+        * unit
+    ).cast("long")
+    ratio = bucket_stats.select("b", lr_q.alias("lrq"))
+    out = (
+        stream.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lrq").alias("log_w_q"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "log_w_q",
+            F.round(
+                F.col("log_w_q") / F.col("n_grams") / float(unit), 6
+            ).alias("avg_log_w"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    stream.unpersist()
+    return out
+
+
+def dsir_sql(
+    table: str = "documents",
+    target_where: str = "source = 'src0'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    scale: int = 6,
+) -> str:
+    """DuckDB replay of :func:`dsir_importance` (same md5 buckets, same
+    Laplace ratios, same micro-log quantization)."""
+    unit = 10 ** scale
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT {id_col},
+               CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS INT) AS t,
+               regexp_extract_all(lower({text_col}), '[a-z]+') AS w
+        FROM {table}
+    ),
+    grams AS MATERIALIZED (
+        SELECT {id_col}, t, unnest(
+            CASE WHEN len(w) >= 2 THEN list_concat(w,
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+            ELSE w END) AS g
+        FROM d
+    ),
+    stream AS MATERIALIZED (
+        SELECT {id_col}, t,
+               CAST(CAST('0x' || substr(md5(g || '|dsir'), 1, 8) AS UBIGINT)
+                    % {buckets} AS BIGINT) AS b
+        FROM grams
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(sum(t) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS ns
+        FROM stream
+    ),
+    ratio AS MATERIALIZED (
+        SELECT b,
+               CAST(round((ln((sum(t) + 1.0)
+                            / ((SELECT nt FROM tot) + {buckets}))
+                         - ln((count(*) + 1.0)
+                            / ((SELECT ns FROM tot) + {buckets})))
+                        * {unit}) AS BIGINT) AS lrq
+        FROM stream GROUP BY b
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(lrq) AS BIGINT) AS log_w_q,
+           round(CAST(sum(lrq) AS DOUBLE) / count(*) / {unit}, 6)
+               AS avg_log_w
+    FROM stream JOIN ratio USING (b)
+    GROUP BY {id_col}
+    """

@@ -5505,3 +5505,22 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     _, scored = logreg_train(d, doc_features(), F.col("lang") == "en")
     return scored.select("doc_id", "score_q", "pred")
+
+
+@_register(
+    "dsir_importance_weights",
+    __import__(
+        "vector_io_spark.operators.corpus", fromlist=["dsir_sql"]
+    ).dsir_sql(target_where="source = 'src0'"),
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target domain = source 'src0'): hashed
+    unigram+bigram bucket multinomials for target vs raw corpus,
+    micro-log-quantized per-bucket likelihood ratios summed per document
+    (operators/corpus.py::dsir_importance). One exploded pass, one
+    conditional B-bounded aggregate, broadcast ratio table — the
+    published importance-resampling data-selection recipe, engine-exact."""
+    from vector_io_spark.operators.corpus import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("source") == "src0")
