@@ -1,0 +1,114 @@
+"""Engine-exact HyperLogLog distinct counting.
+
+``approx_count_distinct`` is engine-private (Spark's HLL++ and DuckDB's
+sketch produce different estimates), so it can only ever get rows-only
+checks. This HLL is built from engine-portable primitives — md5 hashing,
+integer bucket/rank extraction via binary-string length, one IEEE
+harmonic sum — so Spark and DuckDB compute the IDENTICAL estimate and
+the oracle verifies the sketch math itself, not just row counts.
+
+Layout (classic Flajolet HLL, m = 256 registers):
+
+- h = first 16 hex chars of md5(key || '|hll') → 64 bits;
+- bucket = top 8 bits; remainder = low 56 bits;
+- rho = 1-based position of the first set bit in the remainder
+  (via ``57 - length(bin(remainder))`` — string length, no log2
+  rounding hazards), 57 when the remainder is zero;
+- registers: max rho per bucket (one map-combined aggregate, 256 rows);
+- estimate: alpha_m * m^2 / sum(2^-M_j) with empty registers counting
+  2^0, plus the standard small-range linear-counting correction.
+
+Scale shape: one scan, one 256-row aggregate, a driver-side constant
+fold — the textbook distributed-sketch plan. Standard error ~1.04/√m ≈
+6.5% at m=256; raise ``b`` for tighter bounds.
+
+Reference: Flajolet et al. 2007 (HyperLogLog); the reference repo's
+distinct counting is exact-only (get_id_list, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+B_BITS = 8
+M = 1 << B_BITS
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame (n_registers, estimate, exact_distinct,
+    rel_err) — estimate and exact side by side so callers (and the
+    oracle) can audit the sketch against truth."""
+    h16 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll"))), 1, 16
+    )
+    bucket = F.conv(F.substring(h16, 1, 2), 16, 10).cast("long")
+    rem = F.conv(F.substring(h16, 3, 14), 16, 10).cast("long")
+    rho = F.when(rem == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(rem))
+    )
+    regs = (
+        df.select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("mj"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    exact = df.select(key_col).distinct().count()
+    est_raw = F.lit(ALPHA * M * M) / (
+        F.col("s") + (F.lit(M) - F.col("nb"))  # empty registers: 2^0 each
+    )
+    zeros = F.lit(M) - F.col("nb")
+    est = F.when(
+        (est_raw <= 2.5 * M) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(est_raw)
+    return agg.select(
+        F.col("nb").cast("long").alias("n_registers"),
+        F.round(est, 4).alias("estimate"),
+        F.lit(exact).cast("long").alias("exact_distinct"),
+        F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
+    )
+
+
+def hll_sql(table: str, key_col: str) -> str:
+    """DuckDB replay of :func:`hll_estimate` — identical hash, registers,
+    and harmonic estimate."""
+    return f"""
+    WITH h AS (
+        SELECT substr(md5(CAST({key_col} AS VARCHAR) || '|hll'), 1, 16) AS h16
+        FROM {table}
+    ),
+    r AS (
+        SELECT CAST(CAST('0x' || substr(h16, 1, 2) AS UBIGINT) AS BIGINT) AS b,
+               CASE WHEN CAST(CAST('0x' || substr(h16, 3, 14) AS UBIGINT)
+                         AS BIGINT) = 0 THEN 57
+                    ELSE 57 - length(bin(CAST(CAST('0x' || substr(h16, 3, 14)
+                                          AS UBIGINT) AS BIGINT)))
+               END AS rho
+        FROM h
+    ),
+    regs AS (SELECT b, max(rho) AS mj FROM r GROUP BY b),
+    agg AS (
+        SELECT sum(power(2.0, -mj)) AS s, CAST(count(*) AS BIGINT) AS nb
+        FROM regs
+    ),
+    ex AS (SELECT CAST(count(DISTINCT {key_col}) AS BIGINT) AS exact
+           FROM {table})
+    SELECT nb AS n_registers,
+           round(CASE WHEN {ALPHA * M * M} / (s + ({M} - nb)) <= {2.5 * M}
+                       AND ({M} - nb) > 0
+                 THEN {float(M)} * ln({float(M)} / ({M} - nb))
+                 ELSE {ALPHA * M * M} / (s + ({M} - nb)) END, 4) AS estimate,
+           (SELECT exact FROM ex) AS exact_distinct,
+           round(abs(CASE WHEN {ALPHA * M * M} / (s + ({M} - nb)) <= {2.5 * M}
+                           AND ({M} - nb) > 0
+                     THEN {float(M)} * ln({float(M)} / ({M} - nb))
+                     ELSE {ALPHA * M * M} / (s + ({M} - nb)) END
+                     - (SELECT exact FROM ex)) / (SELECT exact FROM ex), 4)
+               AS rel_err
+    FROM agg
+    """

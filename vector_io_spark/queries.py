@@ -5524,3 +5524,153 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dsir_importance(d, F.col("source") == "src0")
+
+
+@_register(
+    "hll_distinct_users",
+    __import__(
+        "vector_io_spark.operators.sketches", fromlist=["hll_sql"]
+    ).hll_sql("events", "user_id"),
+)
+def hll_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact HyperLogLog over event user ids: md5 registers,
+    binary-string rank extraction (no log2 rounding hazards), harmonic
+    estimate + linear-counting correction — Spark and DuckDB compute the
+    IDENTICAL sketch, so the oracle verifies the approximate-counting
+    math itself (operators/sketches.py). One scan + a 256-row aggregate;
+    the exact distinct count rides along for the audit."""
+    from vector_io_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(_t(spark, sf_dir, "events"), "user_id")
+
+
+@_register(
+    "semantic_decontamination",
+    """
+    WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    tr AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 20 AND embedding IS NOT NULL
+    ),
+    sims AS (
+        SELECT t.vec_id,
+               round(list_sum(list_transform(range(1, len(t.embedding) + 1), i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        FROM tr t JOIN ev e ON TRUE
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+           max(sim) AS max_sim
+    FROM sims WHERE sim >= 0.98 GROUP BY vec_id
+    """,
+)
+def semantic_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: training vectors too
+    similar to any benchmark/eval vector (cosine >= 0.98) are flagged
+    with their match count and worst similarity — the representation-
+    level complement of the winnowed-n-gram text decontamination. The
+    eval side broadcasts; the training corpus scans in place (same
+    never-shuffle-the-corpus contract as brute_force_topk); at scale the
+    hyperplane-LSH candidate path substitutes for the inner product scan."""
+    from vector_io_spark.functions.vectors import l2_norm
+    from vector_io_spark.operators.similarity import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("__eid"),
+        F.col("embedding").alias("__ev"),
+        l2_norm("embedding").alias("__en"),
+    )
+    tr = emb.where(
+        (F.col("vec_id") >= 20) & F.col("embedding").isNotNull()
+    ).withColumn("__tn", l2_norm("embedding"))
+    den = F.col("__tn") * F.col("__en")
+    sim = F.round(
+        F.when(den != 0.0, dot_product(F.col("embedding"), F.col("__ev")) / den),
+        6,
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", sim.alias("sim"))
+        .where(F.col("sim") >= 0.98)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+
+
+@_register(
+    "copurchase_part_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """,
+)
+def copurchase_part_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least 2 orders. The self-join key is the order id, so pair blowup is
+    bounded by per-order basket size (<= 7 lines in TPC-H shapes —
+    C(7,2)=21 pairs/order max), never corpus-quadratic; the pair count
+    aggregate map-combines before its one shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS prev
+        FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: P(next
+    event type | current) per user timeline — the sequence-mining
+    primitive behind next-action prediction and bot detection. One
+    window sort keyed like sessionization, one grouped count, one
+    |types|²-row normalization window."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
