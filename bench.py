@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "fuzzy_entity_resolution",  # deletion-neighborhood blocking + verify
     "ann_topk_pq_exact",     # oracle-exact distributed PQ train+ADC rank
     "ann_topk_ivf_exact",    # oracle-exact IVF coarse quantizer + probe
+    "bpe_merge_table",       # distributed tokenizer training (8 merges)
+    "supplier_pagerank",     # fixed-point power iteration, 5 rounds
+    "dsir_importance_weights",  # hashed-ngram importance ratios
+    "quality_classifier_weights",  # batch-GD training, 5 rounds
+    "hll_distinct_users",    # engine-exact sketch, 1 scan + 256-row agg
 ]
 
 

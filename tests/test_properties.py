@@ -142,3 +142,19 @@ def test_pq_encode_codes_in_range_and_deterministic(spark, vecs):
     b = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(df, cb).collect()}
     assert a == b
     assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in a.values())
+
+
+def test_hll_error_within_bound_across_tables(spark, sf_dir):
+    """HLL at m=256 has standard error ~1.04/sqrt(256) = 6.5%; require
+    the estimate within 3 sigma (20%) of exact on several key columns —
+    a property the fixed oracle value can't express."""
+    from tests.conftest import load
+    from vector_io_spark.operators.sketches import hll_estimate
+
+    for table, col in (
+        ("events", "user_id"),
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+    ):
+        row = hll_estimate(load(spark, sf_dir, table), col).collect()[0]
+        assert row["rel_err"] <= 0.20, (table, col, dict(row.asDict()))
