@@ -525,3 +525,52 @@ def test_pq_exact_broadcasts_codebook_and_lut(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
+    """BLANKET gate over the whole query registry: every plan is free of
+    unpartitioned windows, except an explicit allowlist where the window
+    input is provably bounded — either a rank<=k literal filter whose
+    WindowGroupLimit/TakeOrderedAndProject rescue is asserted here, or a
+    documented tiny derived table (bin/bucket-count frames). Any new
+    query that sorts data-proportional input on one task fails this
+    test by name."""
+    from vector_io_spark.plans import (
+        count_unpartitioned_windows,
+        simple_plan,
+    )
+    from vector_io_spark.queries import QUERIES
+
+    RANK_FILTER_RESCUED = {
+        "returned_item_report",
+        "suppliers_kept_waiting",
+        "vocab_coverage",
+        "quota_constrained_topk",
+        "sparse_keyword_retrieval",
+        "hybrid_rrf_search",
+        "cms_heavy_hitters",
+    }
+    TINY_DERIVED_TABLE = {
+        # global cumsum over the bucket-count table (|buckets| rows,
+        # operators/chunking.py docstring)
+        "pack_sequences",
+        # PSI bin table (n_bins rows, operators/corpus.py)
+        "quality_drift_by_source",
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        n = count_unpartitioned_windows(df)
+        if n == 0:
+            continue
+        if name in TINY_DERIVED_TABLE:
+            continue
+        if name in RANK_FILTER_RESCUED:
+            plan = simple_plan(df)
+            assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+                name,
+                plan,
+            )
+            continue
+        offenders[name] = n
+    assert not offenders, offenders

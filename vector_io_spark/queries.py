@@ -5674,3 +5674,22 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@_register(
+    "hll_merge_by_event_type",
+    __import__(
+        "vector_io_spark.operators.sketches", fromlist=["hll_merged_sql"]
+    ).hll_merged_sql("events", "user_id", "event_type"),
+)
+def hll_merge_by_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability: per-event-type HLL registers union via
+    bucket-wise max into the same estimate as sketching the whole table
+    directly (merge_lossless = 1) — the property that lets 100 TB
+    pipelines keep per-partition/per-day sketches and combine them
+    without rescanning (operators/sketches.py::hll_merged_estimate)."""
+    from vector_io_spark.operators.sketches import hll_merged_estimate
+
+    return hll_merged_estimate(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
