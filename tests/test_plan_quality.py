@@ -574,3 +574,20 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
             continue
         offenders[name] = n
     assert not offenders, offenders
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """BLANKET gate: no registered query may plan a CartesianProduct.
+    Cross joins are legal only when one side broadcasts (they plan as
+    BroadcastNestedLoopJoin over a provably small side — query vectors,
+    constants, scalar aggregates); a CartesianProduct means both sides
+    are unbounded and the join is O(n·m) shuffle work at scale."""
+    from vector_io_spark.plans import simple_plan
+    from vector_io_spark.queries import QUERIES
+
+    offenders = [
+        name
+        for name, fn in sorted(QUERIES.items())
+        if "CartesianProduct" in simple_plan(fn(spark, sf_dir))
+    ]
+    assert not offenders, offenders

@@ -298,3 +298,62 @@ def test_streaming_sessionize_out_of_order_within_watermark(spark, tmp_path):
         (7, us(900), us(900), 1, 4.0),
         (7, us(980), us(1030), 4, 27.0),
     ]
+
+
+def test_streaming_hll_registers_and_estimate(spark, tmp_path):
+    """Streamed register maintenance + batch estimate: per-hour
+    approximate distinct users within the HLL error bound of truth, and
+    registers appended across separate micro-batch runs merge losslessly
+    (bucket-wise max on read)."""
+    import datetime as dt
+
+    from vector_io_spark.streaming.incremental import (
+        hll_estimate_from_registers,
+        streaming_hll_registers,
+    )
+
+    landing = str(tmp_path / "h_landing")
+    out_dir = str(tmp_path / "h_out")
+    ckpt = str(tmp_path / "h_ckpt")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+    def run():
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        regs = streaming_hll_registers(
+            stream, "user_id", window="1 hour", watermark="0 seconds"
+        )
+        q = (
+            regs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # hour 1: users 0..199; hour 2: users 100..349 (overlap on purpose)
+    rows1 = [(u, t0 + dt.timedelta(minutes=u % 50)) for u in range(200)]
+    rows2 = [
+        (u, t0 + dt.timedelta(hours=1, minutes=u % 50)) for u in range(100, 350)
+    ]
+    spark.createDataFrame(rows1 + rows2, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    # a far-future row in a second batch closes both windows
+    run()
+    spark.createDataFrame(
+        [(999999, t0 + dt.timedelta(days=2))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+
+    regs = spark.read.parquet(out_dir)
+    est = {
+        str(r["window_start"]): r["estimate"]
+        for r in hll_estimate_from_registers(regs).collect()
+    }
+    exacts = {"2025-06-01 12:00:00": 200, "2025-06-01 13:00:00": 250}
+    for k, exact in exacts.items():
+        assert k in est, est
+        assert abs(est[k] - exact) / exact < 0.25, (k, est[k], exact)

@@ -150,3 +150,70 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_hll_registers(
+    stream,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Windowed approximate-distinct REGISTER maintenance on a stream:
+    per (event-time window, bucket) max-rho — HLL registers are
+    max-mergeable, so the built-in watermarked streaming aggregation IS
+    the sketch update; no custom state. Registers append once the
+    watermark closes each window; estimates are computed on read with
+    :func:`hll_estimate_from_registers` (chaining the harmonic sum as a
+    second streaming aggregation is unsupported in append mode, and the
+    registers-on-storage pattern is what a 100 TB pipeline wants anyway:
+    sketches stay mergeable across windows/days/reruns).
+
+    Output: (window_start, window_end, b, mj).
+    """
+    from pyspark.sql import functions as F
+
+    h16 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll"))), 1, 16
+    )
+    bucket = F.conv(F.substring(h16, 1, 2), 16, 10).cast("long")
+    rem = F.conv(F.substring(h16, 3, 14), 16, 10).cast("long")
+    rho = F.when(rem == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(rem))
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), bucket.alias("b"), rho.alias("rho"))
+        .groupBy(F.window(ts_col, window), "b")
+        .agg(F.max("rho").alias("mj"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "b",
+            "mj",
+        )
+    )
+
+
+def hll_estimate_from_registers(regs, group_cols=("window_start",)):
+    """Batch estimate over persisted register tables (same math as
+    operators/sketches.py::hll_estimate, grouped): registers from any
+    number of runs/windows merge with a bucket-wise max first, so
+    re-appended or overlapping register writes stay correct."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.sketches import ALPHA, M
+
+    group_cols = list(group_cols)
+    merged = regs.groupBy(*group_cols, "b").agg(F.max("mj").alias("mj"))
+    agg = merged.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    est_raw = F.lit(ALPHA * M * M) / (F.col("s") + (F.lit(M) - F.col("nb")))
+    zeros = F.lit(M) - F.col("nb")
+    est = F.when(
+        (est_raw <= 2.5 * M) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(est_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("estimate"))
