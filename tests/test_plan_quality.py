@@ -556,6 +556,9 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         "pack_sequences",
         # PSI bin table (n_bins rows, operators/corpus.py)
         "quality_drift_by_source",
+        # Gini rank/sum windows over the per-source rollup (|sources|
+        # rows — a bounded dimension)
+        "source_token_gini",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

@@ -5693,3 +5693,154 @@ def hll_merge_by_event_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merged_estimate(
         _t(spark, sf_dir, "events"), "user_id", "event_type"
     )
+
+
+@_register(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) / 100.0 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_by_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue via a decorrelated scalar-subquery max — the per-supplier
+    rollup computes once (exact integer cents), the 1-row max broadcasts
+    back as a filter, and the supplier dim joins broadcast. Ties all
+    surface (= semantics, not top-1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("total_revenue")
+        )
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+    return out
+
+
+@_register(
+    "source_token_gini",
+    """
+    WITH m AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+                    AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT source, toks,
+               row_number() OVER (ORDER BY toks ASC, source ASC) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(toks) OVER () AS BIGINT) AS total
+        FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           round(CAST(2 * sum(rk * toks) AS DOUBLE)
+                 / (max(n) * max(total)) - (max(n) + 1.0) / max(n), 6)
+               AS gini
+    FROM r
+    """,
+)
+def source_token_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration across sources (Gini coefficient over
+    per-source token totals) — the data-mix monitoring scalar behind
+    'is one crawl dominating the corpus'. The per-source rollup is the
+    only corpus-scale work; the rank/sum windows run over |sources|
+    rows (a bounded dimension — allowlisted tiny frame, same class as
+    the PSI bin table)."""
+    d = _t(spark, sf_dir, "documents")
+    from vector_io_spark.functions.text import tokens as _tokens
+
+    m = d.groupBy("source").agg(
+        F.sum(F.size(_tokens("text"))).cast("long").alias("toks")
+    )
+    w = Window.orderBy(F.col("toks").asc(), F.col("source").asc())
+    r = (
+        m.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .withColumn("total", F.sum("toks").over(Window.partitionBy()))
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("total").cast("long").alias("total_tokens"),
+        F.round(
+            (2 * F.sum(F.col("rk") * F.col("toks"))).cast("double")
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "top_session_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rk
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rk ASC) AS path
+        FROM seq WHERE rk <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path HAVING count(*) >= 5
+    """,
+)
+def top_session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening event paths: each user's first three events joined into a
+    'a>b>c' path, counted across users (>= 5 occurrences) — the
+    sequence-mining view of onboarding behavior. One sessionization-
+    keyed window (rk<=3 filter makes it WindowGroupLimit-eligible
+    per user partition), then two map-combined aggregates."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    paths = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(F.array_sort(
+                F.collect_list(F.struct("rk", "event_type"))
+            ), lambda s: s["event_type"])
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= 5)
+    )
