@@ -158,3 +158,64 @@ def test_hll_error_within_bound_across_tables(spark, sf_dir):
     ):
         row = hll_estimate(load(spark, sf_dir, table), col).collect()[0]
         assert row["rel_err"] <= 0.20, (table, col, dict(row.asDict()))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    mod=st.integers(min_value=1, max_value=50),
+    buckets=st.integers(min_value=1, max_value=12),
+    parts=st.integers(min_value=1, max_value=40),
+)
+def test_attach_global_rank_property_matches_window(
+    spark, n, mod, buckets, parts
+):
+    """PROPERTY: for arbitrary sizes, tie densities, bucket counts and
+    partition counts, the distributed two-pass rank + arithmetic ntile/
+    percent_rank/cume_dist equal the single-partition window functions
+    bit-for-bit (ranks.py's entire correctness claim)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.ranks import (
+        attach_global_rank,
+        exact_cume_dist,
+        exact_ntile,
+        exact_percent_rank,
+    )
+
+    df = spark.range(0, n).select(
+        F.col("id"), ((F.col("id") * 131) % mod).alias("key")
+    )
+    order = [F.col("key").desc(), F.col("id").asc()]
+    got = (
+        attach_global_rank(
+            df, order, rank_col="rk", total_col="tot", num_partitions=parts
+        )
+        .select(
+            "id",
+            "rk",
+            exact_ntile(buckets, "rk", "tot").alias("nt"),
+            F.round(exact_percent_rank("rk", "tot"), 9).alias("pr"),
+            F.round(exact_cume_dist("rk", "tot"), 9).alias("cd"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    w = Window.orderBy(*order)
+    want = (
+        df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.ntile(buckets).over(w).cast("long").alias("nt"),
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert got == want

@@ -357,3 +357,70 @@ def test_streaming_hll_registers_and_estimate(spark, tmp_path):
     for k, exact in exacts.items():
         assert k in est, est
         assert abs(est[k] - exact) / exact < 0.25, (k, est[k], exact)
+
+
+def test_stream_stream_interval_attribution(spark, tmp_path):
+    """Stream-stream join with bounded event-time range: conversions
+    match only same-user touches within the hour before them; an
+    out-of-range touch never matches; results arrive across micro-batch
+    runs as watermarks close."""
+    import datetime as dt
+
+    from vector_io_spark.streaming.incremental import stream_stream_attribution
+
+    t_land = str(tmp_path / "t_land")
+    c_land = str(tmp_path / "c_land")
+    out_dir = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    touches = [
+        (1, ts(0), "click"),     # 30 min before conv -> match
+        (1, ts(25), "view"),     # 5 min before -> match
+        (1, ts(35), "click"),    # AFTER the conversion -> no match
+        (2, ts(0), "click"),     # conv at +90 -> outside 1h -> no match
+    ]
+    convs = [(1, ts(30), "purchase"), (2, ts(90), "purchase")]
+    spark.createDataFrame(
+        touches, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(t_land)
+    spark.createDataFrame(
+        convs, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(c_land)
+
+    def run():
+        ts_schema = spark.read.parquet(t_land).schema
+        t_stream = spark.readStream.schema(ts_schema).parquet(t_land)
+        c_stream = spark.readStream.schema(ts_schema).parquet(c_land)
+        out = stream_stream_attribution(
+            t_stream, c_stream, max_gap="1 hour", watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # advance both watermarks far past everything to flush pending state
+    far = [(99, t0 + dt.timedelta(days=1), "click")]
+    spark.createDataFrame(
+        far, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(t_land)
+    spark.createDataFrame(
+        far, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(c_land)
+    run()
+
+    got = {
+        (r["user_id"], r["touch_type"], r["gap_seconds"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, "click", 1800), (1, "view", 300)}

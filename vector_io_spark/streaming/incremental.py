@@ -217,3 +217,64 @@ def hll_estimate_from_registers(regs, group_cols=("window_start",)):
         F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
     ).otherwise(est_raw)
     return agg.select(*group_cols, F.round(est, 4).alias("estimate"))
+
+
+def stream_stream_attribution(
+    touches,
+    conversions,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Stream-STREAM interval join: attribute each conversion event to
+    every touch by the same user within ``max_gap`` BEFORE it — the
+    real-time counterpart of the batch attribute_conversions operator.
+
+    Both sides carry watermarks and the join predicate bounds the
+    event-time range, which is exactly what lets Spark expire join state
+    (touches older than conversion-watermark − max_gap drop from the
+    state store; unbounded-range stream-stream joins would grow state
+    forever). Append mode emits once the watermark passes a match's
+    window.
+
+    Inputs need distinct column names per side (rename before calling);
+    output: (user, touch_ts, conv_ts, gap_seconds, touch/conv payloads).
+    """
+    from pyspark.sql import functions as F
+
+    t = (
+        touches.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("t_user"),
+            F.col(ts_col).alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+        )
+    )
+    c = (
+        conversions.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("c_user"),
+            F.col(ts_col).alias("conv_ts"),
+        )
+    )
+    joined = t.join(
+        c,
+        F.expr(
+            f"""
+            t_user = c_user AND
+            touch_ts < conv_ts AND
+            touch_ts >= conv_ts - INTERVAL {max_gap}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("t_user").alias(user_col),
+        "touch_type",
+        "touch_ts",
+        "conv_ts",
+        (
+            (F.unix_micros(F.col("conv_ts")) - F.unix_micros(F.col("touch_ts")))
+            / 1_000_000
+        ).cast("long").alias("gap_seconds"),
+    )
