@@ -5844,3 +5844,64 @@ def top_session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .where(F.col("n_users") >= 5)
     )
+
+
+@_register(
+    "user_value_band_history",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= 75 THEN 'high'
+                    WHEN value >= 25 THEN 'mid' ELSE 'low' END AS band
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, band,
+               lag(band) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_band
+        FROM ev
+    ),
+    starts AS (
+        SELECT user_id, band, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS valid_to
+        FROM changes
+        WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT user_id, band,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM starts
+    """,
+)
+def user_value_band_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style change history: each user's value band (low/mid/high)
+    as effective-dated rows — change detection via lag, validity ranges
+    via lead over the CHANGE rows only, open-ended current row flagged.
+    The warehousing pattern for tracking attribute history without
+    storing every event. Both windows share one (user, ts) sort; the
+    lead window runs on the filtered change rows («changes per user»,
+    far smaller than the event log)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    band = (
+        F.when(F.col("value") >= 75, "high")
+        .when(F.col("value") >= 25, "mid")
+        .otherwise("low")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ch = e.withColumn("band", band).withColumn(
+        "prev_band", F.lag("band").over(w)
+    )
+    starts = ch.where(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    ).select("user_id", "band", "ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    out = starts.withColumn("valid_to", F.lead("ts").over(w2))
+    return out.select(
+        "user_id",
+        "band",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    )
