@@ -433,3 +433,19 @@ def test_dsir_importance_prefers_target_domain(spark):
     assert got[100] > got[102] > got[101]
     # target training docs themselves score high, off-domain low
     assert min(got[i] for i in range(5)) > max(got[10 + i] for i in range(5))
+
+
+def test_bpe_survives_fully_merged_words(spark):
+    """A word that collapses to ONE symbol after merges must simply stop
+    contributing pairs (the sf1 regression: descending sequence() +
+    ANSI element_at threw once 'a </w>' merged to 'a</w>')."""
+    from vector_io_spark.operators.bpe import bpe_train
+
+    # 'a' dominates: merge 1 = (a, </w>) -> word 'a' fully merged
+    df = spark.createDataFrame(
+        [("a a a a a a", ), ("b c", )], "text string"
+    )
+    merges, vocab, _ = bpe_train(df, "text", num_merges=3)
+    assert merges[0][1:3] == ("a", "</w>")
+    v = {r["token"]: r["n_occurrences"] for r in vocab.collect()}
+    assert v["a</w>"] == 6

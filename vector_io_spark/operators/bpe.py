@@ -71,8 +71,15 @@ def _symbolize(wc: DataFrame) -> DataFrame:
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent symbol-pair counts weighted by word count; map-side
-    combined before the one shuffle per step."""
+    combined before the one shuffle per step.
+
+    Fully-merged words (ONE symbol left — happens once enough merges
+    apply) are filtered first: they contribute no pairs, and without the
+    guard ``sequence(1, size-1)`` runs DESCENDING to [1, 0] and
+    element_at(syms, 2) throws under ANSI (hit at the sf1 bench, never
+    at sf0.01 — the oracle's ``range(1, len)`` is naturally empty)."""
     syms = F.split(F.col("ws"), " ")
+    multi = words.where(F.size(syms) >= 2)
     pair_arr = F.transform(
         F.sequence(F.lit(1), F.size(syms) - 1),
         lambda i: F.struct(
@@ -80,7 +87,7 @@ def _pair_counts(words: DataFrame) -> DataFrame:
         ),
     )
     return (
-        words.select(F.explode(pair_arr).alias("p"), "n")
+        multi.select(F.explode(pair_arr).alias("p"), "n")
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.sum("n").alias("cnt"))
     )
