@@ -125,3 +125,63 @@ def test_char_entropy_known_values(spark):
     assert math.isclose(got[2], 1.0)
     assert math.isclose(got[3], 2.0)
     assert got[4] is None or math.isnan(got[4])
+
+
+def test_apply_changes_merge_semantics_and_roundtrip(spark, sf_dir):
+    """MERGE semantics: upserts replace/insert, deletes remove,
+    last-write-wins by seq; and the diff->apply ROUND TRIP: applying
+    snapshot_diff(old, new) as a changelog onto old reconstructs new
+    exactly."""
+    from tests.conftest import load
+    from vector_io_spark.operators.versioning import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "upsert", "b2", 21.0, 1),   # superseded by seq 2
+            (2, "upsert", "b3", 22.0, 2),
+            (3, "delete", None, None, 1),
+            (4, "upsert", "d", 40.0, 1),
+        ],
+        "id long, op string, name string, v double, seq long",
+    )
+    got = {
+        r["id"]: (r["name"], r["v"])
+        for r in apply_changes(base, changes, "id", seq_col="seq").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+    # round trip on real data: old = embeddings, new = modified copy
+    old = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    new = (
+        old.where(F.col("vec_id") % 7 != 0)                  # deletions
+        .withColumn(
+            "label",
+            F.when(F.col("vec_id") % 5 == 0, F.col("label") + 100).otherwise(
+                F.col("label")
+            ),                                                # modifications
+        )
+        .unionByName(
+            spark.range(900000, 900010).select(
+                F.col("id").alias("vec_id"), F.lit(7).alias("label")
+            )                                                 # additions
+        )
+    )
+    diff = snapshot_diff(old, new, "vec_id", ["label"])
+    changelog = (
+        diff.withColumn(
+            "op",
+            F.when(F.col("status") == "removed", "delete").otherwise("upsert"),
+        )
+        .join(new.withColumnRenamed("label", "new_label"), "vec_id", "left")
+        .select("vec_id", "op", F.col("new_label").alias("label"))
+    )
+    rebuilt = apply_changes(old, changelog, "vec_id")
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0

@@ -92,3 +92,52 @@ def incremental_dedup(
     new_fp = new_batch.withColumn("__fp", F.md5(F.col(text_col)))
     seen_fp = seen.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
     return new_fp.join(seen_fp, "__fp", "left_anti").drop("__fp")
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """MERGE-INTO semantics: apply a changelog to a snapshot.
+
+    ``changes`` rows carry ``op_col`` ∈ {'upsert', 'delete'} plus (for
+    upserts) the full payload in the base's columns. When ``seq_col`` is
+    given, multiple changes per id resolve last-write-wins by the
+    highest sequence (deterministic tie-break impossible — require
+    unique (id, seq)); otherwise ids must be unique in the changelog.
+
+    Plan: one per-id reduction of the changelog (max_by over seq — a
+    map-combined aggregate, never a window), then base LEFT ANTI
+    changed-ids ∪ surviving upserts — the changelog, which is the small
+    side in every incremental pipeline, is what shuffles/broadcasts; the
+    base is touched by ONE anti join. This is the apply direction of
+    :func:`snapshot_diff`: ``apply_changes(old, diff_as_changelog)``
+    reconstructs the new snapshot exactly (pytest-pinned round trip).
+    """
+    cols = base.columns
+    if seq_col is not None:
+        payload = F.struct(*[F.col(c) for c in cols], F.col(op_col).alias("__op"))
+        latest = (
+            changes.groupBy(id_col_ := F.col(id_col).alias("__cid"))
+            .agg(F.max_by(payload, F.col(seq_col)).alias("__p"))
+            .select(
+                F.col("__cid"),
+                F.col("__p.__op").alias("__op"),
+                *[F.col(f"__p.{c}").alias(c) for c in cols if c != id_col],
+            )
+        )
+    else:
+        latest = changes.select(
+            F.col(id_col).alias("__cid"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c) for c in cols if c != id_col],
+        )
+    touched = latest.select(F.col("__cid").alias(id_col)).distinct()
+    kept = base.join(touched, id_col, "left_anti")
+    upserts = latest.where(F.col("__op") == "upsert").select(
+        F.col("__cid").alias(id_col), *[F.col(c) for c in cols if c != id_col]
+    )
+    return kept.unionByName(upserts)

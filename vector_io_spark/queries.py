@@ -5905,3 +5905,54 @@ def user_value_band_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         F.col("valid_to").isNull().cast("long").alias("is_current"),
     )
+
+
+@_register(
+    "cdc_apply_customer",
+    """
+    WITH ch AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 9 THEN 'delete' ELSE 'upsert' END
+                   AS op,
+               c_name,
+               round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 IN (0, 1, 9)
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM (
+        SELECT b.c_custkey, b.c_name, b.c_acctbal
+        FROM customer b LEFT JOIN ch ON b.c_custkey = ch.c_custkey
+        WHERE ch.c_custkey IS NULL
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM ch WHERE op = 'upsert'
+    )
+    """,
+)
+def cdc_apply_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / changelog apply (operators/versioning.py::
+    apply_changes): a deterministic changelog (every 10th id deleted,
+    two in ten upserted with adjusted balances) applied onto the
+    customer snapshot — one changelog reduction + one anti join on the
+    base + union; the base is touched exactly once. Completes the CDC
+    pair with snapshot_diff (the diff->apply round trip is
+    pytest-pinned)."""
+    from vector_io_spark.operators.versioning import apply_changes
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    ch = c.where(F.col("c_custkey") % 10 <= 1).select(
+        "c_custkey",
+        F.lit("upsert").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    ).unionByName(
+        c.where(F.col("c_custkey") % 10 == 9).select(
+            "c_custkey",
+            F.lit("delete").alias("op"),
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    return apply_changes(c, ch, "c_custkey").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
