@@ -449,3 +449,37 @@ def test_bpe_survives_fully_merged_words(spark):
     assert merges[0][1:3] == ("a", "</w>")
     v = {r["token"]: r["n_occurrences"] for r in vocab.collect()}
     assert v["a</w>"] == 6
+
+
+def test_bpe_oracle_parity_when_merges_exhaust(spark):
+    """num_merges beyond the corpus's distinct pairs: Spark breaks
+    early; the unrolled SQL's empty argmax rounds must fall back to the
+    previous segmentation (coalesce), not NULL everything out — vocab
+    and merge table stay identical."""
+    import duckdb
+    import pandas as pd
+
+    from vector_io_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_sql,
+        bpe_vocab_df,
+    )
+
+    pdf = pd.DataFrame({"text": ["a a a", "a b"], "doc_id": [1, 2]})
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    n = 10  # far beyond the available pairs
+    got_v = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_vocab_df(df, num_merges=n).collect()
+    }
+    want_v = {
+        r[0]: r[1]
+        for r in con.sql(bpe_sql(num_merges=n, output="vocab")).fetchall()
+    }
+    assert got_v == want_v and got_v
+    got_m = [tuple(r) for r in bpe_merges_df(df, num_merges=n).collect()]
+    want_m = [tuple(r) for r in con.sql(bpe_sql(num_merges=n, output="merges")).fetchall()]
+    assert got_m == want_m

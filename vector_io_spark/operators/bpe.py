@@ -108,7 +108,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 8,
     pattern: str = WORD_RE,
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns (merges, vocab, words): merges = [(step, left, right,
@@ -246,14 +246,19 @@ def bpe_sql(
         ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ),
     w{t} AS MATERIALIZED (
-        SELECT word, trim(replace(replace(
+        -- coalesce: when the corpus exhausts its pairs before
+        -- num_merges steps, b{t} is empty, the scalar subqueries are
+        -- NULL and the replace chain NULLs out — fall back to the
+        -- previous segmentation, matching the Spark side's early break
+        SELECT word, coalesce(trim(replace(replace(
                    ' ' || ws || ' ',
                    ' ' || (SELECT a FROM b{t}) || ' ' || (SELECT b FROM b{t})
                        || ' ',
                    ' ' || (SELECT a FROM b{t}) || (SELECT b FROM b{t}) || ' '),
                    ' ' || (SELECT a FROM b{t}) || ' ' || (SELECT b FROM b{t})
                        || ' ',
-                   ' ' || (SELECT a FROM b{t}) || (SELECT b FROM b{t}) || ' '))
+                   ' ' || (SELECT a FROM b{t}) || (SELECT b FROM b{t}) || ' ')),
+                   ws)
             AS ws, n
         FROM {prev}
     )""")

@@ -126,9 +126,14 @@ def logreg_train(
             *[F.sum(resid * F.col(f"__x_{k}")).alias(k) for k in names]
         ).first()
         # grad in (micro)^2-scale summed over rows; normalize by n and
-        # one Q, floor — identical ops in the SQL replay
+        # one Q, floor — identical ops in the SQL replay. float() FIRST:
+        # DuckDB's g/(n*1.0) converts the exact BIGINT to DOUBLE before
+        # dividing; Python's int/int true division rounds the exact
+        # rational instead, which diverges by one floor step once
+        # |grad| > 2^53 (reachable at a few thousand rows of Q-scale
+        # features) — convert the same way DuckDB does
         w = [
-            wq - int(math.floor(lr * math.floor(grads[k] / n_rows) / Q))
+            wq - int(math.floor(lr * math.floor(float(grads[k]) / n_rows) / Q))
             for wq, k in zip(w, names)
         ]
     base.unpersist()

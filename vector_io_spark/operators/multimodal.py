@@ -100,29 +100,44 @@ def _import_pil():
 def _pil_features(image_mod, data: bytes | None) -> list[float] | None:
     """Real image kernel: decode with PIL, 8 features = width, height,
     channel count, per-channel means (first 3), global pixel std, and
-    byte length — enough to drive dedup/quality filters on real images."""
+    byte length — enough to drive dedup/quality filters on real images.
+
+    Stats come from ``img.histogram()`` (256 ints per band, constant
+    memory) — NEVER from materializing pixels as Python objects, which
+    for a 12 MP photo would build tens of millions of boxed floats per
+    row inside the Arrow batch."""
     if data is None:
         return None
     import io
-    import statistics
+    import math
 
     img = image_mod.open(io.BytesIO(data))
     img.load()
     bands = img.getbands()
-    stats = [0.0, 0.0, 0.0]
-    pixels: list[float] = []
-    for i, _band in enumerate(bands[:3]):
-        hist_vals = list(img.getdata(band=i))
-        stats[i] = sum(hist_vals) / max(len(hist_vals), 1)
-        pixels.extend(float(v) for v in hist_vals)
-    std = statistics.pstdev(pixels) if pixels else 0.0
+    hist = img.histogram()  # 256 bins per band, concatenated
+    means = [0.0, 0.0, 0.0]
+    tot_n = tot_s = tot_sq = 0
+    for i in range(min(len(bands), 3)):
+        bins = hist[i * 256 : (i + 1) * 256]
+        n = sum(bins)
+        s = sum(v * c for v, c in enumerate(bins))
+        sq = sum(v * v * c for v, c in enumerate(bins))
+        means[i] = s / max(n, 1)
+        tot_n += n
+        tot_s += s
+        tot_sq += sq
+    std = (
+        math.sqrt(max(tot_sq / tot_n - (tot_s / tot_n) ** 2, 0.0))
+        if tot_n
+        else 0.0
+    )
     return [
         float(img.width),
         float(img.height),
         float(len(bands)),
-        round(stats[0], 4),
-        round(stats[1], 4),
-        round(stats[2], 4),
+        round(means[0], 4),
+        round(means[1], 4),
+        round(means[2], 4),
         round(std, 4),
         float(len(data)),
     ]

@@ -73,11 +73,22 @@ def attach_global_rank(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     order_cols = list(order_cols)
 
-    # Explicit numPartitions pins the exchange: AQE never coalesces a
-    # user-numbered repartition, so partition ids are identical across
-    # the two passes (boundaries are deterministic — seeded sampler
-    # over a deterministic parquet scan).
-    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    # Explicit numPartitions pins the exchange (AQE never coalesces a
+    # user-numbered repartition) and the eager localCheckpoint PINS the
+    # partitioning itself: the count pass and the returned rank plan are
+    # otherwise two separate query executions, each planning its own
+    # range exchange — RangePartitioner's reservoir-sample seed
+    # incorporates the sampled RDD's id, and aggregate inputs have
+    # nondeterministic row order, so at real scale (where the sampler
+    # subsamples) pass 2 could draw DIFFERENT boundaries than the pass
+    # the offsets were counted on. Materializing once means both passes
+    # read identical partitions; it also stops chained callers (e.g.
+    # rfm_segments' three ranks) from re-executing every prior exchange
+    # per pass. Storage cost is one materialization of the input rows —
+    # the standard trade for an exact two-pass algorithm.
+    ranged = df.repartitionByRange(num_partitions, *order_cols).localCheckpoint(
+        eager=True
+    )
 
     counts = (
         ranged.select(F.spark_partition_id().alias("_pid"))

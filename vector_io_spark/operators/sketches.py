@@ -36,10 +36,10 @@ M = 1 << B_BITS
 ALPHA = 0.7213 / (1.0 + 1.079 / M)
 
 
-def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
-    """One-row DataFrame (n_registers, estimate, exact_distinct,
-    rel_err) — estimate and exact side by side so callers (and the
-    oracle) can audit the sketch against truth."""
+def bucket_rho(key_col: str):
+    """(bucket, rho) Column pair — the single definition of the HLL
+    hash layout, shared by the batch, merged, and streaming variants
+    (change B_BITS or the rho edge case HERE only)."""
     h16 = F.substring(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll"))), 1, 16
     )
@@ -48,6 +48,27 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
     rho = F.when(rem == 0, F.lit(57)).otherwise(
         F.lit(57) - F.length(F.bin(rem))
     )
+    return bucket, rho
+
+
+def estimate_expr():
+    """Estimate Column over an aggregate row with ``s`` = Σ2^-mj over
+    present registers and ``nb`` = register count: harmonic mean with
+    empty registers counting 2^0, plus the small-range linear-counting
+    correction. The single definition shared by every estimate path."""
+    est_raw = F.lit(ALPHA * M * M) / (F.col("s") + (F.lit(M) - F.col("nb")))
+    zeros = F.lit(M) - F.col("nb")
+    return F.when(
+        (est_raw <= 2.5 * M) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(est_raw)
+
+
+def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame (n_registers, estimate, exact_distinct,
+    rel_err) — estimate and exact side by side so callers (and the
+    oracle) can audit the sketch against truth."""
+    bucket, rho = bucket_rho(key_col)
     regs = (
         df.select(bucket.alias("b"), rho.alias("rho"))
         .groupBy("b")
@@ -58,14 +79,7 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
         F.count("*").alias("nb"),
     )
     exact = df.select(key_col).distinct().count()
-    est_raw = F.lit(ALPHA * M * M) / (
-        F.col("s") + (F.lit(M) - F.col("nb"))  # empty registers: 2^0 each
-    )
-    zeros = F.lit(M) - F.col("nb")
-    est = F.when(
-        (est_raw <= 2.5 * M) & (zeros > 0),
-        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
-    ).otherwise(est_raw)
+    est = estimate_expr()
     return agg.select(
         F.col("nb").cast("long").alias("n_registers"),
         F.round(est, 4).alias("estimate"),
@@ -84,14 +98,7 @@ def hll_merged_estimate(
     over the same hash function, the merged estimate is IDENTICAL to
     sketching the union directly — verified side by side here (merged
     vs direct, plus their equality as a column)."""
-    h16 = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll"))), 1, 16
-    )
-    bucket = F.conv(F.substring(h16, 1, 2), 16, 10).cast("long")
-    rem = F.conv(F.substring(h16, 3, 14), 16, 10).cast("long")
-    rho = F.when(rem == 0, F.lit(57)).otherwise(
-        F.lit(57) - F.length(F.bin(rem))
-    )
+    bucket, rho = bucket_rho(key_col)
     per_slice = (
         df.select(F.col(slice_col).alias("sl"), bucket.alias("b"), rho.alias("rho"))
         .groupBy("sl", "b")
@@ -104,19 +111,7 @@ def hll_merged_estimate(
             F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
             F.count("*").alias("nb"),
         )
-        est_raw = F.lit(ALPHA * M * M) / (
-            F.col("s") + (F.lit(M) - F.col("nb"))
-        )
-        zeros = F.lit(M) - F.col("nb")
-        return agg.select(
-            F.round(
-                F.when(
-                    (est_raw <= 2.5 * M) & (zeros > 0),
-                    F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
-                ).otherwise(est_raw),
-                4,
-            ).alias("estimate")
-        )
+        return agg.select(F.round(estimate_expr(), 4).alias("estimate"))
 
     direct = (
         df.select(bucket.alias("b"), rho.alias("rho"))

@@ -173,14 +173,9 @@ def streaming_hll_registers(
     """
     from pyspark.sql import functions as F
 
-    h16 = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|hll"))), 1, 16
-    )
-    bucket = F.conv(F.substring(h16, 1, 2), 16, 10).cast("long")
-    rem = F.conv(F.substring(h16, 3, 14), 16, 10).cast("long")
-    rho = F.when(rem == 0, F.lit(57)).otherwise(
-        F.lit(57) - F.length(F.bin(rem))
-    )
+    from vector_io_spark.operators.sketches import bucket_rho
+
+    bucket, rho = bucket_rho(key_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .select(F.col(ts_col), bucket.alias("b"), rho.alias("rho"))
@@ -202,7 +197,7 @@ def hll_estimate_from_registers(regs, group_cols=("window_start",)):
     re-appended or overlapping register writes stay correct."""
     from pyspark.sql import functions as F
 
-    from vector_io_spark.operators.sketches import ALPHA, M
+    from vector_io_spark.operators.sketches import estimate_expr
 
     group_cols = list(group_cols)
     merged = regs.groupBy(*group_cols, "b").agg(F.max("mj").alias("mj"))
@@ -210,13 +205,9 @@ def hll_estimate_from_registers(regs, group_cols=("window_start",)):
         F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
         F.count("*").alias("nb"),
     )
-    est_raw = F.lit(ALPHA * M * M) / (F.col("s") + (F.lit(M) - F.col("nb")))
-    zeros = F.lit(M) - F.col("nb")
-    est = F.when(
-        (est_raw <= 2.5 * M) & (zeros > 0),
-        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
-    ).otherwise(est_raw)
-    return agg.select(*group_cols, F.round(est, 4).alias("estimate"))
+    return agg.select(
+        *group_cols, F.round(estimate_expr(), 4).alias("estimate")
+    )
 
 
 def stream_stream_attribution(
@@ -224,6 +215,7 @@ def stream_stream_attribution(
     conversions,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    touch_type_col: str = "event_type",
     max_gap: str = "1 hour",
     watermark: str = "1 hour",
 ):
@@ -238,8 +230,10 @@ def stream_stream_attribution(
     forever). Append mode emits once the watermark passes a match's
     window.
 
-    Inputs need distinct column names per side (rename before calling);
-    output: (user, touch_ts, conv_ts, gap_seconds, touch/conv payloads).
+    Output: (user, touch_type, touch_ts, conv_ts, gap_seconds) — one
+    row per (touch, conversion) match; project further conversion-side
+    payload into the conversions stream's ``ts``/``user`` columns before
+    calling if you need it carried through.
     """
     from pyspark.sql import functions as F
 
@@ -248,7 +242,7 @@ def stream_stream_attribution(
         .select(
             F.col(user_col).alias("t_user"),
             F.col(ts_col).alias("touch_ts"),
-            F.col("event_type").alias("touch_type"),
+            F.col(touch_type_col).alias("touch_type"),
         )
     )
     c = (
