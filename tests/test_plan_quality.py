@@ -594,3 +594,33 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in simple_plan(fn(spark, sf_dir))
     ]
     assert not offenders, offenders
+
+
+def test_attach_global_rank_handles_nulls_in_order_cols(spark):
+    """NULL order keys: range partitioning and row_number agree on null
+    ordering (NULLS FIRST for asc), so the distributed rank must equal
+    the window on a column with nulls — and every row must survive the
+    two-pass join (no silent drops)."""
+    from pyspark.sql import Window
+
+    from vector_io_spark.operators.ranks import attach_global_rank
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 5).alias("k"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = (
+        attach_global_rank(df, order, rank_col="rk", total_col="t")
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == 50 and all(r["t"] == 50 for r in got)
+    want = (
+        df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["id"], r["rk"]) for r in got] == [(r["id"], r["rk"]) for r in want]
