@@ -624,3 +624,56 @@ def test_attach_global_rank_handles_nulls_in_order_cols(spark):
         .collect()
     )
     assert [(r["id"], r["rk"]) for r in got] == [(r["id"], r["rk"]) for r in want]
+
+
+def test_q4_envelope_pushdown_and_semi_join(spark, sf_dir):
+    """Q4 shape: both the orders date window AND the derived lineitem
+    envelope (min orderdate + 60d) must reach their parquet scans; the
+    EXISTS decorrelates to a semi join, never a fact self-join."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["late_order_priority_check"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "GreaterThan(l_shipdate,1996-03-01" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q9_fact_joins_are_broadcast_except_orders(spark, sf_dir):
+    """Q9 shape: part (name-filtered, pushed), supplier, nation all
+    broadcast onto the lineitem scan; the only possible big-big edge is
+    lineitem x orders; one group-by shuffle."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["profit_by_nation_year"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "StringStartsWith(p_name,red)" in plan, plan
+    assert count_broadcast_joins(df) >= 3, plan
+    assert count_shuffles(df) <= 2, plan
+
+
+def test_q11_rollup_computes_once(spark, sf_dir):
+    """Q11 shape: the per-part rollup is persisted and reused for the
+    grand total — the scalar threshold broadcasts back, and lineitem is
+    scanned at most twice (once per branch pre-persist materialization),
+    never re-aggregated per comparison side."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["top_value_parts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q20_single_fact_aggregation_chain(spark, sf_dir):
+    """Q20 shape: filtered part broadcasts; the fact aggregates once on
+    (partkey, suppkey) and the per-part total is a partitioned window
+    (partkey shuffle) — no second scan of lineitem, no cartesian."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["excess_shipment_suppliers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "StringStartsWith(p_name,small)" in plan, plan
+    assert_no_cartesian(df)

@@ -5956,3 +5956,380 @@ def cdc_apply_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(c, ch, "c_custkey").select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
     )
+
+
+# ===========================================================================
+# TPC-H sweep completion (Q2/Q4/Q9/Q11/Q16/Q20 shapes, adapted: no partsupp
+# table in the driver schema, so part-supplier facts derive from lineitem)
+# ===========================================================================
+
+@_register(
+    "late_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: commit/receipt dates don't exist, so
+    "late" = shipped >60 days after order date): priority counts of
+    orders with at least one late line. The EXISTS decorrelates to a
+    LEFT SEMI join on orderkey; the correlated date predicate rides in
+    the join condition. Scale shape: orders window-filter pushed to its
+    scan, and the lineitem side is pre-pruned with the DERIVED envelope
+    l_shipdate > min(o_orderdate) + 60d (same trick as the Q19 quantity
+    envelope) so the semi join never scans early shipments."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    # envelope: qualifying lines ship after 1996-01-01 + 60d
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .where(F.col("l_shipdate") > "1996-03-01")
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@_register(
+    "min_price_supplier_per_part",
+    """
+    WITH eusupp AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ps AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 10 AND p_type = 'ECONOMY'
+          AND l_suppkey IN (SELECT s_suppkey FROM eusupp)
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, min_price,
+               min(min_price) OVER (PARTITION BY l_partkey) AS best_price
+        FROM ps
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(min_price, 2) AS min_price
+    FROM best
+    JOIN part ON p_partkey = l_partkey
+    JOIN eusupp ON l_suppkey = s_suppkey
+    WHERE min_price = best_price
+    """,
+)
+def min_price_supplier_per_part_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the part-supplier "cost" fact derives
+    from lineitem min sale price): for ECONOMY parts of size <= 10, the
+    EUROPE supplier(s) achieving the per-part minimum price — the
+    correlated MIN subquery decorrelated to a per-part window over the
+    (part, supplier) rollup. min() is order-independent, so no
+    fixed-point tricks needed. Scale shape: part + supplier/nation/
+    region dims broadcast BEFORE the rollup (fact rows pruned at the
+    scan edge), one (partkey, suppkey) shuffle for the agg, one partkey
+    shuffle for the per-part window; ties all surface (= semantics)."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    prt = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .groupBy("l_partkey", "p_partkey", "p_name", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("best_price", F.min("min_price").over(w))
+        .where(F.col("min_price") == F.col("best_price"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+    )
+
+
+@_register(
+    "profit_by_nation_year",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                 - 0.1 * p_retailprice * l_quantity) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def profit_by_nation_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: cost = 10% of p_retailprice per unit in
+    place of ps_supplycost): profit by supplier nation and order year
+    over 'red%' parts. Exact integer-cents summation so the grouped
+    sums are order-independent and engine-exact. Scale shape: part
+    filter broadcast-joined FIRST (prunes the fact at the scan edge),
+    supplier->nation broadcast, and the only big-big edge is
+    lineitem x orders on orderkey (single fact shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supnat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supnat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("profit"))
+    )
+
+
+@_register(
+    "top_value_parts",
+    """
+    WITH asia AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    val AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS val_c
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, round(val_c / 100.0, 2) AS part_value
+    FROM val
+    WHERE val_c * 1000 > (SELECT CAST(sum(val_c) AS BIGINT) FROM val)
+    """,
+)
+def top_value_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: "stock value" = total ASIA-supplied
+    sale value per part): parts holding more than 0.1% of the total
+    value. Exactness: integer cents everywhere, and the threshold is
+    the integer cross-multiply val_c * 1000 > total_c — no float
+    fraction. Scale shape: supplier universe broadcast as a semi join,
+    one partkey shuffle for the rollup; the grand total is a 1-row
+    broadcast back over the rollup (the rollup computes ONCE —
+    persisted — not once per side of the comparison)."""
+    asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    val = (
+        li.join(
+            F.broadcast(asia),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("val_c")
+        )
+        .persist()
+    )
+    total = val.agg(F.sum("val_c").cast("long").alias("__total_c"))
+    return (
+        val.join(F.broadcast(total), F.col("val_c") * 1000 > F.col("__total_c"))
+        .select("p_partkey", F.round(F.col("val_c") / 100.0, 2).alias("part_value"))
+    )
+
+
+@_register(
+    "supplier_count_by_part_attr",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_count_by_part_attr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the part-supplier relation derives
+    from lineitem; "complaint" suppliers = negative account balance):
+    distinct supplier counts per (brand, type, size) excluding flagged
+    suppliers. Scale shape: filtered part broadcast, the exclusion
+    list is a broadcast LEFT ANTI (s_suppkey is non-null, so NOT IN ==
+    anti join), and countDistinct shuffles on the grouping key with
+    partial distinct aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    prt = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "excess_shipment_suppliers",
+    """
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                    AS BIGINT) AS qty_c
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    flagged AS (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, qty_c,
+                   CAST(sum(qty_c) OVER (PARTITION BY l_partkey) AS BIGINT)
+                       AS tot_c
+            FROM pq
+        )
+        WHERE 10 * qty_c > 3 * tot_c
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM flagged)
+    """,
+)
+def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "excess availability" = a supplier
+    shipping >30% of a part's total volume): suppliers dominating any
+    'small%' part. Exactness: quantities in integer hundredths and the
+    30% threshold as the cross-multiply 10*qty > 3*total. Scale shape:
+    filtered part broadcast; one (partkey, suppkey) shuffle; per-part
+    totals via a partitioned window (second shuffle on partkey only);
+    the flagged-supplier set then SEMI-joins the supplier dim — the
+    fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    prt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    pq = (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("qty_c")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        pq.withColumn("tot_c", F.sum("qty_c").over(w).cast("long"))
+        .where(10 * F.col("qty_c") > 3 * F.col("tot_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(flagged, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
