@@ -483,3 +483,45 @@ def test_bpe_oracle_parity_when_merges_exhaust(spark):
     got_m = [tuple(r) for r in bpe_merges_df(df, num_merges=n).collect()]
     want_m = [tuple(r) for r in con.sql(bpe_sql(num_merges=n, output="merges")).fetchall()]
     assert got_m == want_m
+
+
+def test_dup_passage_coverage_interval_union_and_zero_rows(spark):
+    """The per-doc sweep must union overlapping windows (adjacent kept
+    positions 1,2,3 with n=8 cover 10 chars, not 24), count 8 per
+    isolated window, and keep docs with no shared span at coverage 0."""
+    import pandas as pd
+    from vector_io_spark.queries import QUERIES
+
+    shared = "zqxjvkwp" * 4  # 32 chars of shared text
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "AAAA " + shared + " BBBB",
+                "CCCCCC " + shared + " DDDD",
+                "totally unrelated text with no overlap at all",
+            ],
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {r["doc_id"]: r for r in QUERIES["dup_passage_coverage"](spark, tmp).collect()}
+    # doc 3 shares nothing
+    assert rows[3]["n_shared_windows"] == 0 and rows[3]["dup_chars"] == 0
+    assert rows[3]["dup_char_fraction"] == 0.0
+    # docs 1 and 2 share the 32-char run; coverage must be bounded by the
+    # doc length and can never exceed windows * 8 (no double counting)
+    for d in (1, 2):
+        r = rows[d]
+        assert r["n_shared_windows"] > 0
+        assert r["dup_chars"] <= len(pdf.text[d - 1])
+        assert r["dup_chars"] <= 8 * r["n_shared_windows"]
+        # interval union: with any two adjacent kept windows the sum is
+        # strictly below 8 * windows
+        if r["n_shared_windows"] >= 4:
+            assert r["dup_chars"] < 8 * r["n_shared_windows"]
+        # the shared run is 32 chars; winnowing keeps ~1/4 of windows so
+        # coverage must land inside (0, 32 + 8]
+        assert 0 < r["dup_chars"] <= 40

@@ -6333,3 +6333,378 @@ def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+# ===========================================================================
+# Exact duplicate-passage coverage (position-aware substring dedup)
+# ===========================================================================
+
+@_register(
+    "dup_passage_coverage",
+    """
+    WITH w AS (
+        SELECT doc_id, pos, fp FROM (
+            SELECT doc_id, t.i AS pos, md5(substr(text, t.i, 8)) AS fp
+            FROM documents,
+                 unnest(CASE WHEN length(text) >= 8
+                             THEN range(1, length(text) - 6)
+                             ELSE [] END) AS t(i)
+        ) WHERE strpos('0123', substr(fp, 32, 1)) > 0
+    ),
+    dup AS (
+        SELECT fp FROM (
+            SELECT fp, count(DISTINCT doc_id) AS df FROM w GROUP BY fp
+        ) WHERE df >= 2
+    ),
+    sh AS (
+        SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM dup)
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_windows,
+               CAST(sum(inc) AS BIGINT) AS dup_chars
+        FROM (
+            SELECT doc_id, pos,
+                   least(8, pos - coalesce(
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                       pos - 8)) AS inc
+            FROM sh
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_shared_windows, 0) AS n_shared_windows,
+           coalesce(dup_chars, 0) AS dup_chars,
+           round(coalesce(dup_chars, 0)
+                 / CAST(greatest(length(d.text), 1) AS DOUBLE), 6)
+               AS dup_char_fraction
+    FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+    """,
+)
+def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware exact duplicate-passage coverage (the substring-
+    dedup metric from 'Deduplicating Training Data Makes Language Models
+    Better', Lee et al. 2022, windowed approximation): per document, how
+    many characters sit under a winnowed char-8-gram window that also
+    occurs in ANOTHER document, as an interval-union sweep (overlapping
+    windows are not double-counted: each kept position contributes
+    min(8, gap to previous kept position)).
+
+    Completes the dedup family with span-level evidence: exact dedup
+    says 'this whole doc is a copy', minhash/simhash say 'these docs are
+    similar', this says 'THIS much of the doc is copied text'.
+
+    Scale shape: windows explode pipelined off the scan (no shuffle),
+    the winnow filter drops ~3/4 before anything moves; doc-frequency
+    counting shuffles 16-byte fps; the shared-fp set comes back via a
+    fp-key semi join (never broadcast — it is corpus-sized); the
+    interval sweep is a per-doc partitioned window; one final left join
+    restores zero-coverage docs. All integers — engine-exact."""
+    from vector_io_spark.functions.text import char_ngrams
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = (
+        d.select(
+            "doc_id",
+            F.posexplode(char_ngrams(F.col("text"), 8)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("gram").alias("fp"),
+        )
+        .where(F.substring("fp", 32, 1).isin("0", "1", "2", "3"))
+    )
+    dup = (
+        w.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("fp")
+    )
+    sh = w.join(dup, "fp", "leftsemi")
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    inc = F.least(
+        F.lit(8),
+        F.col("pos") - F.coalesce(F.lag("pos").over(ws), F.col("pos") - 8),
+    )
+    cov = (
+        sh.withColumn("inc", inc)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_windows"),
+            F.sum("inc").cast("long").alias("dup_chars"),
+        )
+    )
+    return (
+        d.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_windows", F.lit(0)).alias("n_shared_windows"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_char_fraction"),
+        )
+    )
+
+
+# ===========================================================================
+# K-means corpus clustering (full-dim fixed-point Lloyd, cluster profile)
+# ===========================================================================
+
+def _kmeans_profile_sql() -> str:
+    from vector_io_spark.operators.pq_exact import pq_exact_sql
+
+    base = pq_exact_sql(
+        "embeddings", "vec_id", "embedding",
+        num_subspaces=1, codebook_size=8, iters=2, scale=10_000, dim=64,
+        output="codes",
+    )
+    with_block = base.rsplit("\n    SELECT", 1)[0]
+    return f"""{with_block}
+    SELECT cluster, n_points, exemplar_id,
+           round(inertia / (10000.0 * 10000.0 * n_points), 6)
+               AS mean_sq_dist
+    FROM (
+        SELECT a.c AS cluster,
+               CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_points,
+               CAST(min(a.vec_id) AS BIGINT) AS exemplar_id,
+               CAST(sum((s.xq - b.cq) * (s.xq - b.cq)) AS BIGINT) AS inertia
+        FROM assign3 a
+        JOIN sub s ON s.vec_id = a.vec_id AND s.s = a.s
+        JOIN cent2 b ON b.s = a.s AND b.c = a.c AND b.j = s.j
+        GROUP BY a.c
+    )"""
+
+
+@_register("kmeans_cluster_profile", _kmeans_profile_sql())
+def kmeans_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-means clustering surfaced as a first-class operator
+    (the 'cluster your training corpus, then inspect/balance the
+    clusters' step of curation pipelines, cf. SemDeDup's per-cluster
+    pruning): the engine-exact fixed-point Lloyd trainer
+    (operators/pq_exact.py::pq_train) with ONE subspace spanning all 64
+    dims = plain distributed k-means, k=8, 2 iterations. Per cluster:
+    size, deterministic exemplar (min id), and mean squared distance to
+    the centroid (integer inertia, converted once at the end).
+
+    Oracle: the full unrolled-Lloyd CTE replay retrains in DuckDB and
+    must produce identical cluster profiles — clustering verified
+    hash-exact, not rows-only.
+
+    Scale shape: training shuffles are bounded aggregates (k·dim
+    centroid table, broadcast back each round); the profile is one
+    groupBy over the assignment join; nothing data-proportional reaches
+    the driver."""
+    from vector_io_spark.operators.pq_exact import pq_train, quantized_subvectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cent = pq_train(
+        emb, "vec_id", "embedding",
+        num_subspaces=1, codebook_size=8, iters=2, scale=10_000, dim=64,
+    )
+    sub = quantized_subvectors(emb, "vec_id", "embedding", 64, 10_000)
+    d2 = (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+    prof = (
+        sub.join(codes, ["vec_id", "s"])
+        .join(
+            F.broadcast(cent),
+            (F.col("code") == cent["c"])
+            & (sub["s"] == cent["s"])
+            & (sub["j"] == cent["j"]),
+        )
+        .groupBy(F.col("code").alias("cluster"))
+        .agg(
+            F.countDistinct("vec_id").alias("n_points"),
+            F.min("vec_id").cast("long").alias("exemplar_id"),
+            F.sum(d2).cast("long").alias("inertia"),
+        )
+    )
+    return prof.select(
+        "cluster",
+        "n_points",
+        "exemplar_id",
+        F.round(
+            F.col("inertia") / (10_000.0 * 10_000.0 * F.col("n_points")), 6
+        ).alias("mean_sq_dist"),
+    )
+
+
+# ===========================================================================
+# Time-series resample / gap-fill (hourly spine + LOCF)
+# ===========================================================================
+
+@_register(
+    "hourly_gapfill_locf",
+    """
+    WITH spine AS (
+        SELECT s.t AS hour
+        FROM generate_series(TIMESTAMP '2024-01-01',
+                             TIMESTAMP '2024-01-30 23:00:00',
+                             INTERVAL 1 HOUR) AS s(t)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS val_c
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT s.hour, t.event_type,
+               coalesce(a.n_events, 0) AS n_events,
+               round(a.val_c / 100.0, 2) AS hr_value
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN agg a ON a.hour = s.hour AND a.event_type = t.event_type
+    )
+    SELECT epoch_us(hour) AS hour_us, event_type, n_events,
+           round(coalesce(
+               last_value(hr_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0), 2) AS filled_value,
+           CAST(n_events = 0 AS BOOLEAN) AS is_gap
+    FROM j
+    """,
+)
+def hourly_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: regularize the ragged event
+    stream onto a fixed hourly spine per event type, filling silent
+    hours with count 0 and carrying the last observed hourly value
+    forward (LOCF) — the standard prep for feeding irregular telemetry
+    into window features or forecasting.
+
+    Scale shape: the spine is GENERATED from literal analysis-window
+    bounds (720 hours x |event types| — a bounded dimension table,
+    independent of data volume), so the cross join is broadcast-nested-
+    loop over constants, never data x data. The corpus-scale work is one
+    groupBy(hour, type) rollup; the LOCF window partitions by type over
+    spine rows only. Exact integer-cents hourly sums."""
+    ev = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("val_c"),
+    )
+    j = (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.col("val_c") / 100.0, 2).alias("hr_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        # epoch micros: Arrow ships Spark timestamps as ns, DuckDB's as
+        # us — the bigint form compares exactly (convention, see
+        # conversion_attribution)
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "event_type",
+        "n_events",
+        F.round(
+            F.coalesce(F.last("hr_value", ignorenulls=True).over(w), F.lit(0.0)),
+            2,
+        ).alias("filled_value"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )
+
+
+# ===========================================================================
+# Graph: triangle counting on the co-purchase graph
+# ===========================================================================
+
+@_register(
+    "copurchase_triangles",
+    """
+    WITH e AS (
+        SELECT part_a, part_b FROM (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+    ),
+    tri AS (
+        SELECT e1.part_a AS x, e1.part_b AS y, e2.part_b AS z
+        FROM e e1
+        JOIN e e2 ON e1.part_b = e2.part_a
+        JOIN e e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    )
+    SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS p FROM tri)
+    GROUP BY p
+    """,
+)
+def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (edges = part pairs
+    co-bought in >= 2 orders, from copurchase_part_pairs): per part, the
+    number of triangles it participates in — the clustering-coefficient
+    numerator, the classic 'tightly bundled product group' signal.
+
+    Algorithm: oriented wedge join — edges stored once in canonical
+    (lo < hi) orientation, wedges built by joining hi==lo (which forces
+    x < y < z, so each triangle materializes exactly once), closed by a
+    third edge-key join. Scale shape: the edge list (order-bounded,
+    HAVING-pruned) persists once and drives three hash joins on part
+    keys — no cartesian, no adjacency list on the driver. At serious
+    graph scale the canonical orientation would switch to degree order
+    (low-degree first) to bound wedge counts on hot parts; key order is
+    the deterministic stand-in at this density."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("part_a", "part_b")
+        .persist()
+    )
+    e1 = e.select(F.col("part_a").alias("x"), F.col("part_b").alias("y"))
+    e2 = e.select(F.col("part_a").alias("y2"), F.col("part_b").alias("z"))
+    e3 = e.select(F.col("part_a").alias("x3"), F.col("part_b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
+        .select("x", "y", "z")
+    )
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("p_partkey")
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_triangles"))
+    )
