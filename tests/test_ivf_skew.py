@@ -263,3 +263,54 @@ def test_ivf_index_partition_pruned_probe(spark, sf_dir, tmp_path):
     # self-match always survives (its own cell is always probed)
     self_rows = got.where(F.col("query_id") == F.col("vec_id"))
     assert self_rows.count() == 5
+
+
+def test_ivf_index_append_assigns_correct_cells_and_is_probe_visible(
+    spark, sf_dir, tmp_path
+):
+    """Incremental maintenance: build the index on half the corpus,
+    append the other half. Every appended row must land in the argmin
+    cell of the STORED centroids (no retrain), total row count must be
+    the union, and a probe must surface appended rows (self-match for an
+    appended query id) with partition pruning intact."""
+    import numpy as np
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(old, path, num_cells=8, seed=7)
+    n_before = spark.read.parquet(f"{path}/cells").count()
+    append_to_ivf_index(delta, path)
+
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == n_before + delta.count() == emb.count()
+
+    # appended rows sit in the argmin cell of the stored centroids
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    odd = cells.where(F.col("vec_id") % 2 == 1).collect()
+    assert odd
+    for r in odd[:50]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        want = int(((v[None, :] - cent) ** 2).sum(axis=1).argmin())
+        assert r["cell"] == want, (r["vec_id"], r["cell"], want)
+
+    # probe with an APPENDED vector as the query: the self-match must
+    # surface (its cell is always probed), proving delta visibility
+    queries = delta.where(F.col("vec_id") < 10).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = ivf_index_probe_topk(spark, path, queries, k=5, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    nq = queries.count()
+    assert got.where(F.col("query_id") == F.col("vec_id")).count() == nq

@@ -942,3 +942,52 @@ def ivf_index_probe_topk(
         .where(F.col("rank") <= k)
         .select("query_id", corpus_id, "score", "rank")
     )
+
+
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign a delta batch of
+    vectors to the EXISTING persisted centroids (no retrain) and append
+    the rows into the cell-partitioned layout of
+    :func:`write_ivf_index`. Probes via :func:`ivf_index_probe_topk`
+    see old and new rows uniformly — partition pruning still applies
+    because appends land inside the existing ``cell=<i>`` directories.
+
+    This is the nightly-ingest path: retraining (and re-shuffling 100 TB
+    of resident vectors) on every delta is a non-starter, while
+    assignment of the delta is one shuffle-free Arrow pass over the NEW
+    rows only + one partitionBy write of the delta. The trade is
+    centroid staleness: appended data drifts the true cell means and can
+    imbalance cells, degrading probe recall over time — monitor per-cell
+    row counts and rebuild with :func:`write_ivf_index` when the max/min
+    cell ratio (or delta fraction) crosses a budget. Rebuild-on-drift is
+    the standard IVF maintenance contract (same as FAISS's
+    add-vs-retrain guidance).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    spark = new_rows.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+
+    def _cell_batch(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
+
+    cell_udf = pandas_udf(_cell_batch, IntegerType())
+    (
+        new_rows.select(corpus_id, corpus_vec)
+        .withColumn("cell", cell_udf(F.col(corpus_vec)))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )

@@ -6708,3 +6708,135 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+# ===========================================================================
+# Near-dup approximation-quality eval (LSH candidates vs exact Jaccard)
+# ===========================================================================
+
+def _neardup_eval_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    r = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), "
+        f"s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)))"
+        for j in range(num_hashes)
+    )
+    band_pred = " AND ".join(
+        f"a.sig[{r} * bb + {i + 1}] = b.sig[{r} * bb + {i + 1}]" for i in range(r)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, [{sig_elems}] AS sig FROM corpus
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(1, {num_hashes + 1}),
+                               j -> a.sig[j] = b.sig[j])) / {num_hashes}.0 AS est
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(0, {bands}), bb -> {band_pred})) > 0
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle FROM corpus
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    m AS (
+        SELECT 'candidates' AS stage,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_pred,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand c
+                JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+        UNION ALL
+        SELECT 'verified',
+               (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE est >= 0.5),
+               (SELECT CAST(count(*) AS BIGINT) FROM truth),
+               (SELECT CAST(count(*) AS BIGINT) FROM cand c
+                JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+                WHERE c.est >= 0.5)
+    )
+    SELECT stage, n_pred, n_truth, n_hit,
+           round(n_hit / CAST(n_pred AS DOUBLE), 6) AS precision,
+           round(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall
+    FROM m
+    """
+
+
+@_register("neardup_eval_minhash", _neardup_eval_sql())
+def neardup_eval_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality eval for the MinHash-LSH near-dup pipeline:
+    banded candidate pairs (stage 'candidates') and estimate-verified
+    pairs at tau=0.5 (stage 'verified') are both scored against EXACT
+    shingle-Jaccard >= 0.5 ground truth — precision/recall per stage.
+    This is the 'before you trust the approximate dedup at 100 TB,
+    measure its recall on a slice' harness; the oracle replays banding
+    brute-force in SQL, so the banding layout itself (which pairs a
+    band join CAN see) is pinned cross-engine.
+
+    Scale shape: one LSH pass (threshold 0 = raw banding) reused for
+    both stages; exact ground truth comes from the PPJoin operator
+    (subquadratic prefix-filtered candidates, never all-pairs on the
+    Spark side — all-pairs lives only in the DuckDB replica); metric
+    aggregates are 1-row frames broadcast through BroadcastNestedLoop
+    cross joins."""
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    cand = minhash_lsh_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, shingle_k=3, bands=8, threshold=0.0,
+    ).persist()
+    truth = (
+        ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    hits = cand.join(truth, ["id_a", "id_b"]).select("id_a", "id_b", "est_jaccard")
+
+    def _stage(name: str, pred, hit):
+        return (
+            pred.agg(F.count("*").cast("long").alias("n_pred"))
+            .crossJoin(
+                F.broadcast(truth.agg(F.count("*").cast("long").alias("n_truth")))
+            )
+            .crossJoin(
+                F.broadcast(hit.agg(F.count("*").cast("long").alias("n_hit")))
+            )
+            .select(
+                F.lit(name).alias("stage"),
+                "n_pred",
+                "n_truth",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_pred").cast("double"), 6).alias(
+                    "precision"
+                ),
+                F.round(F.col("n_hit") / F.col("n_truth").cast("double"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    ver = F.col("est_jaccard") >= 0.5
+    return _stage("candidates", cand, hits).unionByName(
+        _stage("verified", cand.where(ver), hits.where(ver))
+    )
