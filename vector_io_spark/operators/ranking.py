@@ -322,3 +322,61 @@ def ranking_metrics(
             ).alias("mrr"),
         )
     )
+
+
+def ndcg_at_k(
+    pred: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    scale: int = 9,
+) -> DataFrame:
+    """Per-query nDCG@k of a predicted ranking against a ground-truth
+    ranking, with graded relevance rel = k+1 - truth_rank (the truth
+    top-1 is worth k, the truth top-k is worth 1, everything else 0).
+
+    DCG terms quantize to 10^-scale units BEFORE summation (the only
+    floats involved are log2 of the small integers 2..k+1, identical
+    across engines), so the per-query DCG is an exact integer sum; IDCG
+    is the same quantized sum over the perfect ranking — a compile-time
+    constant. Same shortlist-sized join shape as
+    :func:`ranking_metrics`: evaluation cost independent of corpus size.
+    """
+    import math
+
+    unit = float(10 ** scale)
+    idcg_units = sum(
+        round((k + 1 - i) / math.log2(i + 1) * unit) for i in range(1, k + 1)
+    )
+    p = pred.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__pr"),
+    )
+    t = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        (F.lit(k + 1) - F.col(rank_col)).alias("__rel"),
+    )
+    dcg = (
+        p.join(t, ["__q", "__id"])
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__rel") / F.log2(F.col("__pr") + 1) * unit, 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("__dcg_units")
+        )
+    )
+    all_q = truth.select(F.col(query_col).alias("__q")).distinct()
+    return all_q.join(dcg, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.round(
+            F.coalesce(F.col("__dcg_units"), F.lit(0)) / float(idcg_units), 6
+        ).alias("ndcg"),
+    )

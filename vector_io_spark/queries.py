@@ -6840,3 +6840,199 @@ def neardup_eval_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage("candidates", cand, hits).unionByName(
         _stage("verified", cand.where(ver), hits.where(ver))
     )
+
+
+
+# ===========================================================================
+# Label-noise detection + nDCG retrieval eval
+# ===========================================================================
+
+@_register(
+    "knn_label_disagreement",
+    f"""
+    WITH nn AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_cos_sql('c.embedding', 'q.embedding')}, 6)
+                                DESC, c.vec_id ASC) AS rank
+            FROM embeddings c,
+                 (SELECT * FROM embeddings WHERE vec_id < 200) q
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    )
+    SELECT q.vec_id, q.label,
+           CAST(count(*) FILTER (WHERE c.label <> q.label) AS BIGINT)
+               AS n_disagree,
+           round(count(*) FILTER (WHERE c.label <> q.label) / 10.0, 4)
+               AS disagree_frac,
+           (count(*) FILTER (WHERE c.label <> q.label) > 5) AS flagged
+    FROM nn
+    JOIN embeddings q ON q.vec_id = nn.query_id
+    JOIN embeddings c ON c.vec_id = nn.vec_id
+    GROUP BY q.vec_id, q.label
+    """,
+)
+def knn_label_disagreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening (Confident-Learning-style kNN audit): for
+    each row in the audit slice, the fraction of its 10 exact cosine
+    nearest neighbors (self excluded) carrying a DIFFERENT label; rows
+    whose neighborhood majority disagrees (> 5 of 10) are flagged as
+    probable mislabels — the standard pre-training label-quality pass.
+
+    Scale shape: same batched kNN plan as knn_graph_batch (audit slice
+    broadcast, corpus scanned in place, WindowGroupLimit top-k per
+    query); the label join adds two broadcast-sized dimension lookups;
+    audit batches are embarrassingly parallel — never N x N."""
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = brute_force_topk(emb, queries, k=10, exclude_self=True)
+    own = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    nbr = emb.select("vec_id", F.col("label").alias("__nl"))
+    return (
+        nn.join(nbr, "vec_id")
+        .join(own, "query_id")
+        .groupBy(F.col("query_id").alias("vec_id"), F.col("__ql").alias("label"))
+        .agg(
+            F.count(F.when(F.col("__nl") != F.col("__ql"), True))
+            .cast("long")
+            .alias("n_disagree")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_disagree",
+            F.round(F.col("n_disagree") / 10.0, 4).alias("disagree_frac"),
+            (F.col("n_disagree") > 5).alias("flagged"),
+        )
+    )
+
+
+@_register(
+    "retrieval_ndcg_euclid",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 3),
+    cosr AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY round({{COS}}, 6) DESC, c.vec_id ASC)
+                       AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    ),
+    eucr AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY round(sqrt(list_sum(list_transform(
+                           range(1, len(c.embedding) + 1),
+                           i -> (CAST(c.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))
+                              * (CAST(c.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))))), 6) ASC,
+                       c.vec_id ASC) AS rank
+            FROM embeddings c, q
+        ) WHERE rank <= 10
+    ),
+    d AS (
+        SELECT e.qid,
+               CAST(sum(CAST(round((11 - c.rank) / log2(e.rank + 1) * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS dcg_units
+        FROM eucr e JOIN cosr c ON e.qid = c.qid AND e.vec_id = c.vec_id
+        GROUP BY e.qid
+    )
+    SELECT q.qid AS query_id,
+           round(coalesce(dcg_units, 0) / __IDCG__.0, 6) AS ndcg
+    FROM (SELECT DISTINCT qid FROM cosr) q LEFT JOIN d USING (qid)
+    """,
+)
+def retrieval_ndcg_euclid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the euclidean ranking against graded cosine truth
+    (operators/ranking.py::ndcg_at_k): completes the retrieval-eval
+    harness (recall@k + MRR + nDCG). DCG terms quantize to nano-units
+    before summation, so the metric itself verifies hash-exact; the
+    IDCG normalizer is a compile-time constant shared with the oracle
+    literal."""
+    from vector_io_spark.operators.ranking import ndcg_at_k
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    truth = brute_force_topk(emb, q, k=10, metric="cosine")
+    pred = brute_force_topk(emb, q, k=10, metric="euclid")
+    return ndcg_at_k(pred, truth, k=10)
+
+
+ORACLE["retrieval_ndcg_euclid"] = (
+    ORACLE["retrieval_ndcg_euclid"]
+    .replace("{COS}", _cos_sql("c.embedding", "q.qv"))
+    .replace("__IDCG__", "29966109248")
+)
+
+
+# ===========================================================================
+# Classifier calibration curve (reliability diagram)
+# ===========================================================================
+
+def _calibration_sql() -> str:
+    from vector_io_spark.operators.classifier import Q, logreg_sql
+
+    scores = logreg_sql(output="scores")
+    return f"""
+    WITH s AS ({scores})
+    SELECT least(9, score_q // {Q // 10}) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(score_q) / (count(*) * {Q}.0), 6) AS mean_pred,
+           round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS frac_positive,
+           round(abs(sum(score_q) / (count(*) * {Q}.0)
+                     - sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE)), 6) AS gap
+    FROM s JOIN documents d USING (doc_id)
+    GROUP BY bin
+    """
+
+
+@_register("classifier_calibration", _calibration_sql())
+def classifier_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier: micro-
+    probability scores bucketed into 10 fixed bins; per bin the mean
+    predicted probability vs the observed positive rate and their gap —
+    the Expected-Calibration-Error ingredients. A classifier used as a
+    DATA FILTER at 100 TB is consumed via its score threshold, so
+    calibration (not just accuracy) is the operational property worth
+    monitoring. One groupBy over 10 keys after the zero-shuffle scoring
+    projection; exact integer sums inside, one float division at the
+    end."""
+    from vector_io_spark.operators.classifier import Q, doc_features, logreg_train
+
+    d = _t(spark, sf_dir, "documents")
+    _, scored = logreg_train(d, doc_features(), F.col("lang") == "en")
+    j = scored.select("doc_id", "score_q").join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("__y")),
+        "doc_id",
+    )
+    n = F.count("*")
+    sum_s = F.sum("score_q")
+    sum_y = F.sum("__y")
+    return (
+        j.groupBy(
+            F.least(F.lit(9), F.expr(f"score_q div {Q // 10}")).alias("bin")
+        )
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(sum_s / (n * float(Q)), 6).alias("mean_pred"),
+            F.round(sum_y / n.cast("double"), 6).alias("frac_positive"),
+            F.round(
+                F.abs(sum_s / (n * float(Q)) - sum_y / n.cast("double")), 6
+            ).alias("gap"),
+        )
+    )
