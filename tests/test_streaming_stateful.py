@@ -424,3 +424,46 @@ def test_stream_stream_interval_attribution(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, "click", 1800), (1, "view", 300)}
+
+
+def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
+    """CDC changelog stream -> materialized snapshot: upserts and
+    deletes merge per micro-batch with last-write-wins by seq; a second
+    batch composes on the first batch's snapshot."""
+    from vector_io_spark.streaming.incremental import streaming_cdc_apply
+
+    snap = str(tmp_path / "snapshot")
+    landing = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 200.0), (3, "c", 300.0)],
+        "id long, name string, bal double",
+    ).write.parquet(snap)
+
+    def _run(batch_rows):
+        spark.createDataFrame(
+            batch_rows, "id long, name string, bal double, op string, seq long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_cdc_apply(stream, snap, ckpt, "id", seq_col="seq")
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: update id 1 twice (seq 2 wins), delete id 2, insert id 4
+    _run(
+        [
+            (1, "a1", 110.0, "upsert", 1),
+            (1, "a2", 120.0, "upsert", 2),
+            (2, None, None, "delete", 1),
+            (4, "d", 400.0, "upsert", 1),
+        ]
+    )
+    got1 = {r["id"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+    assert got1 == {1: ("a2", 120.0), 3: ("c", 300.0), 4: ("d", 400.0)}
+
+    # batch 2: re-insert id 2, delete id 4 — composes on batch 1's state
+    _run([(2, "b2", 250.0, "upsert", 3), (4, None, None, "delete", 2)])
+    got2 = {r["id"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+    assert got2 == {1: ("a2", 120.0), 2: ("b2", 250.0), 3: ("c", 300.0)}

@@ -7036,3 +7036,129 @@ def classifier_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+
+
+# ===========================================================================
+# Quality-aware survivor selection over near-dup clusters
+# ===========================================================================
+
+def _quality_survivors_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    r = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), "
+        f"s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)))"
+        for j in range(num_hashes)
+    )
+    band_pred = " AND ".join(
+        f"a.sig[{r} * bb + {i + 1}] = b.sig[{r} * bb + {i + 1}]" for i in range(r)
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CASE WHEN doc_id % 2 = 0
+                    THEN substr(text, 1, greatest((length(text) * 4) // 5, 8))
+                    ELSE text || ' ' || text END
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, [{sig_elems}] AS sig FROM corpus
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(0, {bands}), bb -> {band_pred})) > 0
+          AND len(list_filter(range(1, {num_hashes + 1}),
+                              j -> a.sig[j] = b.sig[j])) / {num_hashes}.0
+              >= 0.5
+    ),
+    undirected AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM undirected),
+    comp AS (
+        SELECT n.id, least(n.id, min(r.b)) AS component
+        FROM nodes n JOIN reach r ON r.a = n.id
+        GROUP BY n.id
+    ),
+    ranked AS (
+        SELECT c.component, c.id, length(co.text) AS n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY length(co.text) DESC, c.id ASC)
+                   AS rn,
+               count(*) OVER (PARTITION BY c.component) AS nm
+        FROM comp c JOIN corpus co ON co.doc_id = c.id
+    )
+    SELECT component, CAST(nm AS BIGINT) AS n_members,
+           id AS survivor_id, CAST(n_chars AS BIGINT) AS survivor_chars
+    FROM ranked WHERE rn = 1
+    """
+
+
+@_register("dedup_quality_survivors", _quality_survivors_sql())
+def dedup_quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup clusters (MinHash-LSH
+    pairs at tau=0.5 over a corpus with TRUNCATED and DOUBLED variants
+    injected) collapse via connected components, and each cluster keeps
+    its HIGHEST-QUALITY member — argmax(content length, tie id asc) —
+    instead of the min-id convention. This is how production dedup
+    actually picks survivors (keep the longest/cleanest copy, drop the
+    truncated mirror), and the injected variants make the choice
+    non-trivial: even-id clusters must keep the original, odd-id
+    clusters the longer doubled copy.
+
+    Scale shape: the LSH pair join and pointer-doubling components are
+    the proven subquadratic paths (operators/dedup.py); survivor argmax
+    is one per-component ranking window. Oracle: brute-force banding +
+    recursive-CTE closure + the same argmax."""
+    from vector_io_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.expr("substring(text, 1, greatest((length(text) * 4) div 5, 8))"),
+        )
+        .otherwise(F.concat("text", F.lit(" "), "text"))
+        .alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = minhash_lsh_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=16, shingle_k=3, bands=8,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    memb = comp.join(
+        corpus.select(F.col("doc_id").alias("id"), F.length("text").alias("n_chars")),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    return (
+        memb.select(
+            "component",
+            "id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("component")).alias("nm"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("nm").cast("long").alias("n_members"),
+            F.col("id").alias("survivor_id"),
+            F.col("n_chars").cast("long").alias("survivor_chars"),
+        )
+    )

@@ -272,3 +272,55 @@ def stream_stream_attribution(
             / 1_000_000
         ).cast("long").alias("gap_seconds"),
     )
+
+
+def streaming_cdc_apply(
+    changelog_stream,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously maintain a materialized snapshot from a CDC
+    changelog stream: each micro-batch is reduced and merged into the
+    snapshot parquet with :func:`operators.versioning.apply_changes`
+    (MERGE-INTO semantics — upsert/delete, last-write-wins by
+    ``seq_col``), then the snapshot is atomically replaced.
+
+    foreachBatch gives exactly-once OUTPUT here: the merge is
+    deterministic on (snapshot, batch) and the checkpoint guarantees a
+    batch is not reapplied after success; a batch retried after a crash
+    re-reads the PREVIOUS snapshot (the replace is the last step), so
+    the merge is idempotent per batch id. Scale shape: the changelog
+    batch is the small side (one map-combined max_by reduction +
+    broadcast-able anti join against the base); the base is rewritten
+    once per batch — at warehouse scale the rewrite becomes a
+    partition-scoped overwrite keyed by the ids' partition values, the
+    merge plan itself is unchanged.
+
+    Runs as a drain-and-stop maintenance job by default
+    (``availableNow`` trigger — the scheduled-merge pattern); pass
+    ``available_now=False`` for a continuously running maintainer.
+    Returns the StreamingQuery; callers own awaitTermination.
+    """
+    from vector_io_spark.operators.versioning import apply_changes
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(snapshot_path)
+        reduced = batch_df.drop("__topic") if "__topic" in batch_df.columns else batch_df
+        merged = apply_changes(base, reduced, id_col, op_col=op_col, seq_col=seq_col)
+        staged = merged.localCheckpoint(eager=True)  # materialize BEFORE
+        # overwrite: the merge plan reads the files it is about to replace
+        staged.write.mode("overwrite").parquet(snapshot_path)
+
+    writer = (
+        changelog_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
