@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "dsir_importance_weights",  # hashed-ngram importance ratios
     "quality_classifier_weights",  # batch-GD training, 5 rounds
     "hll_distinct_users",    # engine-exact sketch, 1 scan + 256-row agg
+    # round-3 continuation (this session)
+    "dup_passage_coverage",  # position-aware substring dedup sweep
+    "kmeans_cluster_profile",  # full-dim fixed-point Lloyd, k=8
+    "profit_by_nation_year",  # Q9 shape: one big-big edge, cents-exact
+    "dedup_quality_survivors",  # LSH pairs -> CC -> argmax-quality keep
+    "zipf_slope",            # distributed-rank vocab + quantized OLS
 ]
 
 

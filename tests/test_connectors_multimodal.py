@@ -356,3 +356,71 @@ def test_pil_real_decode_features_and_resize(spark):
     for r in out.select("blob_resized").collect():
         img = Image.open(io.BytesIO(bytes(r["blob_resized"])))
         assert img.size == (4, 4)
+
+
+def test_media_perceptual_hash_fake_kernel_dedup_and_locality(spark):
+    """aHash plumbing on the fake byte kernel: identical payloads hash
+    identically (exact dedup by groupBy(phash)), a small byte edit stays
+    within a small Hamming radius, and unrelated payloads are far."""
+    from vector_io_spark.operators.multimodal import media_perceptual_hash
+
+    base = bytes(range(256)) * 8
+    tweaked = bytearray(base)
+    tweaked[100] = 255  # single-byte edit
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, bytes(tweaked)), (4, other), (5, None)],
+        "id long, blob binary",
+    )
+    got = {r["id"]: r["phash"] for r in media_perceptual_hash(df, "blob").collect()}
+    assert got[1] == got[2]            # exact dup -> identical hash
+    assert got[5] is None              # null payload passthrough
+    d_small = bin(got[1] ^ got[3]).count("1")
+    d_far = bin(got[1] ^ got[4]).count("1")
+    assert d_small <= 4, d_small       # single-byte edit flips few bits
+    assert d_far > d_small, (d_far, d_small)
+
+
+def test_media_perceptual_hash_pil_kernel_resize_invariance(spark):
+    """Real aHash: the same image re-encoded at a different size hashes
+    within a small Hamming radius (the property that makes aHash a
+    near-dup key); a structurally different image lands far away. Skips
+    without pillow."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from vector_io_spark.operators.multimodal import media_perceptual_hash
+
+    def gradient_png(w, h, flip=False):
+        img = Image.new("L", (w, h))
+        img.putdata(
+            [
+                (255 - (255 * x) // w if flip else (255 * x) // w)
+                for y in range(h)
+                for x in range(w)
+            ]
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, gradient_png(64, 64)),
+            (2, gradient_png(128, 128)),   # same content, 2x size
+            (3, gradient_png(64, 64, flip=True)),  # mirrored gradient
+        ],
+        "id long, blob binary",
+    )
+    got = {
+        r["id"]: r["phash"]
+        for r in media_perceptual_hash(df, "blob", decoder="pil").collect()
+    }
+    d_same = bin(got[1] ^ got[2]).count("1")
+    d_diff = bin(got[1] ^ got[3]).count("1")
+    assert d_same <= 6, d_same
+    assert d_diff >= 20, d_diff

@@ -301,3 +301,87 @@ def resize_media(
             ),
         )
     return resized_df
+
+
+def _fake_ahash(data: bytes | None) -> int | None:
+    """Byte-level stand-in for the perceptual average-hash: 64 evenly
+    spaced byte samples thresholded against their mean -> 64-bit
+    fingerprint. Deterministic, locality-preserving on byte edits (a
+    small payload change flips few sampled bits) — exercises the exact
+    plumbing the real kernel uses."""
+    if data is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return 0
+    samples = [data[(i * n) // 64] for i in range(64)]
+    mean = sum(samples) / 64.0
+    h = 0
+    for i, s in enumerate(samples):
+        if s >= mean:
+            h |= 1 << i
+    # keep the top bit clear so the value fits signed int64 everywhere
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def _pil_ahash(image_mod, data: bytes | None) -> int | None:
+    """Real average-hash: decode, resize to 8x8 grayscale (bilinear),
+    threshold each pixel against the mean -> 64-bit fingerprint. The
+    classic aHash; robust to recompression/resizing, so near-dup images
+    sit within a small Hamming radius."""
+    if data is None:
+        return None
+    import io
+
+    img = image_mod.open(io.BytesIO(data)).convert("L").resize(
+        (8, 8), image_mod.BILINEAR
+    )
+    px = list(img.getdata())
+    mean = sum(px) / 64.0
+    h = 0
+    for i, p in enumerate(px):
+        if p >= mean:
+            h |= 1 << i
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def media_perceptual_hash(
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "phash",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual average-hash per media row (64-bit LongType column).
+
+    Near-dup media detection then composes with the EXISTING binary
+    machinery: exact dedup = groupBy(phash); near-dup = Hamming distance
+    over the hash (same xor+popcount scan as ann_topk_hamming_packed),
+    banding by hash prefix for the LSH-style candidate cut. Same
+    decoder gate as :func:`extract_media_features` ('fake' byte kernel /
+    'pil' real decode, import-gated). Zero shuffle: one mapInPandas
+    projection; the 8-byte hash is what any downstream join moves, never
+    the media payload."""
+    if decoder == "pil":
+        _import_pil()
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _import_pil() if decoder == "pil" else None
+        for pdf in batches:
+            out = pdf.copy()
+            if decoder == "pil":
+                out[out_col] = [
+                    _pil_ahash(image_mod, bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
+            else:
+                out[out_col] = [
+                    _fake_ahash(bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -7162,3 +7162,146 @@ def dedup_quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("survivor_chars"),
         )
     )
+
+
+# ===========================================================================
+# Zipf slope (log-log OLS over the distributed-exact-ranked vocabulary)
+# ===========================================================================
+
+_ZIPF_FIT = (
+    "(sxy / 1e6 - (sx / 1e6) * (sy / 1e6) / nv) "
+    "/ (sxx / 1e6 - (sx / 1e6) * (sx / 1e6) / nv)"
+)
+
+
+@_register(
+    "zipf_slope",
+    f"""
+    WITH vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOK}) AS word FROM documents)
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+        FROM vocab
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS nv,
+               CAST(sum(CAST(round(ln(rk) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(round(ln(n) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sy,
+               CAST(sum(CAST(round(ln(rk) * ln(n) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sxy,
+               CAST(sum(CAST(round(ln(rk) * ln(rk) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM ranked
+    )
+    SELECT nv AS n_vocab,
+           round({_ZIPF_FIT}, 6) AS zipf_slope,
+           round(sy / 1e6 / nv - ({_ZIPF_FIT}) * sx / 1e6 / nv, 6)
+               AS intercept
+    FROM t
+    """,
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope/intercept of
+    ln(frequency) against ln(rank) — the 'is this corpus natural
+    language or template spam' scalar (natural text sits near slope -1;
+    boilerplate-heavy corpora flatten). The frequency rank uses the
+    distributed exact global rank (operators/ranks.py::
+    attach_global_rank — range-partitioned two-pass, NO single-partition
+    window over the vocabulary, which is corpus-sized at web scale);
+    every OLS term quantizes to 1e-6 units before summation so the
+    regression verifies hash-exact; the final fit is one textual formula
+    shared verbatim with the oracle."""
+    from vector_io_spark.functions.text import tokens
+    from vector_io_spark.operators.ranks import attach_global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = attach_global_rank(
+        vocab, [F.col("n").desc(), F.col("word").asc()], rank_col="rk"
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    t = ranked.agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum(F.round(x * 1000000, 0).cast("long")).cast("long").alias("sx"),
+        F.sum(F.round(y * 1000000, 0).cast("long")).cast("long").alias("sy"),
+        F.sum(F.round(x * y * 1000000, 0).cast("long")).cast("long").alias("sxy"),
+        F.sum(F.round(x * x * 1000000, 0).cast("long")).cast("long").alias("sxx"),
+    )
+    return t.selectExpr(
+        "nv AS n_vocab",
+        f"round({_ZIPF_FIT}, 6) AS zipf_slope",
+        f"round(sy / 1e6 / nv - ({_ZIPF_FIT}) * sx / 1e6 / nv, 6) AS intercept",
+    )
+
+
+# ===========================================================================
+# Seasonal-baseline anomaly detection (hour-of-day medians)
+# ===========================================================================
+
+@_register(
+    "seasonal_anomaly_hours",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, CAST(hour(hour) AS BIGINT) AS hod,
+               CAST(round(quantile_cont(n_events, 0.5) * 1000000, 0)
+                    AS BIGINT) AS bmed_u
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT epoch_us(h.hour) AS hour_us, h.event_type, h.n_events,
+           round(bmed_u / 1e6, 4) AS baseline_med,
+           (h.n_events * 1000000 > 2 * bmed_u) AS is_burst,
+           (2 * h.n_events * 1000000 < bmed_u) AS is_quiet
+    FROM hourly h
+    JOIN base b ON b.event_type = h.event_type
+               AND b.hod = CAST(hour(h.hour) AS BIGINT)
+    """,
+)
+def seasonal_anomaly_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: each observed (type, hour)
+    count compares against the hour-of-day MEDIAN for that type across
+    the window (traffic at 3am is judged against other 3am hours, not
+    the daily mean) — flags >2x bursts and <0.5x quiet hours. The
+    diurnal complement to hourly_event_bursts' trailing-24h trigger.
+    Exactness: Spark grouped `percentile` == DuckDB quantile_cont
+    (type-7), micro-unit quantized; thresholds are integer
+    cross-multiplies. Scale shape: one hourly rollup (the only
+    corpus-scale shuffle), a (type x 24)-row baseline aggregate
+    broadcast back, zero windows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    base = hourly.groupBy(
+        "event_type", F.hour("hour").cast("long").alias("hod")
+    ).agg(
+        F.round(F.expr("percentile(n_events, 0.5)") * 1000000, 0)
+        .cast("long")
+        .alias("bmed_u")
+    )
+    return (
+        hourly.withColumn("hod", F.hour("hour").cast("long"))
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            F.unix_micros("hour").alias("hour_us"),
+            "event_type",
+            "n_events",
+            F.round(F.col("bmed_u") / 1e6, 4).alias("baseline_med"),
+            (F.col("n_events") * 1000000 > 2 * F.col("bmed_u")).alias("is_burst"),
+            (2 * F.col("n_events") * 1000000 < F.col("bmed_u")).alias("is_quiet"),
+        )
+    )
