@@ -549,6 +549,9 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         "sparse_keyword_retrieval",
         "hybrid_rrf_search",
         "cms_heavy_hitters",
+        # global top-5 heavy keys over the per-key rollup; rank<=5
+        # filter — WindowGroupLimit rescue asserted below
+        "join_key_skew_report",
     }
     TINY_DERIVED_TABLE = {
         # global cumsum over the bucket-count table (|buckets| rows,

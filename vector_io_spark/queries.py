@@ -7305,3 +7305,181 @@ def seasonal_anomaly_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("n_events") * 1000000 < F.col("bmed_u")).alias("is_quiet"),
         )
     )
+
+
+# ===========================================================================
+# Data-contract validation + join-key skew diagnostics
+# ===========================================================================
+
+@_register(
+    "data_quality_rules",
+    """
+    SELECT 'lineitem_quantity_range' AS rule, 'lineitem' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range', 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_pk_unique', 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_orders_ri', 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'orders_customer_ri', 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'documents_text_nonnull', 'documents',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR length(text) = 0)
+    """,
+)
+def data_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation (the Great-Expectations-style data
+    contract): range checks, primary-key uniqueness, referential
+    integrity across the star schema, and non-null/non-empty content —
+    one row per rule with checked/violation counts. The pre-flight gate
+    a 100 TB ingest runs before anything downstream trusts the batch.
+    Scale shape: each rule is a scan-local aggregate (count of a
+    predicate) or one anti-join-shaped count; nothing but scalar counts
+    crosses stages; rules over the same table share the scan via
+    columnar cache locality. All counts exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+
+    def rule(name, table_name, checked_df, viol_df):
+        return (
+            checked_df.agg(F.count("*").cast("long").alias("n_checked"))
+            .crossJoin(
+                F.broadcast(
+                    viol_df.agg(F.count("*").cast("long").alias("n_violations"))
+                )
+            )
+            .select(
+                F.lit(name).alias("rule"),
+                F.lit(table_name).alias("table_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+
+    dup = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias(
+            "n_violations"
+        )
+    )
+    rules = [
+        rule(
+            "lineitem_quantity_range", "lineitem", li,
+            li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        rule(
+            "lineitem_discount_range", "lineitem", li,
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        o.agg(F.count("*").cast("long").alias("n_checked"))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            F.lit("orders_pk_unique").alias("rule"),
+            F.lit("orders").alias("table_name"),
+            "n_checked",
+            "n_violations",
+        ),
+        rule(
+            "lineitem_orders_ri", "lineitem", li,
+            li.join(
+                o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        rule(
+            "orders_customer_ri", "orders", o,
+            o.join(
+                c.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        rule(
+            "documents_text_nonnull", "documents", d,
+            d.where(F.col("text").isNull() | (F.length("text") == 0)),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_register(
+    "join_key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               CAST(max(n_rows) AS BIGINT) AS max_rows
+        FROM per_key
+    )
+    SELECT l_orderkey AS key_value, n_rows, CAST(rk AS BIGINT) AS rk,
+           n_keys, total_rows,
+           round(max_rows * n_keys / CAST(total_rows AS DOUBLE), 4)
+               AS skew_factor
+    FROM (
+        SELECT l_orderkey, n_rows,
+               row_number() OVER (ORDER BY n_rows DESC, l_orderkey ASC) AS rk
+        FROM per_key
+    ), stats
+    WHERE rk <= 5
+    """,
+)
+def join_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the fact table's join key: the 5
+    heaviest l_orderkey values plus the corpus-wide skew factor
+    (max rows-per-key over mean rows-per-key) — the report that decides
+    whether a join needs salting/AQE skew handling BEFORE it runs at
+    100 TB. One per-key rollup (map-combined), a 1-row stats aggregate
+    broadcast back, and a rank<=5 global top-k rescued by
+    WindowGroupLimit (gated below)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n_rows"))
+    per_key = per_key.persist()
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
+    return (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_orderkey").alias("key_value"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rk").cast("long").alias("rk"),
+            "n_keys",
+            "total_rows",
+            F.round(
+                F.col("max_rows") * F.col("n_keys")
+                / F.col("total_rows").cast("double"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
