@@ -125,9 +125,19 @@ def main() -> None:
     ).mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
-    samples: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES}
+    # optional subset: SPARK_GRAFT_BENCH_QUERIES=comma,separated,names
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [q for q in (s.strip() for s in subset.split(",")) if q]
+        if subset
+        else BENCH_QUERIES
+    )
+    unknown = [q for q in bench_queries if q not in registry]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    samples: dict[str, list[float]] = {q: [] for q in bench_queries}
     for _rep in range(n_runs):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             fn = registry[name]
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -7483,3 +7483,81 @@ def join_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+# ===========================================================================
+# Embedding drift by label (binned projected-dim population stability)
+# ===========================================================================
+
+@_register(
+    "embedding_drift_by_label",
+    """
+    WITH rows_p AS (
+        SELECT label, CAST(j AS BIGINT) AS proj_dim,
+               round(list_sum(list_transform(range(1, 65),
+                   d -> CAST(embedding[d] AS DOUBLE)
+                        * (strpos('0123456789abcdef',
+                                  substr(md5('q' || (j - 1) || ':' || (d - 1)),
+                                         1, 1))
+                           - 1 - 7.5))), 6) AS pval
+        FROM embeddings, generate_series(1, 4) t(j)
+    ),
+    binned AS (
+        SELECT proj_dim,
+               CAST(floor((least(greatest(pval, -40.0), 40.0 - 1e-9) + 40.0)
+                          / 10.0) AS BIGINT) AS bin,
+               CAST(count(*) FILTER (WHERE label = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE label <> 0) AS BIGINT) AS n_b
+        FROM rows_p GROUP BY proj_dim, bin
+    )
+    SELECT proj_dim, bin, n_a, n_b,
+           round((n_a + 0.5)
+                 / (sum(n_a) OVER (PARTITION BY proj_dim) + 4.0), 6) AS p_a,
+           round((n_b + 0.5)
+                 / (sum(n_b) OVER (PARTITION BY proj_dim) + 4.0), 6) AS p_b
+    FROM binned
+    """,
+)
+def embedding_drift_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: project vectors onto 4 md5-derived
+    axes (engine-exact literals), bin each projected coordinate into 8
+    fixed-width buckets, and compare the label-0 slice against the rest
+    with Laplace-smoothed bin proportions — the population-stability
+    input for 'did the new batch's embedding distribution move'. The
+    PSI scalar is sum((p_a-p_b)*ln(p_a/p_b)) over these rows (ln ulp is
+    libm-dependent, so the oracle pins counts+proportions, same policy
+    as quality_drift_by_source). Scale shape: one exploded projection
+    pass (plan-literal coefficients, no shuffle), one (4 x 8)-key
+    conditional aggregate, proportions via windows over the 32-row bin
+    frame."""
+    from vector_io_spark.functions.vectors import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection("embedding", in_dims=64, out_dims=4, seed="q")
+    rows = emb.select("label", F.posexplode(proj).alias("pos", "raw")).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("proj_dim"),
+        F.round("raw", 6).alias("pval"),
+    )
+    b = F.floor(
+        (F.least(F.greatest(F.col("pval"), F.lit(-40.0)), F.lit(40.0 - 1e-9))
+         + 40.0)
+        / 10.0
+    ).cast("bigint")
+    binned = rows.groupBy("proj_dim", b.alias("bin")).agg(
+        F.count(F.when(F.col("label") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("label") != 0, 1)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy("proj_dim")
+    return binned.select(
+        "proj_dim",
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((F.col("n_a") + 0.5) / (F.sum("n_a").over(w) + 4.0), 6).alias(
+            "p_a"
+        ),
+        F.round((F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + 4.0), 6).alias(
+            "p_b"
+        ),
+    )
