@@ -430,16 +430,23 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
     """CDC changelog stream -> materialized snapshot: upserts and
     deletes merge per micro-batch with last-write-wins by seq; a second
     batch composes on the first batch's snapshot."""
-    from vector_io_spark.streaming.incremental import streaming_cdc_apply
+    from vector_io_spark.streaming.incremental import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        streaming_cdc_apply,
+    )
 
     snap = str(tmp_path / "snapshot")
     landing = str(tmp_path / "changes")
     ckpt = str(tmp_path / "ckpt")
 
-    spark.createDataFrame(
-        [(1, "a", 100.0), (2, "b", 200.0), (3, "c", 300.0)],
-        "id long, name string, bal double",
-    ).write.parquet(snap)
+    init_cdc_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 100.0), (2, "b", 200.0), (3, "c", 300.0)],
+            "id long, name string, bal double",
+        ),
+        snap,
+    )
 
     def _run(batch_rows):
         spark.createDataFrame(
@@ -460,10 +467,23 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
             (4, "d", 400.0, "upsert", 1),
         ]
     )
-    got1 = {r["id"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+    got1 = {r["id"]: (r["name"], r["bal"]) for r in read_cdc_snapshot(spark, snap).collect()}
     assert got1 == {1: ("a2", 120.0), 3: ("c", 300.0), 4: ("d", 400.0)}
 
     # batch 2: re-insert id 2, delete id 4 — composes on batch 1's state
     _run([(2, "b2", 250.0, "upsert", 3), (4, None, None, "delete", 2)])
-    got2 = {r["id"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+    got2 = {r["id"]: (r["name"], r["bal"]) for r in read_cdc_snapshot(spark, snap).collect()}
     assert got2 == {1: ("a2", 120.0), 2: ("b2", 250.0), 3: ("c", 300.0)}
+
+    # crash-safety shape: the previous version is retained (keep_versions=2)
+    # and a torn version dir without _SUCCESS is invisible to readers
+    import os
+
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v-"))
+    assert len(versions) == 2, versions
+    torn = os.path.join(snap, "v-" + "9" * 20)
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-000.parquet"), "wb") as f:
+        f.write(b"garbage")  # no _SUCCESS marker
+    got3 = {r["id"]: (r["name"], r["bal"]) for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got3 == got2

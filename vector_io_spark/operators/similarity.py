@@ -833,6 +833,37 @@ def hard_negatives(
     )
 
 
+def _cell_assign_udf(cent):
+    """Pandas UDF assigning each vector to its nearest centroid row —
+    the single shared assignment kernel for index build (`write_ivf_index`),
+    delta append (`append_to_ivf_index`), and the ad-hoc IVF path, so the
+    cell geometry can never drift between writers and readers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    def _cell_batch(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
+
+    return pandas_udf(_cell_batch, IntegerType())
+
+
+def _load_centroid_matrix(spark, path: str):
+    """Load the persisted centroid table of a `write_ivf_index` layout as
+    a dense (num_cells x dim) ndarray ordered by cell id — shared by the
+    probe and append paths."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    return cent
+
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -857,9 +888,6 @@ def write_ivf_index(
     cell file — at 100 TB this is the index-build job.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
 
     sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
     if sample_fraction < 1.0:
@@ -869,14 +897,9 @@ def write_ivf_index(
     ).astype(np.float64)
     cent = _lloyd(train, num_cells, seed)
 
-    def _cell_batch(vs):
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
-
-    cell_udf = pandas_udf(_cell_batch, IntegerType())
     (
         corpus.select(corpus_id, corpus_vec)
-        .withColumn("cell", cell_udf(F.col(corpus_vec)))
+        .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/cells")
@@ -909,10 +932,7 @@ def ivf_index_probe_topk(
     """
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
-    for r in cent_rows:
-        cent[r["cell"]] = r["centroid"]
+    cent = _load_centroid_matrix(spark, path)
     qrows = queries.select(query_id, query_vec).collect()
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -968,25 +988,11 @@ def append_to_ivf_index(
     the standard IVF maintenance contract (same as FAISS's
     add-vs-retrain guidance).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
     spark = new_rows.sparkSession
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
-    for r in cent_rows:
-        cent[r["cell"]] = r["centroid"]
-
-    def _cell_batch(vs):
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        return pd.Series(_sq_dists(mat, cent).argmin(axis=1).astype("int32"))
-
-    cell_udf = pandas_udf(_cell_batch, IntegerType())
+    cent = _load_centroid_matrix(spark, path)
     (
         new_rows.select(corpus_id, corpus_vec)
-        .withColumn("cell", cell_udf(F.col(corpus_vec)))
+        .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/cells")

@@ -6454,14 +6454,17 @@ def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 def _kmeans_profile_sql() -> str:
-    from vector_io_spark.operators.pq_exact import pq_exact_sql
+    from vector_io_spark.operators.pq_exact import (
+        pq_exact_cte_names,
+        pq_exact_sql,
+    )
 
-    base = pq_exact_sql(
+    with_block = pq_exact_sql(
         "embeddings", "vec_id", "embedding",
         num_subspaces=1, codebook_size=8, iters=2, scale=10_000, dim=64,
-        output="codes",
+        output="with_block",
     )
-    with_block = base.rsplit("\n    SELECT", 1)[0]
+    n = pq_exact_cte_names(iters=2)
     return f"""{with_block}
     SELECT cluster, n_points, exemplar_id,
            round(inertia / (10000.0 * 10000.0 * n_points), 6)
@@ -6471,9 +6474,9 @@ def _kmeans_profile_sql() -> str:
                CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_points,
                CAST(min(a.vec_id) AS BIGINT) AS exemplar_id,
                CAST(sum((s.xq - b.cq) * (s.xq - b.cq)) AS BIGINT) AS inertia
-        FROM assign3 a
-        JOIN sub s ON s.vec_id = a.vec_id AND s.s = a.s
-        JOIN cent2 b ON b.s = a.s AND b.c = a.c AND b.j = s.j
+        FROM {n["assign"]} a
+        JOIN {n["sub"]} s ON s.vec_id = a.vec_id AND s.s = a.s
+        JOIN {n["codebook"]} b ON b.s = a.s AND b.c = a.c AND b.j = s.j
         GROUP BY a.c
     )"""
 
@@ -6593,7 +6596,6 @@ def hourly_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
     agg = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
@@ -6602,6 +6604,11 @@ def hourly_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("val_c"),
     )
+    # one corpus-scale rollup, persisted; the type dimension derives
+    # from it (every event contributes an (hour, type) group) instead
+    # of a second full scan of events
+    agg = agg.persist()
+    types = agg.select("event_type").distinct()
     j = (
         spine.crossJoin(F.broadcast(types))
         .join(agg, ["hour", "event_type"], "left")
@@ -7286,6 +7293,9 @@ def seasonal_anomaly_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").alias("n_events"))
+    # the rollup feeds both the baseline and the output row set —
+    # persist so the corpus-scale scan+shuffle runs once
+    hourly = hourly.persist()
     base = hourly.groupBy(
         "event_type", F.hour("hour").cast("long").alias("hod")
     ).agg(
@@ -7359,69 +7369,80 @@ def data_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     d = _t(spark, sf_dir, "documents")
 
-    def rule(name, table_name, checked_df, viol_df):
-        return (
-            checked_df.agg(F.count("*").cast("long").alias("n_checked"))
-            .crossJoin(
-                F.broadcast(
-                    viol_df.agg(F.count("*").cast("long").alias("n_violations"))
-                )
-            )
-            .select(
-                F.lit(name).alias("rule"),
-                F.lit(table_name).alias("table_name"),
-                "n_checked",
-                "n_violations",
-            )
+    def one_row(name, table_name, checked_col, viol_col):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            F.lit(table_name).alias("table_name"),
+            F.col(checked_col).alias("n_checked"),
+            F.col(viol_col).alias("n_violations"),
         )
 
-    dup = o.agg(
-        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias(
-            "n_violations"
+    # one scan of each large table computes every scan-local rule on it
+    li_stats = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1))
+        .cast("long")
+        .alias("v_qty"),
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1))
+        .cast("long")
+        .alias("v_disc"),
+    ).persist()
+    o_stats = o.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("v_pk"),
+    ).persist()
+    d_stats = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("text").isNull() | (F.length("text") == 0), 1))
+        .cast("long")
+        .alias("v_txt"),
+    )
+    ri_li = li.join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("long").alias("v"))
+    ri_o = o.join(
+        c.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("long").alias("v"))
+
+    li_rules = li_stats.select(
+        F.explode(
+            F.array(
+                one_row("lineitem_quantity_range", "lineitem", "n", "v_qty"),
+                one_row("lineitem_discount_range", "lineitem", "n", "v_disc"),
+            )
+        ).alias("r")
+    ).select("r.*")
+    o_rules = o_stats.select(
+        one_row("orders_pk_unique", "orders", "n", "v_pk").alias("r")
+    ).select("r.*")
+    d_rules = d_stats.select(
+        one_row("documents_text_nonnull", "documents", "n", "v_txt").alias("r")
+    ).select("r.*")
+    ri_rules = (
+        li_stats.select(F.col("n"))
+        .crossJoin(F.broadcast(ri_li))
+        .select(
+            F.lit("lineitem_orders_ri").alias("rule"),
+            F.lit("lineitem").alias("table_name"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+        )
+        .unionByName(
+            o_stats.select(F.col("n"))
+            .crossJoin(F.broadcast(ri_o))
+            .select(
+                F.lit("orders_customer_ri").alias("rule"),
+                F.lit("orders").alias("table_name"),
+                F.col("n").alias("n_checked"),
+                F.col("v").alias("n_violations"),
+            )
         )
     )
-    rules = [
-        rule(
-            "lineitem_quantity_range", "lineitem", li,
-            li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
-        ),
-        rule(
-            "lineitem_discount_range", "lineitem", li,
-            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
-        ),
-        o.agg(F.count("*").cast("long").alias("n_checked"))
-        .crossJoin(F.broadcast(dup))
-        .select(
-            F.lit("orders_pk_unique").alias("rule"),
-            F.lit("orders").alias("table_name"),
-            "n_checked",
-            "n_violations",
-        ),
-        rule(
-            "lineitem_orders_ri", "lineitem", li,
-            li.join(
-                o.select("o_orderkey"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-                "left_anti",
-            ),
-        ),
-        rule(
-            "orders_customer_ri", "orders", o,
-            o.join(
-                c.select("c_custkey"),
-                F.col("o_custkey") == F.col("c_custkey"),
-                "left_anti",
-            ),
-        ),
-        rule(
-            "documents_text_nonnull", "documents", d,
-            d.where(F.col("text").isNull() | (F.length("text") == 0)),
-        ),
-    ]
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return li_rules.unionByName(ri_rules).unionByName(o_rules).unionByName(d_rules)
 
 
 @_register(

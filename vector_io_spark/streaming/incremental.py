@@ -274,31 +274,73 @@ def stream_stream_attribution(
     )
 
 
+def _cdc_version_dirs(spark, root: str) -> list[str]:
+    """Complete (``_SUCCESS``-marked) snapshot version dir names under
+    ``root``, sorted ascending. Resolved through the Hadoop FileSystem
+    API so object-store/HDFS roots work like local paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v-"):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_SUCCESS")):
+                out.append(name)
+    return sorted(out)
+
+
+def init_cdc_snapshot(df: DataFrame, root: str) -> None:
+    """Seed a versioned CDC snapshot root (version v-0) for
+    :func:`streaming_cdc_apply`."""
+    df.write.parquet(f"{root}/v-{0:020d}")
+
+
+def read_cdc_snapshot(spark, root: str) -> DataFrame:
+    """Read the latest COMPLETE version of a CDC-maintained snapshot.
+    Partial writes (no ``_SUCCESS``) are invisible, so readers never see
+    a torn snapshot regardless of crash timing."""
+    versions = _cdc_version_dirs(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no complete snapshot version under {root}")
+    return spark.read.parquet(f"{root}/{versions[-1]}")
+
+
 def streaming_cdc_apply(
     changelog_stream,
-    snapshot_path: str,
+    snapshot_root: str,
     checkpoint_dir: str,
     id_col: str,
     op_col: str = "op",
     seq_col: str | None = None,
     available_now: bool = True,
+    keep_versions: int = 2,
 ):
     """Continuously maintain a materialized snapshot from a CDC
     changelog stream: each micro-batch is reduced and merged into the
-    snapshot parquet with :func:`operators.versioning.apply_changes`
-    (MERGE-INTO semantics — upsert/delete, last-write-wins by
-    ``seq_col``), then the snapshot is atomically replaced.
+    latest snapshot version with :func:`operators.versioning.
+    apply_changes` (MERGE-INTO semantics — upsert/delete,
+    last-write-wins by ``seq_col``), written as a NEW version dir under
+    ``snapshot_root`` (``v-<batch id>``), never overwriting the old one.
 
-    foreachBatch gives exactly-once OUTPUT here: the merge is
-    deterministic on (snapshot, batch) and the checkpoint guarantees a
-    batch is not reapplied after success; a batch retried after a crash
-    re-reads the PREVIOUS snapshot (the replace is the last step), so
-    the merge is idempotent per batch id. Scale shape: the changelog
-    batch is the small side (one map-combined max_by reduction +
-    broadcast-able anti join against the base); the base is rewritten
-    once per batch — at warehouse scale the rewrite becomes a
-    partition-scoped overwrite keyed by the ids' partition values, the
-    merge plan itself is unchanged.
+    Crash-safety contract: a version becomes visible only when its
+    ``_SUCCESS`` marker lands, and :func:`read_cdc_snapshot` resolves
+    the latest complete version — so a crash mid-write leaves the
+    previous snapshot intact and readable. If the driver dies AFTER the
+    version commits but BEFORE the streaming checkpoint records the
+    batch, the batch replays onto its own output — harmless, because
+    the merge is idempotent on its own result (re-upserting the same
+    payloads and re-deleting absent ids are both no-ops). Old versions
+    beyond ``keep_versions`` are garbage-collected after each commit;
+    incomplete (crashed) version dirs are removed too.
+
+    Scale shape: the changelog batch is the small side (one map-combined
+    max_by reduction + broadcast-able anti join against the base); the
+    base is rewritten once per batch — at warehouse scale the rewrite
+    becomes a partition-scoped overwrite keyed by the ids' partition
+    values, the merge plan itself is unchanged.
 
     Runs as a drain-and-stop maintenance job by default
     (``availableNow`` trigger — the scheduled-merge pattern); pass
@@ -309,12 +351,30 @@ def streaming_cdc_apply(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        base = spark.read.parquet(snapshot_path)
-        reduced = batch_df.drop("__topic") if "__topic" in batch_df.columns else batch_df
+        versions = _cdc_version_dirs(spark, snapshot_root)
+        if not versions:
+            raise FileNotFoundError(
+                f"snapshot root {snapshot_root} not seeded — call "
+                "init_cdc_snapshot first"
+            )
+        base = spark.read.parquet(f"{snapshot_root}/{versions[-1]}")
+        reduced = (
+            batch_df.drop("__topic") if "__topic" in batch_df.columns else batch_df
+        )
         merged = apply_changes(base, reduced, id_col, op_col=op_col, seq_col=seq_col)
-        staged = merged.localCheckpoint(eager=True)  # materialize BEFORE
-        # overwrite: the merge plan reads the files it is about to replace
-        staged.write.mode("overwrite").parquet(snapshot_path)
+        new_version = f"v-{batch_id + 1:020d}"
+        merged.write.parquet(f"{snapshot_root}/{new_version}")
+        # GC: drop complete versions beyond keep_versions and any
+        # incomplete (crashed) dirs other than the one just written
+        jvm = spark._jvm
+        root_path = jvm.org.apache.hadoop.fs.Path(snapshot_root)
+        fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        complete = _cdc_version_dirs(spark, snapshot_root)
+        keep = set(complete[-keep_versions:]) | {new_version}
+        for st in fs.listStatus(root_path):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v-") and name not in keep:
+                fs.delete(st.getPath(), True)
 
     writer = (
         changelog_stream.writeStream.foreachBatch(_merge)
