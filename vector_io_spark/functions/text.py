@@ -285,3 +285,61 @@ def compression_ratio(c: Column | str, level: int = 6) -> Column:
 
     udf = pandas_udf(_ratio_batch, DoubleType())
     return udf(c)
+
+
+def kept_window_fingerprints(c: Column | str, n: int = 8, keep_every: int = 4):
+    """Winnowed rolling-window fingerprints WITH positions: per row, the
+    array<struct<pos int, fp string>> of char n-gram md5s whose last hex
+    nibble survives the 1/keep_every downsample (same family as
+    :func:`rolling_fingerprints`, plus the position needed for
+    passage-span analysis).
+
+    Arrow-batched pandas UDF rather than posexplode+md5 Catalyst
+    expressions: values are identical (same md5 hex, same nibble rule),
+    but per-window hashing in a vectorized Python worker beats the
+    JVM's per-row MessageDigest churn ~3-5x on corpus-sized inputs —
+    the same measured trade documented on
+    ``operators.dedup.minhash_signatures``. Still shuffle-free: one
+    projection."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    thresh = set("0123456789abcdef"[: max(1, 16 // keep_every)])
+    md5 = hashlib.md5
+
+    def _batch(texts):
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or len(t) < n:
+                out.append([])
+                continue
+            rows = []
+            for i in range(len(t) - n + 1):
+                h = md5(t[i : i + n].encode()).hexdigest()
+                if h[31] in thresh:
+                    rows.append((i + 1, h))
+            out.append(rows)
+        return pd.Series(out)
+
+    udf = pandas_udf(
+        _batch,
+        ArrayType(
+            StructType(
+                [
+                    StructField("pos", IntegerType()),
+                    StructField("fp", StringType()),
+                ]
+            )
+        ),
+    )
+    c = F.col(c) if isinstance(c, str) else c
+    return udf(c)

@@ -6339,6 +6339,29 @@ def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact duplicate-passage coverage (position-aware substring dedup)
 # ===========================================================================
 
+def _shared_window_positions(spark: SparkSession, sf_dir: str):
+    """(documents, shared-window-position) pair used by the duplicate-
+    passage family: winnowed char-8-gram window fingerprints WITH
+    positions (vectorized kernel functions.text.kept_window_fingerprints
+    — same md5/nibble values as the Catalyst formulation, ~4x faster on
+    corpus inputs), doc-frequency >= 2 filter, and the fp-key semi join
+    back (the shared-fp set is corpus-sized — never broadcast)."""
+    from vector_io_spark.functions.text import kept_window_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.select(
+        "doc_id",
+        F.explode(kept_window_fingerprints("text", n=8, keep_every=4)).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    dup = (
+        w.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("fp")
+    )
+    return d, w.join(dup, "fp", "leftsemi")
+
+
 @_register(
     "dup_passage_coverage",
     """
@@ -6399,28 +6422,7 @@ def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp-key semi join (never broadcast — it is corpus-sized); the
     interval sweep is a per-doc partitioned window; one final left join
     restores zero-coverage docs. All integers — engine-exact."""
-    from vector_io_spark.functions.text import char_ngrams
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = (
-        d.select(
-            "doc_id",
-            F.posexplode(char_ngrams(F.col("text"), 8)).alias("pos0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.md5("gram").alias("fp"),
-        )
-        .where(F.substring("fp", 32, 1).isin("0", "1", "2", "3"))
-    )
-    dup = (
-        w.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= 2)
-        .select("fp")
-    )
-    sh = w.join(dup, "fp", "leftsemi")
+    d, sh = _shared_window_positions(spark, sf_dir)
     ws = Window.partitionBy("doc_id").orderBy("pos")
     inc = F.least(
         F.lit(8),
@@ -7581,4 +7583,82 @@ def embedding_drift_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + 4.0), 6).alias(
             "p_b"
         ),
+    )
+
+
+@_register(
+    "dup_passage_spans",
+    """
+    WITH w AS (
+        SELECT doc_id, pos, fp FROM (
+            SELECT doc_id, t.i AS pos, md5(substr(text, t.i, 8)) AS fp
+            FROM documents,
+                 unnest(CASE WHEN length(text) >= 8
+                             THEN range(1, length(text) - 6)
+                             ELSE [] END) AS t(i)
+        ) WHERE strpos('0123', substr(fp, 32, 1)) > 0
+    ),
+    dup AS (
+        SELECT fp FROM (
+            SELECT fp, count(DISTINCT doc_id) AS df FROM w GROUP BY fp
+        ) WHERE df >= 2
+    ),
+    sh AS (SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM dup)),
+    isl AS (
+        SELECT doc_id, pos,
+               CAST(sum(CASE WHEN pos - prev > 8 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                   AS island
+        FROM (
+            SELECT doc_id, pos,
+                   coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos), pos) AS prev
+            FROM sh
+        )
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+    FROM isl
+    GROUP BY doc_id, island
+    HAVING max(pos) + 8 - min(pos) >= 16
+    """,
+)
+def dup_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of substring dedup: per document, the
+    MERGED character ranges covered by cross-document duplicate windows
+    (islands of kept positions with gaps <= window length), filtered to
+    passages >= 16 chars — the 'cut THESE spans' list the Lee et al.
+    pipeline feeds back into the corpus, where dup_passage_coverage only
+    scores how much is duplicated. Same scale shape as the coverage
+    query (shared vectorized fingerprint kernel, fp-key semi join,
+    per-doc windows for island detection)."""
+    d, sh = _shared_window_positions(spark, sf_dir)
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.lag("pos").over(ws), F.col("pos")).alias("prev"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.sum(
+                F.when(F.col("pos") - F.col("prev") > 8, 1).otherwise(0)
+            )
+            .over(ws)
+            .cast("long")
+            .alias("island"),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + 7).cast("long").alias("span_end"),
+            (F.max("pos") + 8 - F.min("pos")).cast("long").alias("span_len"),
+        )
+        .where(F.col("span_len") >= 16)
+        .select("doc_id", "span_start", "span_end", "span_len")
     )
