@@ -7662,3 +7662,181 @@ def dup_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("span_len") >= 16)
         .select("doc_id", "span_start", "span_end", "span_len")
     )
+
+
+# ===========================================================================
+# Experimentation + sequence features + temporal split
+# ===========================================================================
+
+@_register(
+    "ab_test_report",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN strpos('01234567',
+                               substr(md5('exp1:' || user_id), 1, 1)) > 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    m AS (
+        SELECT a.arm,
+               e.user_id,
+               CAST(count(*) FILTER (WHERE e.event_type = 'purchase')
+                    AS BIGINT) AS n_purch,
+               CAST(sum(CASE WHEN e.event_type = 'purchase'
+                             THEN CAST(round(e.value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_c
+        FROM events e JOIN assign a ON a.user_id = e.user_id
+        GROUP BY a.arm, e.user_id
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           round(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS conversion_rate,
+           round(sum(rev_c) / (count(*) * 100.0), 4) AS revenue_per_user
+    FROM m GROUP BY arm
+    """,
+)
+def ab_test_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment: users
+    split 50/50 by an md5 of (experiment salt, user id) — the assignment
+    is reproducible across engines, retries, and reruns (the property
+    production experimentation systems require; rand() splits are not
+    re-derivable). Per arm: users, converters, conversion rate, exact
+    integer-cents revenue per user. The z-statistic is
+    (p_a - p_b) / sqrt(p(1-p)(1/n_a+1/n_b)) over these exact inputs —
+    left to the caller since sqrt's last ulp is libm territory. Scale
+    shape: one distinct-users pass, one per-(arm,user) rollup, one
+    2-row arm aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"), F.col("user_id"))), 1, 1
+                ).isin(*"01234567"),
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+        )
+    )
+    m = (
+        ev.join(assign, "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("n_purch"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    conv = F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+    return m.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        conv.cast("long").alias("n_converted"),
+        F.round(conv / F.count("*").cast("double"), 6).alias("conversion_rate"),
+        F.round(F.sum("rev_c") / (F.count("*") * 100.0), 4).alias(
+            "revenue_per_user"
+        ),
+    )
+
+
+@_register(
+    "customer_purchase_sequences",
+    """
+    SELECT o_custkey,
+           array_to_string(list(l_partkey ORDER BY o_orderdate DESC,
+                                o_orderkey DESC, l_linenumber DESC,
+                                l_partkey DESC)[1:5],
+                           ',') AS recent_parts,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def customer_purchase_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer recency-ordered purchase sequence (last 5 part keys
+    by order date) — the input feature of sequence recommenders and
+    churn models ('what did this user buy, most recent first'). The
+    ordering key is total (date, orderkey, linenumber, partkey — the
+    synthetic data has duplicate line numbers, so the part key is the
+    final tiebreak), making the array deterministic. Scale shape: one orderkey join (orders side
+    projected to 3 columns), one custkey shuffle where
+    max_by-style aggregation keeps only 5 elements per customer —
+    per-group state is O(5), not O(history)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    seq = F.expr(
+        "array_join(slice(transform(array_sort(collect_list(struct("
+        "unix_micros(o_orderdate) as d, o_orderkey as ok, "
+        "l_linenumber as ln, l_partkey as pk)), "
+        "(a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 "
+        "WHEN a.ok > b.ok THEN -1 WHEN a.ok < b.ok THEN 1 "
+        "WHEN a.ln > b.ln THEN -1 WHEN a.ln < b.ln THEN 1 "
+        "WHEN a.pk > b.pk THEN -1 WHEN a.pk < b.pk THEN 1 ELSE 0 END), "
+        "s -> s.pk), 1, 5), ',')"
+    )
+    return j.groupBy("o_custkey").agg(
+        seq.alias("recent_parts"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@_register(
+    "temporal_split",
+    """
+    WITH firstseen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(epoch_us(first_ts)) AS BIGINT) AS min_first_us,
+           CAST(max(epoch_us(first_ts)) AS BIGINT) AS max_first_us
+    FROM (
+        SELECT user_id, first_ts,
+               CASE WHEN first_ts < TIMESTAMP '2024-01-22' THEN 'train'
+                    ELSE 'test' END AS split
+        FROM firstseen
+    ) GROUP BY split
+    """,
+)
+def temporal_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with USER-level consistency: a user
+    belongs wholly to train or test based on first-seen time against a
+    literal cutoff (weeks 1-3 train, week 4 test) — the split that
+    prevents the classic leakage of the same user's early events
+    training a model evaluated on their later events. Summary row per
+    split (count + first-seen range proves disjointness). One per-user
+    min aggregate; the per-event assignment is a broadcast-join of this
+    user->split table back onto the stream."""
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    sp = fs.select(
+        "user_id",
+        "first_ts",
+        F.when(F.col("first_ts") < "2024-01-22", "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return sp.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.min(F.unix_micros("first_ts")).cast("long").alias("min_first_us"),
+        F.max(F.unix_micros("first_ts")).cast("long").alias("max_first_us"),
+    )
