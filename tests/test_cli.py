@@ -113,3 +113,22 @@ def test_cli_reembed_consolidate_count_idlist(spark, sf_dir, tmp_path, capsys):
     assert main(["get-id-list", "--dataset", out2, "--out", out4]) == 0
     ids = spark.read.csv(out4).count()
     assert ids == 50
+
+
+def test_cli_query_list_run_and_explain(capsys):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) > 150
+
+    assert main(["query", "vector_dim_inference",
+                 "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "dim" in out
+
+    assert main(["explain", "id_range_filter",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan and "PushedFilters" in plan
+
+    assert main(["query", "no_such_query"]) == 2
+    assert main(["explain", "no_such_query"]) == 2

@@ -120,6 +120,27 @@ def build_parser() -> argparse.ArgumentParser:
     il_p.add_argument("--dataset", required=True)
     il_p.add_argument("--out", required=True)
     il_p.add_argument("--id-column", default="id")
+
+    q_p = sub.add_parser(
+        "query",
+        help="run a registered analytics query against a table dir "
+        "(list names with --list)",
+    )
+    q_p.add_argument("name", nargs="?", help="query name from the registry")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="directory holding the parquet tables")
+    q_p.add_argument("--limit", type=int, default=20,
+                     help="rows to show (default 20)")
+    q_p.add_argument("--out", help="optionally write the FULL result as parquet")
+    q_p.add_argument("--list", action="store_true", dest="list_queries",
+                     help="print all registered query names and exit")
+
+    ex_p = sub.add_parser(
+        "explain",
+        help="print a query's physical plan (the 100 TB shape audit)",
+    )
+    ex_p.add_argument("name")
+    ex_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     return top
 
 
@@ -264,6 +285,38 @@ def cmd_id_list(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from vector_io_spark.queries import QUERIES
+
+    if args.list_queries:
+        print("\n".join(sorted(QUERIES)))
+        return 0
+    if not args.name:
+        print("query: name required (or --list)")
+        return 2
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `query --list`")
+        return 2
+    spark = get_spark(app_name=f"vector_io_spark_query_{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from vector_io_spark.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `query --list`")
+        return 2
+    spark = get_spark(app_name=f"vector_io_spark_explain_{args.name}")
+    QUERIES[args.name](spark, args.sf_dir).explain("formatted")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "list-dbs":
@@ -279,6 +332,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_count(args)
     if args.command == "get-id-list":
         return cmd_id_list(args)
+    if args.command == "query":
+        return cmd_query(args)
+    if args.command == "explain":
+        return cmd_explain(args)
     return cmd_import(args)
 
 
