@@ -552,6 +552,9 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # global top-5 heavy keys over the per-key rollup; rank<=5
         # filter — WindowGroupLimit rescue asserted below
         "join_key_skew_report",
+        # global top-50 PMI pairs over the count-floored vocabulary;
+        # rank<=50 filter — WindowGroupLimit rescue asserted below
+        "pmi_collocations",
     }
     TINY_DERIVED_TABLE = {
         # global cumsum over the bucket-count table (|buckets| rows,

@@ -7840,3 +7840,190 @@ def temporal_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("first_ts")).cast("long").alias("min_first_us"),
         F.max(F.unix_micros("first_ts")).cast("long").alias("max_first_us"),
     )
+
+
+# ===========================================================================
+# PMI collocations + embedding-norm outliers
+# ===========================================================================
+
+@_register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK}) AS w FROM documents
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    bg AS (
+        SELECT unnest(CASE WHEN len({_TOK}) >= 2 THEN
+                   list_transform(range(1, len({_TOK})),
+                                  i -> array_to_string({_TOK}[i:i+1], ' '))
+                   ELSE [] END) AS bigram
+        FROM documents
+    ),
+    bc AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS n12
+        FROM bg GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST((SELECT sum(n) FROM uc) AS BIGINT) AS t,
+               CAST((SELECT sum(n12) FROM bc) AS BIGINT) AS b
+    )
+    SELECT w1, w2, n12, CAST(rk AS BIGINT) AS rk, pmi_u
+    FROM (
+        SELECT w1, w2, n12,
+               CAST(round(ln((n12 * 1.0 * t * t)
+                             / (b * 1.0 * u1.n * u2.n)) * 1000000, 0)
+                    AS BIGINT) AS pmi_u,
+               row_number() OVER (
+                   ORDER BY round(ln((n12 * 1.0 * t * t)
+                                     / (b * 1.0 * u1.n * u2.n)) * 1000000, 0)
+                            DESC, w1 ASC, w2 ASC) AS rk
+        FROM bc
+        JOIN uc u1 ON u1.w = w1
+        JOIN uc u2 ON u2.w = w2
+        CROSS JOIN tot
+        WHERE n12 >= 5 AND u1.n >= 5 AND u2.n >= 5
+    ) WHERE rk <= 50
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 50 adjacent word pairs with the
+    highest pointwise mutual information (PMI = ln(p(w1,w2) /
+    p(w1)p(w2)), count floors at 5 to kill the low-frequency PMI bias) —
+    the corpus-analysis primitive behind multiword-expression discovery
+    and tokenizer-merge sanity checks. Exactness: PMI quantized to
+    micro-units from one shared formula text (ln of an integer ratio;
+    the n12*t*t product form is exact here — at web scale flip to the
+    log-sum form to avoid overflow, noted not needed for the oracle's
+    int64 range). Scale shape: token/bigram rollups are map-combined;
+    the unigram joins hash on word keys (count-floored first, so the
+    join sides are the >= 5 vocabulary); the 1-row totals broadcast;
+    the global top-50 is WindowGroupLimit-rescued (allowlisted)."""
+    from vector_io_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens("text")).alias("w"))
+    uc = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    uc5 = uc.where(F.col("n") >= 5)
+    tarr = _tokens("text")
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size(tarr) - 1),
+        lambda i: F.struct(
+            F.element_at(tarr, i).alias("w1"),
+            F.element_at(tarr, i + 1).alias("w2"),
+        ),
+    )
+    bc = (
+        d.where(F.size(tarr) >= 2)
+        .select(F.explode(bigram).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n12"))
+        .where(F.col("n12") >= 5)
+    )
+    # b must be the PRE-floor bigram total to match p(w1,w2) mass
+    toks_b = (
+        d.where(F.size(tarr) >= 2)
+        .select(F.explode(bigram).alias("bg"))
+        .agg(F.count("*").cast("long").alias("b"))
+    )
+    totals = uc.agg(F.sum("n").cast("long").alias("t")).crossJoin(
+        F.broadcast(toks_b)
+    )
+    pmi_u = F.round(
+        F.log(
+            (F.col("n12") * 1.0 * F.col("t") * F.col("t"))
+            / (F.col("b") * 1.0 * F.col("u1n") * F.col("u2n"))
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    scored = (
+        bc.join(uc5.select(F.col("w").alias("w1"), F.col("n").alias("u1n")), "w1")
+        .join(uc5.select(F.col("w").alias("w2"), F.col("n").alias("u2n")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n12", pmi_u.alias("pmi_u"))
+    )
+    w = Window.orderBy(
+        F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 50)
+        .select("w1", "w2", "n12", "rk", "pmi_u")
+    )
+
+
+@_register(
+    "embedding_norm_outliers",
+    f"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               round(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS nrm
+        FROM embeddings
+    ),
+    med AS (
+        SELECT label, quantile_cont(nrm, 0.5) AS med
+        FROM norms GROUP BY label
+    ),
+    dev AS (
+        SELECT n.vec_id, n.label, n.nrm, m.med, abs(n.nrm - m.med) AS adev
+        FROM norms n JOIN med m USING (label)
+    ),
+    mad AS (
+        SELECT label, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.nrm,
+           round(d.med, 6) AS med_norm,
+           round((d.nrm - d.med) / (1.4826 * NULLIF(m.mad, 0)), 4)
+               AS robust_z
+    FROM dev d JOIN mad m USING (label)
+    WHERE abs(d.nrm - d.med) > 3.0 * 1.4826 * m.mad
+    """,
+)
+def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-embedding screen: vectors whose L2 norm is a robust
+    (median + MAD) outlier within their label group — catches zeroed,
+    clipped, or exploded embeddings that poison cosine rankings, before
+    any index build. Same two-grouped-exact-percentiles shape as
+    value_outliers_mad (broadcast stat joins, the vector table never
+    shuffles); the norm uses the sequential-double dot so the screen is
+    engine-exact."""
+    from vector_io_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))), 6
+        ).alias("nrm"),
+    )
+    med = norms.groupBy("label").agg(
+        F.expr("percentile(nrm, 0.5)").alias("med")
+    )
+    dev = norms.join(F.broadcast(med), "label").withColumn(
+        "adev", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .where(
+            F.abs(F.col("nrm") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "nrm",
+            F.round("med", 6).alias("med_norm"),
+            F.round(
+                (F.col("nrm") - F.col("med"))
+                / (1.4826 * F.when(F.col("mad") != 0, F.col("mad"))),
+                4,
+            ).alias("robust_z"),
+        )
+    )
