@@ -8027,3 +8027,157 @@ def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# ===========================================================================
+# Day-N retention + embedding isotropy
+# ===========================================================================
+
+@_register(
+    "dayn_retention",
+    """
+    WITH firstseen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS d0
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    r AS (
+        SELECT f.user_id, f.d0,
+               max(CASE WHEN a.d = f.d0 + INTERVAL 1 DAY
+                        THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN a.d = f.d0 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS r7
+        FROM firstseen f JOIN act a USING (user_id)
+        GROUP BY f.user_id, f.d0
+    )
+    SELECT CAST(epoch_us(d0) AS BIGINT) AS cohort_day_us,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS d1_retained,
+           CAST(sum(r7) AS BIGINT) AS d7_retained,
+           round(sum(r1) / CAST(count(*) AS DOUBLE), 6) AS d1_rate,
+           round(sum(r7) / CAST(count(*) AS DOUBLE), 6) AS d7_rate
+    FROM r GROUP BY d0
+    """,
+)
+def dayn_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-N retention: per first-seen-day cohort, the fraction
+    of users active again exactly N days later (N = 1 and 7) — the
+    product-health metric pair every event pipeline reports. Scale
+    shape: one per-user min (first touch), one distinct (user, day)
+    activity set, a user-key join where the per-user state collapses to
+    two max flags, then a cohort-day rollup over |users| rows. Exact
+    integer counts; day arithmetic is calendar-exact in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    r = (
+        fs.join(act, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("d") == F.col("d0") + F.expr("INTERVAL 1 DAY"), 1
+                ).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(
+                    F.col("d") == F.col("d0") + F.expr("INTERVAL 7 DAY"), 1
+                ).otherwise(0)
+            ).alias("r7"),
+        )
+    )
+    return r.groupBy("d0").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("d1_retained"),
+        F.sum("r7").cast("long").alias("d7_retained"),
+        F.round(F.sum("r1") / F.count("*").cast("double"), 6).alias("d1_rate"),
+        F.round(F.sum("r7") / F.count("*").cast("double"), 6).alias("d7_rate"),
+    ).select(
+        F.unix_micros("d0").alias("cohort_day_us"),
+        "n_users",
+        "d1_retained",
+        "d7_retained",
+        "d1_rate",
+        "d7_rate",
+    )
+
+
+@_register(
+    "embedding_isotropy",
+    """
+    WITH q AS (
+        SELECT vec_id, t.i AS j,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT)
+                   AS xq
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        WHERE embedding IS NOT NULL
+    ),
+    dimsums AS (
+        SELECT j, CAST(sum(xq) AS BIGINT) AS sj,
+               CAST(sum(xq * xq) AS BIGINT) AS sqj
+        FROM q GROUP BY j
+    ),
+    tot AS (
+        SELECT CAST(sum(sj * sj) AS BIGINT) AS a,
+               CAST(sum(sqj) AS BIGINT) AS b,
+               (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM q) AS n
+        FROM dimsums
+    )
+    SELECT n AS n_vectors,
+           round((a / (1.0 * n)) / b, 6) AS mean_mass_ratio,
+           round(1.0 - (a / (1.0 * n)) / b, 6) AS isotropy
+    FROM tot
+    """,
+)
+def embedding_isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy diagnostic: how much of the corpus's second
+    moment sits in the mean direction — mean_mass_ratio =
+    ||mean||^2 / E[||x||^2], isotropy = 1 - that. Anisotropic
+    ('narrow-cone') embedding spaces are a known pathology that wrecks
+    cosine discrimination; this is the one-scalar screen to run before
+    trusting similarity search, and the justification for the
+    mean-centering step PCA/whitening applies. Exactness: fixed-point
+    integer dim sums (the same 1e4 quantization as the PQ family), so
+    A = sum_j S_j^2 and B = sum x^2 are exact integers and the final
+    ratio is one shared formula text. Scale shape: one exploded pass,
+    a 64-row dim aggregate, a 1-row total — nothing data-proportional
+    past the first aggregate. (S_j^2 grows with n^2: at extreme corpus
+    sizes move A to DECIMAL(38) — the oracle range here is int64-safe.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("i0", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("j"),
+            F.round(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+        )
+    )
+    dimsums = q.groupBy("j").agg(
+        F.sum("xq").cast("long").alias("sj"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sqj"),
+    )
+    n_df = q.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    tot = dimsums.agg(
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("a"),
+        F.sum("sqj").cast("long").alias("b"),
+    ).crossJoin(F.broadcast(n_df))
+    return tot.select(
+        F.col("n").alias("n_vectors"),
+        F.round((F.col("a") / (1.0 * F.col("n"))) / F.col("b"), 6).alias(
+            "mean_mass_ratio"
+        ),
+        F.round(
+            1.0 - (F.col("a") / (1.0 * F.col("n"))) / F.col("b"), 6
+        ).alias("isotropy"),
+    )
