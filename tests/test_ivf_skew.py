@@ -314,3 +314,39 @@ def test_ivf_index_append_assigns_correct_cells_and_is_probe_visible(
     assert "PartitionFilters" in plan and "cell" in plan, plan
     nq = queries.count()
     assert got.where(F.col("query_id") == F.col("vec_id")).count() == nq
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH (flip-1 query-side perturbations) must recall a
+    SUPERSET of the single-probe candidates (its probe set contains the
+    original keys), lift recall vs brute-force truth, and expand ONLY
+    the query side — corpus banding identical."""
+    from vector_io_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(emb, queries, k=5)
+    plain = lsh_bucketed_topk(emb, queries, k=5, num_planes=32, bands=4)
+    multi = lsh_bucketed_topk(
+        emb, queries, k=5, num_planes=32, bands=4, multiprobe=1
+    )
+
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    p = {(r["query_id"], r["vec_id"]) for r in plain.collect()}
+    m = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    recall_p = len(p & t) / len(t)
+    recall_m = len(m & t) / len(t)
+    # probe superset => recall can only go up (pairs can also displace
+    # weaker candidates out of top-k, so compare against truth overlap)
+    assert recall_m >= recall_p, (recall_m, recall_p)
+    # with 8-bit bands, flip-1 probing should strictly help at this SF
+    assert recall_m > recall_p, (recall_m, recall_p)
+    # self-match survives in both
+    for got in (p, m):
+        for qid in range(20):
+            assert (qid, qid) in got

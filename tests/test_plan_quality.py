@@ -683,3 +683,14 @@ def test_q20_single_fact_aggregation_chain(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "StringStartsWith(p_name,small)" in plan, plan
     assert_no_cartesian(df)
+
+
+def test_filtered_ann_pushes_label_predicate(spark, sf_dir):
+    """Filtered vector search must pre-filter AT THE SCAN (exact
+    semantics, file-prune-able) — never post-filter ranked results."""
+    from vector_io_spark.queries import QUERIES
+
+    df = QUERIES["ann_topk_filtered"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "In(label, [1,2])" in plan, plan
+    assert_no_cartesian(df)

@@ -163,12 +163,22 @@ def lsh_bucketed_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures on both sides,
     candidate join on signature bands, exact cosine re-rank of candidates.
 
     Recall < 1 by design (bucket misses); rank/score of returned rows are
     exact. Returns (query_id, vec_id, score, rank).
+
+    ``multiprobe=1`` additionally probes, per band, every key with ONE
+    sign bit flipped — the classic multi-probe LSH trade (Lv et al.,
+    VLDB'07): near-miss buckets (a query point close to a hyperplane)
+    are recovered by probing neighbors of the query's own bucket instead
+    of maintaining more hash tables. The expansion happens ONLY on the
+    broadcast query side (x(1 + rows) band keys per query); the corpus
+    banding, the expensive side at 100 TB, is untouched — recall rises
+    at zero additional corpus scan or index cost.
     """
     rows = num_planes // bands
 
@@ -184,8 +194,40 @@ def lsh_bucketed_topk(
             F.col(idc).alias(out_id), F.posexplode(band_arr).alias("band_id", "band_key")
         )
 
+    def banded_multiprobe(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        sig = _hyperplane_signature(df, idc, vc, num_planes)
+        def _flip_at(j):
+            return lambda x, i: F.when(i == j, 1 - x).otherwise(x)
+
+        entries = []
+        for b in range(bands):
+            sl = F.slice(F.col("sig"), b * rows + 1, rows)
+            keys = [F.concat_ws(",", sl)]
+            for j in range(rows):
+                keys.append(F.concat_ws(",", F.transform(sl, _flip_at(j))))
+            entries.append(
+                F.transform(
+                    F.array(*keys),
+                    lambda kk: F.struct(
+                        F.lit(b).alias("band_id"), kk.alias("band_key")
+                    ),
+                )
+            )
+        return sig.select(
+            F.col(idc).alias(out_id),
+            F.explode(F.flatten(F.array(*entries))).alias("e"),
+        ).select(
+            out_id,
+            F.col("e.band_id").alias("band_id"),
+            F.col("e.band_key").alias("band_key"),
+        )
+
     cb = banded(corpus, corpus_id, corpus_vec, "__cid")
-    qb = banded(queries, query_id, query_vec, "__qid")
+    qb = (
+        banded_multiprobe(queries, query_id, query_vec, "__qid")
+        if multiprobe
+        else banded(queries, query_id, query_vec, "__qid")
+    )
     cand = (
         cb.join(broadcast(qb), ["band_id", "band_key"])
         .select(F.col("__cid"), F.col("__qid"))

@@ -8181,3 +8181,44 @@ def embedding_isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - (F.col("a") / (1.0 * F.col("n"))) / F.col("b"), 6
         ).alias("isotropy"),
     )
+
+
+# ===========================================================================
+# Metadata-filtered vector search (the vector-DB "filtered query" shape)
+# ===========================================================================
+
+@_register(
+    "ann_topk_filtered",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM (SELECT * FROM embeddings WHERE label IN (1, 2)) c,
+                 (SELECT * FROM embeddings WHERE vec_id < 8) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — cosine top-10 restricted to
+    corpus rows with label IN (1, 2): the 'filtered query' every vector
+    DB in the reference exposes (Pinecone metadata filters, Qdrant
+    payload filters, Milvus expr, Weaviate where). On Spark the filter
+    is simply a predicate PUSHED TO THE PARQUET SCAN before the
+    distance pass — pre-filtering, which is exact, vs the post-filter
+    k-inflation ANN indexes resort to; with the label as a partition or
+    z-order column the scan prunes files too (format/bucketing.py).
+    Plan gate asserts the pushdown. Same broadcast-queries /
+    WindowGroupLimit top-k shape as the unfiltered family."""
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label").isin(1, 2))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(corpus, q, k=10)
