@@ -560,6 +560,8 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # global cumsum over the bucket-count table (|buckets| rows,
         # operators/chunking.py docstring)
         "pack_sequences",
+        # same packer over BPE token counts — same tiny bucket table
+        "bpe_tokenize_and_pack",
         # PSI bin table (n_bins rows, operators/corpus.py)
         "quality_drift_by_source",
         # Gini rank/sum windows over the per-source rollup (|sources|

@@ -8222,3 +8222,49 @@ def ann_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(corpus, q, k=10)
+
+
+# ===========================================================================
+# Composed preprocessing chain: trained-BPE token accounting -> packing
+# ===========================================================================
+
+def _bpe_pack_sql(budget: int = 512) -> str:
+    from vector_io_spark.operators.bpe import bpe_sql
+
+    enc = bpe_sql(output="encode")
+    return f"""
+    WITH enc AS ({enc})
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pack_offset,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {budget}.0) AS BIGINT) AS pack_bin,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               % {budget} AS BIGINT) AS offset_in_bin
+    FROM enc
+    """
+
+
+@_register("bpe_tokenize_and_pack", _bpe_pack_sql())
+def bpe_tokenize_and_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-preprocessing chain: token counts under
+    the TRAINED BPE tokenizer (8 learned merges — not a whitespace
+    proxy) feed the concat-and-chop packer at a 512-token context
+    budget. This is the actual 'how many sequences does my corpus make,
+    and where does each document land' job; n_tokens comes from the
+    same distributed merge table the tokenizer-training queries verify,
+    so the whole chain is hash-exact end to end. Scale shape: BPE
+    encode = one corpus explode + broadcast segmentation join;
+    packing = the two-phase bucketed cumsum (pack_sequences — the only
+    global window runs over the tiny bucket-offset table)."""
+    from vector_io_spark.operators.bpe import bpe_encode_df
+    from vector_io_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_df(d, "doc_id", "text", num_merges=8).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(enc, "doc_id", "n_tokens", budget=512)
