@@ -8268,3 +8268,191 @@ def bpe_tokenize_and_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
     return pack_sequences(enc, "doc_id", "n_tokens", budget=512)
+
+
+# ===========================================================================
+# Source scorecard + fan-out histogram + rolling WAU
+# ===========================================================================
+
+@_register(
+    "source_quality_report",
+    f"""
+    WITH base AS (
+        SELECT source,
+               length(text) AS n_chars,
+               len({_TOK}) AS n_toks,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+    ),
+    tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS all_toks FROM base)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(sum(n_toks) / CAST((SELECT all_toks FROM tot) AS DOUBLE), 6)
+               AS token_share,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           round((count(*) - count(DISTINCT fp))
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM base GROUP BY source
+    """,
+)
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source scorecard a data-mix owner reads before weighting
+    a crawl: document/token volume, token share of the corpus, average
+    length, and the exact-duplicate rate (content-fingerprint
+    distinct-count deficit) — one row per source, composing the same
+    fingerprint/token primitives the dedicated queries verify. Scale
+    shape: one scan computes all per-source aggregates (count distinct
+    on 16-byte fps is the only heavy aggregate); the 1-row token total
+    broadcasts back."""
+    from vector_io_spark.functions.text import doc_fingerprint, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(tokens("text")).alias("n_toks"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    base = base.persist()
+    tot = base.agg(F.sum("n_toks").cast("long").alias("all_toks"))
+    dups = F.count("*") - F.countDistinct("fp")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.avg(F.col("n_chars").cast("double")).alias("__avg_chars"),
+            dups.cast("long").alias("n_exact_dups"),
+            (dups / F.count("*").cast("double")).alias("__dup_rate"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("all_toks").cast("double"), 6
+            ).alias("token_share"),
+            F.round("__avg_chars", 4).alias("avg_chars"),
+            "n_exact_dups",
+            F.round("__dup_rate", 6).alias("dup_rate"),
+        )
+    )
+
+
+@_register(
+    "fanout_histogram",
+    """
+    WITH f1 AS (
+        SELECT 'lineitem_per_order' AS edge, l_orderkey AS k,
+               CAST(count(*) AS BIGINT) AS fanout
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    f2 AS (
+        SELECT 'orders_per_customer' AS edge, o_custkey AS k,
+               CAST(count(*) AS BIGINT) AS fanout
+        FROM orders GROUP BY o_custkey
+    ),
+    u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+    SELECT edge,
+           CAST(floor(ln(fanout) / ln(2)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(fanout) AS BIGINT) AS min_fanout,
+           CAST(max(fanout) AS BIGINT) AS max_fanout
+    FROM u GROUP BY edge, log2_bucket
+    """,
+)
+def fanout_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out distribution for the star schema's two fact edges
+    (lineitems per order, orders per customer), bucketed by log2 of the
+    per-key cardinality — the capacity-planning companion to
+    join_key_skew_report: the skew report names the hot keys, this shows
+    the whole shape (is fan-out geometric? is there a heavy tail that
+    salting must handle?). Two map-combined per-key rollups + a bounded
+    bucket aggregate; exact integer bucketing via floor(ln/ln 2) with
+    identical libm on integer inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    f1 = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("fanout")
+    ).select(F.lit("lineitem_per_order").alias("edge"), "k", "fanout")
+    f2 = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("fanout")
+    ).select(F.lit("orders_per_customer").alias("edge"), "k", "fanout")
+    u = f1.unionByName(f2)
+    bucket = F.floor(F.log(F.col("fanout").cast("double")) / F.log(F.lit(2.0))).cast(
+        "long"
+    )
+    return u.groupBy("edge", bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.min("fanout").cast("long").alias("min_fanout"),
+        F.max("fanout").cast("long").alias("max_fanout"),
+    )
+
+
+@_register(
+    "wau_stickiness",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM act),
+    contrib AS (
+        SELECT a.user_id, a.d + o.off * INTERVAL 1 DAY AS as_of_d
+        FROM act a, unnest(range(0, 7)) AS o(off)
+    ),
+    wau AS (
+        SELECT as_of_d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib WHERE as_of_d IN (SELECT d FROM days)
+        GROUP BY as_of_d
+    ),
+    dau AS (
+        SELECT d AS as_of_d, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY d
+    )
+    SELECT CAST(epoch_us(as_of_d) AS BIGINT) AS day_us, dau, wau,
+           round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (as_of_d)
+    """,
+)
+def wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio — exact sliding-window DISTINCT counts
+    computed by the contribution-explosion trick: each (user, active
+    day) row contributes to the 7 as-of days it falls inside, turning
+    the sliding distinct into a plain grouped distinct (7x bounded row
+    expansion, no per-day window state, no approximation). At larger
+    windows swap in the mergeable HLL registers
+    (streaming/incremental.py) — noted, not needed for w=7. Output
+    restricted to observed activity days."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    act = act.persist()
+    days = act.select("d").distinct()
+    contrib = act.crossJoin(
+        F.broadcast(
+            spark.range(7).select(F.col("id").cast("int").alias("off"))
+        )
+    ).select(
+        "user_id",
+        F.expr("d + make_interval(0, 0, 0, off, 0, 0, 0)").alias("as_of_d"),
+    )
+    wau = (
+        contrib.join(F.broadcast(days), F.col("as_of_d") == F.col("d"), "leftsemi")
+        .groupBy("as_of_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = act.groupBy(F.col("d").alias("as_of_d")).agg(
+        F.count("*").alias("dau")
+    )
+    return dau.join(wau, "as_of_d").select(
+        F.unix_micros("as_of_d").alias("day_us"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
