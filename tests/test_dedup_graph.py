@@ -118,3 +118,39 @@ def test_lsh_max_bucket_cap_drops_mega_bucket_only(spark):
     # uncapped and zero capped (every band bucket holds all 30)
     assert len(un_pairs) == 435 + 1
     assert cap_pairs == {(100, 101)}
+
+
+def test_incremental_lsh_equals_symmetric_restricted_to_new(spark, sf_dir):
+    """Contract: the asymmetric incremental pass returns EXACTLY the
+    symmetric operator's pairs restricted to pairs involving the new
+    batch — and never an old x old pair."""
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_lsh_incremental_pairs,
+    )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 300)
+    )
+    new = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.reverse("text"))
+        .alias("text"),
+    )
+    inc = minhash_lsh_incremental_pairs(
+        d, new, "doc_id", "text", threshold=0.5
+    )
+    full = minhash_lsh_dup_pairs(
+        d.unionByName(new), "doc_id", "text", threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in inc.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in full.collect()
+        if r["id_a"] >= 1000000 or r["id_b"] >= 1000000
+    }
+    assert got == want and got
+    assert all(a >= 1000000 or b >= 1000000 for a, b, _ in got)

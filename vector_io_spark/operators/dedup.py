@@ -264,6 +264,88 @@ def minhash_lsh_dup_pairs(
     return _materialize_release(pairs, sigs)
 
 
+def minhash_lsh_incremental_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection for the daily-ingest shape: find
+    every near-dup pair that INVOLVES the new batch (new-vs-old and
+    new-vs-new) without ever re-joining the resident corpus against
+    itself. The band join is asymmetric — the (small) new batch's band
+    keys probe the union's banded signatures — so per ingest the work is
+    O(|new| x bucket occupancy), not O(|corpus|²): the property that
+    makes continuous dedup affordable at 100 TB (the resident side's
+    signatures would be a persisted table in production; here they are
+    recomputed per call, which is still corpus-linear, not quadratic).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, where at least
+    one side belongs to ``new``. Same md5 hash family, banding layout,
+    empty-signature guard, and optional hot-bucket cap as
+    :func:`minhash_lsh_dup_pairs` — results are EXACTLY the symmetric
+    operator's pairs restricted to new-involving ones (pytest-pinned).
+    """
+    rows_per_band = num_hashes // bands
+    sigs_old = minhash_signatures(old, id_col, text_col, num_hashes, shingle_k)
+    sigs_new = minhash_signatures(new, id_col, text_col, num_hashes, shingle_k)
+    sigs_all = sigs_old.unionByName(sigs_new).persist()
+    sigs_new_only = sigs_new.persist()
+    sigs_all.count()
+    sigs_new_only.count()
+
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        src = sigs.where(F.col("minhash")[0].isNotNull())
+        out = src.select(
+            id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
+        )
+        return _cap_buckets(out, max_bucket_size)
+
+    probe = banded(sigs_new_only).alias("l")
+    index = banded(sigs_all).alias("r")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("l.minhash"), F.col("r.minhash"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    pairs = (
+        probe.join(
+            index,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            lo.alias("id_a"),
+            hi.alias("id_b"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _materialize_release(pairs, sigs_all, sigs_new_only)
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact similarity via inverted index)
 # --------------------------------------------------------------------------

@@ -8456,3 +8456,64 @@ def wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# ===========================================================================
+# Incremental near-dup (new batch vs resident corpus, asymmetric LSH)
+# ===========================================================================
+
+def _incremental_neardup_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    r = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), "
+        f"s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)))"
+        for j in range(num_hashes)
+    )
+    band_pred = " AND ".join(
+        f"a.sig[{r} * bb + {i + 1}] = b.sig[{r} * bb + {i + 1}]" for i in range(r)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CASE WHEN doc_id % 2 = 0 THEN text ELSE reverse(text) END
+        FROM documents
+    ),
+    sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, {num_hashes + 1}),
+                     j -> a.sig[j] = b.sig[j])) / {num_hashes}.0, 4)
+               AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
+      AND len(list_filter(range(0, {bands}), bb -> {band_pred})) > 0
+      AND len(list_filter(range(1, {num_hashes + 1}),
+              j -> a.sig[j] = b.sig[j])) / {num_hashes}.0 >= 0.5
+    """
+
+
+@_register("incremental_neardup", _incremental_neardup_sql())
+def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup pass: a new batch (half exact copies of
+    resident docs, half reversed-text fresh content) probes the corpus
+    for every near-dup pair it participates in — new-vs-old AND
+    new-vs-new — WITHOUT re-joining old x old
+    (operators/dedup.py::minhash_lsh_incremental_pairs, asymmetric band
+    join). This is the continuous-dedup direction incremental_dedup's
+    exact content hashes cannot see (near-dups, not byte-dups). The
+    oracle replays banding brute-force restricted to new-involving
+    pairs."""
+    from vector_io_spark.operators.dedup import minhash_lsh_incremental_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.reverse("text"))
+        .alias("text"),
+    )
+    return minhash_lsh_incremental_pairs(
+        d, new, "doc_id", "text",
+        num_hashes=16, shingle_k=3, bands=8, threshold=0.5,
+    )
