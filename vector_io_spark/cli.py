@@ -300,8 +300,11 @@ def cmd_query(args) -> int:
     spark = get_spark(app_name=f"vector_io_spark_query_{args.name}")
     df = QUERIES[args.name](spark, args.sf_dir)
     if args.out:
+        # write once, show from the written files — never execute the
+        # query twice
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
+        df = spark.read.parquet(args.out)
     df.show(args.limit, truncate=False)
     return 0
 

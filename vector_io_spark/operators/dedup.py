@@ -184,6 +184,38 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     )
 
 
+def _sig_band_array(num_hashes: int, bands: int):
+    """Band-key array over a ``minhash`` signature column — the ONE
+    definition of the banding layout (consecutive rows_per_band slices,
+    '|'-joined). Shared by the symmetric and incremental LSH passes so
+    their pytest-pinned equality contract cannot drift."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _est_jaccard_expr(num_hashes: int):
+    """Signature-overlap Jaccard estimate between the 'l' and 'r' sides
+    of a banded self-join — shared by both LSH pair operators."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("l.minhash"), F.col("r.minhash"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -225,27 +257,14 @@ def minhash_lsh_dup_pairs(
     # them pre-banding is result-identical; route empty docs to the
     # exact-dedup path instead.
     banded_src = sigs.where(F.col("minhash")[0].isNotNull())
-    band_arr = F.array(
-        *[
-            F.concat_ws("|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
-            for b in range(bands)
-        ]
-    )
+    band_arr = _sig_band_array(num_hashes, bands)
     banded = banded_src.select(
         id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
     )
     banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("l.minhash"), F.col("r.minhash"), lambda a, b: a == b),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _est_jaccard_expr(num_hashes)
     pairs = (
         left.join(
             right,
@@ -291,7 +310,6 @@ def minhash_lsh_incremental_pairs(
     :func:`minhash_lsh_dup_pairs` — results are EXACTLY the symmetric
     operator's pairs restricted to new-involving ones (pytest-pinned).
     """
-    rows_per_band = num_hashes // bands
     sigs_old = minhash_signatures(old, id_col, text_col, num_hashes, shingle_k)
     sigs_new = minhash_signatures(new, id_col, text_col, num_hashes, shingle_k)
     sigs_all = sigs_old.unionByName(sigs_new).persist()
@@ -299,14 +317,7 @@ def minhash_lsh_incremental_pairs(
     sigs_all.count()
     sigs_new_only.count()
 
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                "|", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = _sig_band_array(num_hashes, bands)
 
     def banded(sigs: DataFrame) -> DataFrame:
         src = sigs.where(F.col("minhash")[0].isNotNull())
@@ -317,15 +328,7 @@ def minhash_lsh_incremental_pairs(
 
     probe = banded(sigs_new_only).alias("l")
     index = banded(sigs_all).alias("r")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("l.minhash"), F.col("r.minhash"), lambda a, b: a == b),
-                lambda x: x,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _est_jaccard_expr(num_hashes)
     lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
     hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
     pairs = (

@@ -180,6 +180,13 @@ def lsh_bucketed_topk(
     banding, the expensive side at 100 TB, is untouched — recall rises
     at zero additional corpus scan or index cost.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            "multiprobe supports 0 (off) or 1 (flip-1 perturbations); "
+            f"got {multiprobe!r} — deeper perturbation sets are not "
+            "implemented, and silently degrading to flip-1 would "
+            "misreport recall"
+        )
     rows = num_planes // bands
 
     def banded(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:

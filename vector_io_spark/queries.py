@@ -7773,10 +7773,13 @@ def customer_purchase_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame
     churn models ('what did this user buy, most recent first'). The
     ordering key is total (date, orderkey, linenumber, partkey — the
     synthetic data has duplicate line numbers, so the part key is the
-    final tiebreak), making the array deterministic. Scale shape: one orderkey join (orders side
-    projected to 3 columns), one custkey shuffle where
-    max_by-style aggregation keeps only 5 elements per customer —
-    per-group state is O(5), not O(history)."""
+    final tiebreak), making the array deterministic. Scale shape: one
+    orderkey join (orders side projected to 3 columns), then a per-key
+    ranking window with a rank<=5 filter (sort-based, spill-safe,
+    WindowGroupLimit truncates map-side) so the final collect_list
+    aggregates AT MOST 5 rows per customer — bounded per-group state
+    even for a customer with millions of lines; the full-history line
+    count comes from a separate map-combined count aggregate."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
@@ -7784,19 +7787,28 @@ def customer_purchase_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_orderkey", "l_partkey", "l_linenumber"
     )
     j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-    seq = F.expr(
-        "array_join(slice(transform(array_sort(collect_list(struct("
-        "unix_micros(o_orderdate) as d, o_orderkey as ok, "
-        "l_linenumber as ln, l_partkey as pk)), "
-        "(a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 "
-        "WHEN a.ok > b.ok THEN -1 WHEN a.ok < b.ok THEN 1 "
-        "WHEN a.ln > b.ln THEN -1 WHEN a.ln < b.ln THEN 1 "
-        "WHEN a.pk > b.pk THEN -1 WHEN a.pk < b.pk THEN 1 ELSE 0 END), "
-        "s -> s.pk), 1, 5), ',')"
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(),
+        F.col("o_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("l_partkey").desc(),
     )
-    return j.groupBy("o_custkey").agg(
-        seq.alias("recent_parts"),
-        F.count("*").cast("long").alias("n_lines"),
+    top5 = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, l_partkey))), s -> s.l_partkey), ',')"
+            ).alias("recent_parts")
+        )
+    )
+    counts = j.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    return top5.join(counts, "o_custkey").select(
+        "o_custkey", "recent_parts", "n_lines"
     )
 
 
@@ -7922,11 +7934,12 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n12"))
         .where(F.col("n12") >= 5)
     )
-    # b must be the PRE-floor bigram total to match p(w1,w2) mass
+    # b must be the PRE-floor bigram total to match p(w1,w2) mass;
+    # it equals sum(len(tokens) - 1) over docs with >= 2 tokens — a
+    # plain scan aggregate, no second corpus explode
     toks_b = (
         d.where(F.size(tarr) >= 2)
-        .select(F.explode(bigram).alias("bg"))
-        .agg(F.count("*").cast("long").alias("b"))
+        .agg(F.sum(F.size(tarr) - 1).cast("long").alias("b"))
     )
     totals = uc.agg(F.sum("n").cast("long").alias("t")).crossJoin(
         F.broadcast(toks_b)
@@ -8163,6 +8176,9 @@ def embedding_isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
         )
     )
+    # the exploded quantized projection feeds both aggregates — persist
+    # so the dominant n x dim pass runs once
+    q = q.persist()
     dimsums = q.groupBy("j").agg(
         F.sum("xq").cast("long").alias("sj"),
         F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sqj"),
