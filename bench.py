@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "profit_by_nation_year",  # Q9 shape: one big-big edge, cents-exact
     "dedup_quality_survivors",  # LSH pairs -> CC -> argmax-quality keep
     "zipf_slope",            # distributed-rank vocab + quantized OLS
+    "dup_passage_spans",     # substring-dedup cut lists (shared kernel)
+    "incremental_neardup",   # asymmetric new-vs-corpus LSH (ingest path)
+    "source_quality_report", # one-scan per-source scorecard
 ]
 
 
