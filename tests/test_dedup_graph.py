@@ -154,3 +154,30 @@ def test_incremental_lsh_equals_symmetric_restricted_to_new(spark, sf_dir):
     }
     assert got == want and got
     assert all(a >= 1000000 or b >= 1000000 for a, b, _ in got)
+
+
+def test_incremental_lsh_with_persisted_signature_index(spark, sf_dir, tmp_path):
+    """The persisted signature index replaces the resident-side text
+    scan: loading (id, minhash) from parquet must produce the identical
+    pair set as recomputing signatures."""
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        write_signature_index,
+    )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    new = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    idx = str(tmp_path / "sig_index")
+    write_signature_index(d, idx, "doc_id", "text")
+    from_idx = minhash_lsh_incremental_pairs(
+        None, new, "doc_id", "text",
+        old_sigs=spark.read.parquet(idx),
+    )
+    recomputed = minhash_lsh_incremental_pairs(d, new, "doc_id", "text")
+    a = {tuple(r) for r in from_idx.collect()}
+    b = {tuple(r) for r in recomputed.collect()}
+    assert a == b and a

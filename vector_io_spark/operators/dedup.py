@@ -293,6 +293,7 @@ def minhash_lsh_incremental_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection for the daily-ingest shape: find
     every near-dup pair that INVOLVES the new batch (new-vs-old and
@@ -300,9 +301,12 @@ def minhash_lsh_incremental_pairs(
     itself. The band join is asymmetric — the (small) new batch's band
     keys probe the union's banded signatures — so per ingest the work is
     O(|new| x bucket occupancy), not O(|corpus|²): the property that
-    makes continuous dedup affordable at 100 TB (the resident side's
-    signatures would be a persisted table in production; here they are
-    recomputed per call, which is still corpus-linear, not quadratic).
+    makes continuous dedup affordable at 100 TB. Pass ``old_sigs`` (a
+    (id, minhash) frame, e.g. read back from
+    :func:`write_signature_index`) to skip recomputing the resident
+    side's signatures entirely — then each ingest touches the corpus
+    only through the band join; without it the resident signatures are
+    recomputed per call (corpus-linear, never quadratic).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where at least
     one side belongs to ``new``. Same md5 hash family, banding layout,
@@ -310,7 +314,12 @@ def minhash_lsh_incremental_pairs(
     :func:`minhash_lsh_dup_pairs` — results are EXACTLY the symmetric
     operator's pairs restricted to new-involving ones (pytest-pinned).
     """
-    sigs_old = minhash_signatures(old, id_col, text_col, num_hashes, shingle_k)
+    if old_sigs is not None:
+        sigs_old = old_sigs
+    else:
+        sigs_old = minhash_signatures(
+            old, id_col, text_col, num_hashes, shingle_k
+        )
     sigs_new = minhash_signatures(new, id_col, text_col, num_hashes, shingle_k)
     sigs_all = sigs_old.unionByName(sigs_new).persist()
     sigs_new_only = sigs_new.persist()
@@ -928,3 +937,21 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(victims, id_col, "left_anti")
+
+
+def write_signature_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the corpus MinHash signatures as a parquet 'signature
+    index' for :func:`minhash_lsh_incremental_pairs` — pay the
+    signature scan once, then every ingest reads (id, minhash) instead
+    of re-hashing resident text. Append new batches' signatures with
+    mode('append') after each ingest so the index stays current."""
+    minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -8533,3 +8533,94 @@ def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, new, "doc_id", "text",
         num_hashes=16, shingle_k=3, bands=8, threshold=0.5,
     )
+
+
+# ===========================================================================
+# Association rules over co-purchase pairs
+# ===========================================================================
+
+@_register(
+    "association_rules",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ),
+    item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT part_a, part_b, n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           round(n_pair / CAST(ia.n_item AS DOUBLE), 6) AS confidence_ab,
+           round(n_pair * 1.0 * (SELECT n FROM n_orders)
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    """,
+)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs
+    (support >= 5 baskets): confidence P(b|a) and lift
+    P(a,b)/(P(a)P(b)) — the measures that separate 'bought together
+    because both are popular' from genuine affinity, the step after
+    copurchase_part_pairs' raw counts. Exactness: pure integer counts
+    and one shared ratio formula. Scale shape: distinct (order, part)
+    baskets once; the pair self-join is order-bounded (basket-size
+    quadratic, never corpus-quadratic); item stats join on part keys;
+    the 1-row basket total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct().persist()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair") / F.col("n_a").cast("double"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                F.col("n_pair") * 1.0 * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
