@@ -8624,3 +8624,116 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ===========================================================================
+# Grouped OLS (discount elasticity) + deterministic k-fold CV
+# ===========================================================================
+
+_ELASTICITY_FIT = (
+    # 1e0, not 1.0: Spark SQL parses 1.0 as DECIMAL(2,1) and the whole
+    # fit would silently run in decimal arithmetic; 1e0 is DOUBLE in
+    # both engines
+    "(sxy - sx * 1e0 * sy / n) / (sxx - sx * 1e0 * sx / n)"
+)
+
+
+@_register(
+    "discount_elasticity",
+    f"""
+    WITH t AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_discount * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(round(l_discount * 1000000, 0) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(sum(CAST(round(l_discount * 1000000, 0) AS BIGINT)
+                        * CAST(round(l_discount * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round(({_ELASTICITY_FIT}) * 1000000, 4) AS qty_per_discount,
+           round(sy / (1e0 * n)
+                 - ({_ELASTICITY_FIT}) * sx / (1e0 * n), 4) AS base_qty
+    FROM t
+    """,
+)
+def discount_elasticity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped linear regression, engine-exact: per brand, the OLS slope
+    of order quantity on discount (how many extra units a point of
+    discount buys) plus the zero-discount intercept — the pricing-
+    analytics shape 'regress y on x within each group'. Every OLS sum
+    is an exact integer (discount quantized to 1e-6 units, quantities
+    integral), so the closed-form fit — one formula text shared with
+    the oracle — verifies hash-exact; the slope rescales by 1e6 back to
+    per-unit-discount. Scale shape: broadcast part join, one brand-key
+    rollup carrying five integer sums, zero windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    xu = F.round(F.col("l_discount") * 1000000, 0).cast("long")
+    yq = F.col("l_quantity").cast("long")
+    t = (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(xu).cast("long").alias("sx"),
+            F.sum(yq).cast("long").alias("sy"),
+            F.sum(xu * yq).cast("long").alias("sxy"),
+            F.sum(xu * xu).cast("long").alias("sxx"),
+        )
+    )
+    return t.selectExpr(
+        "p_brand",
+        "n",
+        f"round(({_ELASTICITY_FIT}) * 1000000, 4) AS qty_per_discount",
+        f"round(sy / (1e0 * n) - ({_ELASTICITY_FIT}) * sx / (1e0 * n), 4)"
+        " AS base_qty",
+    )
+
+
+@_register(
+    "kfold_assignments",
+    """
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+        SELECT doc_id, text,
+               CAST(CAST(((strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 1, 1)) - 1) * power(16, 7) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 2, 1)) - 1) * power(16, 6) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 3, 1)) - 1) * power(16, 5) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 4, 1)) - 1) * power(16, 4) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 5, 1)) - 1) * power(16, 3) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 6, 1)) - 1) * power(16, 2) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 7, 1)) - 1) * power(16, 1) + (strpos('0123456789abcdef', substr(substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8), 8, 1)) - 1) * power(16, 0)) AS BIGINT) % 5 AS BIGINT) AS fold
+        FROM documents
+    ) GROUP BY fold
+    """,
+)
+def kfold_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5(id | salt) mod 5 — reproducible across runs, partitionings, and
+    engines (same md5-uniform family as assign_split; df.sample/rand
+    folds are neither retry- nor engine-stable). Summary row per fold
+    (doc/char mass + a spot-check id) proves balance; the per-row fold
+    column is the same expression un-aggregated. For near-dup-safe
+    folding, assign folds to leakage_safe_split's component ids instead
+    of raw doc ids. Zero shuffle beyond the 5-key rollup."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cv"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).alias("fold")
+    return d.select(fold, "doc_id", "text").groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
