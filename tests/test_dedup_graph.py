@@ -181,3 +181,46 @@ def test_incremental_lsh_with_persisted_signature_index(spark, sf_dir, tmp_path)
     a = {tuple(r) for r in from_idx.collect()}
     b = {tuple(r) for r in recomputed.collect()}
     assert a == b and a
+
+
+def test_incremental_components_match_full_recompute(spark):
+    """Contract: contracting old endpoints to their component ids and
+    running components over the NEW pairs only yields exactly the full
+    old∪new recompute for every touched node — including a new doc
+    merging two previously separate old clusters."""
+    from vector_io_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    # resident graph: {1,2,3} (comp 1), {10,11} (comp 10), {20,21} (comp
+    # 20), singleton 30 implicitly absent from comp_old
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comp_old = connected_components(old_pairs)
+
+    # new batch: 100 joins cluster 1; 101 MERGES clusters 10 and 20;
+    # 102-103 form a brand-new cluster
+    new_pairs = spark.createDataFrame(
+        [(2, 100), (11, 101), (21, 101), (102, 103)],
+        "id_a long, id_b long",
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in incremental_components(comp_old, new_pairs).collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    # new docs get exactly the full-recompute assignment
+    for nid in (100, 101, 102, 103):
+        assert inc[nid] == full[nid], (nid, inc.get(nid), full.get(nid))
+    # the merge is visible: old component ids 10 and 20 relabel to 10
+    assert inc[10] == 10 and inc[20] == 10
+    assert full[21] == 10 and full[11] == 10
+    # untouched resident cluster 1's supernode maps to itself
+    assert inc[1] == 1

@@ -955,3 +955,58 @@ def write_signature_index(
     minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def incremental_components(
+    comp_old: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected-components maintenance for the ingest path:
+    given the resident clustering ``comp_old`` (id, component — as
+    produced by :func:`connected_components`, so a component id is the
+    MIN member id) and the new batch's near-dup pairs (every pair
+    involves >= 1 new doc, e.g. from
+    :func:`minhash_lsh_incremental_pairs`), produce the updated cluster
+    assignment for every TOUCHED node without re-running components over
+    the resident pair graph.
+
+    The trick is supernode contraction: each old endpoint is replaced by
+    its component id (one broadcast-able mapping join against the small
+    changed slice), and components run on the contracted graph only —
+    whose size is O(|new pairs|), independent of the resident corpus.
+    Because an old component id IS the min id of its members, the min
+    label the contracted run converges to equals exactly what a full
+    recompute over old ∪ new pairs would assign (pytest-pinned),
+    including the case where one new doc MERGES two old clusters.
+
+    Returns (id, component) for: every new doc appearing in
+    ``new_pairs`` and every OLD COMPONENT id whose cluster was touched
+    (rows where id is an old component id — apply them as
+    ``comp_old.join(updates, comp_old.component == updates.id)`` to
+    relabel resident members). Untouched old components need no
+    rewrite — that locality is the point.
+    """
+    old_map = comp_old.select(
+        F.col(comp_old.columns[0]).alias("__oid"),
+        F.col(comp_old.columns[1]).alias("__ocomp"),
+    )
+    a = (
+        new_pairs.select(F.col(id_a).alias("__x"), F.col(id_b).alias("__y"))
+    )
+    # contract each endpoint through the old mapping where it exists
+    left = a.join(old_map, a["__x"] == old_map["__oid"], "left").select(
+        F.coalesce("__ocomp", "__x").alias(id_a), "__y"
+    )
+    both = left.join(old_map, left["__y"] == old_map["__oid"], "left").select(
+        id_a, F.coalesce("__ocomp", "__y").alias(id_b)
+    )
+    # truncate lineage before the iterative run: the contracted edge
+    # set is tiny (O(|new pairs|)) but its plan embeds comp_old's own
+    # iterative lineage — without materializing, every CC round would
+    # re-execute that whole history (the same per-round checkpoint
+    # hygiene as pagerank)
+    both = both.localCheckpoint(eager=True)
+    return connected_components(both, id_a, id_b, max_iter=max_iter)
