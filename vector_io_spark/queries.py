@@ -8737,3 +8737,48 @@ def kfold_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("n_chars"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# ===========================================================================
+# Shipping delay profile (order-to-ship latency percentiles)
+# ===========================================================================
+
+@_register(
+    "shipping_delay_profile",
+    """
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+                   AS delay_days
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(delay_days, 0.5), 4) AS median_delay,
+           round(quantile_cont(delay_days, 0.9), 4) AS p90_delay,
+           CAST(max(delay_days) AS BIGINT) AS max_delay
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: median /
+    p90 / max days between order and line shipment — the SLA view of
+    the fulfilment pipeline (and the relational twin of event
+    inter-arrival stats). Exact grouped percentiles (Spark `percentile`
+    == DuckDB quantile_cont, type-7) over integer day diffs; one
+    orderkey join (orders side projected to two columns) and one
+    priority-key rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.expr("percentile(delay_days, 0.5)"), 4).alias("median_delay"),
+        F.round(F.expr("percentile(delay_days, 0.9)"), 4).alias("p90_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )
