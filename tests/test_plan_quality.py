@@ -567,6 +567,9 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # Gini rank/sum windows over the per-source rollup (|sources|
         # rows — a bounded dimension)
         "source_token_gini",
+        # MoM lag over the month rollup (one row per calendar month —
+        # a bounded dimension)
+        "monthly_revenue_trend",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

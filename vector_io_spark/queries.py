@@ -8782,3 +8782,115 @@ def shipping_delay_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delay_days, 0.9)"), 4).alias("p90_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
     )
+
+
+# ===========================================================================
+# Customer LTV deciles + monthly revenue trend
+# ===========================================================================
+
+@_register(
+    "customer_ltv_deciles",
+    """
+    WITH ltv AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS ltv_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, ltv_c,
+               row_number() OVER (ORDER BY ltv_c DESC, o_custkey ASC) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM ltv
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(ltv_c) / 100.0, 2) AS decile_revenue,
+           round(min(ltv_c) / 100.0, 2) AS min_ltv,
+           round(max(ltv_c) / 100.0, 2) AS max_ltv
+    FROM (
+        SELECT ltv_c,
+               CAST(least(9, ((rk - 1) * 10) // n) AS BIGINT) AS decile
+        FROM ranked
+    ) GROUP BY decile
+    """,
+)
+def customer_ltv_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles (decile 0 = top spenders): the
+    'what share of revenue do my top 10% hold' report. Exact-cents LTV
+    per customer, then the DISTRIBUTED exact global rank
+    (operators/ranks.py::attach_global_rank — range-partitioned
+    two-pass, never a single-partition window over the customer
+    universe; the oracle's one-window form is the single-node replay)
+    with deciles derived arithmetically from (rank, total). Summary row
+    per decile: population, revenue mass, LTV bounds."""
+    from vector_io_spark.operators.ranks import attach_global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("ltv_c")
+    )
+    ranked = attach_global_rank(
+        ltv,
+        [F.col("ltv_c").desc(), F.col("o_custkey").asc()],
+        rank_col="rk",
+        total_col="n",
+    )
+    decile = F.least(
+        F.lit(9), F.expr("((rk - 1) * 10) div n")
+    ).cast("long")
+    return (
+        ranked.select("ltv_c", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("ltv_c") / 100.0, 2).alias("decile_revenue"),
+            F.round(F.min("ltv_c") / 100.0, 2).alias("min_ltv"),
+            F.round(F.max("ltv_c") / 100.0, 2).alias("max_ltv"),
+        )
+    )
+
+
+@_register(
+    "monthly_revenue_trend",
+    """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_c,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(epoch_us(month) AS BIGINT) AS month_us,
+           n_orders,
+           round(rev_c / 100.0, 2) AS revenue,
+           round((rev_c - lag(rev_c) OVER (ORDER BY month))
+                 / (1e0 * lag(rev_c) OVER (ORDER BY month)), 6)
+               AS mom_growth
+    FROM m
+    """,
+)
+def monthly_revenue_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue trend with month-over-month growth — the
+    top-of-dashboard line. Exact integer-cents monthly sums; the lag
+    window runs over the MONTH rollup only (one row per month — a
+    bounded calendar dimension, the same tiny-derived-table class as
+    the PSI bin frame, allowlisted), never over order rows. First month
+    has NULL growth by definition."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_c"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        F.unix_micros("month").alias("month_us"),
+        "n_orders",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round((F.col("rev_c") - prev) / (1.0 * prev), 6).alias("mom_growth"),
+    )
