@@ -8894,3 +8894,99 @@ def monthly_revenue_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
         F.round((F.col("rev_c") - prev) / (1.0 * prev), 6).alias("mom_growth"),
     )
+
+
+# ===========================================================================
+# Return rates + weekday seasonality
+# ===========================================================================
+
+@_register(
+    "return_rate_by_brand",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+           round(count(*) FILTER (WHERE l_returnflag = 'R')
+                 / CAST(count(*) AS DOUBLE), 6) AS return_rate,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                          THEN CAST(round(l_extendedprice
+                                          * (1 - l_discount) * 100, 0)
+                               AS BIGINT) ELSE 0 END) / 100.0, 2)
+               AS returned_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def return_rate_by_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quality triage: per brand, the returned-line rate and the
+    exact-cents revenue tied up in returns — which brands generate
+    return volume vs which merely sell a lot. One broadcast part join,
+    one brand rollup with conditional aggregates; all counts and cents
+    exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    ret_rev = F.sum(
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            ret.cast("long").alias("n_returned"),
+            F.round(ret / F.count("*").cast("double"), 6).alias("return_rate"),
+            F.round(ret_rev / 100.0, 2).alias("returned_revenue"),
+        )
+    )
+
+
+@_register(
+    "weekday_seasonality",
+    """
+    WITH w AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM w
+        GROUP BY event_type
+    )
+    SELECT w.event_type, iso_dow, n,
+           round(n * 7 / CAST(total AS DOUBLE), 6) AS uniform_ratio,
+           (7 * n * 10 > 12 * total) AS is_peak,
+           (7 * n * 10 < 8 * total) AS is_trough
+    FROM w JOIN t ON t.event_type = w.event_type
+    """,
+)
+def weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per event type and ISO weekday
+    (Mon=1..Sun=7), the event count and its ratio to the uniform
+    expectation (n x 7 / total), with ±20% deviation flags as integer
+    cross-multiplies — the day-of-week complement to the hour-of-day
+    seasonal screen. Weekday convention pinned cross-engine: Spark's
+    weekday() (Mon=0) + 1 == DuckDB's isodow. One (type, dow) rollup,
+    a per-type total joined back over 7-row groups."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("long").alias("iso_dow"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = w.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return w.join(t, "event_type").select(
+        "event_type",
+        "iso_dow",
+        "n",
+        F.round(F.col("n") * 7 / F.col("total").cast("double"), 6).alias(
+            "uniform_ratio"
+        ),
+        (7 * F.col("n") * 10 > 12 * F.col("total")).alias("is_peak"),
+        (7 * F.col("n") * 10 < 8 * F.col("total")).alias("is_trough"),
+    )
