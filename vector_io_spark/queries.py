@@ -8990,3 +8990,60 @@ def weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7 * F.col("n") * 10 > 12 * F.col("total")).alias("is_peak"),
         (7 * F.col("n") * 10 < 8 * F.col("total")).alias("is_trough"),
     )
+
+
+# ===========================================================================
+# Supplier reliability scorecard
+# ===========================================================================
+
+@_register(
+    "supplier_reliability",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (
+               WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+               AS BIGINT) AS n_late,
+           round(count(*) FILTER (
+                     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                 / CAST(count(*) AS DOUBLE), 6) AS late_rate,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+           round(count(*) FILTER (WHERE l_returnflag = 'R')
+                 / CAST(count(*) AS DOUBLE), 6) AS return_rate
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def supplier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability scorecard: per supplier, the late-shipment
+    rate (>60 days after order, the Q4/Q21 lateness notion) and the
+    returned-line rate — the two signals a procurement team combines
+    when deciding who keeps the contract, in one pass. Scale shape:
+    supplier dim broadcast, one big-big orderkey edge (the Q9 shape),
+    one supplier rollup of conditional counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.count(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        )
+    )
+    ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            late.cast("long").alias("n_late"),
+            F.round(late / F.count("*").cast("double"), 6).alias("late_rate"),
+            ret.cast("long").alias("n_returned"),
+            F.round(ret / F.count("*").cast("double"), 6).alias("return_rate"),
+        )
+    )
