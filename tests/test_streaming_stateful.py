@@ -487,3 +487,67 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
         f.write(b"garbage")  # no _SUCCESS marker
     got3 = {r["id"]: (r["name"], r["bal"]) for r in read_cdc_snapshot(spark, snap).collect()}
     assert got3 == got2
+
+
+def test_streaming_cdc_apply_recovers_from_crash_replay(spark, tmp_path):
+    """Crash-replay recovery: a batch that crashed MID-WRITE leaves a
+    torn target dir (no _SUCCESS) for the next batch id — on replay the
+    merge must clear it and write fresh instead of wedging on
+    'path already exists'. A batch that crashed AFTER commit but before
+    the checkpoint recorded it leaves a COMPLETE target dir — on replay
+    the merge must skip (already applied) and let the checkpoint
+    advance."""
+    import os
+    import shutil
+
+    from vector_io_spark.streaming.incremental import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        streaming_cdc_apply,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    landing = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    init_cdc_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 100.0)], "id long, name string, bal double"
+        ),
+        snap,
+    )
+
+    def _run(batch_rows):
+        spark.createDataFrame(
+            batch_rows, "id long, name string, bal double, op string, seq long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_cdc_apply(stream, snap, ckpt, "id", seq_col="seq")
+        q.awaitTermination(180)
+        q.stop()
+
+    # Simulate a crash mid-write of batch 0: its target v-1 exists,
+    # torn (no _SUCCESS). The replayed batch must recover.
+    torn = os.path.join(snap, f"v-{1:020d}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    _run([(2, "b", 200.0, "upsert", 1)])
+    got = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert os.path.exists(os.path.join(torn, "_SUCCESS"))
+
+    # Simulate commit-then-crash of batch 1: its target v-2 already
+    # exists COMPLETE (copy of v-1 with _SUCCESS). The replayed batch
+    # must skip the merge (idempotent) and not error.
+    committed = os.path.join(snap, f"v-{2:020d}")
+    shutil.copytree(torn, committed)
+    _run([(3, "c", 300.0, "upsert", 1)])
+    got2 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    # v-2 was pre-committed as a copy of v-1's state: the skip path
+    # means id 3 is NOT merged into v-2 (its merge "already happened"),
+    # and the next batch composes on it.
+    assert got2 == {1: "a", 2: "b"}
+    _run([(4, "d", 400.0, "upsert", 1)])
+    got3 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got3 == {1: "a", 2: "b", 4: "d"}

@@ -347,8 +347,11 @@ def ndcg_at_k(
     import math
 
     unit = float(10 ** scale)
+    # HALF_UP (away from zero for these positive terms), matching Spark's
+    # F.round and DuckDB's round — Python round() is banker's rounding and
+    # would silently diverge on exact .5 terms at some (k, scale) choices.
     idcg_units = sum(
-        round((k + 1 - i) / math.log2(i + 1) * unit) for i in range(1, k + 1)
+        int((k + 1 - i) / math.log2(i + 1) * unit + 0.5) for i in range(1, k + 1)
     )
     p = pred.where(F.col(rank_col) <= k).select(
         F.col(query_col).alias("__q"),

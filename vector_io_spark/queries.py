@@ -98,6 +98,38 @@ def _cos_sql(x: str, y: str) -> str:
     )
 
 
+# Caches registered by the most recent query invocation, released when
+# the NEXT query is built. Unpersisting a frame is always
+# correctness-safe (worst case: recompute), and the round-driver /
+# bench / oracle harness all run build→collect strictly sequentially
+# per query, so "release on next build" frees each query's
+# corpus-scale cache right after its action finished — instead of
+# leaking every .persist() into the block manager for the session
+# lifetime across the 194-query walk (the leak
+# operators/dedup._materialize_release prevents operator-side). Kept
+# lazy (no localCheckpoint) so the returned plan stays inspectable by
+# the plan-quality gates and the judge.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _release_pending_caches() -> None:
+    while _LIVE_CACHES:
+        c = _LIVE_CACHES.pop()
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session may be stopped/rebuilt between queries
+
+
+def _finalize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Register ``cached`` (persisted corpus-scale intermediates feeding
+    ``result``) for release when the next registered query is built.
+    See ``_LIVE_CACHES``; every ``.persist()`` inside a query body must
+    route its frame through here."""
+    _LIVE_CACHES.extend(cached)
+    return result
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
@@ -105,7 +137,14 @@ ORACLE: dict[str, str] = {}
 
 def _register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _release_pending_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
         return fn
@@ -5747,7 +5786,7 @@ def top_supplier_by_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
         )
     )
-    return out
+    return _finalize_release(out, rev)
 
 
 @_register(
@@ -6218,10 +6257,11 @@ def top_value_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     total = val.agg(F.sum("val_c").cast("long").alias("__total_c"))
-    return (
+    out = (
         val.join(F.broadcast(total), F.col("val_c") * 1000 > F.col("__total_c"))
         .select("p_partkey", F.round(F.col("val_c") / 100.0, 2).alias("part_value"))
     )
+    return _finalize_release(out, val)
 
 
 @_register(
@@ -6626,7 +6666,7 @@ def hourly_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return j.select(
+    out = j.select(
         # epoch micros: Arrow ships Spark timestamps as ns, DuckDB's as
         # us — the bigint form compares exactly (convention, see
         # conversion_attribution)
@@ -6639,6 +6679,7 @@ def hourly_gapfill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled_value"),
         (F.col("n_events") == 0).alias("is_gap"),
     )
+    return _finalize_release(out, agg)
 
 
 # ===========================================================================
@@ -6710,13 +6751,14 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
         .select("x", "y", "z")
     )
-    return (
+    out = (
         tri.select(
             F.explode(F.array("x", "y", "z")).alias("p_partkey")
         )
         .groupBy("p_partkey")
         .agg(F.count("*").alias("n_triangles"))
     )
+    return _finalize_release(out, e)
 
 
 # ===========================================================================
@@ -6846,9 +6888,10 @@ def neardup_eval_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ver = F.col("est_jaccard") >= 0.5
-    return _stage("candidates", cand, hits).unionByName(
+    out = _stage("candidates", cand, hits).unionByName(
         _stage("verified", cand.where(ver), hits.where(ver))
     )
+    return _finalize_release(out, cand, truth)
 
 
 
@@ -7305,7 +7348,7 @@ def seasonal_anomaly_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bmed_u")
     )
-    return (
+    out = (
         hourly.withColumn("hod", F.hour("hour").cast("long"))
         .join(F.broadcast(base), ["event_type", "hod"])
         .select(
@@ -7317,6 +7360,7 @@ def seasonal_anomaly_hours_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("n_events") * 1000000 < F.col("bmed_u")).alias("is_quiet"),
         )
     )
+    return _finalize_release(out, hourly)
 
 
 # ===========================================================================
@@ -7444,7 +7488,8 @@ def data_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return li_rules.unionByName(ri_rules).unionByName(o_rules).unionByName(d_rules)
+    out = li_rules.unionByName(ri_rules).unionByName(o_rules).unionByName(d_rules)
+    return _finalize_release(out, li_stats, o_stats)
 
 
 @_register(
@@ -7489,7 +7534,7 @@ def join_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_rows").cast("long").alias("max_rows"),
     )
     w = Window.orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
-    return (
+    out = (
         per_key.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .crossJoin(F.broadcast(stats))
@@ -7506,6 +7551,7 @@ def join_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+    return _finalize_release(out, per_key)
 
 
 # ===========================================================================
@@ -8188,7 +8234,7 @@ def embedding_isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sj") * F.col("sj")).cast("long").alias("a"),
         F.sum("sqj").cast("long").alias("b"),
     ).crossJoin(F.broadcast(n_df))
-    return tot.select(
+    out = tot.select(
         F.col("n").alias("n_vectors"),
         F.round((F.col("a") / (1.0 * F.col("n"))) / F.col("b"), 6).alias(
             "mean_mass_ratio"
@@ -8197,6 +8243,7 @@ def embedding_isotropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - (F.col("a") / (1.0 * F.col("n"))) / F.col("b"), 6
         ).alias("isotropy"),
     )
+    return _finalize_release(out, q)
 
 
 # ===========================================================================
@@ -8334,7 +8381,7 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.persist()
     tot = base.agg(F.sum("n_toks").cast("long").alias("all_toks"))
     dups = F.count("*") - F.countDistinct("fp")
-    return (
+    out = (
         base.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -8356,6 +8403,7 @@ def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__dup_rate", 6).alias("dup_rate"),
         )
     )
+    return _finalize_release(out, base)
 
 
 @_register(
@@ -8464,7 +8512,7 @@ def wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = act.groupBy(F.col("d").alias("as_of_d")).agg(
         F.count("*").alias("dau")
     )
-    return dau.join(wau, "as_of_d").select(
+    out = dau.join(wau, "as_of_d").select(
         F.unix_micros("as_of_d").alias("day_us"),
         F.col("dau").cast("long").alias("dau"),
         F.col("wau").cast("long").alias("wau"),
@@ -8472,6 +8520,7 @@ def wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+    return _finalize_release(out, act)
 
 
 # ===========================================================================
@@ -8604,7 +8653,7 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
-    return (
+    out = (
         pair.join(ia, "part_a")
         .join(ib, "part_b")
         .crossJoin(F.broadcast(n_orders))
@@ -8624,6 +8673,7 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    return _finalize_release(out, baskets)
 
 
 # ===========================================================================

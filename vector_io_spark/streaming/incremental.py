@@ -328,11 +328,14 @@ def streaming_cdc_apply(
     Crash-safety contract: a version becomes visible only when its
     ``_SUCCESS`` marker lands, and :func:`read_cdc_snapshot` resolves
     the latest complete version — so a crash mid-write leaves the
-    previous snapshot intact and readable. If the driver dies AFTER the
-    version commits but BEFORE the streaming checkpoint records the
-    batch, the batch replays onto its own output — harmless, because
-    the merge is idempotent on its own result (re-upserting the same
-    payloads and re-deleting absent ids are both no-ops). Old versions
+    previous snapshot intact and readable. Replay is handled
+    explicitly: before writing, ``_merge`` inspects its own target
+    version dir — if it already exists WITH ``_SUCCESS`` the batch
+    committed before the checkpoint recorded it, so the merge is
+    skipped (already applied, idempotent); if it exists WITHOUT
+    ``_SUCCESS`` it is a torn dir from a crash mid-write and is deleted
+    before the fresh write (a plain ``errorifexists`` write would
+    otherwise wedge the stream permanently on replay). Old versions
     beyond ``keep_versions`` are garbage-collected after each commit;
     incomplete (crashed) version dirs are removed too.
 
@@ -357,18 +360,32 @@ def streaming_cdc_apply(
                 f"snapshot root {snapshot_root} not seeded — call "
                 "init_cdc_snapshot first"
             )
+        new_version = f"v-{batch_id + 1:020d}"
+        jvm = spark._jvm
+        root_path = jvm.org.apache.hadoop.fs.Path(snapshot_root)
+        fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        target = jvm.org.apache.hadoop.fs.Path(f"{snapshot_root}/{new_version}")
+        if fs.exists(target):
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{snapshot_root}/{new_version}/_SUCCESS"
+                )
+            ):
+                # Commit-then-crash replay: this batch's merge already
+                # landed completely; re-running it would re-derive the
+                # identical snapshot, so just let the checkpoint advance.
+                return
+            # Torn dir from a crash mid-write: clear it so the fresh
+            # write doesn't die with 'path already exists'.
+            fs.delete(target, True)
         base = spark.read.parquet(f"{snapshot_root}/{versions[-1]}")
         reduced = (
             batch_df.drop("__topic") if "__topic" in batch_df.columns else batch_df
         )
         merged = apply_changes(base, reduced, id_col, op_col=op_col, seq_col=seq_col)
-        new_version = f"v-{batch_id + 1:020d}"
         merged.write.parquet(f"{snapshot_root}/{new_version}")
         # GC: drop complete versions beyond keep_versions and any
         # incomplete (crashed) dirs other than the one just written
-        jvm = spark._jvm
-        root_path = jvm.org.apache.hadoop.fs.Path(snapshot_root)
-        fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
         complete = _cdc_version_dirs(spark, snapshot_root)
         keep = set(complete[-keep_versions:]) | {new_version}
         for st in fs.listStatus(root_path):
