@@ -132,3 +132,59 @@ def test_cli_query_list_run_and_explain(capsys):
 
     assert main(["query", "no_such_query"]) == 2
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_cli_hf_surface_parses_and_dispatches(monkeypatch, capsys, tmp_path):
+    """HF CLI parity (reference export_vdf_cli.py:168-169,
+    import_vdf_cli.py:161-210, push_to_hub_vdf.py:9-78): the
+    push-to-hub subcommand, the export --push-to-hub flag, and the
+    import --hf-dataset source all parse and dispatch to sources/hf.py
+    (monkeypatched — huggingface_hub is not installed here)."""
+    parser = build_parser()
+
+    ns = parser.parse_args(
+        ["push-to-hub", "--dataset", "/tmp/d", "--repo-id", "org/name"]
+    )
+    assert ns.repo_id == "org/name" and not ns.public
+
+    ns = parser.parse_args(
+        ["export", "embedded", "--root", "/tmp/e", "--collections", "c",
+         "--out", "/tmp/x", "--push-to-hub", "org/name", "--public"]
+    )
+    assert ns.push_to_hub == "org/name" and ns.public
+
+    ns = parser.parse_args(
+        ["import", "embedded", "--root", "/tmp/e", "--hf-dataset",
+         "org/data", "--index", "c", "--max-num-rows", "100"]
+    )
+    assert ns.hf_dataset == "org/data" and ns.max_num_rows == 100
+    assert ns.dataset is None
+
+    calls = {}
+
+    def fake_push(dataset_dir, repo_id, private=True):
+        calls["args"] = (dataset_dir, repo_id, private)
+        return f"https://huggingface.co/datasets/{repo_id}"
+
+    import vector_io_spark.sources.hf as hf
+
+    monkeypatch.setattr(hf, "push_to_hub", fake_push)
+    assert main(["push-to-hub", "--dataset", str(tmp_path),
+                 "--repo-id", "org/name", "--public"]) == 0
+    assert calls["args"] == (str(tmp_path), "org/name", False)
+    assert "pushed to" in capsys.readouterr().out
+
+
+def test_cli_import_hf_requires_index(capsys):
+    """--hf-dataset without --index is a usage error (exit 2), not a
+    crash inside the reader."""
+    rc = main(["import", "embedded", "--root", "/tmp/e",
+               "--hf-dataset", "org/data"])
+    assert rc == 2
+    assert "--index" in capsys.readouterr().err
+
+
+def test_cli_import_requires_some_source(capsys):
+    rc = main(["import", "embedded", "--root", "/tmp/e"])
+    assert rc == 2
+    assert "--dataset" in capsys.readouterr().err

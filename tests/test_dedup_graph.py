@@ -224,3 +224,188 @@ def test_incremental_components_match_full_recompute(spark):
     assert full[21] == 10 and full[11] == 10
     # untouched resident cluster 1's supernode maps to itself
     assert inc[1] == 1
+
+
+def _unique_words(i: int, n: int) -> str:
+    """n letter-only pseudo-random words unique to doc i — documents
+    built from these share zero shingles (the tokenizer is [a-z]+, so
+    words must avoid digits)."""
+    import hashlib
+
+    tr = str.maketrans("0123456789", "ghijklmnop")
+    return " ".join(
+        hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8].translate(tr)
+        for j in range(n)
+    )
+
+
+def test_lsh_auto_bucket_guard_is_default_and_data_sized(spark):
+    """Round-4 contract: the hot-bucket guard is ON by default
+    ("auto"), sized from the corpus's own occupancy stats — a
+    boilerplate mega-bucket larger than the derived cap is excluded
+    from pair generation WITHOUT the caller knowing the knob exists,
+    while true near-dup pairs in ordinary buckets survive. Explicit
+    None restores exact banding (the oracle carve-out)."""
+    from vector_io_spark.operators.dedup import (
+        AUTO_BUCKET_CAP_FLOOR,
+        minhash_lsh_dup_pairs,
+    )
+
+    # 200 identical boilerplate docs -> one 200-deep bucket per band
+    # (> the 64 floor); 100 truly LSH-distinct docs (per-doc random
+    # letter-only words, so NO shared shingles — shared template words
+    # would capture the min-hash and inflate mean occupancy) keep mean
+    # occupancy ~3 so the auto cap lands on the floor; one true
+    # near-dup pair must survive the guard.
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(200)]
+    distinct = [(1000 + i, _unique_words(i, 8)) for i in range(100)]
+    near = [
+        (2000, "the quick brown fox jumps over the lazy dog tonight"),
+        (2001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(
+        boiler + distinct + near, "doc_id long, text string"
+    )
+
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dup_pairs(
+            df, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dup_pairs(
+            df, "doc_id", "text", threshold=0.4, max_bucket_size=None
+        ).collect()
+    }
+    # exact banding sees the full C(200,2) boilerplate blowup
+    assert len(exact_pairs) >= 200 * 199 // 2
+    # the default guard drops the mega-bucket (its 200 > 64-floor cap)
+    # but keeps the ordinary near-dup pair — bounded recall cost
+    assert (2000, 2001) in default_pairs
+    assert all(not (a < 200 and b < 200) for a, b in default_pairs)
+    assert AUTO_BUCKET_CAP_FLOOR == 64
+
+
+def test_lsh_auto_guard_noop_on_unskewed_corpus(spark, sf_dir):
+    """On a corpus without mega-buckets the auto cap never binds:
+    default results are IDENTICAL to exact banding — the guard costs
+    recall only where occupancy is pathological."""
+    from vector_io_spark.operators.dedup import minhash_lsh_dup_pairs
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 400)
+    )
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    auto = {
+        tuple(r)
+        for r in minhash_lsh_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in minhash_lsh_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert auto == exact and auto
+
+
+def test_minhash_bucket_occupancy_reports_skew(spark):
+    """The occupancy report must expose a mega-bucket (max_bucket far
+    above auto_cap, rows_over_cap > 0) so an operator sees the skew
+    BEFORE the pair join, and its auto_cap column must equal the cap
+    the "auto" guard derives."""
+    from vector_io_spark.operators.dedup import minhash_bucket_occupancy
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(200)]
+    distinct = [(1000 + i, _unique_words(i, 8)) for i in range(100)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    rows = minhash_bucket_occupancy(df, "doc_id", "text", bands=8).collect()
+    assert len(rows) == 8
+    by_band = {r["band_id"]: r for r in rows}
+    for r in rows:
+        assert r["max_bucket"] >= 200          # the boilerplate bucket
+        assert r["rows_over_cap"] >= 200       # ...exceeds the cap
+        assert r["max_bucket"] > r["auto_cap"]
+        # candidate volume is dominated by the mega-bucket: C(200,2)
+        assert r["candidate_pairs"] >= 200 * 199 // 2
+        assert r["n_rows"] == 300
+    assert len(by_band) == 8
+
+
+def test_triangle_counts_degree_orientation_bounds_hub_wedges(spark):
+    """Star graph with a LOW-KEYED hub (key-order orientation would
+    anchor every wedge at the hub → C(n,2) wedges): degree ordering
+    must orient every spoke edge spoke→hub, so the hub anchors ZERO
+    wedges and total wedge volume stays O(n) — while the triangle
+    counts remain exact."""
+    from vector_io_spark.operators.graph import (
+        degree_oriented_edges,
+        oriented_wedges,
+        triangle_counts,
+    )
+
+    n = 50
+    # hub = 0 (smallest key), spokes 1..n; plus one triangle 1-2 and
+    # one triangle among spokes 3-4 closed through the hub
+    edges = [(0, i) for i in range(1, n + 1)] + [(1, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "part_a long, part_b long")
+
+    oriented = degree_oriented_edges(df, "part_a", "part_b")
+    rows = oriented.collect()
+    # every spoke edge points INTO the hub (hub has max degree)
+    assert all(r["dst"] == 0 for r in rows if 0 in (r["src"], r["dst"]))
+    wedges = oriented_wedges(oriented.localCheckpoint(eager=True))
+    n_wedges = wedges.count()
+    # key-order orientation would give C(52,2)+... wedges at the hub;
+    # degree order: each spoke has out-degree <= 2 -> O(n) wedges
+    assert n_wedges <= 3 * n, n_wedges
+
+    got = {
+        r["p_partkey"]: r["n_triangles"]
+        for r in triangle_counts(df, "part_a", "part_b").collect()
+    }
+    # triangles: (0,1,2) and (0,3,4)
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    """Degree-ordered wedge counting is exact: equals a brute-force
+    enumeration on a deterministic pseudo-random graph."""
+    from itertools import combinations
+
+    from vector_io_spark.operators.graph import triangle_counts
+
+    import hashlib
+
+    nodes = list(range(20))
+    edges = []
+    for u, v in combinations(nodes, 2):
+        h = int(hashlib.md5(f"{u}-{v}".encode()).hexdigest()[:4], 16)
+        if h % 4 == 0:  # ~25% density
+            edges.append((u, v))
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for p in (x, y, z):
+                want[p] = want.get(p, 0) + 1
+
+    df = spark.createDataFrame(edges, "part_a long, part_b long")
+    got = {
+        r["p_partkey"]: r["n_triangles"]
+        for r in triangle_counts(df, "part_a", "part_b").collect()
+    }
+    assert got == want and want

@@ -350,3 +350,72 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     for got in (p, m):
         for qid in range(20):
             assert (qid, qid) in got
+
+
+def test_ann_recall_floors_at_sf01(spark):
+    """Absolute recall@10 floors for every approximate ANN path at
+    sf0.1 (40k vectors, 32 queries), pinned alongside the timings in
+    BASELINE.md — so a geometry/typo regression that silently trades
+    recall for speed fails here. The sf0.1 synthetic embeddings are
+    near-uniform (neighbors barely angularly concentrated — adversarial
+    for LSH pruning; see BASELINE.md round 4 for the sf1 numbers on
+    clustered data), so the floors are deliberately conservative but
+    non-trivial. All methods are deterministic (md5 planes, fixed
+    seeds), so the floors are stable, not flaky."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.functions.vectors import quantize_embeddings
+    from vector_io_spark.operators.similarity import (
+        brute_force_topk,
+        hamming_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_bucketed_topk,
+        pq_topk,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    def recall(approx, exact):
+        num = sum(len(approx.get(q, set()) & w) for q, w in exact.items())
+        den = sum(len(w) for w in exact.values())
+        return num / den
+
+    exact_cos = sets(brute_force_topk(emb, queries, k=10))
+    exact_l2 = sets(brute_force_topk(emb, queries, k=10, metric="euclid"))
+
+    lsh = recall(sets(lsh_bucketed_topk(
+        emb, queries, k=10, num_planes=128, bands=8)), exact_cos)
+    lsh_mp = recall(sets(lsh_bucketed_topk(
+        emb, queries, k=10, num_planes=128, bands=8, multiprobe=1)),
+        exact_cos)
+    assert lsh >= 0.05, lsh
+    assert lsh_mp >= lsh, (lsh_mp, lsh)
+    assert recall(sets(ivf_topk(
+        emb, queries, k=10, num_cells=16, nprobe=4, sample_fraction=0.5)),
+        exact_cos) >= 0.5
+    assert recall(sets(ivfpq_topk(
+        emb, queries, k=10, num_cells=16, nprobe=4, num_subspaces=16,
+        codebook_size=64, max_train_rows=20_000)), exact_cos) >= 0.30
+    assert recall(sets(pq_topk(
+        emb, queries, k=10, num_subspaces=16, codebook_size=64,
+        max_train_rows=20_000)), exact_l2) >= 0.35
+    packed = quantize_embeddings(
+        emb, "embedding", "packed", precision="ubinary"
+    ).select("vec_id", "packed")
+    qp = quantize_embeddings(
+        queries, "embedding", "packed", precision="ubinary"
+    ).select("query_id", "packed")
+    assert recall(sets(hamming_topk(packed, qp, k=10)), exact_cos) >= 0.15

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Measure recall@k of every approximate ANN path against its exact
+brute-force counterpart at a given scale (default the /tmp/sf1 replica —
+regenerate with tools/make_replica.py, never hand-edit).
+
+Each method is judged under ITS OWN metric and query set:
+
+- lsh / lsh_multiprobe : cosine, vs brute_force_topk(metric='cosine')
+- ivf / ivfpq          : cosine ranking over probed cells, vs brute cosine
+- pq                   : L2 ADC ranking, vs brute_force_topk(metric='euclid')
+- hamming_packed       : binary-quantization loss — exact hamming top-k
+                         vs brute float cosine (measures the quantizer,
+                         not the search, which is exact)
+
+Prints one JSON line {method: {recall_at_k, seconds}} for BASELINE.md.
+
+Usage: python tools/ann_recall.py [SF_DIR] [K]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def topk_sets(df, k):
+    rows = df.collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def recall(approx: dict, exact: dict) -> float:
+    num = den = 0
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        num += len(got & want)
+        den += len(want)
+    return round(num / den, 4) if den else 0.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.similarity import (
+        brute_force_topk,
+        hamming_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_bucketed_topk,
+        pq_topk,
+    )
+    from vector_io_spark.functions.vectors import quantize_embeddings
+    from vector_io_spark.queries import _t
+    from vector_io_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_recall")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.count()  # warm
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact_cos = topk_sets(brute_force_topk(emb, queries, k=k), k)
+    exact_l2 = topk_sets(
+        brute_force_topk(emb, queries, k=k, metric="euclid"), k
+    )
+
+    results: dict = {}
+
+    def run(name, fn, exact):
+        t0 = time.perf_counter()
+        approx = topk_sets(fn(), k)
+        secs = round(time.perf_counter() - t0, 2)
+        results[name] = {"recall_at_k": recall(approx, exact), "seconds": secs}
+
+    run("lsh", lambda: lsh_bucketed_topk(
+        emb, queries, k=k, num_planes=128, bands=8), exact_cos)
+    run("lsh_multiprobe", lambda: lsh_bucketed_topk(
+        emb, queries, k=k, num_planes=128, bands=8, multiprobe=1), exact_cos)
+    run("ivf", lambda: ivf_topk(
+        emb, queries, k=k, num_cells=16, nprobe=4, sample_fraction=0.5),
+        exact_cos)
+    run("ivfpq", lambda: ivfpq_topk(
+        emb, queries, k=k, num_cells=16, nprobe=4, num_subspaces=16,
+        codebook_size=64, max_train_rows=20_000), exact_cos)
+    run("pq", lambda: pq_topk(
+        emb, queries, k=k, num_subspaces=16, codebook_size=64,
+        max_train_rows=20_000), exact_l2)
+
+    packed = quantize_embeddings(
+        emb, "embedding", "packed", precision="ubinary"
+    ).select("vec_id", "packed")
+    qpacked = quantize_embeddings(
+        queries, "embedding", "packed", precision="ubinary"
+    ).select("query_id", "packed")
+    run("hamming_packed", lambda: hamming_topk(
+        packed, qpacked, k=k), exact_cos)
+
+    print(json.dumps({"sf_dir": sf_dir, "k": k, "methods": results}))
+
+
+if __name__ == "__main__":
+    main()

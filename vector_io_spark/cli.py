@@ -86,8 +86,23 @@ def build_parser() -> argparse.ArgumentParser:
                 p.add_argument("--max-file-rows", type=int, default=1_000_000)
                 p.add_argument("--id-column", default="id")
                 p.add_argument("--model-name", default=None)
+                p.add_argument("--push-to-hub", default=None, metavar="REPO_ID",
+                               help="after export, upload the VDF dir as a "
+                               "HF dataset repo (reference "
+                               "export_vdf_cli.py:168-169)")
+                p.add_argument("--public", action="store_true",
+                               help="with --push-to-hub: create the repo "
+                               "public (default private)")
             else:
-                p.add_argument("--dataset", required=True, help="VDF dataset dir")
+                p.add_argument("--dataset", default=None, help="VDF dataset dir")
+                p.add_argument("--hf-dataset", default=None, metavar="NAME",
+                               help="import from a HuggingFace dataset "
+                               "instead of a local VDF dir (reference "
+                               "import_vdf_cli.py:161-210); requires "
+                               "--index for the target collection")
+                p.add_argument("--hf-split", default="train")
+                p.add_argument("--max-num-rows", type=int, default=None,
+                               help="with --hf-dataset: row cap on the read")
                 p.add_argument("--index", default=None,
                                help="only import this index (default: all)")
                 p.add_argument("--batch-size", type=int,
@@ -141,6 +156,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ex_p.add_argument("name")
     ex_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    ph_p = sub.add_parser(
+        "push-to-hub",
+        help="upload a VDF dataset dir as a HuggingFace dataset repo "
+        "(reference push_to_hub_vdf.py:9-78; requires huggingface_hub)",
+    )
+    ph_p.add_argument("--dataset", required=True, help="VDF dataset dir")
+    ph_p.add_argument("--repo-id", required=True, help="org/name on the Hub")
+    ph_p.add_argument("--public", action="store_true",
+                      help="create the repo public (default private)")
     return top
 
 
@@ -192,6 +217,11 @@ def cmd_export(args) -> int:
         for ns in namespaces:
             print(f"exported {index}/{ns.namespace or '-'}: "
                   f"{ns.exported_vector_count} rows -> {ns.data_path}")
+    if getattr(args, "push_to_hub", None):
+        from vector_io_spark.sources.hf import push_to_hub
+
+        url = push_to_hub(args.out, args.push_to_hub, private=not args.public)
+        print(f"pushed to {url}")
     return 0
 
 
@@ -200,8 +230,31 @@ def cmd_import(args) -> int:
     from vector_io_spark.sources.connectors import partitioned_upsert
 
     spark = get_spark(app_name="vector_io_spark_import")
-    ds = read_vdf(spark, args.dataset)
     factory = _connector_factory(args)
+    if getattr(args, "hf_dataset", None):
+        # reference import_vdf_cli.py:161-210: --hf_dataset as the source
+        from vector_io_spark.sources.hf import read_hf_dataset
+
+        if not args.index:
+            print("--hf-dataset requires --index (target collection)",
+                  file=sys.stderr)
+            return 2
+        df = read_hf_dataset(
+            spark, args.hf_dataset, split=args.hf_split,
+            max_num_rows=args.max_num_rows,
+        )
+        n = partitioned_upsert(
+            df, factory, args.index,
+            batch_size=args.batch_size,
+            rate_limit_per_minute=args.rate_limit_per_minute,
+            num_partitions=args.num_partitions,
+        )
+        print(f"imported {args.index} from hf:{args.hf_dataset}: {n} rows")
+        return 0
+    if not args.dataset:
+        print("one of --dataset / --hf-dataset is required", file=sys.stderr)
+        return 2
+    ds = read_vdf(spark, args.dataset)
     total = 0
     for index, namespaces in ds.meta.indexes.items():
         if args.index and index != args.index:
@@ -320,6 +373,14 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_push_to_hub(args) -> int:
+    from vector_io_spark.sources.hf import push_to_hub
+
+    url = push_to_hub(args.dataset, args.repo_id, private=not args.public)
+    print(f"pushed to {url}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "list-dbs":
@@ -339,6 +400,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_query(args)
     if args.command == "explain":
         return cmd_explain(args)
+    if args.command == "push-to-hub":
+        return cmd_push_to_hub(args)
     return cmd_import(args)
 
 

@@ -16,6 +16,7 @@ from vector_io_spark.operators.dedup import (  # noqa: F401
     dedup_by_id,
     dedup_exact_content,
     dedup_embedding_cosine,
+    minhash_bucket_occupancy,
     minhash_signatures,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,

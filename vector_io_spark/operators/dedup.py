@@ -162,18 +162,65 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
-def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
-    """Optional hot-bucket guard for LSH band joins: buckets larger than
-    the cap are EXCLUDED from pair generation. Real web corpora have
-    boilerplate clusters (empty pages, templates) whose members all land
-    in one band bucket and self-join quadratically; a true near-dup pair
-    inside a dropped mega-bucket still collides in one of the OTHER
-    bands with high probability, so the recall cost is small while the
-    worst-case cost drops from O(max_bucket²) to O(cap²·n_buckets).
-    Default None (exact banding semantics — the oracle-checked paths
-    pass None)."""
+# Auto-sizing rule for the hot-bucket guard (see _auto_bucket_cap):
+# cap = max(FLOOR, ceil(FACTOR * mean bucket occupancy)). With sane LSH
+# geometry (bits/band >= log2(corpus), the sizing rule documented on
+# dedup_embedding_cosine) mean occupancy is ~1-2, so the FLOOR is what
+# binds: only buckets with >64 members — boilerplate/template clusters,
+# the exact failure class measured at sf1 in round 3 — are excluded.
+# If the geometry is undersized the FACTOR term keeps total join work
+# near-linear (<= n_buckets * cap^2) instead of quadratic.
+AUTO_BUCKET_CAP_FLOOR = 64
+AUTO_BUCKET_CAP_FACTOR = 8
+
+
+def _auto_bucket_cap(banded: DataFrame) -> int:
+    """Derive a hot-bucket cap from the banded frame's own occupancy
+    stats: one map-combined aggregate (rows + distinct buckets → mean
+    occupancy), a scalar collect (bounded driver state). The extra job
+    re-reads the persisted signature frame, so it costs one explode
+    pass, not a signature recompute."""
+    row = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("__n"))
+        .agg(
+            F.count("*").alias("__buckets"),
+            F.sum("__n").alias("__rows"),
+        )
+        .collect()[0]
+    )
+    buckets, rows = row["__buckets"], row["__rows"]
+    if not buckets:
+        return AUTO_BUCKET_CAP_FLOOR
+    import math
+
+    mean_occ = rows / buckets
+    return max(AUTO_BUCKET_CAP_FLOOR, math.ceil(AUTO_BUCKET_CAP_FACTOR * mean_occ))
+
+
+def _cap_buckets(
+    banded: DataFrame, max_bucket_size: int | str | None
+) -> DataFrame:
+    """Hot-bucket guard for LSH band joins: buckets larger than the cap
+    are EXCLUDED from pair generation. Real web corpora have boilerplate
+    clusters (empty pages, templates) whose members all land in one band
+    bucket and self-join quadratically; a true near-dup pair inside a
+    dropped mega-bucket still collides in one of the OTHER bands with
+    high probability (unless the whole cluster is near-identical — those
+    belong on the exact-dedup path), so the recall cost is small while
+    the worst-case cost drops from O(max_bucket²) to O(cap²·n_buckets).
+
+    ``"auto"`` (the production default since round 4) derives the cap
+    from the corpus's own occupancy stats (:func:`_auto_bucket_cap`) —
+    a 100 TB operator gets mega-bucket protection without knowing the
+    knob exists. Pass ``None`` for exact banding semantics: the
+    oracle-checked registered queries do, so their results stay
+    hash-exact vs the (cap-free) SQL replica by construction. Use
+    :func:`minhash_bucket_occupancy` to SEE the skew before it bites."""
     if max_bucket_size is None:
         return banded
+    if max_bucket_size == "auto":
+        max_bucket_size = _auto_bucket_cap(banded)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key")
@@ -182,6 +229,92 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
         .where(F.col("__bucket_n") <= max_bucket_size)
         .drop("__bucket_n")
     )
+
+
+def minhash_bucket_occupancy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Per-band bucket-occupancy audit for the MinHash-LSH banding — the
+    'see the skew BEFORE it bites' companion to the hot-bucket guard.
+    For each band: bucket count, row count, max bucket size, mean
+    occupancy, the candidate-pair volume the band join would generate
+    (Σ n·(n−1)/2 — THE cost driver; one mega-bucket dominates it
+    quadratically), plus the cap the ``"auto"`` guard would apply
+    (same arithmetic as :func:`_auto_bucket_cap`, computed in-plan from
+    the global totals) and the rows it would exclude. A 100 TB operator
+    runs this on a corpus sample before the pair pass: ``max_bucket ≫
+    auto_cap`` means boilerplate clusters (route them to exact dedup),
+    ``mean_occupancy ≫ 1`` means the band-key space is undersized
+    (raise bits/band per the log2(corpus) rule).
+
+    Scale shape: one signature projection (shuffle-free), one explode,
+    one (band, key) rollup — the per-bucket frame is |distinct buckets|
+    ≤ rows×bands and is persisted once for the totals + report branches;
+    the 1-row totals broadcast back. Nothing corpus-sized reaches the
+    driver. Fully SQL-expressible (oracle-paired in queries.py).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.where(F.col("minhash")[0].isNotNull()).select(
+        F.posexplode(_sig_band_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        )
+    )
+    per_bucket = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    per_bucket.count()  # eager fill: totals + report branches share it
+    totals = per_bucket.agg(
+        F.count("*").alias("__tb"), F.sum("n").alias("__tr")
+    )
+    auto_cap = F.greatest(
+        F.lit(AUTO_BUCKET_CAP_FLOOR).cast("long"),
+        F.ceil(
+            F.lit(float(AUTO_BUCKET_CAP_FACTOR))
+            * F.col("__tr")
+            / F.col("__tb")
+        ).cast("long"),
+    )
+    report = (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .withColumn("auto_cap", auto_cap)
+        .groupBy(F.col("band_id").cast("long").alias("band_id"), "auto_cap")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.round(
+                F.sum("n").cast("double") / F.count("*"), 6
+            ).alias("mean_occupancy"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias(
+                "candidate_pairs"
+            ),
+            F.sum(
+                F.when(F.col("n") > F.col("auto_cap"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rows_over_cap"),
+        )
+        .select(
+            "band_id",
+            "n_buckets",
+            "n_rows",
+            "max_bucket",
+            "mean_occupancy",
+            "candidate_pairs",
+            "auto_cap",
+            "rows_over_cap",
+        )
+    )
+    return _materialize_release(report, per_bucket)
 
 
 def _sig_band_array(num_hashes: int, bands: int):
@@ -224,7 +357,7 @@ def minhash_lsh_dup_pairs(
     shingle_k: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding, verified with the
     estimated Jaccard from full signatures.
@@ -235,8 +368,10 @@ def minhash_lsh_dup_pairs(
     pairs — tiny — and the band join only collides near-duplicates, so at
     100 TB the join output is ~|duplicate pairs|, not |rows|².
     ``max_bucket_size`` guards against boilerplate mega-buckets (see
-    :func:`_cap_buckets`) — set it on corpora with template/empty-page
-    clusters; leave None for exact banding semantics.
+    :func:`_cap_buckets`) — the default ``"auto"`` sizes the cap from
+    the corpus's own occupancy stats; pass ``None`` for exact banding
+    semantics (the oracle-paired queries do). Audit skew first with
+    :func:`minhash_bucket_occupancy`.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -292,7 +427,7 @@ def minhash_lsh_incremental_pairs(
     shingle_k: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
     old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection for the daily-ingest shape: find
@@ -310,9 +445,14 @@ def minhash_lsh_incremental_pairs(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where at least
     one side belongs to ``new``. Same md5 hash family, banding layout,
-    empty-signature guard, and optional hot-bucket cap as
-    :func:`minhash_lsh_dup_pairs` — results are EXACTLY the symmetric
-    operator's pairs restricted to new-involving ones (pytest-pinned).
+    empty-signature guard, and hot-bucket cap semantics as
+    :func:`minhash_lsh_dup_pairs` — with matching EXPLICIT
+    ``max_bucket_size`` values (or ``None``), results are EXACTLY the
+    symmetric operator's pairs restricted to new-involving ones
+    (pytest-pinned). Under the default ``"auto"`` the probe and index
+    frames derive their caps independently (the small new batch usually
+    lands on the floor), so prefer an explicit cap when the equality
+    contract matters.
     """
     if old_sigs is not None:
         sigs_old = old_sigs
@@ -642,7 +782,7 @@ def dedup_embedding_cosine(
     method: str = "lsh",
     num_planes: int = 128,
     bands: int = 8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
@@ -669,7 +809,8 @@ def dedup_embedding_cosine(
     curve, ~0.994 at 0.99, 1.0 for exact twins); size bits/band ≈
     log2(corpus) + slack, and raise bands to recover recall.
     ``max_bucket_size`` additionally guards boilerplate mega-buckets
-    (:func:`_cap_buckets`).
+    (:func:`_cap_buckets`; default ``"auto"`` — pass ``None`` for exact
+    banding semantics, as the brute oracle comparisons do).
 
     Returns (id_a, id_b, cos_sim), id_a < id_b.
     """
@@ -788,7 +929,7 @@ def _signature_band_pairs(
     id_col: str,
     num_planes: int,
     bands: int,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     sig_df = sig_df.persist()  # feeds both sides of the self-join
     sig_df.count()  # eager fill: the self-join's concurrent map stages

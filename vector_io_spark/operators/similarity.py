@@ -164,6 +164,7 @@ def lsh_bucketed_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     multiprobe: int = 0,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures on both sides,
     candidate join on signature bands, exact cosine re-rank of candidates.
@@ -179,6 +180,17 @@ def lsh_bucketed_topk(
     broadcast query side (x(1 + rows) band keys per query); the corpus
     banding, the expensive side at 100 TB, is untouched — recall rises
     at zero additional corpus scan or index cost.
+
+    ``max_bucket_size`` (default ``"auto"``, see
+    ``dedup._cap_buckets``): hot corpus buckets — near-identical
+    embedding clusters, the skew that makes per-query candidate counts
+    quadratic in the cluster size — are excluded from candidate
+    generation; queries landing in a dropped bucket still reach its
+    members through OTHER bands. The corpus banding is persisted so the
+    auto-sizing stats pass reuses it instead of recomputing signatures;
+    the (bounded, |queries|·occupancy-sized) candidate set is then
+    materialized and the cache released. Pass ``None`` for exact
+    banding semantics (recall pytests pin the uncapped geometry).
     """
     if multiprobe not in (0, 1):
         raise ValueError(
@@ -229,17 +241,30 @@ def lsh_bucketed_topk(
             F.col("e.band_key").alias("band_key"),
         )
 
+    from vector_io_spark.operators.dedup import _cap_buckets, _materialize_release
+
     cb = banded(corpus, corpus_id, corpus_vec, "__cid")
+    if max_bucket_size is not None:
+        # persist: the auto stats pass + the candidate join both read the
+        # banded corpus; without the cache the pandas-UDF signature stage
+        # would run twice
+        cb = cb.persist()
+        cb.count()
+        cb_capped = _cap_buckets(cb, max_bucket_size)
+    else:
+        cb_capped = cb
     qb = (
         banded_multiprobe(queries, query_id, query_vec, "__qid")
         if multiprobe
         else banded(queries, query_id, query_vec, "__qid")
     )
     cand = (
-        cb.join(broadcast(qb), ["band_id", "band_key"])
+        cb_capped.join(broadcast(qb), ["band_id", "band_key"])
         .select(F.col("__cid"), F.col("__qid"))
         .dropDuplicates(["__cid", "__qid"])
     )
+    if max_bucket_size is not None:
+        cand = _materialize_release(cand, cb)
     scored = (
         cand.join(
             corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")),

@@ -784,6 +784,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dup_pairs(
         d.unionByName(dup), "doc_id", "text",
         num_hashes=16, shingle_k=3, bands=8, threshold=0.99,
+        # oracle carve-out: exact banding semantics so the result is
+        # hash-exact vs the cap-free SQL replica (the production default
+        # is the auto-sized hot-bucket guard)
+        max_bucket_size=None,
+    )
+
+
+def _bucket_occupancy_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    # mirrors operators.dedup.minhash_bucket_occupancy: same signature
+    # family as _minhash_sql, '|'-joined band slices, per-band rollup,
+    # and the auto-cap arithmetic of dedup._auto_bucket_cap
+    # (max(64, ceil(8 * mean occupancy)) over the GLOBAL totals)
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(list_distinct({_SHINGLES3}), "
+        f"s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)))"
+        for j in range(num_hashes)
+    )
+    cap = "greatest(64, CAST(ceil(8e0 * tr / tb) AS BIGINT))"
+    return f"""
+    WITH sigs AS (
+        SELECT doc_id, [{sig_elems}] AS sig
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    ),
+    banded AS (
+        SELECT b.bb AS band_id,
+               array_to_string(sig[b.bb*{rows}+1 : b.bb*{rows}+{rows}], '|')
+                   AS band_key
+        FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS bb) b
+        WHERE sig[1] IS NOT NULL
+    ),
+    per_bucket AS (
+        SELECT band_id, band_key, count(*) AS n
+        FROM banded GROUP BY band_id, band_key
+    ),
+    totals AS (SELECT count(*) AS tb, sum(n) AS tr FROM per_bucket)
+    SELECT CAST(band_id AS BIGINT)  AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT)   AS n_rows,
+           CAST(max(n) AS BIGINT)   AS max_bucket,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_occupancy,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST({cap} AS BIGINT) AS auto_cap,
+           CAST(sum(CASE WHEN n > {cap} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_over_cap
+    FROM per_bucket, totals
+    GROUP BY band_id, tb, tr
+    """
+
+
+@_register("bucket_occupancy_report", _bucket_occupancy_sql())
+def bucket_occupancy_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit on the dup-injected documents corpus:
+    per band, how full the MinHash band buckets are, the candidate-pair
+    volume the band join would generate, and the cap the default
+    ``"auto"`` hot-bucket guard would apply (with the rows it would
+    exclude). This is the query a 100 TB operator runs BEFORE a dedup
+    pass — round 3 measured the unguarded mega-bucket blowup at sf1
+    (42 s → 5.1 s after sizing); this makes the skew visible instead of
+    discovered-by-timeout. See operators/dedup.py::
+    minhash_bucket_occupancy for the scale shape (one signature pass,
+    one rollup; only 1-row totals broadcast)."""
+    from vector_io_spark.operators.dedup import minhash_bucket_occupancy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return minhash_bucket_occupancy(
+        d.unionByName(dup), "doc_id", "text",
+        num_hashes=16, shingle_k=3, bands=8,
     )
 
 
@@ -6717,15 +6787,19 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of triangles it participates in — the clustering-coefficient
     numerator, the classic 'tightly bundled product group' signal.
 
-    Algorithm: oriented wedge join — edges stored once in canonical
-    (lo < hi) orientation, wedges built by joining hi==lo (which forces
-    x < y < z, so each triangle materializes exactly once), closed by a
-    third edge-key join. Scale shape: the edge list (order-bounded,
-    HAVING-pruned) persists once and drives three hash joins on part
-    keys — no cartesian, no adjacency list on the driver. At serious
-    graph scale the canonical orientation would switch to degree order
-    (low-degree first) to bound wedge counts on hot parts; key order is
-    the deterministic stand-in at this density."""
+    Algorithm (round 4): wedge join on the DEGREE-ORDERED orientation
+    (operators/graph.py::triangle_counts) — each edge oriented
+    low-degree → high-degree endpoint (key tie-break), wedges anchored
+    at the lowest-ordered vertex, closed by an equi-join on the
+    oriented (v, w) edge. The triangle set is orientation-invariant
+    (the SQL oracle keeps the simpler key-order formulation and must
+    stay hash-exact), but wedge volume is bounded by the orientation's
+    out-degree cap instead of exploding C(deg,2) on a hot hub part —
+    the round-3 skew finding on the densified sf1 replica. Scale
+    shape: degree rollup + hash joins on part keys, edge list persists
+    once, nothing driver-side."""
+    from vector_io_spark.operators.graph import triangle_counts
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e = (
@@ -6743,21 +6817,7 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b")
         .persist()
     )
-    e1 = e.select(F.col("part_a").alias("x"), F.col("part_b").alias("y"))
-    e2 = e.select(F.col("part_a").alias("y2"), F.col("part_b").alias("z"))
-    e3 = e.select(F.col("part_a").alias("x3"), F.col("part_b").alias("z3"))
-    tri = (
-        e1.join(e2, F.col("y") == F.col("y2"))
-        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
-        .select("x", "y", "z")
-    )
-    out = (
-        tri.select(
-            F.explode(F.array("x", "y", "z")).alias("p_partkey")
-        )
-        .groupBy("p_partkey")
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    out = triangle_counts(e, "part_a", "part_b")
     return _finalize_release(out, e)
 
 
@@ -6857,6 +6917,7 @@ def neardup_eval_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_dup_pairs(
         corpus, "doc_id", "text",
         num_hashes=16, shingle_k=3, bands=8, threshold=0.0,
+        max_bucket_size=None,  # oracle carve-out: exact banding
     ).persist()
     truth = (
         ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
@@ -7189,6 +7250,7 @@ def dedup_quality_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dup_pairs(
         corpus, "doc_id", "text", num_hashes=16, shingle_k=3, bands=8,
         threshold=0.5,
+        max_bucket_size=None,  # oracle carve-out: exact banding
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     memb = comp.join(
@@ -8581,6 +8643,7 @@ def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_incremental_pairs(
         d, new, "doc_id", "text",
         num_hashes=16, shingle_k=3, bands=8, threshold=0.5,
+        max_bucket_size=None,  # oracle carve-out: exact banding
     )
 
 
