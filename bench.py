@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "dup_passage_spans",     # substring-dedup cut lists (shared kernel)
     "incremental_neardup",   # asymmetric new-vs-corpus LSH (ingest path)
     "source_quality_report", # one-scan per-source scorecard
+    # round-4 additions (BENCH_r04+ only — totals not comparable back)
+    "bucket_occupancy_report",  # LSH skew audit (pre-dedup planning pass)
+    "copurchase_triangles",  # degree-ordered wedge join (skew-proof)
 ]
 
 

