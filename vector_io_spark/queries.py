@@ -9163,6 +9163,166 @@ def supplier_reliability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Corpus curation planning: mixture rebalance, cluster-size histogram,
+# token-length histogram
+# ===========================================================================
+
+@_register(
+    "mixture_rebalance",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_sources FROM per)
+    SELECT source, n_tokens,
+           round(n_tokens / (1e0 * total), 6) AS token_share,
+           CAST(total // n_sources AS BIGINT) AS target_tokens,
+           round(least(1e0, (total / (1e0 * n_sources)) / n_tokens), 6)
+               AS sampling_rate
+    FROM per, tot
+    """,
+)
+def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing plan: per-source whitespace-token mass
+    and the sampling rate that downsamples every over-represented source
+    to a UNIFORM token share — the knob a pretraining-data pipeline
+    turns to hit a target domain mixture (uniform here; any target
+    vector is the same arithmetic). Rates feed deterministic_sample's
+    md5-uniform keep rule downstream, so the plan is executable as-is.
+
+    Scale shape: one corpus scan -> per-source map-combined rollup
+    (|sources| rows), 1-row totals broadcast back; zero data-
+    proportional driver state. Exactness: integer token sums; ratios
+    via 1e0 doubles (decimal-literal trap documented in the memory
+    recipes) rounded 6."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / (F.lit(1.0) * F.col("total")), 6).alias(
+            "token_share"
+        ),
+        F.expr("total div n_sources").cast("long").alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total") / (F.lit(1.0) * F.col("n_sources")))
+                / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("sampling_rate"),
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    # reuse the proven pairs -> recursive-CTE closure -> comp prefix of
+    # the quality-survivors oracle, swap the tail for a size histogram
+    base = _quality_survivors_sql()
+    prefix = base.split("    ranked AS (")[0].rstrip().rstrip(",")
+    return prefix + """,
+    sizes AS (SELECT component, count(*) AS nm FROM comp GROUP BY component)
+    SELECT CAST(nm AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(nm) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY nm
+    """
+
+
+@_register("dup_cluster_sizes", _cluster_sizes_sql())
+def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE histogram over the truncated/doubled-variant
+    corpus (same pair machinery as dedup_quality_survivors): how many
+    duplicate clusters of each size exist and how many docs they hold —
+    the number a curation run reports before deleting anything
+    (singleton docs never enter a pair, so they are not counted; the
+    histogram is about the duplicate mass). A heavy tail here is the
+    boilerplate signal that the occupancy report / hot-bucket guard
+    exist for.
+
+    Scale shape: LSH band join (exact-banding oracle carve-out) +
+    pointer-doubling components + two bounded rollups; nothing
+    driver-side. Oracle: recursive-CTE reachability closure shared with
+    the survivors query."""
+    from vector_io_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.expr("substring(text, 1, greatest((length(text) * 4) div 5, 8))"),
+        )
+        .otherwise(F.concat("text", F.lit(" "), "text"))
+        .alias("text"),
+    )
+    pairs = minhash_lsh_dup_pairs(
+        d.unionByName(mutated), "doc_id", "text",
+        num_hashes=16, shingle_k=3, bands=8, threshold=0.5,
+        max_bucket_size=None,  # oracle carve-out: exact banding
+    ).select("id_a", "id_b")
+    sizes = connected_components(pairs).groupBy("component").agg(
+        F.count("*").alias("nm")
+    )
+    return sizes.groupBy(F.col("nm").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("nm").cast("long").alias("n_docs"),
+    )
+
+
+@_register(
+    "token_length_histogram",
+    """
+    WITH t AS (
+        SELECT source, len(regexp_extract_all(text, '\\S+')) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(floor(ln(n) / ln(2)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS bucket_tokens
+    FROM t WHERE n > 0 GROUP BY source, log2_bucket
+    """,
+)
+def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution in log2 token buckets —
+    the capacity-planning input for sequence packing (pack_sequences'
+    budget choice) and truncation policy: what fraction of each source's
+    token mass sits in docs longer than the context window. Same
+    map-combined one-scan + bounded-bucket shape as fanout_histogram;
+    floor(ln/ln2) integer bucketing is libm-identical cross-engine on
+    integer inputs (fanout_histogram precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source", token_count("text").alias("n")
+    ).where(F.col("n") > 0)
+    bucket = F.floor(
+        F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))
+    ).cast("long")
+    return t.groupBy("source", bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.sum("n").cast("long").alias("bucket_tokens"),
+    )
+
+
+# ===========================================================================
 # Registry ordering: the external driver's correctness gate samples the
 # FIRST 50 queries in registry order. Registration order is historical
 # (round 1 first), which left every round-2/3 family (distributed ranks,
