@@ -134,9 +134,16 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
     for name in FACT_IDS:
-        replicate_fact(spark, name, n).write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet"
-        )
+        # realistic layout: a real sf-N fact table is many files/row
+        # groups; without this the replica collapses to one file with
+        # ONE row group, and every scan downstream "splits" into empty
+        # partitions (single-core pandas-UDF stages, measured 8× at
+        # sf10 — see dedup._rebalance_for_cpu, which now also defends
+        # against such tables at runtime)
+        parts = max(32, spark.sparkContext.defaultParallelism)
+        replicate_fact(spark, name, n).repartition(parts).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
     for name in DIM_TABLES + list(FACT_IDS):
         cnt = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
         print(f"{name}: {cnt} rows")

@@ -23,15 +23,58 @@ from vector_io_spark.functions.text import doc_fingerprint, tokens, word_shingle
 from vector_io_spark.functions.vectors import dot_product
 
 
+def _parquet_row_groups(df: DataFrame) -> int | None:
+    """Total parquet row groups behind ``df``'s scan — the TRUE
+    parallelism quantum: Spark byte-splits a file into many partitions,
+    but a split that owns no row-group midpoint reads ZERO rows, so a
+    big single-row-group file scans on ONE core no matter how many
+    splits the planner prints. Footer-only driver-side read (pyarrow),
+    bounded to ≤64 files; returns None when unknown (non-parquet
+    source, remote fs without local access, many files — all cases
+    where the split count is trustworthy)."""
+    try:
+        files = set(df.inputFiles())
+    except Exception:
+        return None
+    if not files or len(files) > 64:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            if f.startswith("file:"):
+                f = "/" + f[5:].lstrip("/")
+            elif "://" in f:
+                return None  # remote fs: don't guess
+            if not f.endswith(".parquet"):
+                return None
+            total += pq.ParquetFile(f).num_row_groups
+    except Exception:
+        return None
+    return total
+
+
 def _rebalance_for_cpu(df: DataFrame) -> DataFrame:
-    """CPU-bound pandas-UDF stages (signatures, fingerprints) need one
-    task per core; small inputs often scan as 1-2 splits, starving the
-    workers. Rebalance ONLY when the scan yields fewer partitions than the
-    cluster's parallelism — at scale the condition is false and no shuffle
-    is added (the shuffled payload here is raw text, tiny relative to the
-    signature compute)."""
+    """CPU-bound pandas-UDF stages (signatures, fingerprints, scoring
+    kernels) need one task per core; small inputs often scan as 1-2
+    splits, starving the workers. Rebalance when the scan yields fewer
+    partitions than the cluster's parallelism, OR when the partition
+    count is a lie — parquet splits beyond the file's row-group count
+    are EMPTY (measured at sf10: a 500k-row single-row-group replica
+    file \"scanned as 22 splits\" but computed signatures on one core,
+    151 s vs 18.5 s rebalanced). At scale with sanely-written tables
+    both conditions are false and no shuffle is added (the shuffled
+    payload here is raw text/vectors, tiny relative to the kernel
+    compute)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    parts = df.rdd.getNumPartitions()
+    effective = parts
+    if parts >= target:
+        rg = _parquet_row_groups(df)
+        if rg is not None:
+            effective = min(parts, rg)
+    if effective < target:
         return df.repartition(target)
     return df
 
