@@ -163,6 +163,12 @@ def minhash_signatures(
     k = shingle_k
 
     def _sig_batch(texts):
+        # per-batch shingle cache: near-dup documents (the reason this
+        # operator exists) share most shingles, and Zipfian text shares
+        # plenty more — caching (shingle -> per-group 8-hex slices)
+        # converts repeated md5 work to dict lookups. Values identical
+        # to the uncached form (same md5 hexdigest slices).
+        cache: dict = {}
         out = []
         for t in texts:
             toks = word_re.findall(t.lower()) if isinstance(t, str) else []
@@ -173,14 +179,20 @@ def minhash_signatures(
             )
             sig: list[str | None] = [None] * num_hashes
             if shingles:
+                slices = []
+                for s in shingles:
+                    v = cache.get(s)
+                    if v is None:
+                        v = [
+                            hashlib.md5(f"{g}:{s}".encode()).hexdigest()
+                            for g in range(n_groups)
+                        ]
+                        cache[s] = v
+                    slices.append(v)
                 for g in range(n_groups):
-                    prefix = f"{g}:"
-                    hashes = [
-                        hashlib.md5((prefix + s).encode()).hexdigest()
-                        for s in shingles
-                    ]
                     for r in range(4):
-                        sig[g * 4 + r] = min(h[8 * r : 8 * r + 8] for h in hashes)
+                        lo, hi = 8 * r, 8 * r + 8
+                        sig[g * 4 + r] = min(v[g][lo:hi] for v in slices)
             out.append(sig)
         return pd.Series(out)
 
@@ -722,29 +734,50 @@ def simhash(c: Column | str, bits: int = 32) -> Column:
     import hashlib
     import re
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
     word_re = re.compile("[a-z]+")
     n_nibbles = (bits + 3) // 4
+    n_bytes = (n_nibbles + 1) // 2
+
+    def _token_pm(tok: str):
+        # ±1 vector of the token's md5 bits: bit j = bit (j%4) of hex
+        # nibble (j//4) — identical values to the scalar loop, computed
+        # with numpy shifts. hexdigest char 2k is byte k's HIGH nibble.
+        raw = np.frombuffer(
+            hashlib.md5(tok.encode()).digest()[:n_bytes], dtype=np.uint8
+        )
+        nib = np.empty(n_bytes * 2, dtype=np.uint8)
+        nib[0::2] = raw >> 4
+        nib[1::2] = raw & 0xF
+        bit_mat = (nib[:n_nibbles, None] >> np.arange(4)[None, :]) & 1
+        return (2 * bit_mat.reshape(-1)[:bits].astype(np.int64)) - 1
 
     def _fp_batch(texts):
+        # per-batch token cache: simhash recomputes the same token bits
+        # for every document containing it — in any natural corpus the
+        # token distribution is Zipfian, so the cache converts the md5 +
+        # bit-unpack cost from O(doc·tokens) to O(|batch vocab|)
+        cache: dict = {}
         out = []
         for t in texts:
             toks = set(word_re.findall(t.lower())) if isinstance(t, str) else set()
-            counts = [0] * bits
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
             for tok in toks:
-                h = hashlib.md5(tok.encode()).hexdigest()
-                for p in range(n_nibbles):
-                    nib = int(h[p], 16)
-                    base = p * 4
-                    for s in range(min(4, bits - base)):
-                        counts[base + s] += 1 if (nib >> s) & 1 else -1
+                v = cache.get(tok)
+                if v is None:
+                    v = _token_pm(tok)
+                    cache[tok] = v
+                acc += v
             fp = 0
-            for j in range(bits):
-                if counts[j] > 0:
-                    fp |= 1 << j
+            for j in np.flatnonzero(acc > 0):
+                fp |= 1 << int(j)
             out.append(fp)
         return pd.Series(out)
 
