@@ -235,7 +235,21 @@ def _brute_force_topk_kernel(
 
     from vector_io_spark.operators.dedup import _rebalance_for_cpu
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    # bounded-driver-state contract: the query batch lives on the driver
+    # (same size class as broadcasting it). A corpus-sized "query" frame
+    # here is a caller bug — fail loudly instead of OOMing the driver;
+    # build the kNN graph batch-by-batch as the docstring prescribes.
+    MAX_QUERY_ROWS = 100_000
+    q_rows = queries.select(query_id, query_vec).limit(
+        MAX_QUERY_ROWS + 1
+    ).collect()
+    if len(q_rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"brute_force_topk(kernel): query side exceeds {MAX_QUERY_ROWS} "
+            "rows — run in batches (each batch closure-bound, corpus "
+            "re-scanned; embarrassingly parallel across batches) or use "
+            "impl='hof'"
+        )
     if not q_rows:
         empty_schema = StructType(
             [
