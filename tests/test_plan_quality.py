@@ -561,6 +561,9 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # global top-50 PMI pairs over the count-floored vocabulary;
         # rank<=50 filter — WindowGroupLimit rescue asserted below
         "pmi_collocations",
+        # bottom-k quantile sketch: global rank<=4096 by md5 hash —
+        # WindowGroupLimit truncates map-side (rescue asserted below)
+        "quantile_sketch_order_totals",
     }
     TINY_DERIVED_TABLE = {
         # global cumsum over the bucket-count table (|buckets| rows,

@@ -619,3 +619,50 @@ def test_bpe_batch_selection_guards():
         rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7)), 2, True
     )
     assert got == [("a", "b", 9), ("c", "d", 8)]
+
+
+def test_bottomk_sketch_merge_equals_whole(spark, sf_dir):
+    """Mergeability contract: union the per-shard bottom-k samples and
+    re-truncate == the bottom-k sketch of the whole dataset (min-k
+    semigroup), so per-day/per-shard sketches combine losslessly; and
+    the quantile estimates land within the O(1/sqrt(k)) band of the
+    exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = 256
+    whole = bottomk_sample(o, "o_totalprice", "o_orderkey", k)
+    shard_a = o.where(F.col("o_orderkey") % 2 == 0)
+    shard_b = o.where(F.col("o_orderkey") % 2 == 1)
+    merged = bottomk_merge(
+        [
+            bottomk_sample(shard_a, "o_totalprice", "o_orderkey", k),
+            bottomk_sample(shard_b, "o_totalprice", "o_orderkey", k),
+        ],
+        k,
+    )
+    assert sorted(r["__qh"] for r in merged.collect()) == sorted(
+        r["__qh"] for r in whole.collect()
+    )
+
+    est = {
+        r["prob"]: r["estimate"]
+        for r in bottomk_quantiles(
+            o, "o_totalprice", "o_orderkey", (0.5, 0.9), k
+        ).collect()
+    }
+    exact = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    ).collect()[0]
+    # k=256 -> sampling std ~ 1/sqrt(256) ~ 6% of the quantile scale;
+    # assert a generous 4-sigma band so the test pins accuracy without
+    # flaking on the deterministic-but-arbitrary hash draw
+    assert abs(est[0.5] - exact["p50"]) / exact["p50"] < 0.25
+    assert abs(est[0.9] - exact["p90"]) / exact["p90"] < 0.25

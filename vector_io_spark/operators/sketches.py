@@ -210,3 +210,97 @@ def hll_sql(table: str, key_col: str) -> str:
                AS rel_err
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (deterministic, mergeable, engine-exact)
+# ---------------------------------------------------------------------------
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 4096,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Deterministic bottom-k sample: the ``k`` rows whose
+    ``md5(salt|key)`` is smallest. Because md5 is a fixed uniform hash
+    of the KEY, this is a uniform random sample that is simultaneously
+
+    - deterministic (retry/partitioning/engine stable — the repo's
+      md5-not-rand convention),
+    - MERGEABLE by construction: bottom-k of a union is the bottom-k of
+      the concatenated bottom-k's (min-k semigroup) — so per-partition,
+      per-day, or per-shard sketches union and re-truncate losslessly,
+      the property KLL/t-digest need randomized compaction to get, and
+    - engine-exact: SQL replica is ORDER BY hash LIMIT k.
+
+    Quantile estimates read off the sample with the shared type-7 rule;
+    sampling error is the classic bottom-k bound O(1/sqrt(k)) per
+    quantile (k=4096 → ~1.6% typical). Scale shape: one scan; the
+    global top-k by hash is a rank<=k filter, so WindowGroupLimit
+    truncates map-side and only ~k rows per partition reach the single
+    merge — the same rescued shape as every top-k in the repo
+    (plan-gated). Returns (``value_col``, __qh) truncated to k rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    w = Window.orderBy(F.col("__qh").asc())
+    return (
+        df.select(F.col(value_col), h.alias("__qh"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    probs: tuple = (0.5, 0.9, 0.99),
+    k: int = 4096,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Quantile estimates from the bottom-k sketch: one row per
+    probability with the type-7 quantile over the k-row sample (exact
+    cross-engine; Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+    Output: (prob, estimate, sample_k)."""
+    samp = bottomk_sample(df, value_col, key_col, k, salt)
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {p})"), 6
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    row = samp.agg(*aggs, F.count("*").cast("long").alias("__n"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.col(f"__q{i}").alias("estimate"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(
+        F.explode(pairs).alias("e"), F.col("__n").alias("sample_k")
+    ).select("e.prob", "e.estimate", "sample_k")
+
+
+def bottomk_merge(samples: list, k: int = 4096) -> DataFrame:
+    """Merge bottom-k sketches: union the (value, __qh) samples and
+    re-truncate to the globally smallest k hashes — exact: equals the
+    sketch of the unioned raw data (pytest-pinned)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(lambda a, b: a.unionByName(b), samples)
+    w = Window.orderBy(F.col("__qh").asc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -64,6 +64,12 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     # instead — session tz is UTC so the instant interpretation matches
     # DuckDB's naive-timestamp oracle semantics.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Global rank<=k filters rewrite to TakeOrderedAndProject (limit
+    # pushdown through the window); the partitioned variants rely on
+    # WindowGroupLimit, whose threshold (default 1000) would skip the
+    # bottom-k sketch's k=4096 — raise it so both rescues stay available
+    # regardless of shape (plan-gated).
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -9319,6 +9325,82 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_tokens"),
         F.max("n").cast("long").alias("max_tokens"),
         F.sum("n").cast("long").alias("bucket_tokens"),
+    )
+
+
+@_register(
+    "quantile_sketch_order_totals",
+    """
+    WITH keyed AS (
+        SELECT o_totalprice AS v,
+               md5('qsk|' || CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    samp AS (SELECT v FROM keyed ORDER BY h LIMIT 4096),
+    est AS (
+        SELECT CAST(0.5 AS DOUBLE) AS prob,
+               round(quantile_cont(v, 0.5), 6) AS estimate FROM samp
+        UNION ALL SELECT CAST(0.9 AS DOUBLE),
+               round(quantile_cont(v, 0.9), 6) FROM samp
+        UNION ALL SELECT CAST(0.99 AS DOUBLE),
+               round(quantile_cont(v, 0.99), 6) FROM samp
+    ),
+    ex AS (
+        SELECT CAST(0.5 AS DOUBLE) AS prob,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS exact_q
+        FROM orders
+        UNION ALL SELECT CAST(0.9 AS DOUBLE),
+               round(quantile_cont(o_totalprice, 0.9), 6) FROM orders
+        UNION ALL SELECT CAST(0.99 AS DOUBLE),
+               round(quantile_cont(o_totalprice, 0.99), 6) FROM orders
+    )
+    SELECT e.prob, e.estimate, x.exact_q,
+           round(abs(e.estimate - x.exact_q) / x.exact_q, 6) AS rel_err,
+           CAST((SELECT count(*) FROM samp) AS BIGINT) AS sample_k
+    FROM est e JOIN ex x ON e.prob = x.prob
+    """,
+)
+def quantile_sketch_order_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile SKETCH readout on order totals: p50/p90/p99
+    estimated from the deterministic bottom-4096 md5-keyed sample
+    (operators/sketches.py::bottomk_sample — min-k semigroup, so
+    per-shard sketches union losslessly; the property KLL needs
+    randomized compaction for, here by construction and engine-exact),
+    side-by-side with the exact type-7 percentiles and the relative
+    error. The sketch is what a 100 TB monitoring pass ships between
+    days; the exact leg here doubles as its accuracy audit.
+
+    Scale shape: sample = global rank<=k by hash — WindowGroupLimit
+    truncates map-side (allowlisted + rescued, test_plan_quality);
+    exact leg is one percentile aggregate. Driver sees only k rows'
+    aggregates."""
+    from vector_io_spark.operators.sketches import bottomk_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    probs = (0.5, 0.9, 0.99)
+    est = bottomk_quantiles(o, "o_totalprice", "o_orderkey", probs, 4096)
+    ex = o.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(
+                f"__e{i}"
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    exact_col = F.when(F.col("prob") == 0.5, F.col("__e0")).when(
+        F.col("prob") == 0.9, F.col("__e1")
+    ).otherwise(F.col("__e2"))
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            "prob",
+            "estimate",
+            exact_col.alias("exact_q"),
+            F.round(
+                F.abs(F.col("estimate") - exact_col) / exact_col, 6
+            ).alias("rel_err"),
+            "sample_k",
+        )
     )
 
 
