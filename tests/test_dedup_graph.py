@@ -409,3 +409,76 @@ def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
         for r in triangle_counts(df, "part_a", "part_b").collect()
     }
     assert got == want and want
+
+
+def test_embedding_incremental_equals_symmetric_restricted_to_new(spark, sf_dir):
+    """Embedding-side incremental contract (mirrors the minhash one):
+    the asymmetric new-vs-corpus pass returns EXACTLY the symmetric
+    LSH operator's pairs restricted to pairs involving the new batch —
+    never an old x old pair — for matching explicit cap settings."""
+    from vector_io_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        embedding_cosine_incremental_pairs,
+    )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 300)
+    )
+    # new batch: exact copies of even ids (cosine 1.0 vs resident),
+    # plus negated odd ids (cosine -1.0 — must NOT pair)
+    new = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 2 == 0, F.col("embedding")
+        ).otherwise(F.transform("embedding", lambda x: -x)).alias("embedding"),
+    )
+    inc = embedding_cosine_incremental_pairs(
+        emb, new, "vec_id", "embedding", threshold=0.995,
+        max_bucket_size=None,
+    )
+    full = dedup_embedding_cosine(
+        emb.unionByName(new), "vec_id", "embedding", threshold=0.995,
+        method="lsh", max_bucket_size=None,
+    )
+    got = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in inc.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in full.collect()
+        if r["id_a"] >= 1000000 or r["id_b"] >= 1000000
+    }
+    assert got == want and got
+    assert all(a >= 1000000 or b >= 1000000 for a, b, _ in got)
+
+
+def test_embedding_incremental_with_persisted_signature_index(
+    spark, sf_dir, tmp_path
+):
+    """Loading (id, sig) from the persisted embedding signature index
+    must produce the identical pair set as re-signing the resident
+    corpus."""
+    from vector_io_spark.operators.dedup import (
+        embedding_cosine_incremental_pairs,
+        write_embedding_signature_index,
+    )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 200)
+    )
+    new = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    idx = str(tmp_path / "emb_sig_index")
+    write_embedding_signature_index(emb, idx, "vec_id", "embedding")
+    from_idx = embedding_cosine_incremental_pairs(
+        emb, new, "vec_id", "embedding", threshold=0.995,
+        old_sigs=spark.read.parquet(idx), max_bucket_size=None,
+    )
+    recomputed = embedding_cosine_incremental_pairs(
+        emb, new, "vec_id", "embedding", threshold=0.995,
+        max_bucket_size=None,
+    )
+    a = {tuple(r) for r in from_idx.collect()}
+    b = {tuple(r) for r in recomputed.collect()}
+    assert a == b and a

@@ -1174,6 +1174,137 @@ def write_signature_index(
     ).parquet(path)
 
 
+def write_embedding_signature_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 128,
+) -> None:
+    """Persist the corpus's hyperplane sign signatures as a parquet
+    'signature index' for :func:`embedding_cosine_incremental_pairs` —
+    the embedding-side mirror of :func:`write_signature_index`: pay the
+    signature matmul once, then every ingest reads (id, sig) instead of
+    re-signing resident vectors. Append new batches' signatures after
+    each ingest so the index stays current. Zero/NULL vectors are
+    excluded exactly as the pair pass excludes them."""
+    nonzero = df.where(
+        F.col(vec_col).isNotNull()
+        & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    )
+    _hyperplane_signature(nonzero, id_col, vec_col, num_planes).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def embedding_cosine_incremental_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 128,
+    bands: int = 8,
+    max_bucket_size: int | str | None = "auto",
+    old_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup detection — the daily-ingest shape
+    for the VECTOR side: every cosine>=threshold pair INVOLVING the new
+    batch (new-vs-old and new-vs-new), without ever re-joining the
+    resident corpus against itself. The (small) new batch's hyperplane
+    band keys probe the union's banded signatures, so per ingest the
+    work is O(|new| x bucket occupancy), never O(|corpus|²) — the same
+    asymmetry as :func:`minhash_lsh_incremental_pairs`, with the same
+    hot-bucket guard semantics. Pass ``old_sigs`` (from
+    :func:`write_embedding_signature_index`) to skip re-signing the
+    resident side; candidate verification re-reads only the candidate
+    ids' vectors (hash joins on id — the corpus vector table never
+    self-joins).
+
+    Returns (id_a, id_b, cos_sim), id_a < id_b, at least one side in
+    ``new``. With matching EXPLICIT ``max_bucket_size`` values the pair
+    set is EXACTLY the symmetric :func:`dedup_embedding_cosine`
+    ('lsh')'s pairs restricted to new-involving ones (pytest-pinned);
+    like the symmetric path it is candidate-generation approximate
+    (banding recall < 1), scores exact.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _nonzero(df: DataFrame) -> DataFrame:
+        return df.where(
+            F.col(vec_col).isNotNull()
+            & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+        )
+
+    if old_sigs is not None:
+        sigs_old = old_sigs
+    else:
+        sigs_old = _hyperplane_signature(
+            _nonzero(old), id_col, vec_col, num_planes
+        )
+    sigs_new = _hyperplane_signature(_nonzero(new), id_col, vec_col, num_planes)
+    sigs_all = sigs_old.unionByName(sigs_new).persist()
+    sigs_new_only = sigs_new.persist()
+    sigs_all.count()
+    sigs_new_only.count()
+
+    rows = num_planes // bands
+    band_arr = F.array(
+        *[
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+            for b in range(bands)
+        ]
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        out = sigs.select(
+            id_col, F.posexplode(band_arr).alias("band_id", "band_key")
+        )
+        return _cap_buckets(out, max_bucket_size)
+
+    probe = banded(sigs_new_only).alias("l")
+    index = banded(sigs_all).alias("r")
+    lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    cand = (
+        probe.join(
+            index,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = _materialize_release(cand, sigs_all, sigs_new_only)
+    vecs = old.select(id_col, vec_col).unionByName(new.select(id_col, vec_col))
+    pairs = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col)), "id_a")
+        .withColumnRenamed(vec_col, "__va")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col)), "id_b")
+        .withColumnRenamed(vec_col, "__vb")
+    )
+
+    def _cos_batch(va, vb):
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den != 0.0, num / den, np.nan)
+        return pd.Series(np.round(out, 6))
+
+    cos_udf = pandas_udf(_cos_batch, DoubleType())
+    return (
+        pairs.withColumn("cos_sim", cos_udf(F.col("__va"), F.col("__vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def incremental_components(
     comp_old: DataFrame,
     new_pairs: DataFrame,

@@ -9328,6 +9328,33 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("incremental_embedding_neardup")
+def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup pass for the VECTOR side: a new batch
+    (exact copies of even resident ids + negated odd ids, which must
+    never pair) probes the resident corpus through the asymmetric
+    hyperplane band join (operators/dedup.py::
+    embedding_cosine_incremental_pairs) — O(|new| x occupancy) per
+    ingest, never old x old, with the persisted-signature-index path
+    pytest-pinned equal. No SQL oracle (hyperplane signatures are a
+    pandas matmul, like the other cosine-LSH paths); the rows-only
+    driver check plus the restriction-equality pytest cover it."""
+    from vector_io_spark.operators.dedup import (
+        embedding_cosine_incremental_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding"))
+        .otherwise(F.transform("embedding", lambda x: -x))
+        .alias("embedding"),
+    )
+    return embedding_cosine_incremental_pairs(
+        emb, new, "vec_id", "embedding", threshold=0.995
+    )
+
+
 @_register(
     "quantile_sketch_order_totals",
     """
