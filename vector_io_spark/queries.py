@@ -9328,6 +9328,26 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ivf_cell_balance",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["ivf_cell_balance_sql"]
+    ).ivf_cell_balance_sql(),
+)
+def ivf_cell_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit (hash-exact): per-cell occupancy of the
+    fixed-point coarse quantizer + the global imbalance factor
+    (max_cell × num_cells / total) — the IVF analogue of
+    bucket_occupancy_report: run it BEFORE building the index so a
+    skew-bound hot cell is a report row, not a discovered-by-latency
+    incident. Oracle: the same unrolled fixed-point k-means CTEs as
+    ann_topk_ivf_exact, rolled up. See operators/pq_exact.py::
+    ivf_cell_balance for the scale shape."""
+    from vector_io_spark.operators.pq_exact import ivf_cell_balance
+
+    return ivf_cell_balance(_t(spark, sf_dir, "embeddings"))
+
+
 @_register("incremental_embedding_neardup")
 def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest near-dup pass for the VECTOR side: a new batch
