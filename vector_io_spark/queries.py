@@ -9329,6 +9329,123 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cross_source_duplication",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared_texts
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every (unordered) pair of
+    sources, how many exact-duplicate document pairs span them and how
+    many distinct texts are shared — the provenance-overlap signal a
+    curation run uses to decide which feeds are mirrors/scrapes of each
+    other (within-source rows measure internal duplication). Scale
+    shape: one fingerprint projection (shuffle-free md5), a self-join
+    keyed on the 16-byte fingerprint — uniform hash keys, group sizes
+    = duplicate multiplicity, output |sources|² bounded; no windows,
+    nothing driver-side."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_dup_pairs"),
+            F.countDistinct(F.col("a.fp")).cast("long").alias("n_shared_texts"),
+        )
+    )
+
+
+@_register(
+    "pareto_revenue_concentration",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev_c,
+               row_number() OVER (ORDER BY rev_c DESC, o_custkey ASC) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS total_n
+        FROM cust
+    ),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_rev FROM cust)
+    SELECT p.top_pct,
+           CAST(sum(CASE WHEN rk <= ceil(p.top_pct * 1e-2 * total_n)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           round(sum(CASE WHEN rk <= ceil(p.top_pct * 1e-2 * total_n)
+                     THEN rev_c ELSE 0 END) / (1e0 * total_rev), 6)
+               AS revenue_share
+    FROM ranked, tot,
+         (SELECT unnest([CAST(1 AS BIGINT), 5, 10, 20]) AS top_pct) p
+    GROUP BY p.top_pct, total_rev
+    """,
+)
+def pareto_revenue_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 readout): what share of total
+    revenue the top 1/5/10/20% of customers produce. The global
+    customer ranking uses the DISTRIBUTED exact rank
+    (operators/ranks.py::attach_global_rank — two-pass
+    range-partitioned, never a single-partition window over the
+    customer universe; the oracle's plain window is equivalent at
+    oracle scale), then each cut point is one conditional aggregate —
+    integer-cents revenue, cross-multiplied thresholds. Scale shape:
+    per-customer rollup (map-combined) → two-pass rank → a 4-row
+    report; 1-row totals broadcast."""
+    from vector_io_spark.operators.ranks import attach_global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    ranked = attach_global_rank(
+        cust,
+        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        rank_col="rk",
+        total_col="total_n",
+    )
+    tot = cust.agg(F.sum("rev_c").cast("long").alias("total_rev"))
+    pcts = F.array(*[F.lit(p).cast("long") for p in (1, 5, 10, 20)])
+    exploded = ranked.crossJoin(F.broadcast(tot)).select(
+        "rk", "total_n", "rev_c", "total_rev",
+        F.explode(pcts).alias("top_pct"),
+    )
+    in_cut = F.col("rk") <= F.ceil(
+        F.col("top_pct") * F.lit(1e-2) * F.col("total_n")
+    )
+    return exploded.groupBy("top_pct").agg(
+        F.sum(F.when(in_cut, 1).otherwise(0)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.when(in_cut, F.col("rev_c")).otherwise(0))
+            / (F.lit(1.0) * F.first("total_rev")),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@_register(
     "ivf_cell_balance",
     __import__(
         "vector_io_spark.operators.pq_exact", fromlist=["ivf_cell_balance_sql"]
