@@ -9331,10 +9331,16 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "cross_source_duplication",
     """
-    WITH fp AS (
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'mirror_feed', text
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    fp AS (
         SELECT doc_id, source,
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-        FROM documents
+        FROM corpus
     )
     SELECT least(a.source, b.source) AS source_a,
            greatest(a.source, b.source) AS source_b,
@@ -9349,13 +9355,23 @@ def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, how many exact-duplicate document pairs span them and how
     many distinct texts are shared — the provenance-overlap signal a
     curation run uses to decide which feeds are mirrors/scrapes of each
-    other (within-source rows measure internal duplication). Scale
-    shape: one fingerprint projection (shuffle-free md5), a self-join
-    keyed on the 16-byte fingerprint — uniform hash keys, group sizes
-    = duplicate multiplicity, output |sources|² bounded; no windows,
-    nothing driver-side."""
-    d = _t(spark, sf_dir, "documents")
-    fp = d.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
+    other (within-source rows measure internal duplication). A third of
+    the corpus is re-injected under a 'mirror_feed' source so the
+    matrix is non-trivial at every sf (the same dup-injection
+    convention as the dedup family). Scale shape: one fingerprint
+    projection (shuffle-free md5), a self-join keyed on the 16-byte
+    fingerprint — uniform hash keys, group sizes = duplicate
+    multiplicity, output |sources|² bounded; no windows, nothing
+    driver-side."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mirror_feed").alias("source"),
+            "text",
+        )
+    )
+    fp = corpus.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(
