@@ -419,3 +419,34 @@ def test_ann_recall_floors_at_sf01(spark):
         queries, "embedding", "packed", precision="ubinary"
     ).select("query_id", "packed")
     assert recall(sets(hamming_topk(packed, qp, k=10)), exact_cos) >= 0.15
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The kernel's rounding replica must equal Spark F.round(x, 6)
+    including on DYADIC halfway values (k/2^n that land exactly on a
+    6-decimal midpoint, e.g. 1/128 = 0.0078125 — where naive
+    floor(x*1e6+0.5) and banker's np.round both have failure modes)
+    and on negatives (HALF_UP is away from zero)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.similarity import _round6_half_up
+
+    vals = [
+        0.0078125, -0.0078125,          # 1/128: exact 6-decimal midpoint
+        0.5078125, -0.5078125,          # 65/128
+        0.1234565, -0.1234565,          # non-representable near-midpoint
+        0.9999995, 1e-7, -1e-7, 0.0,
+        0.123456789, -0.987654321, 12345.6789012,
+    ]
+    got = _round6_half_up(np.array(vals, dtype=np.float64))
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    assert list(got) == want, list(zip(vals, got, want))
+    # NaN passes through
+    assert np.isnan(_round6_half_up(np.array([np.nan]))[0])

@@ -42,9 +42,14 @@ def _round6_half_up(x):
     HALF_UP, away from zero) for float64 arrays. ``sign*floor(|x|*1e6 +
     0.5)/1e6`` is correct except when the f64 product ``|x|*1e6`` lands
     within one rounding error of an exact halfway point — those rare
-    entries (|frac - 0.5| < 4e-9; ulp(1e6) ≈ 1.2e-10) are re-done with
-    exact decimal arithmetic on the binary value, which is precisely
-    what Spark's BigDecimal(double) does. NaNs pass through."""
+    entries (|frac - 0.5| < 4e-9; the product's error is bounded well
+    inside that band) are re-done with decimal arithmetic on the
+    SHORTEST decimal representation (``repr``) — Spark's round is
+    ``BigDecimal.valueOf(double)`` = Double.toString semantics, so a
+    literal like 0.1234565 rounds UP even though its exact binary
+    expansion sits just below the midpoint (pytest-pinned against
+    F.round, including dyadic midpoints like 1/128). NaNs pass
+    through."""
     import numpy as np
 
     y = np.abs(x) * 1e6
@@ -58,7 +63,7 @@ def _round6_half_up(x):
         flat = x.ravel()
         out = f.ravel()
         for i in np.flatnonzero(risky.ravel()):
-            v = decimal.Decimal(float(abs(flat[i]))).quantize(
+            v = decimal.Decimal(repr(abs(float(flat[i])))).quantize(
                 q, rounding=decimal.ROUND_HALF_UP
             )
             out[i] = float(v * 1_000_000)
