@@ -482,3 +482,137 @@ def test_embedding_incremental_with_persisted_signature_index(
     a = {tuple(r) for r in from_idx.collect()}
     b = {tuple(r) for r in recomputed.collect()}
     assert a == b and a
+
+
+def test_duplication_matrix_hot_fingerprint_no_pair_enumeration(spark):
+    """Round-5 contract for the cross-source duplication matrix: a
+    fingerprint duplicated m times must cost O(sources) counts rows,
+    never O(m²) pair rows. A 30k-copy boilerplate text (20k in 'web',
+    10k in 'mirror') would be ~4.5e8 join rows under pair enumeration;
+    the count-based operator must (a) produce the exact combinatorial
+    pair counts and (b) show a plan whose ONLY join runs over
+    pre-aggregated (fp, source) counts — both join children aggregate
+    before the join, so no per-document rows ever meet."""
+    from vector_io_spark.operators.dedup import duplication_matrix
+
+    n_web, n_mirror = 20_000, 10_000
+    hot = spark.range(n_web + n_mirror).select(
+        F.lit("aaaa").alias("fp"),
+        F.when(F.col("id") < n_web, "web").otherwise("mirror").alias("source"),
+    )
+    # plus an ordinary shared text and a single-copy (no-pair) text
+    extra = spark.createDataFrame(
+        [("bbbb", "web"), ("bbbb", "mirror"), ("cccc", "web")],
+        "fp string, source string",
+    )
+    result = duplication_matrix(hot.unionByName(extra))
+
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(join_lines) == 1, plan
+    join_subtree = plan[plan.index(join_lines[0]) :]
+    # both children of the join are aggregates: per-document rows never
+    # participate in any join
+    assert join_subtree.count("Aggregate") >= 2, plan
+
+    rows = {(r["source_a"], r["source_b"]): r for r in result.collect()}
+    assert rows[("mirror", "web")]["n_dup_pairs"] == n_web * n_mirror + 1
+    assert rows[("mirror", "web")]["n_shared_texts"] == 2
+    assert rows[("web", "web")]["n_dup_pairs"] == n_web * (n_web - 1) // 2
+    assert rows[("web", "web")]["n_shared_texts"] == 1  # 'cccc' has no pair
+    assert rows[("mirror", "mirror")]["n_dup_pairs"] == (
+        n_mirror * (n_mirror - 1) // 2
+    )
+    assert set(rows) == {("mirror", "web"), ("web", "web"), ("mirror", "mirror")}
+
+
+def test_incremental_lsh_auto_cap_equality_when_cap_binds(spark):
+    """Round-5 contract: the restriction-equality (incremental pairs ==
+    symmetric pairs on old ∪ new restricted to new-involving ones)
+    holds at the DEFAULT max_bucket_size="auto" even when the guard
+    BINDS. The incremental path derives ONE cap from the union-side
+    banding — the same stats the symmetric auto guard sees. The r4
+    per-side derivation broke this: a 110-member template cluster
+    (100 copies in new) is under the union cap (high union occupancy →
+    cap ≫ 110) but over the probe-side floor cap (probe occupancy ~2 →
+    cap 64), so the probe side silently dropped all its pairs."""
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_lsh_incremental_pairs,
+    )
+
+    tmpl_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    big_tmpls = [
+        _unique_words(90000 + t, 10) for t in range(4)
+    ]  # four 475-copy mega-clusters in old: push union occupancy up
+    old_rows = (
+        [(i, tmpl_a) for i in range(10)]
+        + [(100 + t * 1000 + i, big_tmpls[t]) for t in range(4) for i in range(475)]
+    )
+    new_rows = (
+        [(1_000_000 + i, tmpl_a) for i in range(100)]
+        + [(2_000_000 + i, _unique_words(i, 8)) for i in range(100)]
+    )
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    inc = minhash_lsh_incremental_pairs(old, new, "doc_id", "text", threshold=0.99)
+    full = minhash_lsh_dup_pairs(
+        old.unionByName(new), "doc_id", "text", threshold=0.99
+    )
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] >= 1_000_000 or r["id_b"] >= 1_000_000
+    }
+    assert got == want
+    # the equality must be non-trivial: the kept-under-union-cap
+    # template-A cluster contributes new-involving pairs...
+    assert any(a < 100 or (1_000_000 <= a < 2_000_000) for a, b in got)
+    # ...while the over-cap mega-clusters are excluded by both paths
+    assert all(not (100 <= a < 5000 and 100 <= b < 5000) for a, b in got)
+
+
+def test_embedding_incremental_auto_cap_equality_when_cap_binds(spark):
+    """Same round-5 shared-cap contract for the embedding-vector
+    incremental path: default-"auto" results equal the symmetric
+    operator's restriction even when the guard binds."""
+    from vector_io_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        embedding_cosine_incremental_pairs,
+    )
+    import hashlib
+
+    def vec(seed: str):
+        h = hashlib.md5(seed.encode()).digest()
+        return [float(b) / 255.0 + 0.01 for b in h[:8]]
+
+    v_a = vec("cluster_a")
+    big = [vec(f"big_{t}") for t in range(4)]
+    old_rows = (
+        [(i, v_a) for i in range(10)]
+        + [(100 + t * 1000 + i, big[t]) for t in range(4) for i in range(475)]
+    )
+    new_rows = (
+        [(1_000_000 + i, v_a) for i in range(100)]
+        + [(2_000_000 + i, vec(f"unique_{i}")) for i in range(100)]
+    )
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+
+    inc = embedding_cosine_incremental_pairs(
+        old, new, "vec_id", "embedding", threshold=0.999
+    )
+    full = dedup_embedding_cosine(
+        old.unionByName(new), "vec_id", "embedding",
+        threshold=0.999, method="lsh",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] >= 1_000_000 or r["id_b"] >= 1_000_000
+    }
+    assert got == want
+    assert any(a < 100 or (1_000_000 <= a < 2_000_000) for a, b in got)

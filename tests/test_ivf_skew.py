@@ -439,6 +439,12 @@ def test_round6_half_up_matches_spark_round(spark):
         0.1234565, -0.1234565,          # non-representable near-midpoint
         0.9999995, 1e-7, -1e-7, 0.0,
         0.123456789, -0.987654321, 12345.6789012,
+        # large-magnitude 6-decimal midpoints (round-5): ULP of x*1e6
+        # exceeds the old fixed 4e-9 band here, so these only pass with
+        # the magnitude-scaled risky band routing them through decimal
+        12345678.1234565, -12345678.1234565,
+        987654.3210985, -987654.3210985,
+        54321.1234565, 1234567890.1234565,
     ]
     got = _round6_half_up(np.array(vals, dtype=np.float64))
     want = [
@@ -450,3 +456,109 @@ def test_round6_half_up_matches_spark_round(spark):
     assert list(got) == want, list(zip(vals, got, want))
     # NaN passes through
     assert np.isnan(_round6_half_up(np.array([np.nan]))[0])
+
+
+def test_bounded_query_guard_on_all_query_collect_paths(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 contract: EVERY query-side driver collect in the
+    similarity family (brute kernel, PQ/IVFPQ LUT builders, the
+    persisted-IVF probe planner) shares one bounded-driver-state guard —
+    a corpus-sized "query" frame raises a loud ValueError naming the
+    caller instead of silently OOMing the driver. The cap is patched
+    small so the test stays cheap; the guard reads it at call time."""
+    import pytest
+
+    from vector_io_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_QUERY_ROWS", 20)
+
+    dim = 8
+    vec = F.array(*[(F.col("id") + F.lit(float(j))).cast("double")
+                    for j in range(dim)])
+    corpus = spark.range(64).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    big_queries = spark.range(25).select(
+        F.col("id").alias("query_id"), vec.alias("embedding")
+    )
+
+    with pytest.raises(ValueError, match="brute_force_topk.*exceeds 20"):
+        similarity.brute_force_topk(
+            corpus, big_queries, k=3, impl="kernel"
+        ).collect()
+    with pytest.raises(ValueError, match="pq_topk.*exceeds 20"):
+        similarity.pq_topk(
+            corpus, big_queries, k=3, num_subspaces=2, codebook_size=4,
+            max_train_rows=64,
+        ).collect()
+    with pytest.raises(ValueError, match="ivfpq_topk.*exceeds 20"):
+        similarity.ivfpq_topk(
+            corpus, big_queries, k=3, num_cells=4, nprobe=2,
+            num_subspaces=2, codebook_size=4, max_train_rows=64,
+        ).collect()
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(
+        corpus, idx, num_cells=4, max_train_rows=64
+    )
+    with pytest.raises(ValueError, match="ivf_index_probe_topk.*exceeds 20"):
+        similarity.ivf_index_probe_topk(
+            spark, idx, big_queries, k=3, nprobe=2
+        ).collect()
+
+    # the cap is a guard, not a behavior change: a small batch still works
+    small = big_queries.limit(3)
+    assert similarity.pq_topk(
+        corpus, small, k=3, num_subspaces=2, codebook_size=4,
+        max_train_rows=64,
+    ).count() > 0
+
+
+def test_brute_force_topk_kernel_hof_agree_on_undefined_scores(spark):
+    """Round-5 contract: impl='kernel' and impl='hof' return IDENTICAL
+    rows including the undefined-score corner — NULL vectors and
+    zero-norm cosine rows are emitted with NULL score and ranked
+    NULLS-LAST (smallest-id tie-break), so a query with fewer than k
+    scoreable corpus rows still returns k rows. Previously the kernel
+    dropped them and hof ranked asc-metric NULLs FIRST."""
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, None),                    # NULL vector
+            (5, [0.0, 0.0, 0.0, 0.0]),    # zero norm: cosine undefined
+            (6, None),                    # second NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+
+    for metric in ("cosine", "euclid"):
+        hof = [
+            tuple(r)
+            for r in brute_force_topk(
+                corpus, queries, k=5, metric=metric, impl="hof"
+            ).orderBy("rank").collect()
+        ]
+        kern = [
+            tuple(r)
+            for r in brute_force_topk(
+                corpus, queries, k=5, metric=metric, impl="kernel"
+            ).orderBy("rank").collect()
+        ]
+        assert kern == hof, (metric, kern, hof)
+        assert len(kern) == 5
+        # scoreable rows first, NULL scores fill the tail in id order
+        scores = [r[2] for r in kern]
+        n_def = 4 if metric == "euclid" else 3  # zero-norm scores under L2
+        assert all(s is not None for s in scores[:n_def])
+        assert all(s is None for s in scores[n_def:])
+        null_ids = [r[1] for r in kern if r[2] is None]
+        assert null_ids == sorted(null_ids)

@@ -666,3 +666,44 @@ def test_bottomk_sketch_merge_equals_whole(spark, sf_dir):
     # flaking on the deterministic-but-arbitrary hash draw
     assert abs(est[0.5] - exact["p50"]) / exact["p50"] < 0.25
     assert abs(est[0.9] - exact["p90"]) / exact["p90"] < 0.25
+
+
+def test_bottomk_sample_deterministic_on_duplicate_keys(spark):
+    """Round-5 contract: with NON-unique keys (duplicate keys hash
+    identically, different values), the rank<=k boundary cut must be
+    deterministic — ordering tie-breaks on the value, matching what an
+    ORDER BY h, v LIMIT k SQL replica picks — independent of input
+    partitioning. Merge == whole must survive the same ties."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    # 10 distinct keys x 100 values each: every hash is tied 100 deep,
+    # and k=250 cuts inside a tie group
+    rows = [(i % 10, float(i)) for i in range(1000)]
+    k = 250
+    expected = sorted(
+        rows,
+        key=lambda r: (hashlib.md5(f"qsk|{r[0]}".encode()).hexdigest(), r[1]),
+    )[:k]
+    expected_vals = sorted(v for _, v in expected)
+
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "k long, v double").repartition(parts)
+        got = sorted(
+            r["v"] for r in bottomk_sample(df, "v", "k", k).collect()
+        )
+        assert got == expected_vals, parts
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    whole = sorted(r["v"] for r in bottomk_sample(df, "v", "k", k).collect())
+    merged = bottomk_merge(
+        [
+            bottomk_sample(df.where(F.col("v") < 500), "v", "k", k),
+            bottomk_sample(df.where(F.col("v") >= 500), "v", "k", k),
+        ],
+        k,
+    )
+    assert sorted(r["v"] for r in merged.collect()) == whole

@@ -538,10 +538,19 @@ def test_streaming_cdc_apply_recovers_from_crash_replay(spark, tmp_path):
     assert os.path.exists(os.path.join(torn, "_SUCCESS"))
 
     # Simulate commit-then-crash of batch 1: its target v-2 already
-    # exists COMPLETE (copy of v-1 with _SUCCESS). The replayed batch
-    # must skip the merge (idempotent) and not error.
+    # exists COMPLETE (copy of v-1 with _SUCCESS), carrying THIS
+    # stream's commit marker for batch id 1 (what a genuine
+    # commit-then-crash leaves behind). The replayed batch must skip
+    # the merge (idempotent) and not error.
     committed = os.path.join(snap, f"v-{2:020d}")
     shutil.copytree(torn, committed)
+    for fn in os.listdir(committed):
+        if fn.startswith("_COMMIT-"):
+            prefix = fn.rsplit("-", 1)[0]  # _COMMIT-<stream id>
+            os.rename(
+                os.path.join(committed, fn),
+                os.path.join(committed, f"{prefix}-1"),
+            )
     _run([(3, "c", 300.0, "upsert", 1)])
     got2 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
     # v-2 was pre-committed as a copy of v-1's state: the skip path
@@ -551,3 +560,61 @@ def test_streaming_cdc_apply_recovers_from_crash_replay(spark, tmp_path):
     _run([(4, "d", 400.0, "upsert", 1)])
     got3 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
     assert got3 == {1: "a", 2: "b", 4: "d"}
+
+
+def test_streaming_cdc_apply_detects_checkpoint_reset(spark, tmp_path):
+    """Round-5 contract: a RESET checkpoint (new/deleted checkpoint dir
+    pointed at an existing snapshot root) restarts batch ids at 0 — the
+    replay guard must FAIL LOUDLY (commit marker carries the stream id,
+    which dies with the checkpoint) instead of silently treating the
+    early batches as already-applied and dropping their data."""
+    import shutil
+
+    from vector_io_spark.streaming.incremental import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        streaming_cdc_apply,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    landing = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    init_cdc_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 100.0)], "id long, name string, bal double"
+        ),
+        snap,
+    )
+
+    def _run(batch_rows, checkpoint):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        spark.createDataFrame(
+            batch_rows, "id long, name string, bal double, op string, seq long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_cdc_apply(stream, snap, checkpoint, "id", seq_col="seq")
+        try:
+            q.awaitTermination(180)
+            exc = q.exception()
+        except StreamingQueryException as e:
+            exc = e
+        finally:
+            q.stop()
+        return exc
+
+    assert _run([(2, "b", 200.0, "upsert", 1)], ckpt) is None
+    got = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # checkpoint reset: delete it; batch ids restart at 0 and v-1
+    # already exists complete — the stream must error descriptively,
+    # not drop the new batch
+    shutil.rmtree(ckpt)
+    exc = _run([(3, "c", 300.0, "upsert", 1)], ckpt)
+    assert exc is not None and "out of sync" in str(exc)
+    # and the snapshot is unchanged — nothing was silently skipped or
+    # overwritten
+    got2 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got2 == {1: "a", 2: "b"}

@@ -123,6 +123,67 @@ def dedup_exact_content(
     )
 
 
+def duplication_matrix(
+    df: DataFrame, fp_col: str = "fp", source_col: str = "source"
+) -> DataFrame:
+    """Cross-source exact-duplication matrix from a (fingerprint, source)
+    frame: for every unordered source pair, the number of duplicate
+    document PAIRS spanning it and the number of distinct shared texts.
+    Output columns: (source_a, source_b, n_dup_pairs, n_shared_texts)
+    with source_a <= source_b; (s, s) rows measure within-source
+    duplication.
+
+    COUNT-BASED, never pair-enumerating: aggregate per (fingerprint,
+    source) multiplicities first, then derive pair counts
+    combinatorially — c_a*c_b across sources, C(c,2) within a source.
+    The arithmetic is identical to enumerating pairs with a fingerprint
+    self-join (sum over fps of per-fp pair counts), so results are
+    hash-exact vs a pair-enumerating SQL oracle — but a fingerprint
+    duplicated m times contributes ONE counts row per source instead of
+    O(m²) join rows. At 100 TB a 1M-copy boilerplate page (empty-page
+    fingerprint, cookie banner) is the difference between 1 row and
+    ~10¹² join rows in a single key group — the exact mega-bucket class
+    the LSH hot-bucket guard exists for, eliminated here by
+    construction rather than guarded.
+
+    Scale shape: one map-combined groupBy shuffle on (fp, source); one
+    self-join on fp over the COUNTS frame, whose per-fingerprint group
+    size is bounded by the number of distinct sources (no hot key can
+    exist); one |sources|²-bounded rollup. Nothing driver-side.
+    Multiplicities above ~3e9 per (fp, source) would overflow the
+    BIGINT pair product under ANSI mode — loudly, not silently.
+    """
+    counts = df.groupBy(fp_col, source_col).agg(F.count("*").alias("__c"))
+    a, b = counts.alias("a"), counts.alias("b")
+    same = F.col(f"a.{source_col}") == F.col(f"b.{source_col}")
+    # C(c,2) via integer DIV (c*(c-1) is even; double math would lose
+    # exactness past 2^53), c_a*c_b for the cross-source legs
+    within = F.expr("CAST(a.__c * (a.__c - 1) DIV 2 AS BIGINT)")
+    across = (F.col("a.__c") * F.col("b.__c")).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{fp_col}") == F.col(f"b.{fp_col}"))
+            & (F.col(f"a.{source_col}") <= F.col(f"b.{source_col}")),
+        )
+        .select(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+            F.col(f"a.{fp_col}").alias("__fp"),
+            F.when(same, within).otherwise(across).alias("__npairs"),
+        )
+        # a single-copy (fp, source) contributes no within-source pair;
+        # dropping it here also keeps it out of n_shared_texts, matching
+        # the pair-enumeration semantics (no pair -> fp not shared)
+        .where(F.col("__npairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("__npairs").cast("long").alias("n_dup_pairs"),
+            F.countDistinct("__fp").cast("long").alias("n_shared_texts"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
@@ -229,12 +290,26 @@ AUTO_BUCKET_CAP_FLOOR = 64
 AUTO_BUCKET_CAP_FACTOR = 8
 
 
+def _auto_cap_from_totals(buckets: int, rows: int) -> int:
+    """The auto-cap sizing rule on precomputed totals:
+    max(FLOOR, ceil(FACTOR × mean occupancy))."""
+    if not buckets:
+        return AUTO_BUCKET_CAP_FLOOR
+    import math
+
+    return max(
+        AUTO_BUCKET_CAP_FLOOR,
+        math.ceil(AUTO_BUCKET_CAP_FACTOR * rows / buckets),
+    )
+
+
 def _auto_bucket_cap(banded: DataFrame) -> int:
     """Derive a hot-bucket cap from the banded frame's own occupancy
     stats: one map-combined aggregate (rows + distinct buckets → mean
-    occupancy), a scalar collect (bounded driver state). The extra job
-    re-reads the persisted signature frame, so it costs one explode
-    pass, not a signature recompute."""
+    occupancy), a scalar collect (bounded driver state). Used when the
+    cap must be derived ONCE and shared across frames (the incremental
+    probe/index pair); :func:`_cap_buckets` derives it from its own
+    single-pass bucket-size frame instead."""
     row = (
         banded.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("__n"))
@@ -244,13 +319,15 @@ def _auto_bucket_cap(banded: DataFrame) -> int:
         )
         .collect()[0]
     )
-    buckets, rows = row["__buckets"], row["__rows"]
-    if not buckets:
-        return AUTO_BUCKET_CAP_FLOOR
-    import math
+    return _auto_cap_from_totals(row["__buckets"], row["__rows"] or 0)
 
-    mean_occ = rows / buckets
-    return max(AUTO_BUCKET_CAP_FLOOR, math.ceil(AUTO_BUCKET_CAP_FACTOR * mean_occ))
+
+# Over-cap buckets are removed with a BROADCAST anti-join when few —
+# the common case: mega-buckets are outliers by definition, and the
+# auto rule bounds their count by rows/cap ≤ rows/64. Past this many
+# hot buckets fall back to a shuffle anti-join (same keys the band
+# self-join shuffles on anyway).
+HOT_BUCKET_BROADCAST_MAX = 100_000
 
 
 def _cap_buckets(
@@ -266,24 +343,45 @@ def _cap_buckets(
     the worst-case cost drops from O(max_bucket²) to O(cap²·n_buckets).
 
     ``"auto"`` (the production default since round 4) derives the cap
-    from the corpus's own occupancy stats (:func:`_auto_bucket_cap`) —
-    a 100 TB operator gets mega-bucket protection without knowing the
-    knob exists. Pass ``None`` for exact banding semantics: the
-    oracle-checked registered queries do, so their results stay
-    hash-exact vs the (cap-free) SQL replica by construction. Use
-    :func:`minhash_bucket_occupancy` to SEE the skew before it bites."""
+    from the corpus's own occupancy stats — a 100 TB operator gets
+    mega-bucket protection without knowing the knob exists. Pass
+    ``None`` for exact banding semantics: the oracle-checked registered
+    queries do, so their results stay hash-exact vs the (cap-free) SQL
+    replica by construction. Use :func:`minhash_bucket_occupancy` to
+    SEE the skew before it bites.
+
+    Single-pass since round 5: per-bucket sizes are computed ONCE
+    (groupBy, eagerly checkpointed — the bucket table is |distinct
+    buckets| rows of two keys + a count, executor-resident), the auto
+    cap is a 1-row aggregate over that frame, and over-cap buckets are
+    anti-joined out — broadcast when few (no shuffle of the banded
+    frame at all), shuffle fallback past ``HOT_BUCKET_BROADCAST_MAX``.
+    Replaces the round-4 two-pass form (occupancy aggregate + window
+    re-count), which paid two full shuffles of the banded frame."""
     if max_bucket_size is None:
         return banded
-    if max_bucket_size == "auto":
-        max_bucket_size = _auto_bucket_cap(banded)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_key")
-    return (
-        banded.withColumn("__bucket_n", F.count("*").over(w))
-        .where(F.col("__bucket_n") <= max_bucket_size)
-        .drop("__bucket_n")
+    sizes = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("__bucket_n"))
+        .localCheckpoint(eager=True)
     )
+    if max_bucket_size == "auto":
+        row = sizes.agg(
+            F.count("*").alias("__buckets"),
+            F.sum("__bucket_n").alias("__rows"),
+        ).collect()[0]
+        max_bucket_size = _auto_cap_from_totals(
+            row["__buckets"], row["__rows"] or 0
+        )
+    hot = sizes.where(F.col("__bucket_n") > max_bucket_size).select(
+        "band_id", "band_key"
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return banded
+    if n_hot <= HOT_BUCKET_BROADCAST_MAX:
+        hot = F.broadcast(hot)
+    return banded.join(hot, ["band_id", "band_key"], "left_anti")
 
 
 def minhash_bucket_occupancy(
@@ -501,13 +599,15 @@ def minhash_lsh_incremental_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where at least
     one side belongs to ``new``. Same md5 hash family, banding layout,
     empty-signature guard, and hot-bucket cap semantics as
-    :func:`minhash_lsh_dup_pairs` — with matching EXPLICIT
-    ``max_bucket_size`` values (or ``None``), results are EXACTLY the
-    symmetric operator's pairs restricted to new-involving ones
-    (pytest-pinned). Under the default ``"auto"`` the probe and index
-    frames derive their caps independently (the small new batch usually
-    lands on the floor), so prefer an explicit cap when the equality
-    contract matters.
+    :func:`minhash_lsh_dup_pairs` — and the restriction-equality
+    contract (results are EXACTLY the symmetric operator's pairs on
+    ``old ∪ new`` restricted to new-involving ones, pytest-pinned)
+    holds at EVERY ``max_bucket_size`` value including the default:
+    under ``"auto"`` the cap is derived ONCE from the union-side
+    banding — the identical stats the symmetric operator's auto guard
+    sees — and applied to both probe and index (round-5 fix; probe-side
+    capping with the union cap can never drop a bucket the index
+    keeps, since probe ⊆ union).
     """
     if old_sigs is not None:
         sigs_old = old_sigs
@@ -523,15 +623,20 @@ def minhash_lsh_incremental_pairs(
 
     band_arr = _sig_band_array(num_hashes, bands)
 
-    def banded(sigs: DataFrame) -> DataFrame:
+    def banded_raw(sigs: DataFrame) -> DataFrame:
         src = sigs.where(F.col("minhash")[0].isNotNull())
-        out = src.select(
+        return src.select(
             id_col, "minhash", F.posexplode(band_arr).alias("band_id", "band_key")
         )
-        return _cap_buckets(out, max_bucket_size)
 
-    probe = banded(sigs_new_only).alias("l")
-    index = banded(sigs_all).alias("r")
+    if max_bucket_size == "auto":
+        # derive the cap ONCE from the union-side banding (identical
+        # stats to the symmetric operator's auto guard) and apply the
+        # same value to both sides — the restriction-equality contract
+        # then holds at the default, not only at explicit caps
+        max_bucket_size = _auto_bucket_cap(banded_raw(sigs_all))
+    probe = _cap_buckets(banded_raw(sigs_new_only), max_bucket_size).alias("l")
+    index = _cap_buckets(banded_raw(sigs_all), max_bucket_size).alias("r")
     est = _est_jaccard_expr(num_hashes)
     lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
     hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
@@ -1222,11 +1327,14 @@ def embedding_cosine_incremental_pairs(
     self-joins).
 
     Returns (id_a, id_b, cos_sim), id_a < id_b, at least one side in
-    ``new``. With matching EXPLICIT ``max_bucket_size`` values the pair
-    set is EXACTLY the symmetric :func:`dedup_embedding_cosine`
-    ('lsh')'s pairs restricted to new-involving ones (pytest-pinned);
-    like the symmetric path it is candidate-generation approximate
-    (banding recall < 1), scores exact.
+    ``new``. The pair set is EXACTLY the symmetric
+    :func:`dedup_embedding_cosine` ('lsh')'s pairs restricted to
+    new-involving ones (pytest-pinned) at EVERY ``max_bucket_size``
+    including the default — under ``"auto"`` the cap is derived once
+    from the union-side banding (the stats the symmetric auto guard
+    sees) and applied to both sides (round-5 fix). Like the symmetric
+    path it is candidate-generation approximate (banding recall < 1),
+    scores exact.
     """
     import numpy as np
     import pandas as pd
@@ -1259,14 +1367,18 @@ def embedding_cosine_incremental_pairs(
         ]
     )
 
-    def banded(sigs: DataFrame) -> DataFrame:
-        out = sigs.select(
+    def banded_raw(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
             id_col, F.posexplode(band_arr).alias("band_id", "band_key")
         )
-        return _cap_buckets(out, max_bucket_size)
 
-    probe = banded(sigs_new_only).alias("l")
-    index = banded(sigs_all).alias("r")
+    if max_bucket_size == "auto":
+        # one cap from the union-side banding, shared by both sides —
+        # keeps the restriction-equality contract at the default (see
+        # minhash_lsh_incremental_pairs)
+        max_bucket_size = _auto_bucket_cap(banded_raw(sigs_all))
+    probe = _cap_buckets(banded_raw(sigs_new_only), max_bucket_size).alias("l")
+    index = _cap_buckets(banded_raw(sigs_all), max_bucket_size).alias("r")
     lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
     hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
     cand = (

@@ -49,13 +49,23 @@ def _round6_half_up(x):
     literal like 0.1234565 rounds UP even though its exact binary
     expansion sits just below the midpoint (pytest-pinned against
     F.round, including dyadic midpoints like 1/128). NaNs pass
-    through."""
+    through.
+
+    The risky band scales with magnitude (round-5 fix): the product's
+    error is RELATIVE (~ULP of y), so a fixed 4e-9 band only covers
+    |score| ≲ 36 — a large-magnitude midpoint like 12345678.1234565
+    (ULP of y ≈ 2) would bypass the decimal path and mis-round. Band =
+    max(4e-9, 8·spacing(y)) per entry; past y ≈ 2⁴⁹ everything routes
+    through decimal (correct, just slower — scores that large are
+    pathological)."""
     import numpy as np
 
     y = np.abs(x) * 1e6
     f = np.floor(y + 0.5)
     with np.errstate(invalid="ignore"):
-        risky = np.abs((y - np.floor(y)) - 0.5) < 4e-9
+        risky = np.abs((y - np.floor(y)) - 0.5) < np.maximum(
+            4e-9, 8 * np.spacing(y)
+        )
     if risky.any():
         import decimal
 
@@ -128,6 +138,35 @@ def _seq_sq_norm(v):
     return math.sqrt(acc)
 
 
+# bounded-driver-state contract shared by every query-side collect in this
+# module (brute-force kernel, PQ/IVFPQ LUT builders, the persisted-IVF
+# probe planner): the query batch lives on the driver — the same size
+# class as broadcasting it — so a corpus-sized "query" frame is a caller
+# bug at any of these call sites, not a supported shape.
+MAX_QUERY_ROWS = 100_000
+
+
+def _collect_bounded_queries(
+    queries: DataFrame, query_id: str, query_vec: str, caller: str,
+    hint: str = "",
+) -> list:
+    """Collect the (id, vector) query batch under the bounded-driver-state
+    contract: LIMIT ``MAX_QUERY_ROWS + 1`` then raise loudly past the cap
+    instead of OOMing the driver silently. Bigger batches run in chunks —
+    each chunk closure-bound, the corpus re-scanned per chunk,
+    embarrassingly parallel across chunks (the kNN-graph shape)."""
+    rows = (
+        queries.select(query_id, query_vec).limit(MAX_QUERY_ROWS + 1).collect()
+    )
+    if len(rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"{caller}: query side exceeds {MAX_QUERY_ROWS} rows — run in "
+            "batches (each batch closure-bound, corpus re-scanned; "
+            f"embarrassingly parallel across batches){hint}"
+        )
+    return rows
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,9 +196,13 @@ def brute_force_topk(
     at BLAS-ish throughput instead of interpreted per-pair HOF chains
     (measured ~10× on the sf10 kNN scan; Spark's HOF lambdas are not
     codegen'd). ``impl="hof"`` keeps the pure-Catalyst crossJoin form.
-    Kernel caveat: corpus rows whose score is undefined (zero-norm /
-    NULL under cosine) are dropped rather than ranked NULLS-LAST, which
-    only matters when a query has fewer than k scoreable corpus rows.
+    Both impls agree on undefined scores (round 5): corpus rows whose
+    score is undefined (NULL vector; zero-norm cosine) are emitted with
+    a NULL score and ranked NULLS-LAST (smallest-id tie-break), so a
+    query with fewer than k scoreable corpus rows still returns k rows
+    when un-scoreable rows exist — pytest-pinned kernel == hof. The
+    kernel additionally enforces the bounded-query-side contract
+    (loud ValueError past MAX_QUERY_ROWS; hof handles any size).
 
     ``exclude_self=True`` drops rows where query_id == corpus id — the
     kNN-GRAPH construction mode, where the query batch is drawn from the
@@ -206,7 +249,15 @@ def brute_force_topk(
         )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col(corpus_id))
-    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(corpus_id).asc()]
+    # undefined scores (NULL vector, zero-norm cosine) rank NULLS-LAST
+    # for BOTH directions (round 5): Spark's asc default is NULLS FIRST,
+    # which would rank un-scoreable rows ABOVE real neighbors for the
+    # distance metrics; explicit nulls_last unifies hof with the kernel
+    # impl and with DuckDB's default null ordering.
+    order = [
+        F.col("score").asc_nulls_last() if asc else F.col("score").desc_nulls_last(),
+        F.col(corpus_id).asc(),
+    ]
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -240,21 +291,10 @@ def _brute_force_topk_kernel(
 
     from vector_io_spark.operators.dedup import _rebalance_for_cpu
 
-    # bounded-driver-state contract: the query batch lives on the driver
-    # (same size class as broadcasting it). A corpus-sized "query" frame
-    # here is a caller bug — fail loudly instead of OOMing the driver;
-    # build the kNN graph batch-by-batch as the docstring prescribes.
-    MAX_QUERY_ROWS = 100_000
-    q_rows = queries.select(query_id, query_vec).limit(
-        MAX_QUERY_ROWS + 1
-    ).collect()
-    if len(q_rows) > MAX_QUERY_ROWS:
-        raise ValueError(
-            f"brute_force_topk(kernel): query side exceeds {MAX_QUERY_ROWS} "
-            "rows — run in batches (each batch closure-bound, corpus "
-            "re-scanned; embarrassingly parallel across batches) or use "
-            "impl='hof'"
-        )
+    q_rows = _collect_bounded_queries(
+        queries, query_id, query_vec, "brute_force_topk(kernel)",
+        hint=" or use impl='hof'",
+    )
     if not q_rows:
         empty_schema = StructType(
             [
@@ -287,34 +327,62 @@ def _brute_force_topk_kernel(
                 continue
             vec = pdf[corpus_vec]
             ok = vec.notna().to_numpy()
-            ids = pdf[corpus_id].to_numpy()[ok]
-            if not len(ids):
-                continue
-            C = np.vstack(vec.to_numpy()[ok]).astype(np.float64)
-            s = _kernel_scores(metric, C, Q, qn)
-            s = _round6_half_up(s)
-            if exclude_self:
-                s[ids[:, None] == qids[None, :]] = np.nan
+            all_ids = pdf[corpus_id].to_numpy()
+            ids = all_ids[ok]
+            null_vec_ids = all_ids[~ok]
+            if len(ids):
+                C = np.vstack(vec.to_numpy()[ok]).astype(np.float64)
+                s = _round6_half_up(_kernel_scores(metric, C, Q, qn))
             out_q, out_c, out_s = [], [], []
+            has_null = False
             for qi in range(len(qids)):
-                col = s[:, qi]
-                valid = ~np.isnan(col)
-                if not valid.any():
-                    continue
-                sv, iv = col[valid], ids[valid]
-                order = np.lexsort((iv, sv if asc else -sv))[:k]
-                out_q.extend([qids[qi]] * len(order))
-                out_c.extend(iv[order])
-                out_s.extend(sv[order])
+                qid = qids[qi]
+                undef_ids = null_vec_ids
+                if len(ids):
+                    col = s[:, qi]
+                    not_self = ids != qid if exclude_self else slice(None)
+                    nan = np.isnan(col)
+                    valid = ~nan if not exclude_self else (~nan & not_self)
+                    if valid.any():
+                        sv, iv = col[valid], ids[valid]
+                        order = np.lexsort((iv, sv if asc else -sv))[:k]
+                        out_q.extend([qid] * len(order))
+                        out_c.extend(iv[order])
+                        out_s.extend(sv[order])
+                    # zero-norm / undefined scores join the NULL-score
+                    # candidates (self-exclusion removes, not nulls)
+                    undef_scored = nan if not exclude_self else (nan & not_self)
+                    if undef_scored.any():
+                        undef_ids = np.concatenate(
+                            [undef_ids, ids[undef_scored]]
+                        )
+                if exclude_self and len(undef_ids):
+                    undef_ids = undef_ids[undef_ids != qid]
+                if len(undef_ids):
+                    # NULL-score candidates rank last; keep the k
+                    # smallest ids per batch (the global tie-break)
+                    has_null = True
+                    nu = np.sort(undef_ids)[:k]
+                    out_q.extend([qid] * len(nu))
+                    out_c.extend(nu)
+                    out_s.extend([None] * len(nu))
             if out_q:
+                # nullable Float64 only when NULL candidates exist — the
+                # hot path ships a plain float64 column
+                score_col = (
+                    pd.array(out_s, dtype="Float64")
+                    if has_null
+                    else np.asarray(out_s, dtype=np.float64)
+                )
                 yield pd.DataFrame(
-                    {"query_id": out_q, corpus_id: out_c, "score": out_s}
+                    {"query_id": out_q, corpus_id: out_c, "score": score_col}
                 )
 
     pruned = _rebalance_for_cpu(corpus.select(corpus_id, corpus_vec))
     cand = pruned.mapInPandas(score_batches, out_schema)
+    # NULLS-LAST on both directions — matches the hof impl (round 5)
     order = [
-        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col("score").asc_nulls_last() if asc else F.col("score").desc_nulls_last(),
         F.col(corpus_id).asc(),
     ]
     w = Window.partitionBy("query_id").orderBy(*order)
@@ -754,9 +822,9 @@ def pq_topk(
     )
 
     # queries are the SMALL side (same assumption as brute_force_topk's
-    # broadcast): collect once, precompute per-query LUTs driver-side,
-    # ship them in the UDF closure.
-    qrows = queries.select(query_id, query_vec).collect()
+    # broadcast): collect once under the bounded-driver-state guard,
+    # precompute per-query LUTs driver-side, ship them in the UDF closure.
+    qrows = _collect_bounded_queries(queries, query_id, query_vec, "pq_topk")
     qids = [r[0] for r in qrows]
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     luts = np.empty((len(qids), m_sub, kk), dtype=np.float64)
@@ -894,8 +962,9 @@ def ivfpq_topk(
         F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc")
     ).select(corpus_id, F.col("__cc.cell").alias("__cell"), F.col("__cc.code").alias("__code"))
 
-    # small query side: probe lists + per-(query, cell) residual LUTs
-    qrows = queries.select(query_id, query_vec).collect()
+    # small query side (bounded-driver-state guard): probe lists +
+    # per-(query, cell) residual LUTs
+    qrows = _collect_bounded_queries(queries, query_id, query_vec, "ivfpq_topk")
     qids = [r[0] for r in qrows]
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qd2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
@@ -1227,7 +1296,9 @@ def ivf_index_probe_topk(
     import numpy as np
 
     cent = _load_centroid_matrix(spark, path)
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = _collect_bounded_queries(
+        queries, query_id, query_vec, "ivf_index_probe_topk"
+    )
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1)[:, :nprobe]

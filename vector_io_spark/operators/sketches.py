@@ -242,11 +242,17 @@ def bottomk_sample(
     truncates map-side and only ~k rows per partition reach the single
     merge — the same rescued shape as every top-k in the repo
     (plan-gated). Returns (``value_col``, __qh) truncated to k rows.
+
+    Determinism holds for NON-unique keys too (round-5 fix): duplicate
+    keys hash identically, so the ordering tie-breaks on ``value_col``
+    — without it the rank<=k boundary cut picked rows
+    nondeterministically across partitions/engines. SQL replicas must
+    ORDER BY h, v the same way.
     """
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
-    w = Window.orderBy(F.col("__qh").asc())
+    w = Window.orderBy(F.col("__qh").asc(), F.col(value_col).asc())
     return (
         df.select(F.col(value_col), h.alias("__qh"))
         .withColumn("__rn", F.row_number().over(w))
@@ -298,7 +304,10 @@ def bottomk_merge(samples: list, k: int = 4096) -> DataFrame:
     from pyspark.sql import Window
 
     u = reduce(lambda a, b: a.unionByName(b), samples)
-    w = Window.orderBy(F.col("__qh").asc())
+    # same (hash, value) tie-break as bottomk_sample: merge == whole
+    # stays exact even when duplicate keys tie on the hash
+    val = next(c for c in u.columns if c != "__qh")
+    w = Window.orderBy(F.col("__qh").asc(), F.col(val).asc())
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)

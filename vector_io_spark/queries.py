@@ -37,6 +37,7 @@ from vector_io_spark.operators.dedup import (
     dedup_by_id,
     dedup_exact_content,
     dedup_embedding_cosine,
+    duplication_matrix,
     minhash_lsh_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -9358,11 +9359,14 @@ def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     other (within-source rows measure internal duplication). A third of
     the corpus is re-injected under a 'mirror_feed' source so the
     matrix is non-trivial at every sf (the same dup-injection
-    convention as the dedup family). Scale shape: one fingerprint
-    projection (shuffle-free md5), a self-join keyed on the 16-byte
-    fingerprint — uniform hash keys, group sizes = duplicate
-    multiplicity, output |sources|² bounded; no windows, nothing
-    driver-side."""
+    convention as the dedup family). Scale shape (round-5 rewrite —
+    the SQL oracle still enumerates pairs; the arithmetic is identical
+    so the result stays hash-exact): per-(fp, source) COUNTS +
+    combinatorial pair math via :func:`duplication_matrix` — the only
+    join runs over the counts frame whose per-fp group size is bounded
+    by |sources|, so a 1M-copy boilerplate fingerprint costs 1 row, not
+    the O(m²) join rows the previous fingerprint self-join generated.
+    No windows, nothing driver-side."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     corpus = d.unionByName(
         d.where(F.col("doc_id") % 3 == 0).select(
@@ -9371,23 +9375,8 @@ def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    fp = corpus.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
-            F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_dup_pairs"),
-            F.countDistinct(F.col("a.fp")).cast("long").alias("n_shared_texts"),
-        )
-    )
+    fp = corpus.select("source", doc_fingerprint("text").alias("fp"))
+    return duplication_matrix(fp, fp_col="fp", source_col="source")
 
 
 @_register(
@@ -9516,7 +9505,7 @@ def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFra
                md5('qsk|' || CAST(o_orderkey AS VARCHAR)) AS h
         FROM orders
     ),
-    samp AS (SELECT v FROM keyed ORDER BY h LIMIT 4096),
+    samp AS (SELECT v FROM keyed ORDER BY h, v LIMIT 4096),
     est AS (
         SELECT CAST(0.5 AS DOUBLE) AS prob,
                round(quantile_cont(v, 0.5), 6) AS estimate FROM samp

@@ -329,15 +329,26 @@ def streaming_cdc_apply(
     ``_SUCCESS`` marker lands, and :func:`read_cdc_snapshot` resolves
     the latest complete version — so a crash mid-write leaves the
     previous snapshot intact and readable. Replay is handled
-    explicitly: before writing, ``_merge`` inspects its own target
-    version dir — if it already exists WITH ``_SUCCESS`` the batch
-    committed before the checkpoint recorded it, so the merge is
-    skipped (already applied, idempotent); if it exists WITHOUT
-    ``_SUCCESS`` it is a torn dir from a crash mid-write and is deleted
-    before the fresh write (a plain ``errorifexists`` write would
-    otherwise wedge the stream permanently on replay). Old versions
-    beyond ``keep_versions`` are garbage-collected after each commit;
-    incomplete (crashed) version dirs are removed too.
+    explicitly with BATCH-IDENTITY commit markers (round 5): each
+    committed version carries ``_COMMIT-<stream id>-<batch id>``,
+    where the stream id is minted once per checkpoint lineage and
+    stored inside ``checkpoint_dir`` — so it dies with the checkpoint.
+    Before writing, ``_merge`` inspects its target version dir: if it
+    exists with the MATCHING commit marker, the batch committed before
+    the checkpoint recorded it and the merge is skipped (genuine
+    replay, idempotent); if it exists with ``_SUCCESS`` but a
+    different/absent marker, the checkpoint and snapshot root are OUT
+    OF SYNC (e.g. a reset/new checkpoint pointed at an existing
+    snapshot restarts batch ids at 0 — pre-round-5 this silently
+    DROPPED the early batches as "already applied") and the stream
+    fails with a descriptive error; if it exists without ``_SUCCESS``
+    it is a torn dir from a crash mid-write and is deleted before the
+    fresh write. A crash in the tiny window between ``_SUCCESS`` and
+    the marker landing surfaces as the same out-of-sync error — the
+    remedy (delete that version dir; the merge is idempotent) is in
+    the message. Old versions beyond ``keep_versions`` are
+    garbage-collected after each commit; incomplete (crashed) version
+    dirs are removed too.
 
     Scale shape: the changelog batch is the small side (one map-combined
     max_by reduction + broadcast-able anti join against the base); the
@@ -352,6 +363,38 @@ def streaming_cdc_apply(
     """
     from vector_io_spark.operators.versioning import apply_changes
 
+    _sid_cache: list = []
+
+    def _stream_id(spark) -> str:
+        """Identity of this checkpoint lineage: an empty
+        ``__cdc_stream_id-<hex>`` file INSIDE the checkpoint dir,
+        minted on first use — resetting/deleting the checkpoint
+        discards it, which is exactly the signal the replay guard
+        keys on. Stored as a file NAME so no byte I/O crosses py4j."""
+        if _sid_cache:
+            return _sid_cache[0]
+        jvm = spark._jvm
+        cp = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = cp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(cp)
+        sid = None
+        for st in fs.listStatus(cp):
+            name = st.getPath().getName()
+            if name.startswith("__cdc_stream_id-"):
+                sid = name[len("__cdc_stream_id-"):]
+                break
+        if sid is None:
+            import uuid
+
+            sid = uuid.uuid4().hex
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{checkpoint_dir}/__cdc_stream_id-{sid}"
+                )
+            ).close()
+        _sid_cache.append(sid)
+        return sid
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         versions = _cdc_version_dirs(spark, snapshot_root)
@@ -365,16 +408,39 @@ def streaming_cdc_apply(
         root_path = jvm.org.apache.hadoop.fs.Path(snapshot_root)
         fs = root_path.getFileSystem(spark._jsc.hadoopConfiguration())
         target = jvm.org.apache.hadoop.fs.Path(f"{snapshot_root}/{new_version}")
+        sid = _stream_id(spark)
+        marker = f"{snapshot_root}/{new_version}/_COMMIT-{sid}-{batch_id}"
         if fs.exists(target):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+                # Commit-then-crash replay OF THIS STREAM'S OWN batch:
+                # the merge already landed completely; re-running it
+                # would re-derive the identical snapshot, so just let
+                # the checkpoint advance.
+                return
             if fs.exists(
                 jvm.org.apache.hadoop.fs.Path(
                     f"{snapshot_root}/{new_version}/_SUCCESS"
                 )
             ):
-                # Commit-then-crash replay: this batch's merge already
-                # landed completely; re-running it would re-derive the
-                # identical snapshot, so just let the checkpoint advance.
-                return
+                # Complete version WITHOUT this batch's commit marker:
+                # the checkpoint and snapshot root are out of sync
+                # (reset checkpoint restarting batch ids at 0, or a
+                # crash between _SUCCESS and the marker). Skipping here
+                # would silently DROP this batch's data.
+                raise RuntimeError(
+                    f"streaming_cdc_apply: {snapshot_root}/{new_version} "
+                    "is a complete snapshot version but does not carry "
+                    f"this stream's commit marker (_COMMIT-{sid}-"
+                    f"{batch_id}) — the checkpoint at "
+                    f"{checkpoint_dir} and the snapshot root are out "
+                    "of sync (e.g. a reset/new checkpoint pointed at "
+                    "an existing snapshot restarts batch ids at 0). "
+                    "Either restore the original checkpoint, point the "
+                    "new checkpoint at a fresh snapshot root, or — if "
+                    "this version is a crash orphan between _SUCCESS "
+                    "and its marker — delete that version dir and "
+                    "rerun (the CDC merge is idempotent)."
+                )
             # Torn dir from a crash mid-write: clear it so the fresh
             # write doesn't die with 'path already exists'.
             fs.delete(target, True)
@@ -384,6 +450,9 @@ def streaming_cdc_apply(
         )
         merged = apply_changes(base, reduced, id_col, op_col=op_col, seq_col=seq_col)
         merged.write.parquet(f"{snapshot_root}/{new_version}")
+        # batch-identity commit marker: lands after _SUCCESS, read by
+        # the replay guard above
+        fs.create(jvm.org.apache.hadoop.fs.Path(marker)).close()
         # GC: drop complete versions beyond keep_versions and any
         # incomplete (crashed) dirs other than the one just written
         complete = _cdc_version_dirs(spark, snapshot_root)
