@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # round-4 additions (BENCH_r04+ only — totals not comparable back)
     "bucket_occupancy_report",  # LSH skew audit (pre-dedup planning pass)
     "copurchase_triangles",  # degree-ordered wedge join (skew-proof)
+    # round-5 additions (BENCH_r05+ only — totals not comparable back)
+    "cross_source_duplication",  # count-based dup matrix (no pair join)
+    "pca_whiten_project",    # engine-exact power-iteration PCA + project
 ]
 
 

@@ -98,3 +98,59 @@ def test_label_separation_orders_cluster_quality(spark):
     assert got[0]["db_ratio"] < 0.05 and got[1]["db_ratio"] < 0.05
     assert got[2]["db_ratio"] > 1.0 and got[3]["db_ratio"] > 1.0
     assert all(got[l]["n"] == 60 for l in range(4))
+
+
+def test_power_pca_exact_agrees_with_eigh_on_separated_spectrum(spark):
+    """Round-5 contract for the engine-exact power-iteration PCA twin:
+    on a spectrum with clear eigengaps the fixed-point power iteration
+    must recover numpy eigh's top components (eigenvalues within a few
+    percent, eigenvector |cosine| ~ 1) and its whitened projection must
+    have ~unit variance per component — while every intermediate stays
+    integer/fixed-sequence arithmetic (the property the DuckDB oracle
+    replays; hash-equality itself is gated by oracle_check)."""
+    from vector_io_spark.operators.decomposition import (
+        power_pca_exact_components,
+        power_pca_whiten_project,
+    )
+
+    rng = np.random.RandomState(7)
+    d, n, k = 8, 500, 3
+    # separated spectrum: scales 1.0, 0.6, 0.35 on random orthogonal
+    # directions + small isotropic noise
+    basis, _ = np.linalg.qr(rng.randn(d, d))
+    scales = np.array([1.0, 0.6, 0.35])
+    X = (rng.randn(n, 3) * scales[None, :]) @ basis[:, :3].T
+    X += 0.02 * rng.randn(n, d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # integer covariance exactly as the operator builds it
+    Q = np.round(X * 1e4)
+    s = Q.sum(axis=0)
+    cov = (Q.T @ Q - np.outer(s, s) / n) / n / 1e8
+    cov_r = np.round(cov, 8)
+    C_int = [
+        [int(np.floor(cov_r[i, j] * 1e8 + 0.5)) for j in range(d)]
+        for i in range(d)
+    ]
+    comps = power_pca_exact_components(C_int, k=k, iters=25)
+
+    vals, vecs = np.linalg.eigh(cov_r)
+    order = np.argsort(vals)[::-1]
+    for c in range(k):
+        v = np.array(comps[c][0], dtype=np.float64) / 1e5
+        lam = comps[c][1] / 1e8
+        ref_lam = vals[order[c]]
+        ref_v = vecs[:, order[c]]
+        assert abs(lam - ref_lam) / ref_lam < 0.05, (c, lam, ref_lam)
+        cos = abs(float(v @ ref_v) / np.linalg.norm(v))
+        assert cos > 0.99, (c, cos)
+
+    proj = power_pca_whiten_project(
+        df, "embedding", "vec_id", k=k, iters=25
+    ).toPandas()
+    for c in range(1, k + 1):
+        var = proj[f"y{c}"].to_numpy().var()
+        assert abs(var - 1.0) < 0.1, (c, var)

@@ -562,3 +562,33 @@ def test_brute_force_topk_kernel_hof_agree_on_undefined_scores(spark):
         assert all(s is None for s in scores[n_def:])
         null_ids = [r[1] for r in kern if r[2] is None]
         assert null_ids == sorted(null_ids)
+
+
+def test_knn_graph_batched_equals_single_pass(spark):
+    """Round-5: the batched full-corpus kNN-graph driver must produce
+    EXACTLY the single-pass result (batches partition the query set;
+    each pass scans the full corpus), across batch counts."""
+    import hashlib
+
+    from vector_io_spark.operators.similarity import brute_force_topk, knn_graph
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        return [float(b) / 255.0 + 0.01 for b in h[:8]]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    single = brute_force_topk(
+        corpus,
+        corpus.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=3, exclude_self=True,
+    )
+    want = {tuple(r) for r in single.collect()}
+    for bs in (50_000, 100):  # 1 batch, then 3+ hash batches
+        got = {
+            tuple(r)
+            for r in knn_graph(corpus, k=3, batch_size=bs).collect()
+        }
+        assert got == want, bs

@@ -471,3 +471,42 @@ def bpe_sql(
     else:
         raise ValueError(f"unknown output {output!r}")
     return "WITH " + ",".join(parts) + "\n    " + select
+
+
+def synthetic_word_corpus(
+    spark, n_docs: int = 100_000, vocab: int = 20_000,
+    words_per_doc: int = 40,
+):
+    """Deterministic rich-vocabulary corpus for VOCABULARY-SCALE
+    tokenizer-training runs. The synthetic ``documents`` table carries a
+    31-word template vocabulary (a TESTDATA artifact), so BPE exhausts
+    all learnable merges at ~113 — useless for demonstrating a >=1k-
+    merge train. This generator yields ``vocab`` distinct 8-letter
+    pseudo-words (md5-derived, digits translated to letters so the
+    ``[a-z]+`` tokenizer keeps them whole; 16-letter alphabet), hashed
+    uniformly into ``words_per_doc`` slots per doc — a corpus whose
+    distinct-pair space supports tens of thousands of merges.
+
+    Scale shape: one ``spark.range`` projection, pure codegen'd
+    expressions, shuffle-free; the (word, count) collapse downstream is
+    the only corpus-proportional pass, exactly as with real text.
+    """
+    def word_at(j):
+        wid = F.pmod(
+            F.hash(F.col("id") * words_per_doc + j), F.lit(vocab)
+        ).cast("string")
+        return F.translate(
+            F.substring(F.md5(F.concat(F.lit("w:"), wid)), 1, 8),
+            "0123456789",
+            "ghijklmnop",
+        )
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)), word_at
+        ),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )

@@ -317,3 +317,308 @@ def label_separation(
             ).alias("db_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-exact PCA: fixed-point power iteration (round 5)
+# --------------------------------------------------------------------------
+#
+# fit_pca's numpy eigh is float-accumulation-order specific, so queries
+# built on it could only ever get rows-only correctness checks. The
+# power-iteration path below is the ORACLE-GRADE alternative (the
+# pq_exact.py pattern): every intermediate is either an exact integer
+# (matvec over the fixed-point covariance — order-independent) or a
+# double produced by a FIXED sequence of operations (sequential sums,
+# one division, libm sqrt), then re-quantized — so Spark (driver-side
+# integer loop over the distributed covariance) and an unrolled-CTE
+# DuckDB replay produce bit-identical eigenvectors, eigenvalues, and
+# whitened projections. Deterministic md5-derived init; fixed iteration
+# count (convergence affects approximation quality, never determinism).
+#
+# Units: coordinates quantized at 10^scale (q = round(x*1e4), the
+# covariance convention); covariance entries at C_SCALE (cov*1e8 ints);
+# eigenvector entries at V_SCALE (1e5). Bounds (BIGINT-safe by
+# construction, asserted loudly): |w_i| = |Σ_j C v| ≤ d·C·V ≈ 6e14;
+# deflation products λ·v_i·v_j ≤ 1e8·1e10 = 1e18 < 2^63.
+
+POWER_V_SCALE = 10 ** 5
+POWER_C_SCALE = 10 ** 8
+
+
+def _power_init(c: int, d: int) -> list[int]:
+    """Deterministic init vector for component ``c``: first md5 hex
+    nibble of 'pca|{c}|{i}' minus 8, i = 1..d (SQL replica:
+    strpos('0123456789abcdef', substr(md5(...), 1, 1)) - 9)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"pca|{c}|{i}".encode()).hexdigest()[0], 16) - 8
+        for i in range(1, d + 1)
+    ]
+
+
+def power_pca_exact_components(
+    cov_int: list[list[int]], k: int, iters: int
+) -> list[tuple[list[int], int]]:
+    """Top-k (eigenvector, eigenvalue) pairs by fixed-point power
+    iteration with deflation on an integer covariance matrix (entries
+    in ``POWER_C_SCALE`` units). Pure-python integer/double arithmetic
+    whose every step is SQL-replayable (see module comment). Returns
+    ``[(v, lam)]`` with v entries in ``POWER_V_SCALE`` units and lam in
+    ``POWER_C_SCALE`` units. Raises on a non-positive eigenvalue (the
+    whitening divide needs lam > 0) or a bound overflow — loudly, never
+    silently wrong."""
+    import math
+
+    d = len(cov_int)
+    C = [row[:] for row in cov_int]
+    out: list[tuple[list[int], int]] = []
+    for c in range(k):
+        v = _power_init(c, d)
+        for _ in range(iters + 1):  # last pass computes w for lambda
+            w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+            if max(abs(x) for x in w) >= 2 ** 62:
+                raise OverflowError(
+                    "power_pca_exact: matvec exceeds the BIGINT-safe "
+                    "bound — rescale the input"
+                )
+            acc = 0.0
+            for wi in w:
+                acc += float(wi) * float(wi)
+            nrm = math.sqrt(acc)
+            if nrm == 0.0:
+                raise ValueError(
+                    f"power_pca_exact: zero matvec at component {c} — "
+                    "rank-deficient covariance; lower k"
+                )
+            v_next = [
+                math.floor(float(wi) / nrm * POWER_V_SCALE + 0.5) for wi in w
+            ]
+            v_prev, v = v, v_next
+        # lambda from the LAST (v_prev, w) pair: w = C @ v_prev
+        num = 0.0
+        for i in range(d):
+            num += float(v_prev[i]) * float(w[i])
+        den = sum(x * x for x in v_prev)
+        lam = math.floor(num / float(den) + 0.5)
+        if lam <= 0:
+            raise ValueError(
+                f"power_pca_exact: non-positive eigenvalue {lam} at "
+                f"component {c} — the spectrum has < {k} positive "
+                "directions; lower k"
+            )
+        v = v_prev
+        out.append((v, lam))
+        # deflation: C -= round(lam * v v^T / V_SCALE^2), BIGINT-safe
+        vs2 = POWER_V_SCALE * POWER_V_SCALE
+        for i in range(d):
+            for j in range(d):
+                p = lam * v[i] * v[j]
+                if abs(p) >= 2 ** 62:
+                    raise OverflowError(
+                        "power_pca_exact: deflation product exceeds the "
+                        "BIGINT-safe bound — rescale the input"
+                    )
+                C[i][j] -= math.floor(float(p) / vs2 + 0.5)
+    return out
+
+
+def _collect_cov_int(df: DataFrame, vec_col: str, scale: int = 4):
+    """(cov_int matrix, dim): the distributed fixed-point covariance
+    (covariance_pairs — the oracle-paired aggregation) collected and
+    requantized to POWER_C_SCALE integer units. Driver state O(d²)."""
+    import math
+
+    rows = covariance_pairs(df, vec_col, scale=scale).collect()
+    d = max(r["j"] for r in rows)
+    C = [[0] * d for _ in range(d)]
+    for r in rows:
+        cval = math.floor(r["cov"] * POWER_C_SCALE + 0.5)
+        C[r["i"] - 1][r["j"] - 1] = cval
+        C[r["j"] - 1][r["i"] - 1] = cval
+    return C, d
+
+
+def power_pca_whiten_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 15,
+    scale: int = 4,
+) -> DataFrame:
+    """Whitened top-k PCA projection, ENGINE-EXACT end to end: the
+    covariance aggregates distributively in fixed point (one scan, the
+    shuffle carries d(d+1)/2 partial moment sums); the eigen-solve is a
+    driver-side integer power iteration on the d×d matrix (bounded
+    state, corpus-independent); the projection is a shuffle-free
+    codegen'd HOF expression over the scan with the components embedded
+    as literals. Output columns y1..yk are round(score, 6) doubles that
+    replay bit-for-bit in SQL (:func:`power_pca_exact_sql`).
+
+    Scale shape: two scans (covariance + projection), both shuffle-free
+    on the corpus side; nothing corpus-proportional reaches the driver.
+    """
+    import math
+
+    C, d = _collect_cov_int(df, vec_col, scale)
+    comps = power_pca_exact_components(C, k, iters)
+
+    # per-dimension means of the quantized coordinates (exact integer
+    # sums -> one double division, identical in any engine)
+    qcol = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * (10 ** scale)).cast("long"),
+    )
+    nn = df.where(F.col(vec_col).isNotNull())
+    mrows = (
+        nn.select(F.posexplode(qcol).alias("__i", "__q"))
+        .groupBy("__i")
+        .agg(F.sum("__q").alias("__s"), F.count("*").alias("__n"))
+        .collect()
+    )
+    m = [0.0] * d
+    for r in mrows:
+        m[r["__i"]] = float(r["__s"]) / r["__n"]
+
+    m_lit = F.array(*[F.lit(x) for x in m])
+    q_unit = float(10 ** scale)
+    diff = F.transform(
+        qcol, lambda q, i: q.cast("double") - F.element_at(m_lit, i + 1)
+    )
+    cols = [F.col(id_col)]
+    for ci, (v, lam) in enumerate(comps):
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(diff, v_lit, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        y = F.round(
+            dot
+            / F.lit(q_unit * POWER_V_SCALE)
+            / F.sqrt(F.lit(float(lam)) / F.lit(float(POWER_C_SCALE))),
+            6,
+        )
+        cols.append(y.alias(f"y{ci + 1}"))
+    return nn.select(*cols)
+
+
+def power_pca_exact_sql(
+    table: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 15,
+    scale: int = 4,
+    id_col: str = "vec_id",
+) -> str:
+    """Unrolled-CTE DuckDB replay of :func:`power_pca_whiten_project`
+    (the pq_exact_sql pattern): the covariance CTE is the shared
+    fixed-point aggregation, each power-iteration step is one integer
+    matvec CTE + one quantized-normalize CTE, deflation subtracts the
+    rounded rank-1 update, and the projection replays the sequential
+    HOF dot. Every arithmetic step mirrors the python loop exactly."""
+    vs = POWER_V_SCALE
+    cs = POWER_C_SCALE
+    parts = [
+        f"WITH covp AS MATERIALIZED ({covariance_pairs_sql(table, vec_col, scale=scale, ddof=0)}),",
+        f"""covu AS (
+        SELECT i, j, CAST(floor(cov * {cs}e0 + 0.5) AS BIGINT) AS cval
+        FROM covp),""",
+        """cov_0 AS MATERIALIZED (
+        SELECT i, j, cval FROM covu
+        UNION ALL SELECT j AS i, i AS j, cval FROM covu WHERE i < j),""",
+    ]
+    for c in range(k):
+        parts.append(
+            f"""v_{c}_0 AS (
+            SELECT CAST(t.i AS BIGINT) AS i,
+                   CAST(strpos('0123456789abcdef',
+                        substr(md5('pca|{c}|' || CAST(t.i AS VARCHAR)),
+                               1, 1)) - 9 AS BIGINT) AS v
+            FROM range(1, {dim} + 1) t(i)),"""
+        )
+        for t in range(iters + 1):
+            parts.append(
+                f"""w_{c}_{t} AS MATERIALIZED (
+                SELECT c.i AS i, SUM(c.cval * v.v) AS w
+                FROM cov_{c} c JOIN v_{c}_{t} v ON c.j = v.i
+                GROUP BY c.i),"""
+            )
+            if t < iters:
+                parts.append(
+                    f"""v_{c}_{t + 1} AS (
+                    SELECT w.i,
+                           CAST(floor(CAST(w.w AS DOUBLE) / n.nrm * {vs}e0
+                                      + 0.5) AS BIGINT) AS v
+                    FROM w_{c}_{t} w CROSS JOIN (
+                        SELECT sqrt(list_sum(list_transform(
+                            list(CAST(w AS DOUBLE) ORDER BY i),
+                            x -> x * x))) AS nrm
+                        FROM w_{c}_{t}) n),"""
+                )
+        parts.append(
+            f"""lam_{c} AS MATERIALIZED (
+            SELECT CAST(floor(
+                list_sum(list_transform(range(1, {dim} + 1),
+                                        kk -> vl[kk] * wl[kk]))
+                / CAST(den AS DOUBLE) + 0.5) AS BIGINT) AS lam
+            FROM (
+                SELECT list(CAST(v.v AS DOUBLE) ORDER BY v.i) AS vl,
+                       list(CAST(w.w AS DOUBLE) ORDER BY v.i) AS wl,
+                       SUM(v.v * v.v) AS den
+                FROM v_{c}_{iters} v JOIN w_{c}_{iters} w ON v.i = w.i
+            )),"""
+        )
+        if c < k - 1:
+            parts.append(
+                f"""cov_{c + 1} AS MATERIALIZED (
+                SELECT c.i, c.j,
+                       c.cval - CAST(floor(
+                           CAST(l.lam * va.v * vb.v AS DOUBLE)
+                           / {vs * vs}e0 + 0.5) AS BIGINT) AS cval
+                FROM cov_{c} c
+                JOIN v_{c}_{iters} va ON c.i = va.i
+                JOIN v_{c}_{iters} vb ON c.j = vb.i
+                CROSS JOIN lam_{c} l),"""
+            )
+    q_unit = float(10 ** scale)
+    parts.append(
+        f"""qrows AS MATERIALIZED (
+        SELECT {id_col},
+               list_transform({vec_col},
+                   x -> CAST(round(CAST(x AS DOUBLE) * {10 ** scale}e0)
+                             AS BIGINT)) AS q
+        FROM {table} WHERE {vec_col} IS NOT NULL),"""
+    )
+    parts.append(
+        f"""marr AS MATERIALIZED (
+        SELECT list(m ORDER BY i) AS m FROM (
+            SELECT kk AS i, CAST(SUM(q[kk]) AS DOUBLE) / COUNT(*) AS m
+            FROM qrows, range(1, {dim} + 1) t(kk) GROUP BY kk)),"""
+    )
+    for c in range(k):
+        parts.append(
+            f"""vl_{c} AS (
+            SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS v
+            FROM v_{c}_{iters}),"""
+        )
+    ys = ",\n           ".join(
+        f"""round(list_sum(list_transform(range(1, {dim} + 1),
+               kk -> (CAST(q.q[kk] AS DOUBLE) - m.m[kk]) * vv{c}.v[kk]))
+               / {q_unit * vs}e0
+               / sqrt(CAST(l{c}.lam AS DOUBLE) / {cs}e0), 6) AS y{c + 1}"""
+        for c in range(k)
+    )
+    froms = " ".join(
+        f"CROSS JOIN vl_{c} vv{c} CROSS JOIN lam_{c} l{c}" for c in range(k)
+    )
+    parts.append(
+        f"""final AS (
+        SELECT q.{id_col},
+           {ys}
+        FROM qrows q CROSS JOIN marr m {froms})
+    SELECT * FROM final"""
+    )
+    return "\n".join(parts)

@@ -1041,14 +1041,11 @@ def dedup_embedding_cosine(
         def _cos_batch(va, vb):
             A = np.vstack(va.to_numpy()).astype(np.float64)
             B = np.vstack(vb.to_numpy()).astype(np.float64)
-            num = (A * B).sum(axis=1)
-            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = np.where(den != 0.0, num / den, np.nan)
-            return pd.Series(np.round(out, 6))
+            return pd.Series(_seq_cosine_rows(A, B))
 
         # candidate verification is the hot loop: numpy batch cosine
-        # (vectorized) instead of interpreted per-row HOF chains
+        # (vectorized across rows, dimension-sequential — engine-exact)
+        # instead of interpreted per-row HOF chains
         cos_udf = pandas_udf(_cos_batch, DoubleType())
         return (
             pairs.withColumn("cos_sim", cos_udf(F.col("__va"), F.col("__vb")))
@@ -1056,6 +1053,32 @@ def dedup_embedding_cosine(
             .select("id_a", "id_b", "cos_sim")
         )
     raise ValueError(f"unknown method {method!r}")
+
+
+def _seq_cosine_rows(A, B):
+    """Row-pairwise cosine with dimension-SEQUENTIAL double accumulation
+    (numerator and both norms), rounded with the Spark ``F.round(x, 6)``
+    replica — bit-identical to the ``aggregate(zip_with(...))`` /
+    ``list_sum(list_transform(...))`` form, so LSH-verified scores are
+    engine-exact and the queries they feed can be oracle-paired (round
+    5; previously ``(A*B).sum(axis=1)`` + banker's ``np.round``, whose
+    pairwise-summation order and midpoint rule are numpy-specific).
+    NaN where either norm is zero."""
+    import numpy as np
+
+    from vector_io_spark.operators.similarity import _round6_half_up
+
+    num = np.zeros(len(A))
+    na = np.zeros(len(A))
+    nb = np.zeros(len(A))
+    for d in range(A.shape[1]):
+        num += A[:, d] * B[:, d]
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    den = np.sqrt(na) * np.sqrt(nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den != 0.0, num / den, np.nan)
+    return _round6_half_up(out)
 
 
 def _plane_coeff(i: int, d: int) -> float:
@@ -1093,10 +1116,19 @@ def _hyperplane_signature(
     planes = np.array(
         [[_plane_coeff(i, d + 1) for d in range(dim)] for i in range(num_planes)]
     )  # (num_planes, dim); closure-captured, pickled with the UDF (small)
+    planes_t = planes.T.copy()  # (dim, num_planes), row-contiguous per dim
 
     def _sig_batch(vs):
         mat = np.vstack(vs.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (mat @ planes.T > 0).astype("int32")
+        # dimension-SEQUENTIAL accumulation (round 5): bit-identical to
+        # the left-to-right double dot any SQL engine computes, so the
+        # sign bits — and therefore band keys and candidate sets — are
+        # engine-exact and SQL-replicable. A BLAS matmul's accumulation
+        # order is unspecified and can flip a sign when |dot| ~ ulp.
+        acc = np.zeros((mat.shape[0], planes_t.shape[1]))
+        for d in range(mat.shape[1]):
+            acc += mat[:, d, None] * planes_t[None, d, :]
+        bits = (acc > 0).astype("int32")
         return pd.Series(list(bits))
 
     # explicit wrapper form: postponed-evaluation annotations (PEP 563)
@@ -1403,11 +1435,7 @@ def embedding_cosine_incremental_pairs(
     def _cos_batch(va, vb):
         A = np.vstack(va.to_numpy()).astype(np.float64)
         B = np.vstack(vb.to_numpy()).astype(np.float64)
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den != 0.0, num / den, np.nan)
-        return pd.Series(np.round(out, 6))
+        return pd.Series(_seq_cosine_rows(A, B))
 
     cos_udf = pandas_udf(_cos_batch, DoubleType())
     return (

@@ -393,6 +393,60 @@ def _brute_force_topk_kernel(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 50_000,
+    impl: str = "kernel",
+) -> DataFrame:
+    """Full kNN graph over the WHOLE corpus — the batched driver the
+    bounded-query-side guard points large callers at (round 5): the
+    corpus is split into deterministic hash batches of at most
+    ``batch_size`` ids; each batch becomes the (closure-bound, guard-
+    compliant) query side of one :func:`brute_force_topk` pass with
+    ``exclude_self=True``, and the per-batch results union. Identical
+    output to a single unbatched pass (pytest-pinned) because batches
+    partition the query set and each pass scans the FULL corpus.
+
+    Scale shape: ceil(n / batch_size) corpus scans, each the standard
+    broadcast-queries / per-batch-top-k kernel shape — embarrassingly
+    parallel across batches on a real cluster (independent jobs, no
+    shared state); driver holds one batch of (id, vector) at a time.
+    At 100 TB you'd run batches as separate jobs writing per-batch
+    outputs; here they union into one plan (linear in batch count).
+    """
+    import math
+
+    from functools import reduce
+
+    # hash buckets are only approximately even; half the guard cap
+    # leaves ample variance slack before a batch could trip it
+    assert batch_size <= MAX_QUERY_ROWS // 2, (
+        f"batch_size must be <= {MAX_QUERY_ROWS // 2} (hash-bucket "
+        "variance slack under the bounded-query guard)"
+    )
+    n = corpus.select(id_col).count()
+    n_batches = max(1, math.ceil(n / batch_size))
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(n_batches))
+    parts = []
+    for b in range(n_batches):
+        queries = corpus.where(bucket == b).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding")
+        )
+        parts.append(
+            brute_force_topk(
+                corpus, queries, k=k, metric=metric,
+                corpus_id=id_col, corpus_vec=vec_col,
+                query_id="query_id", query_vec="embedding",
+                exclude_self=True, impl=impl,
+            )
+        )
+    return reduce(lambda a, c: a.unionByName(c), parts)
+
+
 def hamming_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3818,20 +3818,37 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_pairs(emb, "embedding", scale=4, ddof=0)
 
 
-@_register("pca_whiten_project")
+def _pca_power_oracle() -> str:
+    from vector_io_spark.operators.decomposition import power_pca_exact_sql
+
+    return power_pca_exact_sql(
+        "embeddings", "embedding", dim=64, k=8, iters=15
+    )
+
+
+@_register("pca_whiten_project", _pca_power_oracle())
 def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitened 8-d projection of the embeddings (rows-only check:
-    eigendecomposition is not SQL-expressible; parity with numpy and the
-    whitening contract are pytest-verified in test_decomposition.py).
-    Fit touches only distributed sufficient statistics (O(d²) driver
-    state); projection is a shuffle-free Arrow-batched matmul."""
-    from vector_io_spark.operators.decomposition import fit_pca, pca_project
+    """PCA-whitened 8-d projection of the embeddings — HASH-EXACT since
+    round 5: the eigen-solve is a fixed-point POWER ITERATION with
+    deflation on the distributed fixed-point covariance
+    (operators/decomposition.py::power_pca_whiten_project — integer
+    matvecs + a fixed sequence of double ops, re-quantized each step),
+    replayed bit-for-bit by an unrolled-CTE DuckDB oracle (the
+    pq_exact.py pattern) — upgrading this query from rows-only to full
+    hash correctness. The numpy-eigh production path (fit_pca /
+    pca_project, Arrow matmul projection) remains pytest-verified in
+    test_decomposition.py; the power twin is pytest-pinned to agree
+    with eigh on separated spectra. Scale shape: two shuffle-free
+    corpus scans (covariance moments + projection); the eigen-solve
+    touches only the d×d driver matrix."""
+    from vector_io_spark.operators.decomposition import (
+        power_pca_whiten_project,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, vals = fit_pca(emb, "embedding", k=8)
-    return pca_project(
-        emb, mean, comps, vals, vec_col="embedding", out_col="pca_w", whiten=True
-    ).select("vec_id", "pca_w")
+    return power_pca_whiten_project(
+        emb, "embedding", "vec_id", k=8, iters=15
+    )
 
 
 # --------------------------------------------------------------------------
@@ -9470,7 +9487,82 @@ def ivf_cell_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cell_balance(_t(spark, sf_dir, "embeddings"))
 
 
-@_register("incremental_embedding_neardup")
+def _incremental_embedding_sql(
+    num_planes: int = 128, bands: int = 8, dim: int = 64,
+    threshold: float = 0.995,
+) -> str:
+    """DuckDB replica of embedding_cosine_incremental_pairs (round 5 —
+    upgraded this query from rows-only to hash-exact): the md5-derived
+    hyperplane coefficients (dedup._plane_coeff: first md5 hex nibble of
+    'p{i}:{d}' minus 7.5), the dimension-sequential sign-bit dots
+    (matching the round-5 sequential signature kernel), the band-key
+    layout, the asymmetric new-probes-union band join, and the
+    sequential cosine verify are all replayed in SQL."""
+    rows = num_planes // bands
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"k -> CAST({x}[k] AS DOUBLE) * {y}[k]))"
+        )
+
+    return f"""
+    WITH resident AS (SELECT vec_id, embedding FROM embeddings),
+    newb AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN embedding
+                    ELSE list_transform(embedding, x -> -x) END AS embedding
+        FROM embeddings
+    ),
+    allv AS MATERIALIZED (
+        SELECT * FROM resident UNION ALL SELECT * FROM newb
+    ),
+    planes AS MATERIALIZED (
+        SELECT i,
+               list(CAST(strpos('0123456789abcdef',
+                        substr(md5('p' || CAST(i AS VARCHAR) || ':' ||
+                                   CAST(d AS VARCHAR)), 1, 1)) - 1
+                    AS DOUBLE) - 7.5 ORDER BY d) AS p
+        FROM range(0, {num_planes}) t(i), range(1, {dim} + 1) s(d)
+        GROUP BY i
+    ),
+    sigs AS MATERIALIZED (
+        SELECT v.vec_id,
+               list(CASE WHEN {dot('v.embedding', 'pl.p')} > 0
+                         THEN 1 ELSE 0 END ORDER BY pl.i) AS sig
+        FROM allv v CROSS JOIN planes pl
+        WHERE v.embedding IS NOT NULL
+          AND len(list_filter(v.embedding, x -> x != 0)) > 0
+        GROUP BY v.vec_id
+    ),
+    banded AS MATERIALIZED (
+        SELECT vec_id, b AS band_id,
+               array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',')
+                   AS band_key
+        FROM sigs, range(0, {bands}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT least(l.vec_id, r.vec_id) AS id_a,
+               greatest(l.vec_id, r.vec_id) AS id_b
+        FROM (SELECT * FROM banded WHERE vec_id >= 1000000) l
+        JOIN banded r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.vec_id != r.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT c.id_a, c.id_b,
+               round({dot('a.embedding', 'b.embedding')} /
+                     (sqrt({dot('a.embedding', 'a.embedding')}) *
+                      sqrt({dot('b.embedding', 'b.embedding')})), 6)
+                   AS cos_sim
+        FROM cand c
+        JOIN allv a ON a.vec_id = c.id_a
+        JOIN allv b ON b.vec_id = c.id_b
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
+@_register("incremental_embedding_neardup", _incremental_embedding_sql())
 def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest near-dup pass for the VECTOR side: a new batch
     (exact copies of even resident ids + negated odd ids, which must
@@ -9478,9 +9570,12 @@ def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFra
     hyperplane band join (operators/dedup.py::
     embedding_cosine_incremental_pairs) — O(|new| x occupancy) per
     ingest, never old x old, with the persisted-signature-index path
-    pytest-pinned equal. No SQL oracle (hyperplane signatures are a
-    pandas matmul, like the other cosine-LSH paths); the rows-only
-    driver check plus the restriction-equality pytest cover it."""
+    pytest-pinned equal. HASH-EXACT since round 5: the signature kernel
+    accumulates dimension-sequentially and the verify uses the
+    sequential cosine + HALF_UP rounding replica, so the md5-derived
+    planes, band keys, candidate set, and scores replay exactly in SQL
+    (oracle carve-out: exact banding, max_bucket_size=None; production
+    default keeps the auto hot-bucket guard)."""
     from vector_io_spark.operators.dedup import (
         embedding_cosine_incremental_pairs,
     )
@@ -9493,7 +9588,10 @@ def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("embedding"),
     )
     return embedding_cosine_incremental_pairs(
-        emb, new, "vec_id", "embedding", threshold=0.995
+        emb, new, "vec_id", "embedding", threshold=0.995,
+        # oracle carve-out: exact banding semantics vs the cap-free
+        # SQL replica (production default is the auto bucket guard)
+        max_bucket_size=None,
     )
 
 
