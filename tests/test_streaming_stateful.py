@@ -618,3 +618,73 @@ def test_streaming_cdc_apply_detects_checkpoint_reset(spark, tmp_path):
     # overwritten
     got2 = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
     assert got2 == {1: "a", 2: "b"}
+
+
+def test_streaming_neardup_ingest_probes_and_grows_index(spark, tmp_path):
+    """Round-5: continuous near-dup detection — each micro-batch probes
+    the persisted signature index (new-vs-resident AND new-vs-new), and
+    its own signatures become resident for LATER batches: batch 2's
+    duplicate of a batch-1 doc must pair even though neither is in the
+    seed corpus. Replay-safe by construction (batch-partition overwrite
+    of deterministic content)."""
+    from vector_io_spark.streaming.incremental import (
+        seed_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    seed = spark.createDataFrame(
+        [
+            doc(1, "the quick brown fox jumps over the lazy dog today"),
+            doc(2, "pack my box with five dozen liquor jugs right now"),
+            doc(3, "sphinx of black quartz judge my vow said the king"),
+        ],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "sig_index")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(seed, index_root, "doc_id", "text")
+
+    def run(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_neardup_ingest(
+            stream, index_root, pairs_root, ckpt, "doc_id", "text",
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: one dup of seed doc 1, one novel doc
+    run([
+        doc(101, "the quick brown fox jumps over the lazy dog today"),
+        doc(102, "a completely different document about spark engines"),
+    ])
+    # batch 2: one dup of the BATCH-1 novel doc (not in the seed!), one
+    # dup of seed doc 2, one novel
+    run([
+        doc(201, "a completely different document about spark engines"),
+        doc(202, "pack my box with five dozen liquor jugs right now"),
+        doc(203, "nothing like any other text in this tiny corpus here"),
+    ])
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_root).collect()
+    }
+    assert (1, 101) in got          # batch1 vs seed
+    assert (102, 201) in got        # batch2 vs batch1 — the index grew
+    assert (2, 202) in got          # batch2 vs seed
+    # no old×old pair ever (both sides resident before their batch)
+    assert all(b >= 101 for a, b in got), got
+    # the index now holds seed + both batches' signatures
+    idx = spark.read.parquet(index_root)
+    assert idx.count() == 8
+    assert {r["ingest_batch"] for r in idx.select("ingest_batch").distinct().collect()} == {-1, 0, 1}

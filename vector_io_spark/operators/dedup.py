@@ -572,7 +572,7 @@ def minhash_lsh_dup_pairs(
 
 
 def minhash_lsh_incremental_pairs(
-    old: DataFrame,
+    old: DataFrame | None,
     new: DataFrame,
     id_col: str,
     text_col: str,
@@ -611,6 +611,11 @@ def minhash_lsh_incremental_pairs(
     """
     if old_sigs is not None:
         sigs_old = old_sigs
+    elif old is None:
+        raise ValueError(
+            "minhash_lsh_incremental_pairs: pass the resident corpus via "
+            "`old` or its persisted signatures via `old_sigs`"
+        )
     else:
         sigs_old = minhash_signatures(
             old, id_col, text_col, num_hashes, shingle_k

@@ -9692,21 +9692,25 @@ _GATE_PREFIX = [
     "consolidate_union_by_name", "count_tables",
     # scalar functions
     "sanitize_nan_inf", "parse_json_metadata", "compliant_names",
-    "deterministic_uuid",
-    # vectors / ANN
+    # vectors / ANN / decomposition (pca_whiten_project + the embedding
+    # incremental path joined the prefix in round 5 when they became
+    # hash-exact — previously unrepresentable families)
     "vector_range_stats", "ann_topk_bruteforce", "ann_topk_hamming_packed",
-    "ann_topk_filtered", "ann_topk_pq_exact", "ann_topk_ivf_exact",
-    "embedding_cosine_neardup",
+    "ann_topk_pq_exact", "ann_topk_ivf_exact",
+    "embedding_cosine_neardup", "pca_whiten_project",
+    "incremental_embedding_neardup",
     # dedup family
     "dedup_exact_content", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_quality_survivors", "incremental_neardup",
     "dup_passage_coverage", "bucket_occupancy_report",
+    "cross_source_duplication",
     # text / corpus
-    "text_quality", "token_counts", "language_id", "zipf_slope",
+    "text_quality", "language_id", "zipf_slope",
     "dsir_importance_weights",
-    # events / BI
+    # events / BI / sketches
     "sessionization", "funnel_signup_purchase", "conversion_attribution",
-    "rfm_segments", "customer_revenue_percentiles", "wau_stickiness",
+    "rfm_segments", "customer_revenue_percentiles",
+    "quantile_sketch_order_totals",
     # graph / ML / sketches
     "supplier_pagerank", "copurchase_triangles", "association_rules",
     "bpe_merge_table", "quality_classifier_weights", "hll_distinct_users",

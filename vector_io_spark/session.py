@@ -21,6 +21,27 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_memory() -> str:
+    """Driver-JVM heap for LOCAL mode, where all executor threads share
+    the driver process: ~50% of machine RAM (leaving room for the Python
+    workers and the OS page cache), floored at 8g and capped at 96g.
+    The old fixed 8g OOMed sf10 runs on this 128 GiB box (measured: the
+    6.7M-doc signature cache + band-join execution memory exceed a
+    shared 8g heap) while the machine sat 94% idle.
+    ``SPARK_DRIVER_MEMORY`` overrides. On a real cluster the deploy's
+    spark-submit settings own this knob instead."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(fh.readline().split()[1])
+        half_gb = total_kb // (2 * 1024 * 1024)
+        return f"{min(96, max(8, half_gb))}g"
+    except OSError:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "vector_io_spark",
     master: str | None = None,
@@ -53,7 +74,7 @@ def get_spark(
         # TIMESTAMP_NTZ (NTZ breaks watermarks/unix_micros; session tz is
         # UTC so the instant interpretation is identical).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", _default_driver_memory())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

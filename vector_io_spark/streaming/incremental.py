@@ -470,3 +470,98 @@ def streaming_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def seed_neardup_index(
+    corpus: DataFrame,
+    index_root: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Seed the partitioned signature index :func:`streaming_neardup_ingest`
+    maintains: the resident corpus's MinHash signatures land under
+    ``ingest_batch=-1`` (Hive-style partition dirs, so the root reads as
+    one table and each micro-batch later appends its own partition).
+    One signature scan — the same one-time cost as
+    ``dedup.write_signature_index``."""
+    from vector_io_spark.operators.dedup import minhash_signatures
+
+    minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_k
+    ).write.mode("overwrite").parquet(f"{index_root}/ingest_batch=-1")
+
+
+def streaming_neardup_ingest(
+    doc_stream,
+    index_root: str,
+    pairs_root: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | str | None = "auto",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CONTINUOUS near-duplicate detection over a document stream — the
+    streaming composition of the incremental-dedup building blocks: each
+    micro-batch (a) probes the persisted signature index with the
+    asymmetric band join (``dedup.minhash_lsh_incremental_pairs`` with
+    ``old_sigs`` — the resident corpus is touched only through its
+    signatures, O(|batch| × occupancy) per micro-batch, never old×old),
+    (b) writes the new-involving pairs to ``pairs_root/ingest_batch=<id>``,
+    and (c) appends its own signatures to ``index_root/ingest_batch=<id>``
+    so later batches see it as resident. Seed the index first with
+    :func:`seed_neardup_index`.
+
+    Replay safety: both writes go to batch-id-named partition dirs with
+    ``overwrite`` mode — a replayed batch re-derives identical content
+    (md5 signatures, deterministic pairs) and overwriting its own
+    partition converges, so no commit markers are needed (unlike the CDC
+    snapshot, nothing here is read-modify-write). Pair outputs across
+    batches are disjoint by construction (each batch emits only pairs
+    involving itself, id-deduped within the batch's join).
+
+    Scale shape per micro-batch: one signature pass over the batch, one
+    scan of the signature index (at 100 TB: partition-pruned to nothing
+    extra — the index is (id, minhash) only, ~100 bytes/doc), one band
+    join shuffling (band_key, id) pairs. The hot-bucket guard semantics
+    are the operator's (``max_bucket_size`` forwarded; default auto).
+    Returns the StreamingQuery; callers own awaitTermination.
+    """
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        old_sigs = spark.read.parquet(index_root).drop("ingest_batch")
+        pairs = minhash_lsh_incremental_pairs(
+            None, batch, id_col, text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, bands=bands,
+            threshold=threshold, max_bucket_size=max_bucket_size,
+            old_sigs=old_sigs,
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_root}/ingest_batch={batch_id}"
+        )
+        minhash_signatures(
+            batch, id_col, text_col, num_hashes, shingle_k
+        ).write.mode("overwrite").parquet(
+            f"{index_root}/ingest_batch={batch_id}"
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
