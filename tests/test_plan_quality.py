@@ -564,6 +564,10 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # bottom-k quantile sketch: global rank<=4096 by md5 hash —
         # WindowGroupLimit truncates map-side (rescue asserted below)
         "quantile_sketch_order_totals",
+        # KMV set-overlap sketch: three global rank<=1024 by md5 hash
+        # (per-side signatures + union re-truncate) — same rescued
+        # bottom-k shape as the quantile sketch
+        "set_overlap_customers",
     }
     TINY_DERIVED_TABLE = {
         # global cumsum over the bucket-count table (|buckets| rows,

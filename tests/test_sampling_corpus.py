@@ -763,3 +763,39 @@ def test_bpe_greedy_1k_merges_is_a_valid_train(spark):
     got = {r["word"]: r["ws"] for r in words_df.collect()}
     want = {w: ws.strip() for w, ws in state.items()}
     assert got == want
+
+
+def test_bottomk_jaccard_accuracy_and_shard_merge(spark):
+    """Round-5 KMV set-overlap sketch: (a) the estimate lands within the
+    O(1/sqrt(k)) band of the true Jaccard on sets with known overlap;
+    (b) per-shard signatures union + re-truncate into EXACTLY the
+    whole-set signature (min-k semigroup) — the property that lets a
+    100 TB corpus ship one k-row signature per source instead of being
+    rescanned for every pairwise comparison."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.sketches import (
+        _bottomk_hashes,
+        bottomk_jaccard,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    row = bottomk_jaccard(a, b, "k", k=512).collect()[0]
+    assert row["k_used"] == 512
+    true_j = 500 / 1500
+    assert abs(row["jaccard_est"] - true_j) < 0.08, row
+
+    whole = sorted(r["__qh"] for r in _bottomk_hashes(a, "k", 64, "qsk").collect())
+    shard1 = _bottomk_hashes(a.where(F.col("k") % 2 == 0), "k", 64, "qsk")
+    shard2 = _bottomk_hashes(a.where(F.col("k") % 2 == 1), "k", 64, "qsk")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__qh").asc())
+    merged = (
+        shard1.unionByName(shard2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 64)
+        .drop("__rn")
+    )
+    assert sorted(r["__qh"] for r in merged.collect()) == whole

@@ -313,3 +313,69 @@ def bottomk_merge(samples: list, k: int = 4096) -> DataFrame:
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _bottomk_hashes(df: DataFrame, key_col: str, k: int, salt: str) -> DataFrame:
+    """The k smallest md5 hashes of a key SET (distinct keys): the KMV
+    signature. Hashing before distinct is equivalent (md5 is injective
+    on distinct key strings for any practical purpose and identical
+    cross-engine); the global top-k is the WindowGroupLimit-rescued
+    rank<=k shape used everywhere in this module."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    w = Window.orderBy(F.col("__qh").asc())
+    return (
+        df.select(h.alias("__qh"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    k: int = 1024,
+    salt: str = "qsk",
+) -> DataFrame:
+    """KMV (k-minimum-values) Jaccard estimate between two key SETS —
+    the classic bottom-k set-similarity sketch: J ≈ |{h ∈ S_k(A∪B) :
+    h ∈ S_k(A) ∧ h ∈ S_k(B)}| / |S_k(A∪B)| where S_k is the set of k
+    smallest md5 hashes. Deterministic (md5-not-rand convention →
+    retry/partition/engine stable, SQL-replayable), MERGEABLE (each
+    side's signature is a min-k semigroup — per-shard signatures union
+    and re-truncate losslessly, so cross-dataset overlap checks never
+    rescan a resident corpus), and the standard error is the bottom-k
+    O(1/sqrt(k)) bound.
+
+    Output: one row (k_used, jaccard_est). Scale shape: one scan per
+    side (map-combined distinct), WindowGroupLimit-rescued global
+    top-k (~k rows per partition reach one merge), then k-row joins —
+    nothing corpus-sized shuffles or reaches the driver.
+    """
+    sa = _bottomk_hashes(a, key_col, k, salt)
+    sb = _bottomk_hashes(b, key_col, k, salt)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__qh").asc())
+    su = (
+        sa.unionByName(sb)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    inter = su.join(sa, "__qh", "left_semi").join(sb, "__qh", "left_semi")
+    return (
+        su.agg(F.count("*").cast("long").alias("k_used"))
+        .crossJoin(inter.agg(F.count("*").alias("__ni")))
+        .select(
+            "k_used",
+            F.round(F.col("__ni").cast("double") / F.col("k_used"), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )
