@@ -9760,6 +9760,175 @@ def set_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TBUDGET_U01 = _hex8_num_sql(
+    "substr(md5(CAST(doc_id AS VARCHAR) || '|tbudget'), 1, 8)"
+) + " / 4294967296e0"
+
+
+@_register(
+    "token_budget_selection",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+               CAST(least(100,
+                    (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100)
+                        // greatest(length(text), 1)) AS BIGINT) AS qb
+        FROM documents
+    ),
+    per AS (
+        SELECT source, qb, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(nt) AS BIGINT) AS ntok
+        FROM docs GROUP BY source, qb
+    ),
+    tot AS (
+        SELECT CAST(sum(ntok) AS BIGINT) AS total,
+               CAST(count(DISTINCT source) AS BIGINT) AS ns
+        FROM per
+    ),
+    b AS (SELECT CAST(total // (2 * ns) AS BIGINT) AS budget FROM tot),
+    status AS (
+        SELECT source, qb,
+               CASE WHEN cum <= budget THEN 1e0
+                    WHEN cum - ntok < budget THEN
+                         CAST(budget - (cum - ntok) AS DOUBLE)
+                             / CAST(ntok AS DOUBLE)
+                    ELSE 0e0 END AS keep_rate
+        FROM (SELECT source, qb, ntok,
+                     sum(ntok) OVER (PARTITION BY source
+                                     ORDER BY qb DESC) AS cum
+              FROM per) CROSS JOIN b
+    ),
+    kept AS (
+        SELECT d.source, d.nt,
+               CASE WHEN s.keep_rate >= 1e0 THEN TRUE
+                    WHEN s.keep_rate <= 0e0 THEN FALSE
+                    ELSE {_TBUDGET_U01} < s.keep_rate END AS keep,
+               CASE WHEN s.keep_rate > 0e0 AND s.keep_rate < 1e0
+                    THEN s.qb END AS bqb
+        FROM docs d JOIN status s ON d.source = s.source AND d.qb = s.qb
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.nt) AS BIGINT) AS src_tokens,
+           b.budget AS budget_tokens,
+           CAST(coalesce(min(k.bqb), -1) AS BIGINT) AS boundary_qb,
+           CAST(count(*) FILTER (WHERE k.keep) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(k.nt) FILTER (WHERE k.keep), 0)
+                AS BIGINT) AS selected_tokens,
+           round(coalesce(sum(k.nt) FILTER (WHERE k.keep), 0)
+                 / (1e0 * b.budget), 6) AS budget_fill
+    FROM kept k CROSS JOIN b
+    GROUP BY k.source, b.budget
+    """,
+)
+def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy corpus selection under a per-source token budget —
+    the curation pass that answers "take the best documents from every
+    source until each source's token budget is spent" (budget here:
+    half the uniform share, so it binds). The 100 TB-honest design
+    point: greedy-by-quality is NOT implemented as a per-source sort +
+    running sum over raw documents (a per-source row-level window means
+    one reducer sorts an entire source — the largest source IS the
+    corpus at 100 TB). Instead quality is bucketed into 101 integer
+    levels (alpha-character percent), the budget line is found on the
+    |sources|x101 bucket rollup, and the boundary bucket is taken
+    fractionally via the md5-uniform keep rule — the same
+    repartition/retry-stable rule deterministic_sample uses, so the
+    selection is reproducible bit-for-bit and executable as a per-row
+    predicate at scan speed.
+
+    Scale shape: one corpus scan -> map-combined (source, qb) rollup
+    (tiny); per-source cumsum window over that TINY bucket table; the
+    per-doc keep decision joins docs to the broadcast bucket-status
+    table and re-aggregates — no row-level sort, no driver state.
+    Exactness: integer token sums; keep_rate = exact-int subtraction /
+    double division (single IEEE op, identical cross-engine); u01 via
+    the nibble-sum hex replica over 2^32 (exact doubles)."""
+    from vector_io_spark.operators.sampling import hash_uniform
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("nt"),
+        F.least(
+            F.lit(100),
+            F.expr(
+                "(length(regexp_replace(text, '[^a-zA-Z]', '')) * 100)"
+                " div greatest(length(text), 1)"
+            ),
+        )
+        .cast("long")
+        .alias("qb"),
+    )
+    per = docs.groupBy("source", "qb").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("nt").cast("long").alias("ntok"),
+    )
+    tot = per.agg(
+        F.sum("ntok").cast("long").alias("total"),
+        F.countDistinct("source").cast("long").alias("ns"),
+    )
+    b = tot.select(F.expr("total div (2 * ns)").cast("long").alias("budget"))
+    w = Window.partitionBy("source").orderBy(F.col("qb").desc())
+    status = (
+        per.withColumn("cum", F.sum("ntok").over(w))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            "qb",
+            F.when(F.col("cum") <= F.col("budget"), F.lit(1.0))
+            .when(
+                F.col("cum") - F.col("ntok") < F.col("budget"),
+                (F.col("budget") - (F.col("cum") - F.col("ntok"))).cast(
+                    "double"
+                )
+                / F.col("ntok").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_rate"),
+        )
+    )
+    kept = docs.join(F.broadcast(status), ["source", "qb"]).select(
+        "source",
+        "nt",
+        F.when(F.col("keep_rate") >= 1.0, F.lit(True))
+        .when(F.col("keep_rate") <= 0.0, F.lit(False))
+        .otherwise(hash_uniform(F.col("doc_id"), "tbudget") < F.col("keep_rate"))
+        .alias("keep"),
+        F.when(
+            (F.col("keep_rate") > 0.0) & (F.col("keep_rate") < 1.0),
+            F.col("qb"),
+        ).alias("bqb"),
+    )
+    return (
+        kept.crossJoin(F.broadcast(b))
+        .groupBy("source", "budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("src_tokens"),
+            F.coalesce(F.min("bqb"), F.lit(-1)).cast("long").alias("boundary_qb"),
+            F.count(F.when(F.col("keep"), True)).cast("long").alias("n_selected"),
+            F.coalesce(F.sum(F.when(F.col("keep"), F.col("nt"))), F.lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.col("budget").alias("budget_tokens"),
+            "boundary_qb",
+            "n_selected",
+            "selected_tokens",
+            F.round(
+                F.col("selected_tokens") / (F.lit(1.0) * F.col("budget")), 6
+            ).alias("budget_fill"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry ordering: the external driver's correctness gate samples the
 # FIRST 50 queries in registry order. Registration order is historical
