@@ -688,3 +688,118 @@ def test_streaming_neardup_ingest_probes_and_grows_index(spark, tmp_path):
     idx = spark.read.parquet(index_root)
     assert idx.count() == 8
     assert {r["ingest_batch"] for r in idx.select("ingest_batch").distinct().collect()} == {-1, 0, 1}
+
+
+def test_compact_neardup_index_preserves_probes_and_collapses_files(
+    spark, tmp_path
+):
+    """Round-6: folding batch partitions into the resident partition
+    must not change what a later batch's probe sees (content is
+    deterministic, dedup on id makes refolding idempotent), while the
+    partition count collapses; keep_latest leaves the newest batch
+    unfolded (the only possibly-uncommitted one under a live
+    checkpoint)."""
+    from vector_io_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+    )
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    seed = spark.createDataFrame(
+        [
+            doc(1, "the quick brown fox jumps over the lazy dog today"),
+            doc(2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "sig_index")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(seed, index_root, "doc_id", "text")
+
+    def run(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_neardup_ingest(
+            stream, index_root, pairs_root, ckpt, "doc_id", "text",
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run([doc(101, "the quick brown fox jumps over the lazy dog today"),
+         doc(102, "a completely different document about spark engines")])
+    run([doc(201, "pack my box with five dozen liquor jugs right now"),
+         doc(202, "nothing like any other text in this tiny corpus here")])
+    run([doc(301, "a completely different document about spark engines")])
+
+    def probe(new_rows):
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        from pyspark.sql import functions as F
+
+        sigs = spark.read.parquet(index_root).drop("ingest_batch")
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_incremental_pairs(
+                None, new, "doc_id", "text", threshold=0.9, old_sigs=sigs
+            ).collect()
+        )
+
+    next_batch = [
+        doc(401, "the quick brown fox jumps over the lazy dog today"),
+        doc(402, "a completely different document about spark engines"),
+    ]
+    before = probe(next_batch)
+    assert (1, 401) in before and (102, 402) in before
+
+    stats = compact_neardup_index(spark, index_root, "doc_id")
+    # batches 0 and 1 folded; batch 2 (latest) kept for replay safety
+    assert stats["folded_batches"] == 2
+    assert stats["partitions_after"] == 2  # -1 and the latest batch
+    parts = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(index_root)
+        .select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-1, 2}
+    assert probe(next_batch) == before
+
+    # idempotent + keep_latest=False folds everything after shutdown;
+    # a replayed already-folded batch partition dedups away on doc_id
+    spark.createDataFrame(
+        [doc(201, "pack my box with five dozen liquor jugs right now"),
+         doc(202, "nothing like any other text in this tiny corpus here")],
+        "doc_id long, text string",
+    )
+    from vector_io_spark.operators.dedup import minhash_signatures
+
+    minhash_signatures(
+        spark.createDataFrame(
+            [doc(201, "pack my box with five dozen liquor jugs right now"),
+             doc(202, "nothing like any other text in this tiny corpus here")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", 16, 3,
+    ).write.mode("overwrite").parquet(f"{index_root}/ingest_batch=1")
+    stats2 = compact_neardup_index(
+        spark, index_root, "doc_id", keep_latest=False
+    )
+    assert stats2["partitions_after"] == 1
+    idx = spark.read.parquet(index_root)
+    # 2 seed + 2 + 2 + 1 ingested docs, replayed partition deduped away
+    assert idx.count() == idx.select("doc_id").distinct().count() == 7
+    assert probe(next_batch) == before
+
+    # nothing left to fold: a rerun is a no-op
+    stats3 = compact_neardup_index(spark, index_root, "doc_id")
+    assert stats3["folded_batches"] == 0

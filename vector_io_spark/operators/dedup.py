@@ -357,7 +357,19 @@ def _cap_buckets(
     anti-joined out — broadcast when few (no shuffle of the banded
     frame at all), shuffle fallback past ``HOT_BUCKET_BROADCAST_MAX``.
     Replaces the round-4 two-pass form (occupancy aggregate + window
-    re-count), which paid two full shuffles of the banded frame."""
+    re-count), which paid two full shuffles of the banded frame.
+
+    Storage hygiene (round 6): the checkpointed sizes frame is released
+    before returning on EVERY path, so repeat callers (the incremental
+    operators run this twice per invocation; the streaming ingest once
+    per micro-batch) accumulate nothing in executor storage. That means
+    the returned (lazy) plan may not reference ``sizes``: the common
+    no-hot-bucket path returns ``banded`` untouched; the broadcast path
+    collects the over-cap keys (bounded by ``HOT_BUCKET_BROADCAST_MAX``)
+    into a driver-local frame; only the pathological >100k-hot-buckets
+    fallback re-derives the bucket sizes from ``banded`` inside the
+    returned plan (one extra shuffle of the banded frame, in the one
+    case where hot-bucket volume is itself corpus-scale)."""
     if max_bucket_size is None:
         return banded
     sizes = (
@@ -365,23 +377,44 @@ def _cap_buckets(
         .agg(F.count("*").alias("__bucket_n"))
         .localCheckpoint(eager=True)
     )
-    if max_bucket_size == "auto":
-        row = sizes.agg(
-            F.count("*").alias("__buckets"),
-            F.sum("__bucket_n").alias("__rows"),
-        ).collect()[0]
-        max_bucket_size = _auto_cap_from_totals(
-            row["__buckets"], row["__rows"] or 0
+    try:
+        if max_bucket_size == "auto":
+            row = sizes.agg(
+                F.count("*").alias("__buckets"),
+                F.sum("__bucket_n").alias("__rows"),
+            ).collect()[0]
+            max_bucket_size = _auto_cap_from_totals(
+                row["__buckets"], row["__rows"] or 0
+            )
+        hot = sizes.where(F.col("__bucket_n") > max_bucket_size).select(
+            "band_id", "band_key"
         )
-    hot = sizes.where(F.col("__bucket_n") > max_bucket_size).select(
-        "band_id", "band_key"
-    )
-    n_hot = hot.count()
-    if n_hot == 0:
-        return banded
-    if n_hot <= HOT_BUCKET_BROADCAST_MAX:
-        hot = F.broadcast(hot)
-    return banded.join(hot, ["band_id", "band_key"], "left_anti")
+        n_hot = hot.count()
+        if n_hot == 0:
+            return banded
+        if n_hot <= HOT_BUCKET_BROADCAST_MAX:
+            # materialize the (bounded) hot-key set driver-side so the
+            # returned plan carries no reference to the checkpointed
+            # sizes frame — it can then be released immediately
+            spark = banded.sparkSession
+            hot_local = F.broadcast(
+                spark.createDataFrame(hot.collect(), schema=hot.schema)
+            )
+            return banded.join(
+                hot_local, ["band_id", "band_key"], "left_anti"
+            )
+        # pathological: corpus-scale hot-bucket volume — rebuild the
+        # over-cap set from banded's own lineage (second shuffle of
+        # banded at execution time) rather than pinning sizes' blocks
+        hot_lazy = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("__bucket_n"))
+            .where(F.col("__bucket_n") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        return banded.join(hot_lazy, ["band_id", "band_key"], "left_anti")
+    finally:
+        sizes.unpersist()
 
 
 def minhash_bucket_occupancy(

@@ -53,7 +53,11 @@ def streaming_dedup_by_key(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            for _ in pdfs:  # drain — all rows for this key are dups
+            # Not an error swallow: applyInPandasWithState requires the
+            # batch iterator to be fully consumed before returning, and
+            # every row here IS a duplicate by the state check — drain
+            # and emit nothing.
+            for _ in pdfs:
                 pass
             return
         best: pd.DataFrame | None = None
