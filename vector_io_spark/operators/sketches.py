@@ -68,12 +68,7 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
     """One-row DataFrame (n_registers, estimate, exact_distinct,
     rel_err) — estimate and exact side by side so callers (and the
     oracle) can audit the sketch against truth."""
-    bucket, rho = bucket_rho(key_col)
-    regs = (
-        df.select(bucket.alias("b"), rho.alias("rho"))
-        .groupBy("b")
-        .agg(F.max("rho").alias("mj"))
-    )
+    regs = hll_registers(df, key_col)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
         F.count("*").alias("nb"),
@@ -348,8 +343,11 @@ def bottomk_jaccard(
     retry/partition/engine stable, SQL-replayable), MERGEABLE (each
     side's signature is a min-k semigroup — per-shard signatures union
     and re-truncate losslessly, so cross-dataset overlap checks never
-    rescan a resident corpus), and the standard error is the bottom-k
-    O(1/sqrt(k)) bound.
+    rescan a resident corpus: persist with :func:`write_kmv_sketch` /
+    :func:`write_kmv_sketch_catalog` and compare saved signatures via
+    :func:`bottomk_jaccard_from_sketches` /
+    :func:`kmv_pairwise_jaccard`), and the standard error is the
+    bottom-k O(1/sqrt(k)) bound.
 
     Output: one row (k_used, jaccard_est). Scale shape: one scan per
     side (map-combined distinct), WindowGroupLimit-rescued global
@@ -358,8 +356,29 @@ def bottomk_jaccard(
     """
     sa = _bottomk_hashes(a, key_col, k, salt)
     sb = _bottomk_hashes(b, key_col, k, salt)
+    return bottomk_jaccard_from_sketches(sa, sb, k)
+
+
+def bottomk_jaccard_from_sketches(
+    sa: DataFrame, sb: DataFrame, k: int = 1024
+) -> DataFrame:
+    """The KMV estimate from two PERSISTED signatures (``__qh`` frames
+    from :func:`write_kmv_sketch` — or any union of per-shard
+    signatures; the min-k semigroup means loading several shards' saved
+    sketches of the same corpus and passing their union here is exactly
+    the sketch of the whole corpus). This is the from-catalog path a
+    100 TB curation run uses: both legs are ≤k-row parquet reads, the
+    corpora themselves are never rescanned. Identical math (and
+    pytest-pinned identical output) to :func:`bottomk_jaccard`.
+
+    Either sketch may have been built with a LARGER k than requested:
+    membership checks against a superset signature are exact because
+    every hash in the truncated union is ≤ the k-th smallest of each
+    side, so set membership ⇔ signature membership."""
     from pyspark.sql import Window
 
+    sa = sa.select("__qh")
+    sb = sb.select("__qh")
     w = Window.orderBy(F.col("__qh").asc())
     su = (
         sa.unionByName(sb)
@@ -374,8 +393,165 @@ def bottomk_jaccard(
         .crossJoin(inter.agg(F.count("*").alias("__ni")))
         .select(
             "k_used",
-            F.round(F.col("__ni").cast("double") / F.col("k_used"), 6).alias(
-                "jaccard_est"
-            ),
+            # Jaccard of two empty sets is undefined: NULL, not NaN
+            F.when(
+                F.col("k_used") > 0,
+                F.round(
+                    F.col("__ni").cast("double") / F.col("k_used"), 6
+                ),
+            ).alias("jaccard_est"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted mergeable sketch catalog (round 6)
+# ---------------------------------------------------------------------------
+# The sketches above are mergeable by construction (min-k semigroup /
+# register max); these writers make that a reusable catalog: pay one scan
+# per corpus, persist a k-row (or 256-row) signature, and answer every
+# later cross-dataset question from the signatures alone.
+
+
+def write_kmv_sketch(
+    df: DataFrame, path: str, key_col: str, k: int = 1024, salt: str = "qsk"
+) -> None:
+    """Persist the KMV bottom-k signature of ``df``'s key set as a
+    single-file parquet (a ``__qh`` column, ≤k rows). One scan now;
+    every later :func:`bottomk_jaccard_from_sketches` comparison reads
+    k rows instead of the corpus. ``coalesce(1)`` is safe: at most k
+    rows survive the WindowGroupLimit-rescued truncation."""
+    _bottomk_hashes(df, key_col, k, salt).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def write_kmv_sketch_catalog(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    group_col: str,
+    k: int = 1024,
+    salt: str = "qsk",
+) -> None:
+    """Persist one KMV signature PER GROUP (per source / shard / day) as
+    a Hive-partitioned parquet catalog — the cross-dataset curation
+    primitive: every pairwise overlap among N corpora is answered from
+    N×k saved rows (:func:`kmv_pairwise_jaccard`), never by rescanning
+    corpora. One scan builds all signatures: the per-group bottom-k is
+    a rank<=k filter on a ``partitionBy(group)`` window, so
+    WindowGroupLimit truncates map-side and ~k rows per (group,
+    partition) reach the shuffle."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("__g").orderBy(F.col("__qh").asc())
+    sk = (
+        df.select(F.col(group_col).alias("__g"), h.alias("__qh"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("__g", group_col)
+    )
+    sk.write.mode("overwrite").partitionBy(group_col).parquet(path)
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame, group_col: str, k: int = 1024
+) -> DataFrame:
+    """All pairwise Jaccard estimates among the groups of a persisted
+    sketch catalog (:func:`write_kmv_sketch_catalog`): for each group
+    pair (a < b), the KMV estimate over the merged-then-retruncated
+    union of the two saved signatures — identical math to
+    :func:`bottomk_jaccard` on the raw key sets (pytest-pinned).
+
+    Output: (``group_a``, ``group_b``, k_used, jaccard_est), one row
+    per unordered pair. Scale shape: the group list is
+    catalog-sized (broadcast both sides of the pair grid — a
+    BroadcastNestedLoopJoin over |groups| rows, never a shuffle
+    cartesian); signature membership expands to ≤ |pairs|·2k rows; the
+    per-pair truncation window partitions by (pair), each partition
+    ≤2k rows. Nothing corpus-sized exists anywhere in the plan —
+    the corpora were only scanned once, at catalog-write time."""
+    from pyspark.sql import Window
+
+    sk = sketches.select(F.col(group_col).alias("__g"), "__qh")
+    groups = sk.select("__g").distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("__g").alias("group_b"))))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    memb_a = pairs.join(sk, F.col("group_a") == F.col("__g")).select(
+        "group_a", "group_b", "__qh",
+        F.lit(1).alias("__fa"), F.lit(0).alias("__fb"),
+    )
+    memb_b = pairs.join(sk, F.col("group_b") == F.col("__g")).select(
+        "group_a", "group_b", "__qh",
+        F.lit(0).alias("__fa"), F.lit(1).alias("__fb"),
+    )
+    memb = (
+        memb_a.unionByName(memb_b)
+        .groupBy("group_a", "group_b", "__qh")
+        .agg(F.max("__fa").alias("__fa"), F.max("__fb").alias("__fb"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy(F.col("__qh").asc())
+    trunc = (
+        memb.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    return (
+        trunc.groupBy("group_a", "group_b")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum(F.col("__fa") * F.col("__fb")).alias("__ni"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "k_used",
+            F.round(
+                F.col("__ni").cast("double") / F.col("k_used"), 6
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """The (b, mj) HLL register table for ``df``'s key set — the
+    persistable/mergeable half of :func:`hll_estimate` (≤256 rows)."""
+    bucket, rho = bucket_rho(key_col)
+    return (
+        df.select(bucket.alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def write_hll_registers(df: DataFrame, path: str, key_col: str) -> None:
+    """Persist the HLL registers of ``df``'s key set (≤256-row parquet).
+    Saved register tables from any number of corpora/shards/days union
+    losslessly (register max), so distinct-count questions over any
+    combination of saved corpora read back register rows only."""
+    hll_registers(df, key_col).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Estimate distinct count from (possibly unioned) saved register
+    tables: bucket-wise max merge, then the shared harmonic estimate —
+    identical to sketching the union of the underlying corpora
+    directly (register-max mergeability, pytest-pinned). One row
+    (n_registers, estimate); input is register-table-sized, nothing
+    else is read."""
+    merged = regs.groupBy("b").agg(F.max("mj").alias("mj"))
+    agg = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    return agg.select(
+        F.col("nb").cast("long").alias("n_registers"),
+        F.round(estimate_expr(), 4).alias("estimate"),
     )

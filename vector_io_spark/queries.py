@@ -13,6 +13,7 @@ even MinHash/SimHash/LSH verifiable against the SQL oracle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -9760,6 +9761,153 @@ def set_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_catalog_overlap",
+    f"""
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source, unnest(list_distinct({_SHINGLES3})) AS shingle
+            FROM documents
+        )
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh
+           GROUP BY source),
+    iv AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(count(*) AS BIGINT) AS ni
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY 1, 2),
+    sk AS (SELECT source, h FROM (
+             SELECT source, md5('qsk|' || shingle) AS h,
+                    row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5('qsk|' || shingle)) AS rn
+             FROM sh) WHERE rn <= 256),
+    gs AS (SELECT DISTINCT source FROM sh),
+    pr AS (SELECT a.source AS source_a, b.source AS source_b
+           FROM gs a JOIN gs b ON a.source < b.source),
+    mb AS (SELECT p.source_a, p.source_b, s.h,
+                  max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END)
+                      AS fa,
+                  max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END)
+                      AS fb
+           FROM pr p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+           GROUP BY 1, 2, 3),
+    tr AS (SELECT source_a, source_b, fa, fb FROM (
+             SELECT source_a, source_b, fa, fb,
+                    row_number() OVER (PARTITION BY source_a, source_b
+                                       ORDER BY h) AS rn
+             FROM mb) WHERE rn <= 256),
+    est AS (SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   round(CAST(sum(fa * fb) AS DOUBLE) / count(*), 6)
+                       AS jaccard_est
+            FROM tr GROUP BY 1, 2)
+    SELECT e.source_a, e.source_b, e.k_used, e.jaccard_est,
+           round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(i.ni, 0)), 6) AS jaccard_exact,
+           round(abs(e.jaccard_est
+                 - round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                         / (za.n + zb.n - COALESCE(i.ni, 0)), 6)), 6)
+               AS abs_err
+    FROM est e
+    LEFT JOIN iv i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    JOIN sz za ON za.source = e.source_a
+    JOIN sz zb ON zb.source = e.source_b
+    """,
+)
+def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-sketch cross-dataset overlap — the catalog form of
+    set_overlap_customers: one pass over the documents table writes a
+    per-source KMV signature catalog
+    (operators/sketches.py::write_kmv_sketch_catalog, k=256 over the
+    3-word-shingle sets), then EVERY pairwise source-overlap estimate
+    (all 190 pairs at 20 sources) is computed from the saved k-row
+    signatures alone (kmv_pairwise_jaccard) — the corpora are never
+    rescanned per comparison, closing the loop on the sketch family's
+    mergeability pitch. The exact per-pair shingle Jaccard rides along
+    as the audit leg (inter/union via one shingle-key self-join —
+    verification-only; a production catalog run drops it).
+
+    Scale shape: catalog write = one scan + a WindowGroupLimit-rescued
+    per-source rank<=k; pairwise math = |pairs|·2k-row frames (the pair
+    grid is a broadcast nested-loop over the catalog's source list,
+    never a shuffle cartesian); audit leg = one map-combined groupBy +
+    one equality self-join on shingle whose per-key group is bounded by
+    |sources|. Engine-exact: md5 KMV hashes, deterministic truncation,
+    integer flag arithmetic (see memory: engine-exactness)."""
+    import hashlib
+    import tempfile
+
+    from vector_io_spark.functions.text import word_shingles_from_tokens
+    from vector_io_spark.operators.sketches import (
+        kmv_pairwise_jaccard,
+        write_kmv_sketch_catalog,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    word_shingles_from_tokens(tokens("text"), 3)
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .persist()
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"vios_sketch_catalog_{tag}"
+    )
+    write_kmv_sketch_catalog(sh, path, "shingle", "source", k=256)
+    catalog = spark.read.parquet(path)
+    est = (
+        kmv_pairwise_jaccard(catalog, "source", k=256)
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("__ni"))
+    )
+    za = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("__na")
+    )
+    zb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("__nb")
+    )
+    ni = F.coalesce(F.col("__ni"), F.lit(0)).cast("double")
+    exact = F.round(
+        ni / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__ni"), F.lit(0))),
+        6,
+    )
+    out = (
+        est.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            "jaccard_est",
+            exact.alias("jaccard_exact"),
+            F.round(F.abs(F.col("jaccard_est") - exact), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+    return _finalize_release(out, sh)
+
+
 _TBUDGET_U01 = _hex8_num_sql(
     "substr(md5(CAST(doc_id AS VARCHAR) || '|tbudget'), 1, 8)"
 ) + " / 4294967296e0"
@@ -9939,42 +10087,54 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry is unchanged, only iteration order moves.
 # ===========================================================================
 
-_GATE_PREFIX = [
-    # relational core / TPC-H shapes
-    "q1_pricing_summary", "order_priority_by_region",
-    "top_orders_per_customer", "profit_by_nation_year",
-    "suppliers_kept_waiting", "id_range_filter", "semi_join_id_list",
-    "anti_join_missing_ids",
-    # VDF dataset ops
-    "vectors_metadata_outer_join", "dedup_by_id_last_wins",
-    "consolidate_union_by_name", "count_tables",
-    # scalar functions
-    "sanitize_nan_inf", "parse_json_metadata", "compliant_names",
-    # vectors / ANN / decomposition (pca_whiten_project + the embedding
-    # incremental path joined the prefix in round 5 when they became
-    # hash-exact — previously unrepresentable families)
-    "vector_range_stats", "ann_topk_bruteforce", "ann_topk_hamming_packed",
-    "ann_topk_pq_exact", "ann_topk_ivf_exact",
-    "embedding_cosine_neardup", "pca_whiten_project",
-    "incremental_embedding_neardup",
-    # dedup family
-    "dedup_exact_content", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_quality_survivors", "incremental_neardup",
-    "dup_passage_coverage", "bucket_occupancy_report",
-    "cross_source_duplication",
-    # text / corpus
-    "text_quality", "language_id", "zipf_slope",
-    "dsir_importance_weights",
-    # events / BI / sketches
-    "sessionization", "funnel_signup_purchase", "conversion_attribution",
-    "rfm_segments", "customer_revenue_percentiles",
-    "quantile_sketch_order_totals",
-    # graph / ML / sketches
-    "supplier_pagerank", "copurchase_triangles", "association_rules",
-    "bpe_merge_table", "quality_classifier_weights", "hll_distinct_users",
-    # composite pipelines
-    "training_data_pipeline", "reembed_hash_embedding",
+# Round 6: the 50-entry driver gate becomes PILLARS + ROTATION — ~15
+# cross-family pillars stay fixed every round (regression tripwire for
+# the flagship operator of each family), while the other ~35 slots
+# rotate each round through the ~150 registered-but-never-driver-gated
+# queries, so over a few rounds every query gets a driver-side
+# correctness row (VERDICT r5 "Next round" #4). Every rotated-out name
+# stays registered and oracle-paired — tests/oracle_check.py still
+# walks all of them; only the driver's 50-query sample moves.
+
+_GATE_PILLARS = [
+    "q1_pricing_summary",            # relational core
+    "top_orders_per_customer",       # windows / top-k per group
+    "vectors_metadata_outer_join",   # VDF dataset core
+    "sanitize_nan_inf",              # scalar functions
+    "ann_topk_bruteforce",           # ANN kernel
+    "ann_topk_pq_exact",             # fixed-point PQ exact twin
+    "dedup_minhash_lsh",             # near-dup banding
+    "incremental_neardup",           # asymmetric incremental dedup
+    "dup_passage_coverage",          # passage/substring dedup
+    "cross_source_duplication",      # count-based duplication matrix
+    "text_quality",                  # text analysis
+    "sessionization",                # events / sessions
+    "supplier_pagerank",             # iterative graph
+    "bpe_merge_table",               # distributed BPE
+    "training_data_pipeline",        # composite pipeline
 ]
+
+# Rotation r6: families the r5 gate never sampled (asof/range joins,
+# BI rollups, transition matrices, retrieval fusion, sparse vectors,
+# CMS/HLL-merge sketches, sampling splits) plus the round's new surface.
+_GATE_ROTATION = [
+    "asof_join_events", "range_join_events", "key_union_join",
+    "nation_trade_volume", "market_share_by_year",
+    "late_shipment_by_priority", "customer_order_distribution",
+    "top_supplier_by_revenue", "min_price_supplier_per_part",
+    "returned_item_report",
+    "session_stats", "events_rollup", "event_transition_matrix",
+    "cohort_retention_weekly", "wau_stickiness", "ab_test_report",
+    "token_counts", "tfidf_top_terms", "redact_pii", "repetition_stats",
+    "decontaminate_eval_overlap", "bigram_lm_score", "pmi_collocations",
+    "ann_topk_euclid", "ann_topk_dot", "sparse_dot_topk",
+    "cascade_hamming_cosine", "knn_graph_batch", "mmr_diversified_topk",
+    "embedding_covariance", "semdedup_keep",
+    "cms_heavy_hitters", "hll_merge_by_event_type",
+    "set_overlap_customers", "sketch_catalog_overlap",
+]
+
+_GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
 
 
 def _reorder_registry() -> None:
