@@ -154,3 +154,36 @@ def test_power_pca_exact_agrees_with_eigh_on_separated_spectrum(spark):
     for c in range(1, k + 1):
         var = proj[f"y{c}"].to_numpy().var()
         assert abs(var - 1.0) < 0.1, (c, var)
+
+
+def test_power_pca_numpy_fast_path_bit_equal_to_python_loop():
+    """Round-6 contract: the int64-numpy matvec/deflation fast path
+    must be BIT-EQUAL to the pure-python reference loop (same integer
+    matvecs, same sequential double norms, same floor(+0.5)
+    requantization) — the property that lets the 'ENGINE-EXACT end to
+    end' banner survive production embedding dims (d=1024 timing in
+    BASELINE.md)."""
+    from vector_io_spark.operators.decomposition import (
+        POWER_C_SCALE,
+        power_pca_exact_components,
+    )
+
+    for d, k, seed in [(16, 4, 3), (96, 6, 11)]:
+        rng = np.random.RandomState(seed)
+        # synthetic PSD covariance with a decaying spectrum, quantized
+        # to POWER_C_SCALE ints exactly as _collect_cov_int would
+        basis, _ = np.linalg.qr(rng.randn(d, d))
+        scales = 1.0 / (1.0 + np.arange(d)) ** 0.7
+        cov = (basis * scales[None, :]) @ basis.T
+        C_int = [
+            [
+                int(np.floor(cov[i, j] * POWER_C_SCALE + 0.5))
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+        fast = power_pca_exact_components(C_int, k=k, iters=12)
+        ref = power_pca_exact_components(
+            C_int, k=k, iters=12, force_python=True
+        )
+        assert fast == ref, (d, k)

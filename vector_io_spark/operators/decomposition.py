@@ -358,25 +358,67 @@ def _power_init(c: int, d: int) -> list[int]:
 
 
 def power_pca_exact_components(
-    cov_int: list[list[int]], k: int, iters: int
+    cov_int: list[list[int]], k: int, iters: int,
+    force_python: bool = False,
 ) -> list[tuple[list[int], int]]:
     """Top-k (eigenvector, eigenvalue) pairs by fixed-point power
     iteration with deflation on an integer covariance matrix (entries
-    in ``POWER_C_SCALE`` units). Pure-python integer/double arithmetic
-    whose every step is SQL-replayable (see module comment). Returns
-    ``[(v, lam)]`` with v entries in ``POWER_V_SCALE`` units and lam in
+    in ``POWER_C_SCALE`` units). Integer/double arithmetic whose every
+    step is SQL-replayable (see module comment). Returns ``[(v, lam)]``
+    with v entries in ``POWER_V_SCALE`` units and lam in
     ``POWER_C_SCALE`` units. Raises on a non-positive eigenvalue (the
     whitening divide needs lam > 0) or a bound overflow — loudly, never
-    silently wrong."""
+    silently wrong.
+
+    The O(d²) steps (matvec, deflation outer product) run as int64
+    numpy whenever the BIGINT-safe bound provably holds for every
+    intermediate (round 6 — pytest-pinned bit-equal to the pure-python
+    loop; makes d=1024 practical, see BASELINE.md). Integer matmul in
+    numpy is exact; the elementwise float steps (÷norm, ×scale,
+    floor(+0.5)) are scalar-IEEE-identical to the python loop. The
+    scalar double accumulations (norm, rayleigh numerator) STAY
+    sequential python loops — their left-to-right order is the
+    engine-exactness contract. ``force_python=True`` pins the
+    reference path (used by the equality test)."""
     import math
 
+    np = None
+    if not force_python:
+        try:
+            import numpy as np
+        except ImportError:  # pragma: no cover - numpy is baked in
+            np = None
+
     d = len(cov_int)
-    C = [row[:] for row in cov_int]
+    if np is not None:
+        C = np.array(cov_int, dtype=np.int64)
+    else:
+        C = [row[:] for row in cov_int]
     out: list[tuple[list[int], int]] = []
     for c in range(k):
         v = _power_init(c, d)
         for _ in range(iters + 1):  # last pass computes w for lambda
-            w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+            if np is not None:
+                max_c = int(np.abs(C).max())
+                max_v = max(abs(x) for x in v)
+                if d * max_c * max_v < 2 ** 62:
+                    # every partial sum bounded by Σ|terms| ≤ d·C·V
+                    w = [
+                        int(x)
+                        for x in C @ np.array(v, dtype=np.int64)
+                    ]
+                else:
+                    # can't prove int64 safety — exact big-int fallback
+                    # (the post-hoc guard below keeps raise semantics)
+                    w = [
+                        sum(int(C[i][j]) * v[j] for j in range(d))
+                        for i in range(d)
+                    ]
+            else:
+                w = [
+                    sum(C[i][j] * v[j] for j in range(d))
+                    for i in range(d)
+                ]
             if max(abs(x) for x in w) >= 2 ** 62:
                 raise OverflowError(
                     "power_pca_exact: matvec exceeds the BIGINT-safe "
@@ -411,15 +453,28 @@ def power_pca_exact_components(
         out.append((v, lam))
         # deflation: C -= round(lam * v v^T / V_SCALE^2), BIGINT-safe
         vs2 = POWER_V_SCALE * POWER_V_SCALE
-        for i in range(d):
-            for j in range(d):
-                p = lam * v[i] * v[j]
-                if abs(p) >= 2 ** 62:
-                    raise OverflowError(
-                        "power_pca_exact: deflation product exceeds the "
-                        "BIGINT-safe bound — rescale the input"
-                    )
-                C[i][j] -= math.floor(float(p) / vs2 + 0.5)
+        max_v = max(abs(x) for x in v)
+        if abs(lam) * max_v * max_v >= 2 ** 62:
+            # the maximal product IS attained at (argmax, argmax) — the
+            # python loop would raise on it, so raise identically here
+            raise OverflowError(
+                "power_pca_exact: deflation product exceeds the "
+                "BIGINT-safe bound — rescale the input"
+            )
+        if np is not None:
+            va = np.array(v, dtype=np.int64)
+            p_mat = lam * np.outer(va, va)  # int64-safe: bound above
+            # float(p)/vs2 then floor(+0.5): int64→float64 conversion
+            # is round-to-nearest in numpy and python alike (exact
+            # cross-engine past 2^53 — see memory: engine-exactness)
+            C = C - np.floor(
+                p_mat.astype(np.float64) / vs2 + 0.5
+            ).astype(np.int64)
+        else:
+            for i in range(d):
+                for j in range(d):
+                    p = lam * v[i] * v[j]
+                    C[i][j] -= math.floor(float(p) / vs2 + 0.5)
     return out
 
 
