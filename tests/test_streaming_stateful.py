@@ -803,3 +803,70 @@ def test_compact_neardup_index_preserves_probes_and_collapses_files(
     # nothing left to fold: a rerun is a no-op
     stats3 = compact_neardup_index(spark, index_root, "doc_id")
     assert stats3["folded_batches"] == 0
+
+
+def test_streaming_embedding_neardup_ingest_probes_and_grows(spark, tmp_path):
+    """Round-6: the vector-side continuous ingest — each micro-batch
+    probes the persisted hyperplane signature index and id-joins the
+    persisted vectors for exact cosine verification; its own signatures
+    AND vectors become resident for LATER batches (batch 2's duplicate
+    of a batch-1 vector pairs without either being in the seed)."""
+    from vector_io_spark.streaming.incremental import (
+        seed_embedding_neardup_index,
+        streaming_embedding_neardup_ingest,
+    )
+
+    def v(i, vec):
+        return (i, [float(x) for x in vec])
+
+    seed = spark.createDataFrame(
+        [
+            v(1, [1.0, 0.2, 0.0, 0.1]),
+            v(2, [0.0, 1.0, 0.3, 0.0]),
+            v(3, [0.1, 0.0, 1.0, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    index_root = str(tmp_path / "sig_index")
+    vectors_root = str(tmp_path / "vec_store")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_embedding_neardup_index(
+        seed, index_root, vectors_root, "vec_id", "embedding"
+    )
+
+    def run(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_embedding_neardup_ingest(
+            stream, index_root, vectors_root, pairs_root, ckpt,
+            "vec_id", "embedding", threshold=0.98,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: a copy of seed vec 1 + a novel direction
+    run([v(101, [1.0, 0.2, 0.0, 0.1]), v(102, [0.5, 0.5, 0.5, 0.5])])
+    # batch 2: a copy of the BATCH-1 novel vector + a copy of seed 2
+    run([v(201, [0.5, 0.5, 0.5, 0.5]), v(202, [0.0, 1.0, 0.3, 0.0])])
+
+    rows = spark.read.parquet(pairs_root).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 101) in got          # batch1 vs seed
+    assert (102, 201) in got        # batch2 vs batch1 — the index grew
+    assert (2, 202) in got          # batch2 vs seed
+    assert all(b >= 101 for a, b in got), got  # never old×old
+    assert all(r["cos_sim"] >= 0.98 for r in rows)
+    # both stores grew one partition per batch on top of the seed
+    for root in (index_root, vectors_root):
+        parts = {
+            r["ingest_batch"]
+            for r in spark.read.parquet(root)
+            .select("ingest_batch").distinct().collect()
+        }
+        assert parts == {-1, 0, 1}, root
+    assert spark.read.parquet(vectors_root).count() == 7
