@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     # round-5 additions (BENCH_r05+ only — totals not comparable back)
     "cross_source_duplication",  # count-based dup matrix (no pair join)
     "pca_whiten_project",    # engine-exact power-iteration PCA + project
+    # round-6 additions (BENCH_r06+ only — totals not comparable back)
+    "sketch_catalog_overlap",  # persisted per-source KMV catalog, 190 pairs
+    "token_budget_selection",  # bucketed boundary math, no row-level sort
 ]
 
 
