@@ -57,3 +57,23 @@ def test_profile_columns_exact_vs_approx(spark, sf_dir):
         assert abs(approx[c]["p50"] - exact[c]["p50"]) <= max(
             1e-6, 0.05 * abs(exact[c]["p50"])
         )
+
+
+def test_auto_num_planes_rule_matches_sql_replica():
+    """The integer plane-count rule must agree with its DuckDB replica
+    everywhere (incl. the bin('0') edge and exact powers of two, the
+    zones where a float-log2 formulation would tie-break differently)."""
+    import duckdb
+
+    from vector_io_spark.operators.semdedup import auto_num_planes
+
+    con = duckdb.connect()
+    for n in [1, 63, 64, 65, 4000, 4096, 8192, 8193, 40000, 400000,
+              2 ** 20, 2 ** 20 + 1, 10 ** 8]:
+        sql = con.execute(
+            f"SELECT greatest(8, length(bin(({n} + 63) // 64 - 1)))"
+        ).fetchone()[0]
+        assert auto_num_planes(n) == sql, n
+    assert auto_num_planes(4000) == 8      # gate scale: unchanged oracle
+    assert auto_num_planes(40_000) == 10   # sf0.1
+    assert auto_num_planes(400_000) == 13  # sf10: 8192 cells, ~49/cell

@@ -40,16 +40,38 @@ from vector_io_spark.functions.vectors import (
 )
 
 
+def auto_num_planes(n_rows: int, target_cell_size: int = 64) -> int:
+    """The SemDeDup plane-count rule as pure INTEGER arithmetic (so an
+    oracle can replay it without float-log tie hazards): enough sign
+    bits that the expected cell population is ≤ ``target_cell_size``,
+    floored at 8. Equals max(8, bit_length(ceil(n/target) - 1)) — the
+    SQL replica is ``greatest(8, length(bin((n + t - 1) // t - 1)))``
+    (the bin('0')-has-length-1 edge lands below the floor, so both
+    forms agree everywhere)."""
+    cells_needed = (n_rows + target_cell_size - 1) // target_cell_size
+    return max(8, (cells_needed - 1).bit_length())
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     in_dims: int = 64,
-    num_planes: int = 8,
+    num_planes: int | str = 8,
     threshold: float = 0.95,
     seed: str = "s",
+    target_cell_size: int = 64,
 ) -> DataFrame:
     """Semantic-dedup decision per row: (id, cell, c2c, keep).
+
+    ``num_planes="auto"`` (round 6) sizes the cell grid from the
+    corpus's own non-null count via :func:`auto_num_planes` — the knob
+    the module docstring prescribes (planes ≈ log2(N / cell_size)),
+    applied automatically so the within-cell quadratic term stays
+    bounded at ANY corpus size instead of exploding when a caller
+    forgets to re-derive it (the fixed-8 sf10 bench median was 444 s on
+    a 400k corpus — ~1.5k-member cells; auto picks 13 planes there).
+    Costs one extra count() scan at build time.
 
     - ``cell``: bit-string of hyperplane sign bits (deterministic
       md5-seeded axes — engine-portable).
@@ -66,6 +88,9 @@ def semdedup(
     embedding space; route them to exact dedup instead — same guard as
     the LSH band paths in operators/dedup.py).
     """
+    if num_planes == "auto":
+        n = corpus.where(F.col(vec_col).isNotNull()).count()
+        num_planes = auto_num_planes(n, target_cell_size)
     proj = random_projection(vec_col, in_dims, num_planes, seed=seed)
     cell = F.array_join(
         F.transform(proj, lambda x: F.when(x > 0, "1").otherwise("0")), ""

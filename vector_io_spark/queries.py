@@ -2464,10 +2464,14 @@ _SEMDEDUP_PROJ_SQL = (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
     ),
+    pl AS (
+        SELECT greatest(8, length(bin((count(*) + 63) // 64 - 1))) AS p
+        FROM corpus WHERE embedding IS NOT NULL
+    ),
     base AS (
         SELECT vec_id, embedding,
-               array_to_string(list_transform(range(0, 8), j ->
-                   CASE WHEN {_SEMDEDUP_PROJ_SQL} > 0
+               array_to_string(list_transform(range(0, (SELECT p FROM pl)),
+                   j -> CASE WHEN {_SEMDEDUP_PROJ_SQL} > 0
                         THEN '1' ELSE '0' END), '') AS cell
         FROM corpus WHERE embedding IS NOT NULL
     ),
@@ -2502,13 +2506,16 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     least similar to its centroid. Every stage — cell bits, centroid
     means, prune decisions — is reproduced exactly by the oracle because
     both engines run the identical sequential-double arithmetic on
-    md5-derived axes."""
+    md5-derived axes. Plane count is AUTO-derived from the corpus size
+    by the shared integer rule (round 6 — the fixed 8-plane grid left
+    ~1.5k-member cells at sf10 and a 444 s within-cell quadratic; both
+    engines replay the same rule, so the pairing holds at every sf)."""
     from vector_io_spark.operators.semdedup import semdedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(dup)
-    return semdedup(corpus, num_planes=8, threshold=0.95, seed="s")
+    return semdedup(corpus, num_planes="auto", threshold=0.95, seed="s")
 
 
 @_register(
