@@ -870,3 +870,76 @@ def test_streaming_embedding_neardup_ingest_probes_and_grows(spark, tmp_path):
         }
         assert parts == {-1, 0, 1}, root
     assert spark.read.parquet(vectors_root).count() == 7
+
+
+def test_compact_embedding_stores_preserves_probes(spark, tmp_path):
+    """compact_neardup_index is generic over any id-deduplicable
+    partitioned store: folding BOTH embedding-side roots (signatures +
+    vectors) must leave the next batch's probe pairs unchanged."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.dedup import (
+        embedding_cosine_incremental_pairs,
+    )
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_embedding_neardup_index,
+        streaming_embedding_neardup_ingest,
+    )
+
+    def v(i, vec):
+        return (i, [float(x) for x in vec])
+
+    seed = spark.createDataFrame(
+        [v(1, [1.0, 0.2, 0.0, 0.1]), v(2, [0.0, 1.0, 0.3, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    index_root = str(tmp_path / "sig")
+    vectors_root = str(tmp_path / "vec")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_embedding_neardup_index(
+        seed, index_root, vectors_root, "vec_id", "embedding"
+    )
+
+    def run(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_embedding_neardup_ingest(
+            stream, index_root, vectors_root, pairs_root, ckpt,
+            "vec_id", "embedding", threshold=0.98,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run([v(101, [1.0, 0.2, 0.0, 0.1]), v(102, [0.5, 0.5, 0.5, 0.5])])
+    run([v(201, [0.5, 0.5, 0.5, 0.5])])
+
+    def probe(rows):
+        new = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        sigs = spark.read.parquet(index_root).drop("ingest_batch")
+        vecs = spark.read.parquet(vectors_root).drop("ingest_batch")
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in embedding_cosine_incremental_pairs(
+                vecs, new, "vec_id", "embedding",
+                threshold=0.98, old_sigs=sigs,
+            ).collect()
+        )
+
+    nxt = [v(301, [0.5, 0.5, 0.5, 0.5]), v(302, [0.0, 1.0, 0.3, 0.0])]
+    before = probe(nxt)
+    assert {(a, b) for a, b, _ in before} >= {(102, 301), (201, 301), (2, 302)}
+    for root in (index_root, vectors_root):
+        stats = compact_neardup_index(
+            spark, root, "vec_id", keep_latest=False
+        )
+        assert stats["partitions_after"] == 1, root
+    assert probe(nxt) == before
+    assert spark.read.parquet(vectors_root).count() == 5

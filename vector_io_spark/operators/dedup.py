@@ -389,16 +389,17 @@ def _cap_buckets(
         hot = sizes.where(F.col("__bucket_n") > max_bucket_size).select(
             "band_id", "band_key"
         )
-        n_hot = hot.count()
+        # one Arrow round-trip doubles as the count and (when small) the
+        # driver-side materialization that frees the checkpointed sizes
+        # frame from the returned plan's lineage
+        hot_pdf = hot.limit(HOT_BUCKET_BROADCAST_MAX + 1).toPandas()
+        n_hot = len(hot_pdf)
         if n_hot == 0:
             return banded
         if n_hot <= HOT_BUCKET_BROADCAST_MAX:
-            # materialize the (bounded) hot-key set driver-side so the
-            # returned plan carries no reference to the checkpointed
-            # sizes frame — it can then be released immediately
             spark = banded.sparkSession
             hot_local = F.broadcast(
-                spark.createDataFrame(hot.collect(), schema=hot.schema)
+                spark.createDataFrame(hot_pdf, schema=hot.schema)
             )
             return banded.join(
                 hot_local, ["band_id", "band_key"], "left_anti"
