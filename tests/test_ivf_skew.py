@@ -592,3 +592,120 @@ def test_knn_graph_batched_equals_single_pass(spark):
             for r in knn_graph(corpus, k=3, batch_size=bs).collect()
         }
         assert got == want, bs
+
+
+def test_ivfpq_index_probe_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Persisted IVF+PQ catalog: probing the written index must return
+    EXACTLY the rows of the ad-hoc ivfpq_topk on the same corpus /
+    params / seed — build, encode, probe, and ADC all run through the
+    shared kernels, and the codebook parquet round-trip is float-exact
+    (array<double> storage)."""
+    from vector_io_spark.operators.similarity import (
+        ivfpq_index_probe_topk,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    params = dict(num_cells=8, num_subspaces=8, codebook_size=16)
+    scratch = ivfpq_topk(
+        emb, queries, k=5, nprobe=3, seed=11, **params
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, seed=11, **params)
+    indexed = ivfpq_index_probe_topk(spark, path, queries, k=5, nprobe=3)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert rows(indexed) == rows(scratch)
+    # plan gate: the codes scan prunes to the probed cell directories
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+def test_ivfpq_index_append_is_probe_visible_no_retrain(spark, sf_dir, tmp_path):
+    """Delta append encodes against the STORED artifacts: appended ids
+    surface in probes (self-match at rank 1 — its own cell is always
+    probed and its own code is its ADC argmin), counts are the union,
+    and the codebooks/centroids files are byte-identical post-append."""
+    import os
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+    cent_mtime = {
+        f: os.path.getmtime(os.path.join(f"{path}/codebooks", f))
+        for f in os.listdir(f"{path}/codebooks")
+    }
+    n_before = spark.read.parquet(f"{path}/cells").count()
+    append_to_ivfpq_index(delta, path)
+    assert (
+        spark.read.parquet(f"{path}/cells").count()
+        == n_before + delta.count()
+        == emb.count()
+    )
+    # append never touches the trained artifacts
+    assert cent_mtime == {
+        f: os.path.getmtime(os.path.join(f"{path}/codebooks", f))
+        for f in os.listdir(f"{path}/codebooks")
+    }
+    queries = delta.where(F.col("vec_id") < 11).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = ivfpq_index_probe_topk(spark, path, queries, k=5, nprobe=4)
+    nq = queries.count()
+    assert got.where(F.col("query_id") == F.col("vec_id")).count() == nq
+
+
+def test_pq_exact_catalog_roundtrip_is_value_exact(spark, sf_dir, tmp_path):
+    """Engine-exact PQ catalog: ranking from the persisted all-BIGINT
+    codes/codebook parquet must equal retraining ad-hoc row for row —
+    the pytest half of the ann_topk_pq_exact_catalog oracle pairing
+    (there DuckDB retrains from scratch to the same ranking)."""
+    from vector_io_spark.operators.pq_exact import (
+        pq_adc_topk,
+        pq_adc_topk_from_index,
+        write_pq_exact_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 6).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    scratch = pq_adc_topk(emb, queries, k=7)
+    path = str(tmp_path / "pq_exact_index")
+    write_pq_exact_index(emb, path)
+    indexed = pq_adc_topk_from_index(spark, path, queries, k=7)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["dist"], r["rk"])
+            for r in df.collect()
+        )
+
+    assert rows(indexed) == rows(scratch)
+    # the persisted artifacts are pure BIGINT (value-exact round-trip)
+    for leaf, cols in (("codes", {"vec_id", "s", "code"}),
+                       ("codebook", {"s", "c", "j", "cq"})):
+        schema = spark.read.parquet(f"{path}/{leaf}").schema
+        assert {f.name for f in schema} == cols, (leaf, schema)
+        assert all(f.dataType.simpleString() == "bigint" for f in schema), (
+            leaf, schema,
+        )

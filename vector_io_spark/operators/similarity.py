@@ -963,133 +963,30 @@ def ivfpq_topk(
 
     Returns (query_id, corpus_id, adc_dist, rank) — approximate L2
     distance ascending; recall < 1 by design (cell misses +
-    quantization), verified by recall tests.
+    quantization), verified by recall tests. Train/encode/probe/score
+    run through the SAME kernels as the persisted-index path
+    (:func:`write_ivfpq_index` / :func:`ivfpq_index_probe_topk`), so
+    ad-hoc and from-catalog results cannot drift.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import (
-        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    cents, cb = _ivfpq_train(
+        corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
+        max_train_rows, sample_fraction, seed,
     )
-
-    sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    train = np.vstack(
-        [r[0] for r in sample.limit(max_train_rows).collect()]
-    ).astype(np.float64)
-    dim = train.shape[1]
-    assert dim % num_subspaces == 0
-    sub = dim // num_subspaces
-
-    cents = _lloyd(train, num_cells, seed)  # (C, dim)
-    resid = train - cents[_sq_dists(train, cents).argmin(axis=1)]
-    cb = np.stack(
-        [
-            _lloyd(resid[:, m * sub : (m + 1) * sub], codebook_size, seed + m)
-            for m in range(num_subspaces)
-        ]
-    )  # (M, K, sub)
-
-    def _encode(vs):
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        cell = _sq_dists(mat, cents).argmin(axis=1)
-        res = mat - cents[cell]
-        codes = np.empty((len(mat), num_subspaces), dtype=np.int32)
-        for m in range(num_subspaces):
-            block = res[:, m * sub : (m + 1) * sub]
-            codes[:, m] = _sq_dists(block, cb[m]).argmin(axis=1)
-        out = pd.DataFrame({"cell": cell.astype("int32")})
-        out["code"] = list(codes)
-        return out
-
-    enc = pandas_udf(
-        _encode,
-        StructType(
-            [
-                StructField("cell", IntegerType()),
-                StructField("code", ArrayType(IntegerType())),
-            ]
-        ),
-    )
+    enc = _ivfpq_encode_udf(cents, cb)
     coded = corpus.select(
         F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc")
-    ).select(corpus_id, F.col("__cc.cell").alias("__cell"), F.col("__cc.code").alias("__code"))
-
-    # small query side (bounded-driver-state guard): probe lists +
-    # per-(query, cell) residual LUTs
-    qrows = _collect_bounded_queries(queries, query_id, query_vec, "ivfpq_topk")
-    qids = [r[0] for r in qrows]
-    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qd2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
-    probes = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
-    luts: dict[tuple, object] = {}
-    for qi, qid_val in enumerate(qids):
-        for cell in probes[qi]:
-            qres = qmat[qi] - cents[cell]
-            lut = np.empty((num_subspaces, codebook_size), dtype=np.float64)
-            for m in range(num_subspaces):
-                qblock = qres[m * sub : (m + 1) * sub]
-                lut[m] = ((cb[m] - qblock[None, :]) ** 2).sum(axis=1)
-            luts[(qid_val, int(cell))] = lut
-
+    ).select(
+        corpus_id,
+        F.col("__cc.cell").alias("__cell"),
+        F.col("__cc.code").alias("__code"),
+    )
+    probe_rows, luts = _ivfpq_query_probes(
+        queries, cents, cb, nprobe, query_id, query_vec, "ivfpq_topk"
+    )
     id_type = coded.schema[corpus_id].dataType
-    probe_rows = [
-        (qids[qi], int(c)) for qi in range(len(qids)) for c in probes[qi]
-    ]
-    spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(
-        probe_rows,
-        StructType(
-            [StructField("query_id", id_type), StructField("__cell", IntegerType())]
-        ),
-    )
+    probe_df = _ivfpq_probe_df(corpus.sparkSession, probe_rows, id_type)
     cand = coded.join(broadcast(probe_df), "__cell")
-
-    def _adc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.vstack(pdf["__code"].to_numpy())  # (B, M)
-            qcol = pdf["query_id"].to_numpy()
-            ccol = pdf["__cell"].to_numpy()
-            dist = np.empty(len(pdf), dtype=np.float64)
-            # group rows by (query, cell) so each group is one vectorized
-            # LUT gather (B_g * M reads)
-            import itertools
-
-            order = np.lexsort((ccol, qcol))
-            for _, idx_iter in itertools.groupby(
-                order, key=lambda i: (qcol[i], ccol[i])
-            ):
-                idx = np.fromiter(idx_iter, dtype=np.int64)
-                lut = luts[(qcol[idx[0]], int(ccol[idx[0]]))]
-                g = codes[idx]  # (B_g, M)
-                dist[idx] = lut[np.arange(num_subspaces)[None, :], g].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    corpus_id: pdf[corpus_id].to_numpy(),
-                    "adc_dist": np.round(dist, 6),
-                }
-            )
-
-    out_schema = StructType(
-        [
-            StructField("query_id", id_type),
-            StructField(corpus_id, id_type),
-            StructField("adc_dist", DoubleType()),
-        ]
-    )
-    scored = cand.mapInPandas(_adc, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("query_id", corpus_id, "adc_dist", "rank")
-    )
+    return _ivfpq_adc_rank(cand, luts, k, num_subspaces, corpus_id, id_type)
 
 
 def mmr_topk(
@@ -1412,6 +1309,337 @@ def append_to_ivf_index(
     (
         new_rows.select(corpus_id, corpus_vec)
         .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF+PQ index — the catalog form of ivfpq_topk. At 100 TB the
+# index build (train + one encode pass + one partitionBy shuffle) runs
+# ONCE; every query batch afterwards reads codebooks (a few KB) plus
+# nprobe/num_cells of the M-byte codes via Hive partition pruning. The
+# ad-hoc ivfpq_topk path and this one share every kernel below, so their
+# results are identical by construction (pinned in
+# tests/test_ivf_skew.py::test_ivfpq_index_probe_matches_from_scratch).
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_train(
+    corpus: DataFrame,
+    corpus_vec: str,
+    num_cells: int,
+    num_subspaces: int,
+    codebook_size: int,
+    max_train_rows: int,
+    sample_fraction: float,
+    seed: int,
+):
+    """Coarse centroids + residual PQ codebooks from a BOUNDED corpus
+    sample (the `ivfpq_topk` trainer, factored out so the ad-hoc and
+    persisted-index builds cannot drift). Driver state is C·dim +
+    M·K·sub floats — a few KB, constant in corpus size; the sample
+    ``limit`` short-circuits the scan, never the corpus."""
+    import numpy as np
+
+    sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = np.vstack(
+        [r[0] for r in sample.limit(max_train_rows).collect()]
+    ).astype(np.float64)
+    dim = train.shape[1]
+    assert dim % num_subspaces == 0
+    sub = dim // num_subspaces
+    cents = _lloyd(train, num_cells, seed)  # (C, dim)
+    resid = train - cents[_sq_dists(train, cents).argmin(axis=1)]
+    cb = np.stack(
+        [
+            _lloyd(resid[:, m * sub : (m + 1) * sub], codebook_size, seed + m)
+            for m in range(num_subspaces)
+        ]
+    )  # (M, K, sub)
+    return cents, cb
+
+
+def _ivfpq_encode_udf(cents, cb):
+    """struct(cell, code) residual-PQ encoder against closure-broadcast
+    artifacts — one shuffle-free Arrow pass. The single encode kernel
+    for the ad-hoc path, the index build, and delta appends."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    num_subspaces, _, sub = cb.shape
+
+    def _encode(vs):
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        cell = _sq_dists(mat, cents).argmin(axis=1)
+        res = mat - cents[cell]
+        codes = np.empty((len(mat), num_subspaces), dtype=np.int32)
+        for m in range(num_subspaces):
+            block = res[:, m * sub : (m + 1) * sub]
+            codes[:, m] = _sq_dists(block, cb[m]).argmin(axis=1)
+        out = pd.DataFrame({"cell": cell.astype("int32")})
+        out["code"] = list(codes)
+        return out
+
+    return pandas_udf(
+        _encode,
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("code", ArrayType(IntegerType())),
+            ]
+        ),
+    )
+
+
+def _ivfpq_query_probes(
+    queries: DataFrame, cents, cb, nprobe: int,
+    query_id: str, query_vec: str, caller: str,
+):
+    """Bounded-collect the query side and precompute, driver-side, each
+    query's ``nprobe`` nearest cells plus the per-(query, cell) residual
+    ADC look-up tables (M × K doubles each; |Q|·nprobe tables total).
+    Returns (probe_rows, luts)."""
+    import numpy as np
+
+    num_subspaces, codebook_size, sub = cb.shape
+    qrows = _collect_bounded_queries(queries, query_id, query_vec, caller)
+    qids = [r[0] for r in qrows]
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qd2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
+    probes = np.argsort(qd2, axis=1)[:, :nprobe]  # (Q, nprobe)
+    luts: dict[tuple, object] = {}
+    for qi, qid_val in enumerate(qids):
+        for cell in probes[qi]:
+            qres = qmat[qi] - cents[cell]
+            lut = np.empty((num_subspaces, codebook_size), dtype=np.float64)
+            for m in range(num_subspaces):
+                qblock = qres[m * sub : (m + 1) * sub]
+                lut[m] = ((cb[m] - qblock[None, :]) ** 2).sum(axis=1)
+            luts[(qid_val, int(cell))] = lut
+    probe_rows = [
+        (qids[qi], int(c)) for qi in range(len(qids)) for c in probes[qi]
+    ]
+    return probe_rows, luts
+
+
+def _ivfpq_probe_df(spark, probe_rows, id_type):
+    """(query_id, __cell) probe list as a broadcastable DataFrame."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("__cell", IntegerType()),
+            ]
+        ),
+    )
+
+
+def _ivfpq_adc_rank(
+    cand: DataFrame, luts, k: int, num_subspaces: int, corpus_id, id_type
+) -> DataFrame:
+    """ADC-score candidate (query, row) pairs from codes — rows grouped
+    by (query, cell) so each group is one vectorized LUT gather — then
+    per-query top-k. Only (query, id, dist) triples reach the ranking
+    exchange."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["__code"].to_numpy())  # (B, M)
+            qcol = pdf["query_id"].to_numpy()
+            ccol = pdf["__cell"].to_numpy()
+            dist = np.empty(len(pdf), dtype=np.float64)
+            order = np.lexsort((ccol, qcol))
+            for _, idx_iter in itertools.groupby(
+                order, key=lambda i: (qcol[i], ccol[i])
+            ):
+                idx = np.fromiter(idx_iter, dtype=np.int64)
+                lut = luts[(qcol[idx[0]], int(ccol[idx[0]]))]
+                g = codes[idx]  # (B_g, M)
+                dist[idx] = lut[np.arange(num_subspaces)[None, :], g].sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    corpus_id: pdf[corpus_id].to_numpy(),
+                    "adc_dist": np.round(dist, 6),
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField(corpus_id, id_type),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+    scored = cand.mapInPandas(_adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "adc_dist", "rank")
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    num_cells: int = 16,
+    num_subspaces: int = 16,
+    codebook_size: int = 64,
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF+PQ index (FAISS IndexIVFPQ shape, reference
+    parity: the reference ships vectors to external ANN services —
+    here the index IS a parquet layout):
+    ``<path>/cells/cell=<i>/…`` holds each cell's (id, residual-PQ
+    code) rows — M small ints per vector, the 32× payload shrink —
+    ``<path>/centroids`` the coarse quantizer and ``<path>/codebooks``
+    the M·K residual codewords. Training and encoding are the exact
+    `ivfpq_topk` kernels; the build pays train + one shuffle-free
+    encode pass + one partitionBy shuffle ONCE, after which every
+    probe batch reads ``nprobe``/num_cells of the codes via
+    directory-level partition pruning and a few KB of artifacts.
+    """
+    cents, cb = _ivfpq_train(
+        corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
+        max_train_rows, sample_fraction, seed,
+    )
+    enc = _ivfpq_encode_udf(cents, cb)
+    (
+        corpus.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
+        .select(
+            corpus_id,
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (int(m), int(c), [float(x) for x in cb[m, c]])
+        for m in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, c int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _load_ivfpq_artifacts(spark, path: str):
+    """(cents, cb) ndarrays from a `write_ivfpq_index` layout. Both are
+    a few KB — codebook loading is driver-side by design."""
+    import numpy as np
+
+    cents = _load_centroid_matrix(spark, path)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = max(r["s"] for r in cb_rows) + 1
+    kk = max(r["c"] for r in cb_rows) + 1
+    sub = len(cb_rows[0]["codeword"])
+    cb = np.zeros((m_sub, kk, sub))
+    for r in cb_rows:
+        cb[r["s"], r["c"]] = r["codeword"]
+    return cents, cb
+
+
+def ivfpq_index_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k ADC probe against a persisted :func:`write_ivfpq_index`
+    layout. Centroids + codebooks (KBs) collect to the driver; each
+    query's ``nprobe`` cells and residual LUTs resolve there; the codes
+    scan reads ONLY the probed ``cell=<i>`` directories —
+    ``.where(cell.isin(...))`` becomes a PartitionFilter, so unprobed
+    cells cost zero I/O — and scoring/ranking are the exact
+    `ivfpq_topk` kernels. No float vector is ever re-read: executors
+    see M-byte codes and LUT lookups only."""
+    cents, cb = _load_ivfpq_artifacts(spark, path)
+    probe_rows, luts = _ivfpq_query_probes(
+        queries, cents, cb, nprobe, query_id, query_vec,
+        "ivfpq_index_probe_topk",
+    )
+    cells = sorted({c for _, c in probe_rows})
+    scan = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(cells))
+        .select(
+            corpus_id,
+            F.col("cell").alias("__cell"),
+            F.col("code").alias("__code"),
+        )
+    )
+    id_type = scan.schema[corpus_id].dataType
+    probe_df = _ivfpq_probe_df(spark, probe_rows, id_type)
+    cand = scan.join(broadcast(probe_df), "__cell")
+    return _ivfpq_adc_rank(cand, luts, k, cb.shape[0], corpus_id, id_type)
+
+
+def append_to_ivfpq_index(
+    new_rows: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental IVF+PQ maintenance: encode a delta batch against the
+    PERSISTED centroids + codebooks (no retrain) and append the codes
+    into the cell-partitioned layout. One shuffle-free Arrow pass over
+    the new rows + one partitionBy write of the delta; probes see old
+    and new rows uniformly, partition pruning intact. Same trade as
+    :func:`append_to_ivf_index`: appended data drifts cell means AND
+    residual distributions, degrading quantization fidelity over time —
+    monitor per-cell counts / ADC error on a held-out sample and
+    rebuild with :func:`write_ivfpq_index` past budget (FAISS
+    add-vs-retrain guidance)."""
+    spark = new_rows.sparkSession
+    cents, cb = _load_ivfpq_artifacts(spark, path)
+    enc = _ivfpq_encode_udf(cents, cb)
+    (
+        new_rows.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
+        .select(
+            corpus_id,
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
+        )
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/cells")

@@ -5521,6 +5521,49 @@ def ann_topk_ivf_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_pq_exact_catalog",
+    __import__(
+        "vector_io_spark.operators.pq_exact", fromlist=["pq_adc_sql"]
+    ).pq_adc_sql(),
+)
+def ann_topk_pq_exact_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-index form of ann_topk_pq_exact: the fixed-point PQ
+    index trains ONCE and is written to parquet (operators/pq_exact.py::
+    write_pq_exact_index — all-BIGINT codes + codebook, value-exact
+    round-trip), then the top-k ranking runs from the saved artifacts
+    alone through the kernel shared with the ad-hoc path. DuckDB
+    retrains from scratch and must land on the identical ranking —
+    proving persistence is invisible to results. This is the catalog
+    query for the 100 TB ANN contract (train once, probe every batch):
+    the ANN twin of sketch_catalog_overlap's persisted-sketch argument,
+    and the oracle-grade twin of the float
+    write_ivfpq_index/ivfpq_index_probe_topk production pair.
+
+    Scale shape: index build = the pq_train shuffles + one parquet
+    write (amortized across probe batches); probe = codebook broadcast
+    (m·K·sub BIGINT rows) + one scan of the code table + map-combined
+    ADC groupBys; nothing corpus-sized reaches the driver."""
+    import hashlib
+    import tempfile
+
+    from vector_io_spark.operators.pq_exact import (
+        pq_adc_topk_from_index,
+        write_pq_exact_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"vios_pq_exact_catalog_{tag}"
+    )
+    write_pq_exact_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk_from_index(spark, path, queries)
+
+
+@_register(
     "bpe_merge_table",
     __import__(
         "vector_io_spark.operators.bpe", fromlist=["bpe_sql"]
