@@ -943,3 +943,140 @@ def test_compact_embedding_stores_preserves_probes(spark, tmp_path):
         assert stats["partitions_after"] == 1, root
     assert probe(nxt) == before
     assert spark.read.parquet(vectors_root).count() == 5
+
+
+def test_streaming_ivfpq_ingest_probe_visible_and_compactable(spark, tmp_path):
+    """Continuous IVF+PQ maintenance: seed trains once; each micro-batch
+    encodes against the STORED artifacts into
+    cells/ingest_batch=<id>/cell=<i>; probes see resident + streamed
+    rows uniformly with cell partition pruning intact; compaction with
+    partition_by=("cell",) folds the batch level while preserving both
+    probe results and the pruned layout."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.similarity import ivfpq_index_probe_topk
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_ivfpq_stream_index,
+        streaming_ivfpq_ingest,
+    )
+
+    def v(i, pattern):
+        base = [0.05 * ((i + j) % 7) for j in range(8)]
+        base[pattern % 8] += 3.0
+        return (i, [float(x) for x in base])
+
+    seed_rows = [v(i, i) for i in range(10)]
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "ivfpq_stream")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_ivfpq_stream_index(
+        seed, root, num_cells=4, num_subspaces=4, codebook_size=4, seed=3
+    )
+
+    def run(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_ivfpq_ingest(stream, root, ckpt)
+        q.awaitTermination(180)
+        q.stop()
+
+    run([v(101, 1), v(102, 5)])
+    run([v(201, 2)])
+
+    cells = spark.read.parquet(f"{root}/cells")
+    assert set(
+        r["ingest_batch"] for r in cells.select("ingest_batch").distinct().collect()
+    ) == {-1, 0, 1}
+    assert cells.count() == 13
+
+    queries = spark.createDataFrame(
+        [v(101, 1), v(201, 2)], "vec_id long, embedding array<double>"
+    ).selectExpr("vec_id as query_id", "embedding")
+    got = ivfpq_index_probe_topk(spark, root, queries, k=3, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    before = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+        for r in got.collect()
+    )
+    # streamed ids self-match (their cell is always probed; own code is
+    # the LUT argmin so nothing beats distance-to-self)
+    assert {(q, q) for q in (101, 201)} <= {(a, b) for a, b, _, _ in before}
+
+    stats = compact_neardup_index(
+        spark, f"{root}/cells", "vec_id", keep_latest=False,
+        partition_by=("cell",),
+    )
+    assert stats["partitions_after"] == 1 and stats["resident_rows"] == 13
+    got2 = ivfpq_index_probe_topk(spark, root, queries, k=3, nprobe=2)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "cell" in plan2, plan2
+    assert sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+        for r in got2.collect()
+    ) == before
+
+
+def test_streaming_cdc_apply_recovers_marker_orphan(spark, tmp_path):
+    """Round-6 ADVICE fix: a crash in the window between the merge's
+    _SUCCESS and the commit-marker write leaves the NEWEST complete
+    version with no marker from ANY stream. That exact state must
+    auto-recover (delete the orphan, rewrite — the merge is
+    deterministic and idempotent), NOT raise the out-of-sync error
+    reserved for marker-present / non-newest mismatches."""
+    import os
+    import shutil
+
+    from vector_io_spark.streaming.incremental import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        streaming_cdc_apply,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    landing = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    init_cdc_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 100.0)], "id long, name string, bal double"
+        ),
+        snap,
+    )
+
+    def _run(batch_rows):
+        spark.createDataFrame(
+            batch_rows, "id long, name string, bal double, op string, seq long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_cdc_apply(stream, snap, ckpt, "id", seq_col="seq")
+        q.awaitTermination(180)
+        q.stop()
+
+    _run([(2, "b", 200.0, "upsert", 1)])
+    v1 = os.path.join(snap, f"v-{1:020d}")
+    assert os.path.exists(os.path.join(v1, "_SUCCESS"))
+
+    # forge the batch-1 crash orphan: v-2 complete (_SUCCESS present)
+    # but stripped of every commit marker — exactly what dying between
+    # the two filesystem calls leaves behind
+    v2 = os.path.join(snap, f"v-{2:020d}")
+    shutil.copytree(v1, v2)
+    for fn in os.listdir(v2):
+        if fn.startswith("_COMMIT-") or fn.startswith("._COMMIT-"):
+            os.remove(os.path.join(v2, fn))
+
+    _run([(3, "c", 300.0, "upsert", 1)])  # must NOT raise
+    got = {r["id"]: r["name"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # the rewritten v-2 now carries this stream's marker
+    assert any(
+        fn.startswith("_COMMIT-") for fn in os.listdir(v2)
+    ), os.listdir(v2)

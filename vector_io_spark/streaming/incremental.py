@@ -610,6 +610,7 @@ def compact_neardup_index(
     index_root: str,
     id_col: str,
     keep_latest: bool = True,
+    partition_by: tuple = (),
 ) -> dict:
     """Fold the per-micro-batch ``ingest_batch=<id>`` partitions of a
     :func:`streaming_neardup_ingest` signature index into the resident
@@ -641,7 +642,10 @@ def compact_neardup_index(
     Scale shape: one read of the folded partitions, one
     ``dropDuplicates(id_col)`` shuffle over index rows (id + ~100-byte
     signature — orders of magnitude under corpus size), three
-    filesystem renames. Returns
+    filesystem renames. ``partition_by`` re-partitions the folded
+    resident by the named sub-partition columns — required for stores
+    whose batches are themselves partitioned (the IVFPQ code store's
+    ``cell=<i>`` level, :func:`streaming_ivfpq_ingest`). Returns
     ``{"folded_batches", "resident_rows", "partitions_after"}``.
     """
     from pyspark.sql import functions as F
@@ -689,10 +693,29 @@ def compact_neardup_index(
     paths = [f"{index_root}/ingest_batch={b}" for b in batch_ids]
     if fs.exists(resident):
         paths.insert(0, f"{index_root}/ingest_batch=-1")
-    merged = spark.read.parquet(*paths).dropDuplicates([id_col]).persist()
+    # basePath anchors partition discovery at the store root: without it,
+    # sub-partitioned batches (cell=<i> dirs BELOW input paths that are
+    # themselves ingest_batch=<id> dirs) trip Spark's conflicting-
+    # directory-structures check. The inferred ingest_batch column is
+    # dropped — the folded resident is batch-less by definition.
+    merged = (
+        spark.read.option("basePath", index_root)
+        .parquet(*paths)
+        .drop("ingest_batch")
+        .dropDuplicates([id_col])
+        .persist()
+    )
     n_rows = merged.count()
-    # dot-prefixed dir: invisible to parquet discovery until renamed in
-    merged.write.parquet(f"{index_root}/.compact-tmp")
+    # dot-prefixed dir: invisible to parquet discovery until renamed in.
+    # partition_by preserves sub-partitioned stores (e.g. the IVFPQ code
+    # store's cell=<i> level, which probe-side partition pruning needs) —
+    # without it the folded resident would flatten the column into row
+    # data while unfolded batches keep it as a directory, and the mixed
+    # layout breaks partition discovery at the store root.
+    writer = merged.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{index_root}/.compact-tmp")
     merged.unpersist()
     if fs.exists(resident):
         fs.rename(resident, aside)
@@ -823,6 +846,140 @@ def streaming_embedding_neardup_ingest(
 
     writer = (
         doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def seed_ivfpq_stream_index(
+    corpus: DataFrame,
+    index_root: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    num_cells: int = 16,
+    num_subspaces: int = 16,
+    codebook_size: int = 64,
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Seed the STREAMING form of the persisted IVF+PQ index
+    (``operators/similarity.py::write_ivfpq_index``): identical
+    centroids/codebooks artifacts, but the code store is doubly
+    partitioned — ``<root>/cells/ingest_batch=-1/cell=<i>/…`` — so
+    :func:`streaming_ivfpq_ingest` micro-batches can land next to the
+    resident corpus in replay-safe batch-id dirs while probe-side
+    ``cell`` partition pruning keeps working across every batch level.
+    Train once here; the stream never retrains (same
+    encode-against-stored-artifacts contract as
+    ``append_to_ivfpq_index``, same rebuild-on-drift guidance).
+    """
+    from vector_io_spark.operators.similarity import (
+        _ivfpq_encode_udf,
+        _ivfpq_train,
+    )
+    from pyspark.sql import functions as F
+
+    cents, cb = _ivfpq_train(
+        corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
+        max_train_rows, sample_fraction, seed,
+    )
+    enc = _ivfpq_encode_udf(cents, cb)
+    (
+        corpus.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
+        .select(
+            corpus_id,
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_root}/cells/ingest_batch=-1")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_root}/centroids")
+    cb_rows = [
+        (int(m), int(c), [float(x) for x in cb[m, c]])
+        for m in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, c int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_root}/codebooks")
+
+
+def streaming_ivfpq_ingest(
+    vec_stream,
+    index_root: str,
+    checkpoint_dir: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CONTINUOUS IVF+PQ index maintenance — the ANN-index member of
+    the ingest family (text near-dup, embedding near-dup, and now the
+    similarity index): each micro-batch encodes its vectors against the
+    PERSISTED centroids + codebooks (no retrain, one shuffle-free Arrow
+    pass) and writes the codes to
+    ``<root>/cells/ingest_batch=<id>/cell=<i>/…``. Probes via
+    ``operators/similarity.py::ivfpq_index_probe_topk`` see resident
+    and streamed rows uniformly, with ``cell`` partition pruning intact
+    at every batch level. Seed with :func:`seed_ivfpq_stream_index`.
+
+    Replay safety: the batch dir is written in ``overwrite`` mode and
+    the encoding is deterministic (argmin against fixed stored float
+    artifacts), so a replayed micro-batch rewrites byte-identical
+    content; the ingest reads nothing but the tiny artifacts, so the
+    self-contamination window of the near-dup ingests cannot arise.
+    Probing is read-only and never feeds the checkpoint, so no
+    ``ingest_batch < batch_id`` filter is needed anywhere.
+
+    Small-file growth is the same O(batches × cells) listing cost as
+    the near-dup stores — fold with ``compact_neardup_index(spark,
+    f"{root}/cells", id_col, partition_by=("cell",))`` (the
+    ``partition_by`` keeps the cell level a directory, preserving probe
+    pruning on the folded resident).
+
+    Centroid/codebook staleness under continuous ingest is the
+    ``append_to_ivfpq_index`` contract: monitor per-cell counts / ADC
+    error on a held-out sample; rebuild + reseed past budget.
+    """
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from vector_io_spark.operators.similarity import (
+            _ivfpq_encode_udf,
+            _load_ivfpq_artifacts,
+        )
+
+        spark = batch_df.sparkSession
+        cents, cb = _load_ivfpq_artifacts(spark, index_root)
+        enc = _ivfpq_encode_udf(cents, cb)
+        (
+            batch_df.select(
+                F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc")
+            )
+            .select(
+                corpus_id,
+                F.col("__cc.cell").alias("cell"),
+                F.col("__cc.code").alias("code"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{index_root}/cells/ingest_batch={batch_id}")
+        )
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
