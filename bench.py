@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     # round-6 additions (BENCH_r06+ only — totals not comparable back)
     "sketch_catalog_overlap",  # persisted per-source KMV catalog, 190 pairs
     "token_budget_selection",  # bucketed boundary math, no row-level sort
+    "ann_topk_pq_exact_catalog",  # persisted PQ index: write + from-disk ADC
 ]
 
 
