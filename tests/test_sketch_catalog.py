@@ -174,3 +174,34 @@ def test_bottomk_sample_persists_and_merges(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, merged.select(cols).collect())) == sorted(
         map(tuple, whole.select(cols).collect())
     )
+
+
+def test_under_built_sketch_raises_not_biases(spark, sf_dir, tmp_path):
+    """Round-6 review fix: comparing saved signatures at a k LARGER
+    than their build k would silently bias estimates low (the merged
+    union's bottom-k reaches past each side's truncation). The __k
+    build marker must make that a loud ValueError — while k <= build-k
+    requests and markerless in-session frames keep working."""
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    b = d.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_kmv_sketch(a, pa, "doc_id", k=64)
+    write_kmv_sketch(b, pb, "doc_id", k=256)
+    sa, sb = spark.read.parquet(pa), spark.read.parquet(pb)
+
+    with pytest.raises(ValueError, match="built with k=64"):
+        bottomk_jaccard_from_sketches(sa, sb, k=256).collect()
+    # requesting at or under both build-ks is exact and allowed
+    ok = bottomk_jaccard_from_sketches(sa, sb, k=64).collect()[0]
+    assert ok["k_used"] == 64
+
+    cat = str(tmp_path / "cat")
+    write_kmv_sketch_catalog(d, cat, "doc_id", "source", k=64)
+    with pytest.raises(ValueError, match="built with k=64"):
+        kmv_pairwise_jaccard(
+            spark.read.parquet(cat), "source", k=256
+        ).collect()
+    assert kmv_pairwise_jaccard(
+        spark.read.parquet(cat), "source", k=64
+    ).count() > 0

@@ -1080,3 +1080,145 @@ def test_streaming_cdc_apply_recovers_marker_orphan(spark, tmp_path):
     assert any(
         fn.startswith("_COMMIT-") for fn in os.listdir(v2)
     ), os.listdir(v2)
+
+
+def test_streaming_neardup_ingest_detects_checkpoint_reset(spark, tmp_path):
+    """Round-6 review fix: a reset/foreign checkpoint restarts batch ids
+    at 0 against a store that already holds higher ingest_batch
+    partitions — the ingest must FAIL LOUDLY (the `< batch_id` probe
+    filter would otherwise silently hide resident partitions and each
+    batch would clobber committed history id-by-id)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "sig")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(seed, index_root, "doc_id", "text")
+
+    def _run(rows, checkpoint):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_neardup_ingest(
+            stream, index_root, pairs_root, checkpoint, "doc_id", "text"
+        )
+        try:
+            q.awaitTermination(180)
+            exc = q.exception()
+        except StreamingQueryException as e:
+            exc = e
+        finally:
+            q.stop()
+        return exc
+
+    assert _run(
+        [(101, "a completely different sentence about shipping crates")],
+        ckpt,
+    ) is None
+    assert _run(
+        [(102, "yet another unrelated document mentioning blue whales")],
+        ckpt,
+    ) is None
+
+    import shutil
+
+    shutil.rmtree(ckpt)
+    exc = _run(
+        [(103, "post reset content that must not clobber history")],
+        ckpt,
+    )
+    assert exc is not None and "out of sync" in str(exc), exc
+    # committed partitions survived untouched
+    batches = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(index_root)
+        .select("ingest_batch").distinct().collect()
+    }
+    assert {0, 1} <= batches, batches
+
+    # the documented recovery: fold everything after a clean shutdown,
+    # then a fresh checkpoint is legitimate (nothing to hide or clobber)
+    compact_neardup_index(spark, index_root, "doc_id", keep_latest=False)
+    compact_neardup_index(
+        spark, pairs_root, "id_a", keep_latest=False
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert _run(
+        [(104, "fresh checkpoint over a fully folded store is fine")],
+        ckpt,
+    ) is None
+
+
+def test_compact_neardup_index_finishes_interrupted_delete(spark, tmp_path):
+    """Round-6 review fix: a crash between the resident swap and the
+    batch-dir deletes leaves folded rows duplicated. The _FOLDED-<b>
+    markers written into the new resident let the next invocation
+    finish the deletes — and probe-visible row counts return to
+    single."""
+    import os
+    import shutil
+
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "sig")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(seed, index_root, "doc_id", "text")
+
+    def _run(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_neardup_ingest(
+            stream, index_root, pairs_root, ckpt, "doc_id", "text"
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    _run([(101, "a completely different sentence about shipping crates")])
+    _run([(102, "yet another unrelated document mentioning blue whales")])
+    n_ids = spark.read.parquet(index_root).count()
+
+    # emulate the crash window: batch 0 was folded into the resident
+    # (marker present) but its dir delete never ran — copy it back and
+    # recreate the marker
+    b0 = os.path.join(index_root, "ingest_batch=0")
+    stash = str(tmp_path / "stash_b0")
+    shutil.copytree(b0, stash)
+    compact_neardup_index(spark, index_root, "doc_id", keep_latest=False)
+    assert spark.read.parquet(index_root).count() == n_ids
+    shutil.copytree(stash, b0)  # stale duplicate partition reappears
+    open(os.path.join(index_root, "ingest_batch=-1", "_FOLDED-0"), "w").close()
+    # duplicated until repaired
+    assert spark.read.parquet(index_root).count() == n_ids + 1
+
+    stats = compact_neardup_index(
+        spark, index_root, "doc_id", keep_latest=False
+    )
+    assert stats["partitions_after"] == 1
+    assert not os.path.exists(b0)
+    assert spark.read.parquet(index_root).count() == n_ids

@@ -397,9 +397,12 @@ def power_pca_exact_components(
     out: list[tuple[list[int], int]] = []
     for c in range(k):
         v = _power_init(c, d)
+        # C only changes at deflation (between components) — hoist its
+        # bound out of the iteration loop (an O(d²) scan per step at
+        # d=1024 would rival the matvec itself)
+        max_c = int(np.abs(C).max()) if np is not None else 0
         for _ in range(iters + 1):  # last pass computes w for lambda
             if np is not None:
-                max_c = int(np.abs(C).max())
                 max_v = max(abs(x) for x in v)
                 if d * max_c * max_v < 2 ** 62:
                     # every partial sum bounded by Σ|terms| ≤ d·C·V

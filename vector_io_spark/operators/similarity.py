@@ -1530,6 +1530,20 @@ def write_ivfpq_index(
         corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
         max_train_rows, sample_fraction, seed,
     )
+    _write_ivfpq_artifacts(
+        corpus, cents, cb, f"{path}/cells", path, corpus_id, corpus_vec
+    )
+
+
+def _write_ivfpq_artifacts(
+    corpus: DataFrame, cents, cb, cells_path: str, artifacts_root: str,
+    corpus_id: str, corpus_vec: str,
+) -> None:
+    """The one serializer for an IVF+PQ layout: encode + cell-partitioned
+    codes write (``cells_path`` — the only thing that differs between
+    the static index and the streaming store's ``ingest_batch=-1``
+    seed), then centroids + codebooks under ``artifacts_root``. Shared
+    so the two layouts can never drift from `_load_ivfpq_artifacts`."""
     enc = _ivfpq_encode_udf(cents, cb)
     (
         corpus.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
@@ -1540,7 +1554,7 @@ def write_ivfpq_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/cells")
+        .parquet(cells_path)
     )
     spark = corpus.sparkSession
     cent_rows = [
@@ -1548,7 +1562,9 @@ def write_ivfpq_index(
     ]
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{artifacts_root}/centroids"
+    )
     cb_rows = [
         (int(m), int(c), [float(x) for x in cb[m, c]])
         for m in range(cb.shape[0])
@@ -1556,7 +1572,9 @@ def write_ivfpq_index(
     ]
     spark.createDataFrame(
         cb_rows, "s int, c int, codeword array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{artifacts_root}/codebooks"
+    )
 
 
 def _load_ivfpq_artifacts(spark, path: str):

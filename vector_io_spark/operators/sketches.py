@@ -374,9 +374,15 @@ def bottomk_jaccard_from_sketches(
     Either sketch may have been built with a LARGER k than requested:
     membership checks against a superset signature are exact because
     every hash in the truncated union is ≤ the k-th smallest of each
-    side, so set membership ⇔ signature membership."""
+    side, so set membership ⇔ signature membership. The converse —
+    a saved signature built with SMALLER k — silently biases the
+    estimate low (the union's bottom-k reaches past each side's
+    truncation), so catalog-written sketches carry their build k in a
+    ``__k`` column and a smaller-than-requested value raises here."""
     from pyspark.sql import Window
 
+    _require_sketch_k(sa, k, "bottomk_jaccard_from_sketches", "left")
+    _require_sketch_k(sb, k, "bottomk_jaccard_from_sketches", "right")
     sa = sa.select("__qh")
     sb = sb.select("__qh")
     w = Window.orderBy(F.col("__qh").asc())
@@ -413,17 +419,37 @@ def bottomk_jaccard_from_sketches(
 # later cross-dataset question from the signatures alone.
 
 
+def _require_sketch_k(s: DataFrame, k: int, caller: str, side: str) -> None:
+    """Refuse biased estimates from under-built signatures: a sketch
+    frame carrying a ``__k`` build marker below the requested k would
+    undercount the union membership checks SILENTLY (a short signature
+    alone is ambiguous — it also just means a small set). One agg over
+    a ≤k-row frame; frames without the marker (in-session
+    ``_bottomk_hashes`` output) are trusted as built-at-request-k."""
+    if "__k" not in s.columns:
+        return
+    built = s.agg(F.min("__k")).collect()[0][0]
+    if built is not None and built < k:
+        raise ValueError(
+            f"{caller}: the {side} sketch was built with k={built} < "
+            f"requested k={k} — estimates from a truncated signature "
+            "are silently biased low. Re-save the sketch with k >= "
+            f"{k}, or request k <= {built}."
+        )
+
+
 def write_kmv_sketch(
     df: DataFrame, path: str, key_col: str, k: int = 1024, salt: str = "qsk"
 ) -> None:
     """Persist the KMV bottom-k signature of ``df``'s key set as a
-    single-file parquet (a ``__qh`` column, ≤k rows). One scan now;
-    every later :func:`bottomk_jaccard_from_sketches` comparison reads
-    k rows instead of the corpus. ``coalesce(1)`` is safe: at most k
-    rows survive the WindowGroupLimit-rescued truncation."""
-    _bottomk_hashes(df, key_col, k, salt).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    single-file parquet (a ``__qh`` column plus the ``__k`` build
+    marker, ≤k rows). One scan now; every later
+    :func:`bottomk_jaccard_from_sketches` comparison reads k rows
+    instead of the corpus. ``coalesce(1)`` is safe: at most k rows
+    survive the WindowGroupLimit-rescued truncation."""
+    _bottomk_hashes(df, key_col, k, salt).withColumn(
+        "__k", F.lit(k).cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def write_kmv_sketch_catalog(
@@ -453,6 +479,7 @@ def write_kmv_sketch_catalog(
         .where(F.col("__rn") <= k)
         .drop("__rn")
         .withColumnRenamed("__g", group_col)
+        .withColumn("__k", F.lit(k).cast("long"))
     )
     sk.write.mode("overwrite").partitionBy(group_col).parquet(path)
 
@@ -476,6 +503,7 @@ def kmv_pairwise_jaccard(
     the corpora were only scanned once, at catalog-write time."""
     from pyspark.sql import Window
 
+    _require_sketch_k(sketches, k, "kmv_pairwise_jaccard", "catalog")
     sk = sketches.select(F.col(group_col).alias("__g"), "__qh")
     groups = sk.select("__g").distinct()
     pairs = (

@@ -5552,7 +5552,9 @@ def ann_topk_pq_exact_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid in the tag: two sessions grading the same sf_dir concurrently
+    # must not race one dir's overwrite-delete against the other's read
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     path = os.path.join(
         tempfile.gettempdir(), f"vios_pq_exact_catalog_{tag}"
     )
@@ -9909,7 +9911,9 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid in the tag: two sessions grading the same sf_dir concurrently
+    # must not race one dir's overwrite-delete against the other's read
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     path = os.path.join(
         tempfile.gettempdir(), f"vios_sketch_catalog_{tag}"
     )

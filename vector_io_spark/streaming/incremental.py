@@ -513,6 +513,49 @@ def seed_neardup_index(
     ).write.mode("overwrite").parquet(f"{index_root}/ingest_batch=-1")
 
 
+def _guard_batch_monotonic(
+    spark: SparkSession, roots, batch_id: int, caller: str
+) -> None:
+    """Checkpoint/store consistency guard shared by the continuous-
+    ingest family: foreachBatch ids are sequential per checkpoint, so a
+    partition with ``ingest_batch > batch_id`` in any store this batch
+    writes can only mean the store belongs to a DIFFERENT (reset,
+    deleted, or foreign) checkpoint. Proceeding would silently hide
+    those partitions from the ``ingest_batch < batch_id`` probe filter
+    AND overwrite-clobber their content batch id by batch id — fail
+    loudly instead (the ingest twin of ``streaming_cdc_apply``'s
+    commit-marker contract). A fully compacted store (everything folded
+    into ``ingest_batch=-1``) passes: restarting it under a fresh
+    checkpoint is legitimately safe because the resident partition is
+    visible to every probe and no batch dir can be clobbered. One
+    ``listStatus`` per store per micro-batch — directory-count cost,
+    bounded by compaction."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for root in roots:
+        root_p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = root_p.getFileSystem(conf)
+        if not fs.exists(root_p):
+            continue
+        stale = sorted(
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(root_p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("ingest_batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) > batch_id
+        )
+        if stale:
+            raise RuntimeError(
+                f"{caller}: {root} already holds ingest_batch partitions "
+                f"{stale} above the current micro-batch id {batch_id} — "
+                "the checkpoint and the store are out of sync (reset or "
+                "foreign checkpoint pointed at an existing store). "
+                "Re-attach the original checkpoint, or fold the store "
+                "with compact_neardup_index(keep_latest=False) after a "
+                "clean shutdown before starting a fresh checkpoint."
+            )
+
+
 def streaming_neardup_ingest(
     doc_stream,
     index_root: str,
@@ -566,6 +609,10 @@ def streaming_neardup_ingest(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        _guard_batch_monotonic(
+            spark, (index_root, pairs_root), batch_id,
+            "streaming_neardup_ingest",
+        )
         batch = batch_df.select(id_col, text_col)
         # Replay hygiene: restrict the index read to partitions written
         # BEFORE this batch. A crash after the signature write but before
@@ -660,14 +707,37 @@ def compact_neardup_index(
     resident, tmp, aside = p("ingest_batch=-1"), p(".compact-tmp"), p(
         ".compact-aside"
     )
+
+    def _rename(src, dst):
+        # Hadoop FileSystem.rename signals failure by returning False
+        # (S3A/local renameTo both have such modes), not by raising —
+        # an unchecked failed rename here would be followed by deletes
+        # that destroy the only copies of the index.
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"compact_neardup_index: rename {src} -> {dst} failed; "
+                "store left as-is (re-run to repair)"
+            )
+
     # repair a half-finished previous swap
     if fs.exists(aside):
         if not fs.exists(resident):
-            fs.rename(aside, resident)
+            _rename(aside, resident)
         else:
             fs.delete(aside, True)
     if fs.exists(tmp):
         fs.delete(tmp, True)
+    # finish an interrupted batch-dir delete phase: a resident that
+    # carries _FOLDED-<b> markers already CONTAINS those batches' rows
+    # (the markers are written before the swap), so the stale batch
+    # dirs are pure duplicates — doubled bucket occupancy for probes —
+    # until removed.
+    if fs.exists(resident):
+        for st in fs.listStatus(resident):
+            name = st.getPath().getName()
+            if name.startswith("_FOLDED-"):
+                fs.delete(p(f"ingest_batch={name[len('_FOLDED-'):]}"), True)
+                fs.delete(st.getPath(), False)
 
     batch_ids = sorted(
         int(st.getPath().getName().split("=", 1)[1])
@@ -717,12 +787,20 @@ def compact_neardup_index(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{index_root}/.compact-tmp")
     merged.unpersist()
+    # stamp the folded batch ids INSIDE the new resident before it
+    # renames in ('_'-prefixed files are invisible to parquet scans):
+    # a crash between the swap and the batch-dir deletes below would
+    # otherwise leave every folded row duplicated until a full re-run;
+    # the markers let the startup repair finish the deletes instead.
+    for b in batch_ids:
+        fs.createNewFile(p(f".compact-tmp/_FOLDED-{b}"))
     if fs.exists(resident):
-        fs.rename(resident, aside)
-    fs.rename(tmp, resident)
+        _rename(resident, aside)
+    _rename(tmp, resident)
     fs.delete(aside, True)
     for b in batch_ids:
         fs.delete(p(f"ingest_batch={b}"), True)
+        fs.delete(p(f"ingest_batch=-1/_FOLDED-{b}"), False)
     n_after = sum(
         1
         for st in fs.listStatus(root)
@@ -817,6 +895,10 @@ def streaming_embedding_neardup_ingest(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
+        _guard_batch_monotonic(
+            spark, (index_root, vectors_root, pairs_root), batch_id,
+            "streaming_embedding_neardup_ingest",
+        )
         batch = batch_df.select(id_col, vec_col)
         old_sigs = (
             spark.read.parquet(index_root)
@@ -878,42 +960,18 @@ def seed_ivfpq_stream_index(
     ``append_to_ivfpq_index``, same rebuild-on-drift guidance).
     """
     from vector_io_spark.operators.similarity import (
-        _ivfpq_encode_udf,
         _ivfpq_train,
+        _write_ivfpq_artifacts,
     )
-    from pyspark.sql import functions as F
 
     cents, cb = _ivfpq_train(
         corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
         max_train_rows, sample_fraction, seed,
     )
-    enc = _ivfpq_encode_udf(cents, cb)
-    (
-        corpus.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
-        .select(
-            corpus_id,
-            F.col("__cc.cell").alias("cell"),
-            F.col("__cc.code").alias("code"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{index_root}/cells/ingest_batch=-1")
+    _write_ivfpq_artifacts(
+        corpus, cents, cb, f"{index_root}/cells/ingest_batch=-1",
+        index_root, corpus_id, corpus_vec,
     )
-    spark = corpus.sparkSession
-    cent_rows = [
-        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
-    ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_root}/centroids")
-    cb_rows = [
-        (int(m), int(c), [float(x) for x in cb[m, c]])
-        for m in range(cb.shape[0])
-        for c in range(cb.shape[1])
-    ]
-    spark.createDataFrame(
-        cb_rows, "s int, c int, codeword array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_root}/codebooks")
 
 
 def streaming_ivfpq_ingest(
@@ -962,6 +1020,10 @@ def streaming_ivfpq_ingest(
         )
 
         spark = batch_df.sparkSession
+        _guard_batch_monotonic(
+            spark, (f"{index_root}/cells",), batch_id,
+            "streaming_ivfpq_ingest",
+        )
         cents, cb = _load_ivfpq_artifacts(spark, index_root)
         enc = _ivfpq_encode_udf(cents, cb)
         (
