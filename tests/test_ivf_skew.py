@@ -709,3 +709,65 @@ def test_pq_exact_catalog_roundtrip_is_value_exact(spark, sf_dir, tmp_path):
         assert all(f.dataType.simpleString() == "bigint" for f in schema), (
             leaf, schema,
         )
+
+
+def test_ivfpq_index_stats_counts_and_delta(spark, sf_dir, tmp_path):
+    """The maintenance audit: per-cell counts sum to the corpus, shares
+    sum to 1, imbalance_factor = max*cells/total, and on a streaming
+    store the delta_share separates post-seed arrivals from residents."""
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_index_stats,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+    rows = ivfpq_index_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in rows) == old.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    mx = max(r["n_vectors"] for r in rows)
+    want_if = round(mx * len(rows) / old.count(), 4)
+    assert all(abs(r["imbalance_factor"] - want_if) < 1e-3 for r in rows)
+    # static layout: no batch level -> delta_share identically 0
+    assert all(r["delta_share"] == 0.0 for r in rows)
+
+    # streaming-store shape via the seed + appended batch partitions
+    from vector_io_spark.streaming.incremental import (
+        seed_ivfpq_stream_index,
+    )
+
+    sroot = str(tmp_path / "stream_store")
+    seed_ivfpq_stream_index(
+        old, sroot, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+    # emulate one ingested micro-batch partition
+    from vector_io_spark.operators.similarity import (
+        _ivfpq_encode_udf,
+        _load_ivfpq_artifacts,
+    )
+
+    cents, cb = _load_ivfpq_artifacts(spark, sroot)
+    enc = _ivfpq_encode_udf(cents, cb)
+    (
+        delta.select(F.col("vec_id"), enc(F.col("embedding")).alias("__cc"))
+        .select(
+            "vec_id",
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{sroot}/cells/ingest_batch=0")
+    )
+    srows = ivfpq_index_stats(spark, sroot).collect()
+    assert sum(r["n_vectors"] for r in srows) == emb.count()
+    got_delta = sum(
+        round(r["delta_share"] * r["n_vectors"]) for r in srows
+    )
+    assert got_delta == delta.count()

@@ -1632,6 +1632,56 @@ def ivfpq_index_probe_topk(
     return _ivfpq_adc_rank(cand, luts, k, cb.shape[0], corpus_id, id_type)
 
 
+def ivfpq_index_stats(spark, path: str) -> DataFrame:
+    """The monitoring half of the IVF+PQ maintenance contract the
+    write/append docstrings point at: per-cell row counts of a
+    persisted index (static ``write_ivfpq_index`` layout or the
+    streaming store — ``ingest_batch`` levels are transparent), plus
+    the store-wide occupancy share and imbalance factor
+    (max·cells/total — 1.0 is perfectly balanced; FAISS flags > ~2-3
+    as rebuild-worthy) and, where present, the delta fraction that
+    arrived after the initial build (streaming/append drift). Run it
+    between probe batches; ``imbalance_factor`` or ``delta_share``
+    past budget ⇒ rebuild with :func:`write_ivfpq_index` / reseed.
+
+    Scale shape: one scan of the code table reading ONLY partition
+    columns (cell, ingest_batch — satisfied from directory names +
+    row-group counts, no column data), one |cells|-row rollup, a
+    1-row total broadcast back. Nothing corpus-sized anywhere.
+    """
+    codes = spark.read.parquet(f"{path}/cells")
+    has_batches = "ingest_batch" in codes.columns
+    delta = (
+        F.sum(
+            F.when(F.col("ingest_batch") >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        if has_batches
+        else F.lit(0)
+    )
+    sizes = codes.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        delta.cast("long").alias("__nd"),
+    )
+    tot = sizes.agg(
+        F.sum("n_vectors").alias("__t"),
+        F.count("*").alias("__nc"),
+        F.max("n_vectors").alias("__mx"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / (F.lit(1.0) * F.col("__t")), 6).alias(
+            "share"
+        ),
+        F.round(F.col("__nd") / (F.lit(1.0) * F.col("n_vectors")), 6).alias(
+            "delta_share"
+        ),
+        F.round(
+            F.col("__mx") * F.col("__nc") / (F.lit(1.0) * F.col("__t")), 4
+        ).alias("imbalance_factor"),
+    )
+
+
 def append_to_ivfpq_index(
     new_rows: DataFrame,
     path: str,
