@@ -732,7 +732,9 @@ def test_ivfpq_index_stats_counts_and_delta(spark, sf_dir, tmp_path):
     assert sum(r["n_vectors"] for r in rows) == old.count()
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     mx = max(r["n_vectors"] for r in rows)
-    want_if = round(mx * len(rows) / old.count(), 4)
+    # imbalance uses the TRAINED nlist (8), not the occupied-cell count
+    # — empty cells ARE imbalance
+    want_if = round(mx * 8 / old.count(), 4)
     assert all(abs(r["imbalance_factor"] - want_if) < 1e-3 for r in rows)
     # static layout: no batch level -> delta_share identically 0
     assert all(r["delta_share"] == 0.0 for r in rows)

@@ -197,11 +197,32 @@ def test_under_built_sketch_raises_not_biases(spark, sf_dir, tmp_path):
     assert ok["k_used"] == 64
 
     cat = str(tmp_path / "cat")
-    write_kmv_sketch_catalog(d, cat, "doc_id", "source", k=64)
-    with pytest.raises(ValueError, match="built with k=64"):
+    # k=8 keeps every per-source signature FULL at its build size (the
+    # truncation-ambiguous case the guard must reject at larger k)
+    write_kmv_sketch_catalog(d, cat, "doc_id", "source", k=8)
+    with pytest.raises(ValueError, match="built with k=8"):
         kmv_pairwise_jaccard(
             spark.read.parquet(cat), "source", k=256
         ).collect()
     assert kmv_pairwise_jaccard(
-        spark.read.parquet(cat), "source", k=64
+        spark.read.parquet(cat), "source", k=8
     ).count() > 0
+
+    # a COMPLETE small signature (rows < build k: the bottom-k captured
+    # the whole set) is exact at ANY requested k and must pass — and
+    # agree with the from-scratch estimate at that k
+    small_a = d.where(F.col("doc_id") < 30).select("doc_id")
+    small_b = d.where((F.col("doc_id") >= 15) & (F.col("doc_id") < 45)).select(
+        "doc_id"
+    )
+    pa2, pb2 = str(tmp_path / "sa2"), str(tmp_path / "sb2")
+    write_kmv_sketch(small_a, pa2, "doc_id", k=64)
+    write_kmv_sketch(small_b, pb2, "doc_id", k=64)
+    got = bottomk_jaccard_from_sketches(
+        spark.read.parquet(pa2), spark.read.parquet(pb2), k=1024
+    ).collect()[0]
+    want = bottomk_jaccard(small_a, small_b, "doc_id", k=1024)
+    w = want.collect()[0]
+    assert (got["k_used"], got["jaccard_est"]) == (
+        w["k_used"], w["jaccard_est"],
+    )

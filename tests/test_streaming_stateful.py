@@ -1153,7 +1153,7 @@ def test_streaming_neardup_ingest_detects_checkpoint_reset(spark, tmp_path):
     # then a fresh checkpoint is legitimate (nothing to hide or clobber)
     compact_neardup_index(spark, index_root, "doc_id", keep_latest=False)
     compact_neardup_index(
-        spark, pairs_root, "id_a", keep_latest=False
+        spark, pairs_root, ["id_a", "id_b"], keep_latest=False
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     assert _run(

@@ -1638,18 +1638,26 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     persisted index (static ``write_ivfpq_index`` layout or the
     streaming store — ``ingest_batch`` levels are transparent), plus
     the store-wide occupancy share and imbalance factor
-    (max·cells/total — 1.0 is perfectly balanced; FAISS flags > ~2-3
-    as rebuild-worthy) and, where present, the delta fraction that
-    arrived after the initial build (streaming/append drift). Run it
+    (max·nlist/total over the TRAINED cell count from the centroid
+    table, so empty cells count as imbalance — 1.0 is perfectly
+    balanced, an all-in-one-cell degenerate index reads nlist, not
+    1.0; FAISS flags > ~2-3 as rebuild-worthy) and the delta fraction
+    that arrived after the initial build. ``delta_share`` is derived
+    from the ``ingest_batch`` level, so it tracks STREAMING ingest
+    only — ``append_to_ivfpq_index`` writes into the static layout's
+    cell dirs indistinguishably; for static indexes track drift by
+    comparing ``n_vectors`` totals against the build-time count. Run
     between probe batches; ``imbalance_factor`` or ``delta_share``
     past budget ⇒ rebuild with :func:`write_ivfpq_index` / reseed.
 
     Scale shape: one scan of the code table reading ONLY partition
     columns (cell, ingest_batch — satisfied from directory names +
     row-group counts, no column data), one |cells|-row rollup, a
-    1-row total broadcast back. Nothing corpus-sized anywhere.
+    1-row total (with the nlist-row centroid count) broadcast back.
+    Nothing corpus-sized anywhere.
     """
     codes = spark.read.parquet(f"{path}/cells")
+    nlist = spark.read.parquet(f"{path}/centroids").count()
     has_batches = "ingest_batch" in codes.columns
     delta = (
         F.sum(
@@ -1664,7 +1672,7 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     )
     tot = sizes.agg(
         F.sum("n_vectors").alias("__t"),
-        F.count("*").alias("__nc"),
+        F.lit(nlist).alias("__nc"),
         F.max("n_vectors").alias("__mx"),
     )
     return sizes.crossJoin(F.broadcast(tot)).select(

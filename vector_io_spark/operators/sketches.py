@@ -419,23 +419,34 @@ def bottomk_jaccard_from_sketches(
 # later cross-dataset question from the signatures alone.
 
 
-def _require_sketch_k(s: DataFrame, k: int, caller: str, side: str) -> None:
+def _require_sketch_k(
+    s: DataFrame, k: int, caller: str, side: str,
+    group_col: str | None = None,
+) -> None:
     """Refuse biased estimates from under-built signatures: a sketch
     frame carrying a ``__k`` build marker below the requested k would
-    undercount the union membership checks SILENTLY (a short signature
-    alone is ambiguous — it also just means a small set). One agg over
-    a ≤k-row frame; frames without the marker (in-session
-    ``_bottomk_hashes`` output) are trusted as built-at-request-k."""
+    undercount the union membership checks SILENTLY. A signature with
+    FEWER rows than its build k captured the whole key set and stays
+    exact at any requested k — only a full-at-build signature may have
+    been truncated, so only that case raises (per group for catalogs).
+    One agg over a signature-sized frame; frames without the marker
+    (in-session ``_bottomk_hashes`` output) are trusted as
+    built-at-request-k."""
     if "__k" not in s.columns:
         return
-    built = s.agg(F.min("__k")).collect()[0][0]
-    if built is not None and built < k:
-        raise ValueError(
-            f"{caller}: the {side} sketch was built with k={built} < "
-            f"requested k={k} — estimates from a truncated signature "
-            "are silently biased low. Re-save the sketch with k >= "
-            f"{k}, or request k <= {built}."
-        )
+    keys = ([group_col] if group_col else []) + ["__k"]
+    rows = s.groupBy(*keys).agg(F.count("*").alias("__n")).collect()
+    for r in rows:
+        built, n = r["__k"], r["__n"]
+        if built is not None and built < k and n >= built:
+            raise ValueError(
+                f"{caller}: the {side} sketch"
+                + (f" (group {r[group_col]!r})" if group_col else "")
+                + f" was built with k={built} < requested k={k} and is "
+                "full at its build size — estimates from a truncated "
+                "signature are silently biased low. Re-save the sketch "
+                f"with k >= {k}, or request k <= {built}."
+            )
 
 
 def write_kmv_sketch(
@@ -503,7 +514,9 @@ def kmv_pairwise_jaccard(
     the corpora were only scanned once, at catalog-write time."""
     from pyspark.sql import Window
 
-    _require_sketch_k(sketches, k, "kmv_pairwise_jaccard", "catalog")
+    _require_sketch_k(
+        sketches, k, "kmv_pairwise_jaccard", "catalog", group_col=group_col
+    )
     sk = sketches.select(F.col(group_col).alias("__g"), "__qh")
     groups = sk.select("__g").distinct()
     pairs = (

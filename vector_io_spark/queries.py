@@ -74,6 +74,33 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Process-unique /tmp scratch for the persisted-catalog queries.
+    The pid suffix prevents two concurrent sessions grading the same
+    sf_dir from racing one dir's overwrite-delete against the other's
+    read; dead-pid siblings (same prefix + sf_dir hash) are pruned here
+    so repeated driver/bench invocations don't grow /tmp unboundedly —
+    a dir whose owner process is gone can have no in-flight reader.
+    Pruning needs /proc to tell live from dead and is skipped where it
+    is absent (never delete on a guess)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = tempfile.gettempdir()
+    stem = f"{prefix}_{tag}_"
+    mine = os.path.join(base, f"{stem}{os.getpid()}")
+    if os.path.isdir("/proc"):
+        for name in os.listdir(base):
+            if not name.startswith(stem) or name == os.path.basename(mine):
+                continue
+            pid_s = name[len(stem):]
+            if pid_s.isdigit() and not os.path.exists(f"/proc/{pid_s}"):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    return mine
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -5543,21 +5570,13 @@ def ann_topk_pq_exact_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     write (amortized across probe batches); probe = codebook broadcast
     (m·K·sub BIGINT rows) + one scan of the code table + map-combined
     ADC groupBys; nothing corpus-sized reaches the driver."""
-    import hashlib
-    import tempfile
-
     from vector_io_spark.operators.pq_exact import (
         pq_adc_topk_from_index,
         write_pq_exact_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # pid in the tag: two sessions grading the same sf_dir concurrently
-    # must not race one dir's overwrite-delete against the other's read
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
-    path = os.path.join(
-        tempfile.gettempdir(), f"vios_pq_exact_catalog_{tag}"
-    )
+    path = _scratch_dir("vios_pq_exact_catalog", sf_dir)
     write_pq_exact_index(emb, path)
     queries = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -9889,9 +9908,6 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equality self-join on shingle whose per-key group is bounded by
     |sources|. Engine-exact: md5 KMV hashes, deterministic truncation,
     integer flag arithmetic (see memory: engine-exactness)."""
-    import hashlib
-    import tempfile
-
     from vector_io_spark.functions.text import word_shingles_from_tokens
     from vector_io_spark.operators.sketches import (
         kmv_pairwise_jaccard,
@@ -9911,12 +9927,7 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # pid in the tag: two sessions grading the same sf_dir concurrently
-    # must not race one dir's overwrite-delete against the other's read
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
-    path = os.path.join(
-        tempfile.gettempdir(), f"vios_sketch_catalog_{tag}"
-    )
+    path = _scratch_dir("vios_sketch_catalog", sf_dir)
     write_kmv_sketch_catalog(sh, path, "shingle", "source", k=256)
     catalog = spark.read.parquet(path)
     est = (

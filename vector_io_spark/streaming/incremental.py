@@ -513,46 +513,105 @@ def seed_neardup_index(
     ).write.mode("overwrite").parquet(f"{index_root}/ingest_batch=-1")
 
 
-def _guard_batch_monotonic(
-    spark: SparkSession, roots, batch_id: int, caller: str
+def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Identity of a checkpoint lineage for the continuous-ingest
+    family: an empty ``__stream_id-<hex>`` file INSIDE the checkpoint
+    dir, minted on first use — resetting/deleting the checkpoint
+    discards it, which is exactly what the store guard keys on (the
+    CDC path keeps its own ``__cdc_stream_id-`` twin). Stored as a
+    file NAME so no byte I/O crosses py4j."""
+    jvm = spark._jvm
+    cp = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = cp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(cp)
+    for st in fs.listStatus(cp):
+        name = st.getPath().getName()
+        if name.startswith("__stream_id-"):
+            return name[len("__stream_id-"):]
+    import uuid
+
+    sid = uuid.uuid4().hex
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/__stream_id-{sid}")
+    ).close()
+    return sid
+
+
+def _guard_ingest_store(
+    spark: SparkSession, roots, batch_id: int, checkpoint_dir: str,
+    caller: str,
 ) -> None:
     """Checkpoint/store consistency guard shared by the continuous-
-    ingest family: foreachBatch ids are sequential per checkpoint, so a
-    partition with ``ingest_batch > batch_id`` in any store this batch
-    writes can only mean the store belongs to a DIFFERENT (reset,
-    deleted, or foreign) checkpoint. Proceeding would silently hide
-    those partitions from the ``ingest_batch < batch_id`` probe filter
-    AND overwrite-clobber their content batch id by batch id — fail
-    loudly instead (the ingest twin of ``streaming_cdc_apply``'s
-    commit-marker contract). A fully compacted store (everything folded
-    into ``ingest_batch=-1``) passes: restarting it under a fresh
-    checkpoint is legitimately safe because the resident partition is
-    visible to every probe and no batch dir can be clobbered. One
-    ``listStatus`` per store per micro-batch — directory-count cost,
-    bounded by compaction."""
+    ingest family, run BEFORE any partition write. Two invariants:
+
+    1. **Identity**: every store root carries a ``_STREAM-<sid>``
+       marker naming the checkpoint lineage that owns its batch
+       partitions. A different (or reset — the sid file dies with the
+       checkpoint) lineage may ADOPT the store only while it holds no
+       ``ingest_batch >= 0`` partition, i.e. fully folded by
+       ``compact_neardup_index(keep_latest=False)`` or freshly seeded —
+       then everything resident is visible to every probe and no batch
+       dir can be clobbered. Otherwise fail loudly: proceeding would
+       silently hide live partitions from the ``ingest_batch <
+       batch_id`` probe filter AND overwrite-clobber committed content
+       batch id by batch id (including the id == batch_id case a pure
+       monotonic check misses). Adoption rewrites the marker FIRST, so
+       a crash anywhere after it replays as the same lineage. This also
+       makes batch-id REUSE impossible while ``_FOLDED-<b>`` compaction
+       markers could still refer to an old lineage's dirs — the marker
+       repair in compaction is safe because only one lineage can ever
+       have written the batch partitions it deletes.
+    2. **Monotonicity** (same lineage): ids above the current batch id
+       cannot exist under sequential foreachBatch — corrupt state,
+       fail loudly.
+
+    One ``listStatus`` per store per micro-batch — directory-count
+    cost, bounded by compaction."""
+    sid = _checkpoint_stream_id(spark, checkpoint_dir)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     for root in roots:
         root_p = jvm.org.apache.hadoop.fs.Path(root)
         fs = root_p.getFileSystem(conf)
-        if not fs.exists(root_p):
-            continue
-        stale = sorted(
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(root_p)
-            if st.isDirectory()
-            and st.getPath().getName().startswith("ingest_batch=")
-            and int(st.getPath().getName().split("=", 1)[1]) > batch_id
+        fs.mkdirs(root_p)
+        names = [st.getPath().getName() for st in fs.listStatus(root_p)]
+        live = sorted(
+            int(n.split("=", 1)[1])
+            for n in names
+            if n.startswith("ingest_batch=")
+            and int(n.split("=", 1)[1]) >= 0
         )
+        markers = [n for n in names if n.startswith("_STREAM-")]
+        if f"_STREAM-{sid}" not in markers:
+            if live:
+                raise RuntimeError(
+                    f"{caller}: {root} holds live ingest_batch partitions "
+                    f"{live} written by a different checkpoint lineage "
+                    f"(markers: {markers or 'none'}) — the checkpoint and the "
+                    "store are out of sync (reset or foreign checkpoint); "
+                    "proceeding would silently hide them from probes and "
+                    "clobber them id-by-id. Re-attach the original "
+                    "checkpoint, or fold the store with "
+                    "compact_neardup_index(keep_latest=False) after a "
+                    "clean shutdown before starting a fresh checkpoint."
+                )
+            for m in markers:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{m}"), False)
+            if not fs.createNewFile(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/_STREAM-{sid}")
+            ):
+                raise RuntimeError(
+                    f"{caller}: could not claim {root} for stream {sid}"
+                )
+            continue
+        stale = [b for b in live if b > batch_id]
         if stale:
             raise RuntimeError(
                 f"{caller}: {root} already holds ingest_batch partitions "
-                f"{stale} above the current micro-batch id {batch_id} — "
-                "the checkpoint and the store are out of sync (reset or "
-                "foreign checkpoint pointed at an existing store). "
-                "Re-attach the original checkpoint, or fold the store "
-                "with compact_neardup_index(keep_latest=False) after a "
-                "clean shutdown before starting a fresh checkpoint."
+                f"{stale} above the current micro-batch id {batch_id} "
+                "within the same checkpoint lineage — corrupt state; "
+                "fold the store with compact_neardup_index after "
+                "investigating."
             )
 
 
@@ -609,8 +668,8 @@ def streaming_neardup_ingest(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        _guard_batch_monotonic(
-            spark, (index_root, pairs_root), batch_id,
+        _guard_ingest_store(
+            spark, (index_root, pairs_root), batch_id, checkpoint_dir,
             "streaming_neardup_ingest",
         )
         batch = batch_df.select(id_col, text_col)
@@ -655,7 +714,7 @@ def streaming_neardup_ingest(
 def compact_neardup_index(
     spark: SparkSession,
     index_root: str,
-    id_col: str,
+    id_col,
     keep_latest: bool = True,
     partition_by: tuple = (),
 ) -> dict:
@@ -688,7 +747,10 @@ def compact_neardup_index(
 
     Scale shape: one read of the folded partitions, one
     ``dropDuplicates(id_col)`` shuffle over index rows (id + ~100-byte
-    signature — orders of magnitude under corpus size), three
+    signature — orders of magnitude under corpus size; pass a LIST of
+    columns for stores whose row identity is composite, e.g. a pairs
+    store's (id_a, id_b) — deduping pairs on one id would silently
+    drop distinct pairs sharing it), three
     filesystem renames. ``partition_by`` re-partitions the folded
     resident by the named sub-partition columns — required for stores
     whose batches are themselves partitioned (the IVFPQ code store's
@@ -731,7 +793,10 @@ def compact_neardup_index(
     # carries _FOLDED-<b> markers already CONTAINS those batches' rows
     # (the markers are written before the swap), so the stale batch
     # dirs are pure duplicates — doubled bucket occupancy for probes —
-    # until removed.
+    # until removed. Deleting by id is safe: _guard_ingest_store's
+    # lineage marker makes batch-id REUSE impossible while live
+    # partitions (including these stale dirs) exist, so ingest_batch=<b>
+    # can only be the dir this compaction's crashed predecessor folded.
     if fs.exists(resident):
         for st in fs.listStatus(resident):
             name = st.getPath().getName()
@@ -772,7 +837,7 @@ def compact_neardup_index(
         spark.read.option("basePath", index_root)
         .parquet(*paths)
         .drop("ingest_batch")
-        .dropDuplicates([id_col])
+        .dropDuplicates([id_col] if isinstance(id_col, str) else list(id_col))
         .persist()
     )
     n_rows = merged.count()
@@ -793,7 +858,12 @@ def compact_neardup_index(
     # otherwise leave every folded row duplicated until a full re-run;
     # the markers let the startup repair finish the deletes instead.
     for b in batch_ids:
-        fs.createNewFile(p(f".compact-tmp/_FOLDED-{b}"))
+        if not fs.createNewFile(p(f".compact-tmp/_FOLDED-{b}")):
+            raise RuntimeError(
+                f"compact_neardup_index: could not stamp _FOLDED-{b} "
+                "into the staged resident; aborting before the swap "
+                "(store left as-is)"
+            )
     if fs.exists(resident):
         _rename(resident, aside)
     _rename(tmp, resident)
@@ -895,9 +965,9 @@ def streaming_embedding_neardup_ingest(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        _guard_batch_monotonic(
+        _guard_ingest_store(
             spark, (index_root, vectors_root, pairs_root), batch_id,
-            "streaming_embedding_neardup_ingest",
+            checkpoint_dir, "streaming_embedding_neardup_ingest",
         )
         batch = batch_df.select(id_col, vec_col)
         old_sigs = (
@@ -1020,8 +1090,8 @@ def streaming_ivfpq_ingest(
         )
 
         spark = batch_df.sparkSession
-        _guard_batch_monotonic(
-            spark, (f"{index_root}/cells",), batch_id,
+        _guard_ingest_store(
+            spark, (f"{index_root}/cells",), batch_id, checkpoint_dir,
             "streaming_ivfpq_ingest",
         )
         cents, cb = _load_ivfpq_artifacts(spark, index_root)
