@@ -1222,3 +1222,70 @@ def test_compact_neardup_index_finishes_interrupted_delete(spark, tmp_path):
     assert stats["partitions_after"] == 1
     assert not os.path.exists(b0)
     assert spark.read.parquet(index_root).count() == n_ids
+
+
+def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
+    """Round-6 review fix: ProcessingTimeTimeout must actually ARM a
+    timer (it previously fell through to keep-state-forever). With a
+    1-second TTL: a key re-sent after an idle batch that fires its
+    timeout is treated as first-seen again; an unknown timeout string
+    raises instead of silently meaning NoTimeout."""
+    import time
+
+    import pytest
+
+    from vector_io_spark.streaming.stateful import streaming_dedup_by_key
+
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    with pytest.raises(ValueError, match="unknown state_timeout"):
+        streaming_dedup_by_key(
+            spark.createDataFrame([(1, 1)], "doc_id long, seq long"),
+            "doc_id", state_timeout="ProcessingTimeTimeut",
+        )
+
+    def run(rows):
+        spark.createDataFrame(rows, "doc_id long, seq long").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = (
+            streaming_dedup_by_key(
+                stream, "doc_id", order_col="seq",
+                state_timeout="ProcessingTimeTimeout", ttl_seconds=1,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a timeout-armed availableNow query lingers for a timer-firing
+        # trigger after the data batch — wait long enough for the data
+        # batch to commit, then stop explicitly
+        q.awaitTermination(90)
+        q.stop()
+
+    run([(1, 10), (2, 20)])
+    assert spark.read.parquet(out_dir).count() == 2
+    # let the timers expire, then process a batch NOT containing the
+    # keys (timed-out state is released during the next micro-batch)
+    time.sleep(3)
+    run([(3, 30)])
+    # expired keys are first-seen again — the re-emit is the proof the
+    # timer was ARMED and the state removed (pre-fix this run emitted
+    # nothing: no setTimeoutDuration ever ran, state lived forever).
+    # Within-TTL suppression itself is covered by the NoTimeout tests;
+    # it cannot be pinned here because each availableNow query start
+    # costs multiple seconds, so any test-viable TTL has already
+    # expired by the next run.
+    run([(1, 12), (2, 21)])
+    rows = sorted(
+        (r["doc_id"], r["seq"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert rows == [(1, 10), (1, 12), (2, 20), (2, 21), (3, 30)], rows

@@ -77,6 +77,11 @@ def write_vdf(
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        # dims inference is a LIMIT-1 probe — take it from the
+        # pre-sort frame, or the limit cannot push below a sorted
+        # write's repartitionByRange (a second full sample+scan of the
+        # namespace just to read one vector's length)
+        df_unsorted = df
         if sort_by:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         obs = Observation()
@@ -99,7 +104,7 @@ def write_vdf(
         if present_vec_cols:
             from vector_io_spark.functions.vectors import vector_dim
 
-            dims = vector_dim(df, present_vec_cols[0])
+            dims = vector_dim(df_unsorted, present_vec_cols[0])
 
         ns_meta = NamespaceMeta(
             namespace=namespace,

@@ -115,9 +115,11 @@ def sparse_topk(
     scored = corpus.select(corpus_id, corpus_col).crossJoin(q)
     dot = sparse_dot(F.col(corpus_col), F.col("__q"))
     if metric == "cosine":
-        score = dot / (
-            sparse_norm(F.col(corpus_col)) * sparse_norm(F.col("__q"))
-        )
+        # zero-norm guard (mirrors the dense cosine_similarity twin):
+        # an all-zero sparse vector must score NULL, not raise
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+        den = sparse_norm(F.col(corpus_col)) * sparse_norm(F.col("__q"))
+        score = F.when(den != 0.0, dot / den)
     elif metric == "dot":
         score = dot
     else:

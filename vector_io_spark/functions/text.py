@@ -117,10 +117,14 @@ def quality_score(c: Column | str) -> Column:
     - n_chars, n_tokens, avg_token_len
     - punct_ratio: punctuation chars / chars
     - upper_ratio: uppercase chars / chars
-    - stopword_ratio: english-marker tokens / tokens
+    - stopword_ratio: english-marker tokens / tokens (emitted as its
+      own field for C4-style thresholding; deliberately NOT folded into
+      the composite — the marker list is a tiny English profile, and a
+      multiplicative stopword term would zero out valid non-English
+      text the language_id path is responsible for routing)
     - score: composite in [0,1] (length-normalized, penalizing extreme
-      punctuation / uppercase / stopword-free text) — the usual C4/Gopher
-      style filters reduce to thresholds on these fields.
+      punctuation / uppercase) — the usual C4/Gopher style filters
+      reduce to thresholds on these fields.
     """
     c = F.col(c) if isinstance(c, str) else c
     n_chars = F.length(c).cast("bigint")

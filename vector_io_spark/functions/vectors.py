@@ -139,9 +139,12 @@ def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int
         )
         lo, hi = (-128, 127) if precision == "int8" else (0, 255)
         mcol, rcol = mins, ranges
+        # size==0 would make sequence(0, -1) count DOWN to [0, -1] (the
+        # char_ngrams gotcha) and index element_at(mins, 0) — emit an
+        # empty array for empty vectors instead
         q = F.zip_with(
             F.col(col),
-            F.sequence(F.lit(0), F.size(F.col(col)) - 1),
+            F.sequence(F.lit(0), F.greatest(F.size(F.col(col)) - 1, F.lit(0))),
             lambda v, i: F.least(
                 F.greatest(
                     F.round(
@@ -154,6 +157,9 @@ def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int
                 ),
                 F.lit(float(hi)),
             ).cast("int"),
+        )
+        q = F.when(F.size(F.col(col)) > 0, q).otherwise(
+            F.array().cast("array<int>")
         )
         return df.withColumn(out, q)
     if precision in ("binary", "ubinary"):
@@ -184,6 +190,11 @@ def quantize_embeddings(df: DataFrame, col: str, out: str, precision: str = "int
             lambda b: (
                 byte_expr(b) - (128 if precision == "binary" else 0)
             ).cast("int"),
+        )
+        # n_bytes==0 would make sequence(0, -1) DESCEND to [0, -1] and
+        # emit two spurious bytes — np.packbits of nothing is []
+        packed = F.when(F.size(F.col(col)) > 0, packed).otherwise(
+            F.array().cast("array<int>")
         )
         return df.withColumn(out, packed)
     if precision == "bits":

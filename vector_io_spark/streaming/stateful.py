@@ -29,6 +29,7 @@ def streaming_dedup_by_key(
     key_col: str,
     order_col: str | None = None,
     state_timeout: str = "NoTimeout",
+    ttl_seconds: int = 3600,
 ) -> DataFrame:
     """Exact first-seen dedup across micro-batches.
 
@@ -38,37 +39,61 @@ def streaming_dedup_by_key(
     first-write-wins ingest). State per key is a single boolean.
 
     ``state_timeout``: ``"NoTimeout"`` for exact dedup over the stream's
-    lifetime, or ``"ProcessingTimeTimeout"`` to let state expire (then
-    dedup is exact only within the TTL window — the standard memory/
-    exactness trade at web scale).
+    lifetime, or ``"ProcessingTimeTimeout"`` to let state expire after
+    ``ttl_seconds`` of processing time (then dedup is exact only within
+    the TTL window — the standard memory/exactness trade at web scale).
+    The TTL is SLIDING: every sighting of a key re-arms its timer, so a
+    hot duplicate stays suppressed while only cold keys age out. Any
+    other string raises — a typo must not silently become
+    keep-state-forever.
     """
+    if state_timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            f"streaming_dedup_by_key: unknown state_timeout "
+            f"{state_timeout!r} (use 'NoTimeout' or "
+            "'ProcessingTimeTimeout')"
+        )
     out_schema = stream.schema
+    use_ttl = state_timeout == "ProcessingTimeTimeout"
+    ttl_ms = int(ttl_seconds) * 1000
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
-        if state_timeout == "ProcessingTimeTimeout"
+        if use_ttl
         else GroupStateTimeout.NoTimeout
     )
 
     def first_seen(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            # TTL expiry: release the key's state so a later sighting
+            # is treated as first-seen again (the documented window
+            # semantics). Timed-out invocations carry no rows.
+            for _ in pdfs:
+                pass
+            state.remove()
+            return
         if state.exists:
             # Not an error swallow: applyInPandasWithState requires the
             # batch iterator to be fully consumed before returning, and
             # every row here IS a duplicate by the state check — drain
-            # and emit nothing.
+            # and emit nothing (re-arming the sliding TTL).
             for _ in pdfs:
                 pass
+            if use_ttl:
+                state.setTimeoutDuration(ttl_ms)
             return
         best: pd.DataFrame | None = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            cand = (
-                pdf.sort_values(order_col, kind="stable").iloc[[0]]
-                if order_col
-                else pdf.iloc[[0]]
-            )
+            if order_col:
+                # positional argmin (first occurrence on ties — same row
+                # a stable sort's head would pick) instead of an
+                # O(n log n) sort of the whole chunk
+                cand = pdf.iloc[[pdf[order_col].to_numpy().argmin()]]
+            else:
+                cand = pdf.iloc[[0]]
             if best is None:
                 best = cand
             elif order_col is not None and (
@@ -76,6 +101,8 @@ def streaming_dedup_by_key(
             ):
                 best = cand
         state.update((True,))
+        if use_ttl:
+            state.setTimeoutDuration(ttl_ms)
         if best is not None:
             yield best
 
@@ -130,9 +157,12 @@ def streaming_sessionize(
 
     wm = stream.withWatermark(ts_col, watermark)
     gap_us = gap_seconds * 1_000_000
+    # the user column keeps ITS OWN type (string ids are common) — a
+    # hardcoded long would fail mid-micro-batch at Arrow coercion
+    user_type = stream.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} long, session_start_us long, session_end_us long, "
-        "n_events long, value_sum double"
+        f"{user_col} {user_type}, session_start_us long, "
+        "session_end_us long, n_events long, value_sum double"
     )
 
     def sessionize(
@@ -157,8 +187,12 @@ def streaming_sessionize(
             return
         batch = pd.concat(rows).sort_values(ts_col, kind="stable")
         ts_us = (batch[ts_col].astype("int64")) // 1000  # ns -> us
+        # NULL values contribute 0 (the batch twin's F.sum skips
+        # NULLs; one None here would otherwise turn the running sum —
+        # and every later merge — into NaN). Divergence: an all-NULL
+        # session emits 0.0 where the batch twin emits NULL.
         vals = (
-            batch[value_col].astype(float)
+            batch[value_col].astype(float).fillna(0.0)
             if value_col is not None
             else pd.Series([0.0] * len(batch))
         )
