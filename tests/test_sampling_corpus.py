@@ -157,7 +157,12 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["top_bigram_frac"] > 0.9      # "buy now"/"now buy" dominate
     assert out[2]["dup_token_frac"] == 0.0
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
-    assert out[4]["n_tokens"] == 0 and out[4]["dup_token_frac"] == 1.0
+    # token-less docs carry no repetition EVIDENCE: 0.0, not the
+    # 1 - 0/1 = 1.0 the pre-round-6 formula read (which deleted them
+    # under any boilerplate threshold)
+    assert out[4]["n_tokens"] == 0 and out[4]["dup_token_frac"] == 0.0
+    # overlapping repeats cap at 1.0 (token-coverage fraction)
+    assert all(r["top_bigram_frac"] <= 1.0 for r in out.values())
 
 
 def test_decontaminate_flags_overlap_only(spark):

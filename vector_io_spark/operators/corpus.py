@@ -126,6 +126,11 @@ def repetition_stats(
         .agg(F.max("cnt").alias("max_bg"))
     )
     one = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    # token-less documents carry ZERO repetition evidence — without the
+    # n_tokens guard they'd read 1 - 0/1 = 1.0 (maximal spam) and get
+    # deleted by any boilerplate threshold. Overlapping repeats ("a a
+    # a a": max_bg=3, tokens=4) push count*2/n past 1 — cap at 1.0 so
+    # the value stays the token-coverage fraction it is documented as.
     return (
         base.drop("__toks")
         .join(bg, id_col, "left")
@@ -134,11 +139,21 @@ def repetition_stats(
             "n_tokens",
             "n_distinct",
             F.round(
-                F.lit(1.0) - F.col("n_distinct").cast("double") / one, 6
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.lit(1.0) - F.col("n_distinct").cast("double") / one,
+                ).otherwise(F.lit(0.0)),
+                6,
             ).alias("dup_token_frac"),
             F.round(
-                (F.coalesce(F.col("max_bg"), F.lit(0)).cast("double") * 2.0)
-                / one,
+                F.least(
+                    (
+                        F.coalesce(F.col("max_bg"), F.lit(0)).cast("double")
+                        * 2.0
+                    )
+                    / one,
+                    F.lit(1.0),
+                ),
                 6,
             ).alias("top_bigram_frac"),
         )
@@ -207,10 +222,22 @@ def distribution_drift(
     """
     def binned(df: DataFrame, name: str) -> DataFrame:
         v = F.col(metric_col).cast("double")
-        clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(hi - 1e-9))
-        b = F.floor((clamped - lo) / ((hi - lo) / n_bins)).cast("bigint")
-        return df.select(b.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias(name)
+        # clamp the bin INDEX, not the value: a value epsilon (hi-1e-9)
+        # vanishes in double precision once |hi| is large (ulp(1e9) >
+        # 1e-9), leaking an out-of-range bin n_bins that corrupts the
+        # smoothed denominators. NULL metric values are dropped — they
+        # would otherwise form their own silent NULL bin.
+        b = F.least(
+            F.floor(
+                (F.greatest(v, F.lit(float(lo))) - lo) / ((hi - lo) / n_bins)
+            ).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+        return (
+            df.where(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
         )
     a = binned(df_a, "n_a")
     b = binned(df_b, "n_b")
@@ -266,9 +293,14 @@ def line_dedup(
 
     Returns ``(id, clean_text, n_lines_kept, n_lines_removed)``.
     """
+    # NULL text passes through as one empty line (same survival path as
+    # an empty-string doc) — split(NULL) explodes to ZERO rows, which
+    # would silently DELETE the document from the returned corpus
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn("__key", F.trim(F.col("line")))
 
     eligible = F.length("__key") >= min_line_chars
@@ -571,6 +603,16 @@ def dsir_importance(
     totals = stream.agg(
         F.sum("__t").alias("nt"), F.count("*").alias("ns")
     ).first()
+    if totals["nt"] is None:
+        # empty corpus / all-NULL text: no grams at all — return an
+        # empty scored frame instead of TypeError-ing on int(None)
+        stream.unpersist()
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("log_w_q"),
+            F.lit(0.0).alias("avg_log_w"),
+        ).where(F.lit(False))
     n_t, n_s = int(totals["nt"]), int(totals["ns"])
     bucket_stats = stream.groupBy("b").agg(
         F.sum("__t").alias("ct"), F.count("*").alias("cs")

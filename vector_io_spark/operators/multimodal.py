@@ -201,34 +201,53 @@ def sample_frames(
     """Frame-sampling plumbing: emit up to ``max_frames`` byte-slices per
     blob (with a real decoder these would be decoded video frames; the
     slicing stands in for keyframe extraction). Output is one row per
-    frame — the explode happens AFTER the heavy bytes are reduced to
-    frame-sized slices, so the shuffle carries frames, not videos."""
-    frame_schema = T.StructType(
-        [
-            T.StructField("__row_id", T.LongType(), False),
+    frame with the source row's other columns carried through INSIDE the
+    one Arrow pass — no join at all, so (a) nothing shuffles (the
+    original frames⋈metadata self-join both shuffled AND keyed on
+    monotonically_increasing_id, whose value is not stable across the
+    two scans of a shuffled upstream plan — silent frame/metadata
+    mispairing), and (b) the heavy bytes still never cross a stage
+    boundary: rows with NULL blobs are dropped, matching the inner-join
+    semantics of the original shape."""
+    other = [f for f in df.schema.fields if f.name != binary_col]
+    other_names = [f.name for f in other]
+    out_schema = T.StructType(
+        list(other)
+        + [
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField(out_col, T.BinaryType(), True),
         ]
     )
-    src = df.withColumn("__row_id", F.monotonically_increasing_id())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for rid, blob in zip(pdf["__row_id"], pdf[binary_col]):
+            counts: list[int] = []
+            idxs: list[int] = []
+            slices: list[bytes] = []
+            for blob in pdf[binary_col]:
                 if blob is None:
+                    counts.append(0)
                     continue
                 b = bytes(blob)
-                for k in range(min(max_frames, max(1, len(b) // every_n_bytes))):
-                    rows.append(
-                        (rid, k, b[k * every_n_bytes : (k + 1) * every_n_bytes])
+                k_n = min(max_frames, max(1, len(b) // every_n_bytes))
+                counts.append(k_n)
+                for k in range(k_n):
+                    idxs.append(k)
+                    slices.append(
+                        b[k * every_n_bytes : (k + 1) * every_n_bytes]
                     )
-            yield pd.DataFrame(
-                rows, columns=["__row_id", "frame_idx", out_col]
+            out = (
+                pdf[other_names]
+                .iloc[np.repeat(np.arange(len(pdf)), counts)]
+                .reset_index(drop=True)
             )
+            out["frame_idx"] = pd.Series(idxs, dtype="int32")
+            out[out_col] = slices
+            yield out
 
-    frames = src.select("__row_id", binary_col).mapInPandas(run, schema=frame_schema)
-    return frames.join(src.drop(binary_col), "__row_id").drop("__row_id")
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def resize_media(

@@ -160,6 +160,11 @@ def rrf_fuse(
     rankers. Input rankings are (id, rank) pairs; union + one groupBy,
     nothing corpus-sized moves.
     """
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse: rankings is empty — at least one (id, rank) "
+            "frame is required"
+        )
     unit = float(10 ** scale)
     parts = []
     for r in rankings:

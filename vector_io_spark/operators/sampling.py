@@ -230,17 +230,11 @@ def weighted_reservoir_topk(
     break on the sample key ascending.
     """
     w = F.col(weight_col).cast("double")
-    # (h + 0.5) / 2^32 ∈ (0, 1): never 0 (ln(0) = -inf) and engine-exact
+    # (h + 0.5) / 2^32 ∈ (0, 1): never 0 (ln(0) = -inf) and engine-exact.
+    # The draw is THE module's hash_uniform_hex — one definition, so the
+    # samplers and their oracle replicas cannot drift.
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + seed))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
+        F.conv(hash_uniform_hex(F.col(key_col), seed), 16, 10).cast("double")
         + 0.5
     ) / F.lit(4294967296.0)
     es = F.round(F.log(u) / w, 10)

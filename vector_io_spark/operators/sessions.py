@@ -63,7 +63,10 @@ def session_stats(
     """Per-session rollup: (user, session_id) -> first/last event time
     (integer unix micros — exact, engine-portable), event count, duration
     in microseconds, and optionally ``sum_value`` (2-decimal rounded sum
-    of ``value_col``).
+    of ``value_col``, accumulated in integer MICRO-UNITS — the repo's
+    money-sum convention: a raw double sum is accumulation-order-
+    dependent, so Spark's partial aggregation and a sequential replay
+    can land on opposite sides of a .005 rounding boundary).
 
     One shuffle total: the groupBy key extends ``sessionize``'s window
     partitioning, so the aggregation reuses the distribution.
@@ -77,5 +80,8 @@ def session_stats(
         (F.max(us) - F.min(us)).alias("duration_us"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        micro = F.round(F.col(value_col) * 1e6).cast("long")
+        aggs.append(
+            F.round(F.sum(micro) / 1e6, 2).alias("sum_value")
+        )
     return sess.groupBy(user_col, "session_id").agg(*aggs)

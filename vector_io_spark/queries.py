@@ -1754,7 +1754,7 @@ _SESSION_GAP_US = 3600 * 1_000_000  # 1h gap
            max(epoch_us(ts)) AS end_us,
            CAST(count(*) AS BIGINT) AS n_events,
            max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -2011,7 +2011,7 @@ def cascade_hamming_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(epoch_us(ts)) AS start_us,
            max(epoch_us(ts)) + {_SESSION_GAP_US} AS end_us,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -2028,7 +2028,10 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer micro-unit sum: order-independent, engine-exact
+            F.round(
+                F.sum(F.round(F.col("value") * 1e6).cast("long")) / 1e6, 2
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -2299,10 +2302,13 @@ def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.doc_id,
            CAST(len(t) AS INT) AS n_tokens,
            CAST(len(list_distinct(t)) AS INT) AS n_distinct,
-           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
-                     / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS dup_token_frac,
-           round((CAST(coalesce(max_bg, 0) AS DOUBLE) * 2.0)
-                     / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS top_bigram_frac
+           round(CASE WHEN len(t) > 0
+                      THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                               / CAST(greatest(len(t), 1) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_token_frac,
+           round(least((CAST(coalesce(max_bg, 0) AS DOUBLE) * 2.0)
+                     / CAST(greatest(len(t), 1) AS DOUBLE), 1.0), 6)
+               AS top_bigram_frac
     FROM tok LEFT JOIN bg ON tok.doc_id = bg.doc_id
     """,
 )
@@ -3131,17 +3137,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_drift_by_source",
     """
     WITH a AS (
-        SELECT CAST(floor(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
-                                599.999999999) / 60.0) AS BIGINT) AS bin,
+        SELECT least(CAST(floor(greatest(CAST(n_chars AS DOUBLE), 0.0)
+                              / 60.0) AS BIGINT), 9) AS bin,
                count(*) AS n_a
         FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+          AND n_chars IS NOT NULL
         GROUP BY 1
     ),
     b AS (
-        SELECT CAST(floor(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
-                                599.999999999) / 60.0) AS BIGINT) AS bin,
+        SELECT least(CAST(floor(greatest(CAST(n_chars AS DOUBLE), 0.0)
+                              / 60.0) AS BIGINT), 9) AS bin,
                count(*) AS n_b
         FROM documents WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+          AND n_chars IS NOT NULL
         GROUP BY 1
     ),
     j AS (
@@ -3250,7 +3258,8 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "line_dedup_boilerplate",
     """
     WITH doc AS (
-        SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents
     ),
     l AS (
         SELECT doc_id, u['pos'] AS pos, u['line'] AS line,

@@ -78,7 +78,15 @@ class BatchShrinkPolicy:
             except Exception as e:
                 if should_shrink is not None and not should_shrink(e):
                     raise
-                batch_size = self.shrunk(batch_size)
+                try:
+                    batch_size = self.shrunk(batch_size)
+                except RuntimeError as floor:
+                    # surface the REAL send error (auth failure, missing
+                    # collection, ...) instead of burying it under the
+                    # floor message after a doomed shrink ladder
+                    raise RuntimeError(
+                        f"{floor} — caused by persistent send error: {e!r}"
+                    ) from e
         return sent
 
 
@@ -206,12 +214,19 @@ def partitioned_upsert(
     retry: RetryPolicy | None = None,
     rate_limit_per_minute: float | None = None,
     num_partitions: int | None = None,
+    should_shrink: Callable[[Exception], bool] | None = None,
 ) -> int:
     """Distributed batched upsert with the reference's resilience loops.
 
     Returns rows written (via a Spark accumulator — the reference's running
     totals, §2.5). One connector client per partition; per-batch
     retry(shrink(send)); rate budget divided across partitions.
+    ``should_shrink`` gates the shrink ladder on size-related errors
+    (kdbai_import.py:225-231's 'smaller batches' distinction) — without
+    it every error shrinks (the pinecone shape), which composed with
+    retry means a PERSISTENT non-size error (auth, missing collection)
+    pays the full retry ladder at every shrink step before surfacing;
+    pass a gate when the target distinguishes size errors.
 
     Delivery semantics are AT-LEAST-ONCE: Spark re-runs failed/speculated
     tasks, and accumulator updates inside actions are not exactly-once
@@ -248,7 +263,7 @@ def partitioned_upsert(
                 batch = pd.DataFrame(batch_rows, columns=columns)
                 retry.run(lambda: conn.upsert_batch(collection, batch))
 
-            sent = shrink.run(buf, send)
+            sent = shrink.run(buf, send, should_shrink=should_shrink)
             acc.add(sent)
             buf.clear()
 
