@@ -49,13 +49,25 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(tiebreak).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = combined
+    # carry ONE struct of all value columns: per-column
+    # last(ignorenulls) would (a) skip a genuinely-NULL value on the
+    # latest prior row in favor of an older one, and (b) stitch
+    # different value_cols from DIFFERENT right rows — a row that never
+    # existed. The struct is non-null for every right row, so
+    # last(ignorenulls) selects exactly the latest prior ROW and its
+    # fields come out together, NULLs included (matching the correlated
+    # ORDER BY ... LIMIT 1 oracle semantics).
+    carried = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
+    out = combined.withColumn(
+        "__asof", F.last(carried, ignorenulls=True).over(w)
+    )
     for c in value_cols:
-        carried = F.when(F.col("__side") == 0, F.col(c))
-        out = out.withColumn(c + suffix, F.last(carried, ignorenulls=True).over(w))
+        out = out.withColumn(c + suffix, F.col("__asof")[c])
     return (
         out.where(F.col("__side") == 1)
-        .drop("__side", *[c for c in value_cols if c not in left.columns])
+        .drop("__side", "__asof", *[c for c in value_cols if c not in left.columns])
     )
 
 

@@ -43,23 +43,35 @@ def doc_features(text_col: str = "text", n_chars_col: str = "n_chars"):
     lengths only. Returns an ordered dict name -> Column."""
     text = F.col(text_col)
     n = F.greatest(F.lit(1), F.col(n_chars_col))
-    lower_letters = F.length(F.regexp_replace(text, "[^a-z ]", ""))
+    # length()/size()/int-seed aggregate are INT expressions: widen to
+    # long BEFORE the ×Q, or any document with > ~2147 matching chars
+    # overflows 32 bits (ANSI crash; the DuckDB twin is BIGINT-native)
+    lower_letters = F.length(
+        F.regexp_replace(text, "[^a-z ]", "")
+    ).cast("long")
     words = F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
     n_words = F.greatest(F.lit(1), F.size(words))
     word_chars = F.aggregate(
-        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     en_markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
-    en_hits = F.size(F.filter(words, lambda w: F.array_contains(en_markers, w)))
+    en_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(en_markers, w))
+    ).cast("long")
     return {
         "bias": F.lit(Q).cast("long"),
         # document length, saturating at 2000 chars
-        "len_frac": F.least(F.lit(Q), (F.col(n_chars_col) * Q / 2000).cast("long")),
+        "len_frac": F.least(
+            F.lit(Q).cast("long"),
+            (F.col(n_chars_col).cast("long") * Q / 2000).cast("long"),
+        ),
         # fraction of [a-z ] characters (prose-likeness)
         "alpha_frac": (lower_letters * Q / n).cast("long"),
         # mean word length in tenths (cap 20 chars)
         "avg_word_len": F.least(
-            F.lit(2 * Q), (word_chars * Q / n_words).cast("long")
+            F.lit(2 * Q).cast("long"), (word_chars * Q / n_words).cast("long")
         ),
         # English function-word hit rate — the separating signal
         "en_marker_frac": (en_hits * Q / n_words).cast("long"),
@@ -108,6 +120,9 @@ def logreg_train(
         (label.cast("long") * Q).alias("__y"),
     ).persist()
     n_rows = base.count()
+    if n_rows == 0:
+        base.unpersist()
+        raise ValueError("logreg_train: empty training set")
     w = [0] * len(names)
 
     def score_q_expr(weights: list[int]) -> Column:
@@ -122,8 +137,16 @@ def logreg_train(
 
     for _ in range(iters):
         resid = (score_q_expr(w) - F.col("__y")).alias("__r")
+        # per-row products are <= 2Q^2 ~ 2e12 (long-safe) but the SUM
+        # overflows int64 at a few million rows — accumulate in
+        # decimal(38,0) (exact), matching DuckDB's BIGINT->HUGEINT sum
         grads = base.select(
-            *[F.sum(resid * F.col(f"__x_{k}")).alias(k) for k in names]
+            *[
+                F.sum(
+                    (resid * F.col(f"__x_{k}")).cast("decimal(38,0)")
+                ).alias(k)
+                for k in names
+            ]
         ).first()
         # grad in (micro)^2-scale summed over rows; normalize by n and
         # one Q, floor — identical ops in the SQL replay. float() FIRST:

@@ -49,12 +49,18 @@ def key_union_join(frames: dict[str, DataFrame], id_col: str = "id") -> DataFram
     shuffle per frame on the same key, and AQE coalesces. ``frames`` maps
     output column name -> DataFrame with (id, <any single value column>).
     """
+    if not frames:
+        raise ValueError("key_union_join: frames is empty")
     out: DataFrame | None = None
     for name, df in frames.items():
-        val = [c for c in df.columns if c != id_col][0]
-        cur = df.select(id_col, F.col(val).alias(name))
+        vals = [c for c in df.columns if c != id_col]
+        if not vals:
+            raise ValueError(
+                f"key_union_join: frame {name!r} has no value column "
+                f"besides {id_col!r} (columns: {df.columns})"
+            )
+        cur = df.select(id_col, F.col(vals[0]).alias(name))
         out = cur if out is None else out.join(cur, on=id_col, how="outer")
-    assert out is not None, "key_union_join needs at least one frame"
     return out
 
 

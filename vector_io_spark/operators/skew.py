@@ -65,11 +65,26 @@ def two_phase_agg(
     """
     partial_exprs = []
     final_exprs = []
+    combines = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     for out, expr in agg_exprs.items():
         fn = expr.split("(")[0].strip().lower()
+        if fn not in combines:
+            raise ValueError(
+                f"two_phase_agg: unsupported aggregate {expr!r} — only "
+                "algebraic sum/count/min/max compose over salt buckets "
+                "(express avg as sum+count)"
+            )
+        if "distinct" in expr.lower():
+            # count(distinct x) would pass the name check but OVERCOUNT
+            # silently: a value landing in k salt buckets is counted k
+            # times by the combine-phase sum
+            raise ValueError(
+                f"two_phase_agg: {expr!r} is not salt-decomposable — a "
+                "distinct value spread over salt buckets is counted once "
+                "PER BUCKET by the combining sum"
+            )
         partial_exprs.append(F.expr(expr).alias(f"__p_{out}"))
-        combine = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
-        final_exprs.append(F.expr(f"{combine}(__p_{out})").alias(out))
+        final_exprs.append(F.expr(f"{combines[fn]}(__p_{out})").alias(out))
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
     return partial.groupBy(key).agg(*final_exprs)

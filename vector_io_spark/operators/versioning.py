@@ -25,19 +25,26 @@ from pyspark.sql import functions as F
 
 
 def _content_hash(df: DataFrame, id_col: str, cols: Sequence[str]) -> DataFrame:
-    # Null-safe, order-fixed digest: each column contributes a null-flag
-    # prefix ('0' = NULL, '1' = present) followed by its string form, so a
-    # literal string can never collide with NULL (no in-band sentinel).
-    # Column ORDER is the caller's `cols`, identical for both sides.
+    # Null-safe, order-fixed, INJECTION-PROOF digest: each column hashes
+    # to a fixed-width md5 of (null-flag prefix + string form), and the
+    # row digest is the md5 of the concatenated per-field digests. Fixed
+    # width means no separator exists for values to smuggle — a raw
+    # '\x01'-joined concat let a value containing the separator shift
+    # field boundaries, making distinct rows collide ('changed' rows
+    # silently reported unchanged). Column ORDER is the caller's `cols`,
+    # identical for both sides; the null-flag keeps NULL distinct from
+    # every literal including the empty string.
     parts = [
-        F.concat(
-            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
-            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        F.md5(
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
         )
         for c in cols
     ]
     return df.select(
-        F.col(id_col), F.md5(F.concat_ws("\x01", *parts)).alias("__h")
+        F.col(id_col), F.md5(F.concat(*parts)).alias("__h")
     )
 
 
@@ -118,6 +125,27 @@ def apply_changes(
     reconstructs the new snapshot exactly (pytest-pinned round trip).
     """
     cols = base.columns
+    # fail loudly on ops outside the contract — anti-join-then-filter
+    # semantics would otherwise DELETE rows whose op is merely
+    # misspelled ('Upsert', 'update', NULL): touched ids leave the base,
+    # but the replacement rows are filtered out. raise_error rides the
+    # plan, so validation costs no extra job.
+    changes = changes.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isin("upsert", "delete"), F.col(op_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_changes: op must be 'upsert' or 'delete', "
+                        "got: "
+                    ),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     if seq_col is not None:
         payload = F.struct(*[F.col(c) for c in cols], F.col(op_col).alias("__op"))
         latest = (

@@ -19,6 +19,7 @@ import glob
 import json
 import os
 import threading
+import time
 import uuid
 from collections.abc import Iterator
 
@@ -89,7 +90,13 @@ class EmbeddedVectorDB(VectorDBConnector):
         path = os.path.join(self.root, collection)
         if not os.path.isdir(path):
             raise FileNotFoundError(f"collection {collection!r} does not exist")
-        fname = f"shard-{uuid.uuid4().hex}.parquet"
+        # monotonic time prefix: shards are consumed in sorted() name
+        # order, so last-write-wins semantics need names that sort in
+        # WRITE order — bare uuid names sort randomly, resolving an
+        # upsert-then-upsert of the same id to a coin flip. The uuid
+        # suffix keeps concurrent same-nanosecond writers collision-free
+        # (their mutual order is arbitrary, as concurrent writes are).
+        fname = f"shard-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
         with _write_lock:
             batch.to_parquet(os.path.join(path, fname), index=False)
 
@@ -164,7 +171,9 @@ class EmbeddedVertexAIClient:
         with _write_lock:
             with open(os.path.join(path, "calls.log"), "a") as f:
                 f.write(f"{time.monotonic()}\n")
-            fname = f"dp-{uuid.uuid4().hex}.jsonl"
+            # same write-order naming contract as EmbeddedVectorDB
+            # shards: _points' "last write wins" iterates sorted names
+            fname = f"dp-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.jsonl"
             with open(os.path.join(path, fname), "w") as f:
                 for dp in datapoints:
                     f.write(json.dumps(dp) + "\n")
@@ -190,7 +199,13 @@ class FlakyEmbeddedVectorDB(EmbeddedVectorDB):
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
         cls = FlakyEmbeddedVectorDB
-        if cls._failures < self.fail_first:
-            cls._failures += 1
+        with _write_lock:
+            # check+increment under the lock: local-mode executors are
+            # THREADS, and a racy read could mint fail_first+1 synthetic
+            # failures, exhausting a retry policy sized exactly to it
+            should_fail = cls._failures < self.fail_first
+            if should_fail:
+                cls._failures += 1
+        if should_fail:
             raise ConnectionError("synthetic transient failure")
         super().upsert_batch(collection, batch)
