@@ -266,6 +266,11 @@ class FakeCqlResultSet:
         self._rows = rows
         self.paging_state = paging_state
 
+    @property
+    def current_rows(self):
+        # the real ResultSet's THIS-page view (iteration auto-pages)
+        return self._rows
+
     def __iter__(self):
         return iter(self._rows)
 
@@ -279,19 +284,31 @@ class FakeCqlRow:
 
 
 class FakeCqlSession:
-    """Parses just the CQL the connector emits; rejects fetch sizes above
-    ``max_fetch`` to exercise the -10% shrink loop."""
+    """Speaks the REAL cassandra-driver execute contract: fetch_size
+    rides on the statement object (never an execute kwarg), the result
+    exposes current_rows for the page, and INSERTs bind %s parameters.
+    Rejects fetch sizes above ``max_fetch`` to exercise the -10% shrink
+    loop."""
 
     def __init__(self, docs: dict[str, dict], max_fetch: int = 10_000):
         self.docs = docs
         self.max_fetch = max_fetch
         self.statements: list[str] = []
+        self.parameters: list[tuple] = []
         self.used_fetch_sizes: list[int] = []
 
-    def execute(self, query, fetch_size=None, paging_state=None, **_):
+    def execute(self, stmt, parameters=None, paging_state=None, **_):
         import json as _json
 
+        if isinstance(stmt, str):
+            query, fetch_size = stmt, None
+        else:
+            # statement object (SimpleStatement shape)
+            query = stmt.query_string
+            fetch_size = stmt.fetch_size
         self.statements.append(query)
+        if parameters is not None:
+            self.parameters.append(tuple(parameters))
         if query.startswith("SELECT table_name"):
             return FakeCqlResultSet([("t1",)])
         if query.startswith("SELECT COUNT"):
@@ -349,9 +366,15 @@ def test_astradb_cql_scan_parallel_and_shrink():
     assert any(
         'vector<float,8>' in s for s in sess.statements if "CREATE" in s
     )
-    conn.upsert_batch("t2", pd.DataFrame({"id": ["a"], "vector": [[1.0, 2.0]], "k": [3]}))
+    conn.upsert_batch(
+        "t2",
+        pd.DataFrame({"id": ["a"], "vector": [[1.0, 2.0]], "k": ["x'y"]}),
+    )
     ins = [s for s in sess.statements if s.startswith("INSERT")]
-    assert len(ins) == 1 and "'a'" in ins[0] and "[1.0, 2.0]" in ins[0]
+    # parameterized binding: placeholders in the statement, values
+    # (including the quote-bearing metadata string) ride as parameters
+    assert len(ins) == 1 and ins[0].count("%s") == 3, ins
+    assert sess.parameters == [("a", [1.0, 2.0], "x'y")], sess.parameters
 
 
 def test_shrink_policy_fractional_and_predicate():

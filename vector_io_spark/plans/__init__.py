@@ -37,14 +37,50 @@ def assert_read_schema_only(df: DataFrame, *columns: str) -> None:
     expected columns (a scan reading extra columns at 100 TB is an I/O
     multiplier)."""
     plan = formatted_plan(df)
-    import re
 
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # bracket-depth parse of the struct body: a naive struct<([^>]*)>
+    # regex truncates at the first '>' of any NESTED type (array<float>
+    # — the common vector column), silently dropping every later column
+    # from the check, and naive comma-splitting invents fake top-level
+    # columns from nested struct fields.
+    schemas = []
+    marker = "ReadSchema: struct<"
+    pos = 0
+    while True:
+        i = plan.find(marker, pos)
+        if i < 0:
+            break
+        depth, j = 1, i + len(marker)
+        while j < len(plan) and depth:
+            if plan[j] == "<":
+                depth += 1
+            elif plan[j] == ">":
+                depth -= 1
+            j += 1
+        schemas.append(plan[i + len(marker): j - 1])
+        pos = j
     assert schemas, f"no ReadSchema in plan:\n{plan}"
+
+    def top_level_fields(body: str):
+        depth = 0
+        field = []
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                yield "".join(field)
+                field = []
+            else:
+                field.append(ch)
+        if field:
+            yield "".join(field)
+
     read_cols = {
         part.split(":")[0].strip()
         for schema in schemas
-        for part in schema.split(",")
+        for part in top_level_fields(schema)
         if part.strip()
     }
     expected = set(columns)

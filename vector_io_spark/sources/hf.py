@@ -18,18 +18,32 @@ def read_hf_dataset(
     split: str = "train",
     max_num_rows: int | None = None,
 ) -> DataFrame:
-    """hf://datasets/... parquet read (util.py:424-435 resolves hf:// to
-    cached parquet; here fsspec's hf protocol feeds spark.read directly;
-    ``max_num_rows`` mirrors the stream-take-N path, util.py:291-332)."""
+    """HF dataset -> DataFrame (util.py:424-435 resolves hf:// to cached
+    parquet; ``max_num_rows`` mirrors the stream-take-N path,
+    util.py:291-332). The repo's parquet files are LOCALIZED first via
+    ``snapshot_download`` and the local snapshot feeds
+    ``spark.read.parquet`` — Spark's JVM readers resolve paths through
+    Hadoop FileSystems, which have no ``hf`` scheme (fsspec's hf
+    protocol is Python-side only), so handing an hf:// URI to
+    spark.read always failed. ``split`` filters the downloaded files to
+    that split's directory/prefix (HF's parquet layout conventions);
+    ``max_num_rows=0`` returns an empty frame, not the full dataset."""
     try:
-        import huggingface_hub  # noqa: F401
+        from huggingface_hub import snapshot_download  # type: ignore
     except ImportError as e:
         raise ImportError(
             "huggingface_hub is required for hf:// sources; not installed "
             "in this environment — use a local parquet path instead"
         ) from e
-    df = spark.read.parquet(f"hf://datasets/{dataset}/**/*.parquet")
-    return df.limit(max_num_rows) if max_num_rows else df
+    local = snapshot_download(
+        repo_id=dataset,
+        repo_type="dataset",
+        # both parquet layout conventions: <split>/*.parquet and
+        # <config>/<split>-xxxxx-of-yyyyy.parquet
+        allow_patterns=[f"**/{split}/*.parquet", f"**/{split}-*.parquet"],
+    )
+    df = spark.read.option("recursiveFileLookup", "true").parquet(local)
+    return df.limit(max_num_rows) if max_num_rows is not None else df
 
 
 def push_to_hub(dataset_dir: str, repo_id: str, private: bool = True) -> str:

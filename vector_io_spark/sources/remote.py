@@ -155,15 +155,30 @@ class QdrantConnector(VectorDBConnector):
                 return
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
-        from qdrant_client import models  # type: ignore
+        try:  # typed points with the real SDK; plain dicts (also
+            # accepted by the qdrant API) against an injected fake —
+            # same ImportError fallback create_collection already has
+            from qdrant_client import models  # type: ignore
 
-        points = [
-            models.PointStruct(
-                id=row["id"], vector=row["vector"],
-                payload={k: v for k, v in row.items() if k not in ("id", "vector")},
-            )
-            for row in batch.to_dict("records")
-        ]
+            def point(row):
+                return models.PointStruct(
+                    id=row["id"], vector=row["vector"],
+                    payload={
+                        k: v for k, v in row.items()
+                        if k not in ("id", "vector")
+                    },
+                )
+        except ImportError:
+            def point(row):
+                return {
+                    "id": row["id"], "vector": row["vector"],
+                    "payload": {
+                        k: v for k, v in row.items()
+                        if k not in ("id", "vector")
+                    },
+                }
+
+        points = [point(row) for row in batch.to_dict("records")]
         self.client.upsert(collection, points=points, wait=True)
 
 
@@ -293,7 +308,27 @@ class PineconeConnector(VectorDBConnector):
                 vecs = fetched.vectors
                 yield pd.DataFrame(
                     [
-                        {"id": v.id, "vector": list(v.values), **(v.metadata or {})}
+                        {
+                            "id": v.id,
+                            "vector": list(v.values),
+                            # sparseValues passthrough — the sweep path
+                            # must emit the same shape as the list path
+                            **(
+                                {
+                                    "sparse_vector": {
+                                        "indices": list(
+                                            v.sparse_values.indices
+                                        ),
+                                        "values": list(
+                                            v.sparse_values.values
+                                        ),
+                                    }
+                                }
+                                if getattr(v, "sparse_values", None)
+                                else {}
+                            ),
+                            **(v.metadata or {}),
+                        }
                         for v in vecs.values()
                     ]
                 )
@@ -325,6 +360,9 @@ class PineconeConnector(VectorDBConnector):
         for i in range(0, len(all_ids), self.MAX_FETCH_SIZE):
             chunk = all_ids[i : i + self.MAX_FETCH_SIZE]
             fetched = index.fetch(ids=chunk)
+            # upsert REPLACES the whole record: dropping sparse_values
+            # here would permanently destroy hybrid vectors in the
+            # SOURCE index during a read-only export
             index.upsert(
                 vectors=[
                     {
@@ -335,6 +373,16 @@ class PineconeConnector(VectorDBConnector):
                             for k, val in (v.metadata or {}).items()
                             if k != marker
                         },
+                        **(
+                            {
+                                "sparse_values": {
+                                    "indices": list(v.sparse_values.indices),
+                                    "values": list(v.sparse_values.values),
+                                }
+                            }
+                            if getattr(v, "sparse_values", None)
+                            else {}
+                        ),
                     }
                     for v in fetched.vectors.values()
                 ]
@@ -535,7 +583,12 @@ class LanceDBConnector(VectorDBConnector):
             existing = {f.name for f in tbl.schema}
             for col in batch.columns:
                 if col not in existing:
-                    tbl.add_columns({col: repr(lancedb_default_value(batch[col].dtype))})
+                    default = lancedb_default_value(batch[col].dtype)
+                    # unmapped dtypes default to SQL NULL — repr(None)
+                    # would hand DataFusion the unknown identifier 'None'
+                    tbl.add_columns(
+                        {col: "NULL" if default is None else repr(default)}
+                    )
             tbl.add(batch)
         else:
             self.db.create_table(collection, batch)

@@ -151,11 +151,24 @@ class VertexAIVectorSearchConnector(VectorDBConnector):
         crowding_col: str | None = None,
     ):
         if client is None:
-            aip = _require(
+            # the adapter's surface (list_indexes/index_stats/
+            # find_neighbor_ids/read_index_datapoints/upsert_datapoints)
+            # is a THIN client wrapper the caller must supply — handing
+            # the raw aiplatform MODULE through would AttributeError on
+            # the first call. Importing here keeps the fail-fast SDK
+            # gate; wiring MatchingEngineIndex/IndexEndpoint into this
+            # surface is deployment-specific (endpoint ids, deployed
+            # index ids), so it stays on the caller.
+            _require(
                 "google.cloud.aiplatform", "pip install google-cloud-aiplatform"
             )
-            aip.init(project=project_id, location=region)
-            client = aip
+            raise NotImplementedError(
+                "VertexAIVectorSearchConnector needs an injected client "
+                "object implementing the adapter surface (see "
+                "EmbeddedVertexAIClient for the contract) — the raw "
+                "aiplatform module does not speak it; wrap your "
+                "MatchingEngineIndex/IndexEndpoint handles."
+            )
         self.client = client
         self.project_id = project_id
         self.restrict_entries = restrict_entries
@@ -383,6 +396,22 @@ class AstraDBCqlConnector(VectorDBConnector):
             for lo, hi in cql_token_ranges(parallelism)
         ]
 
+    @staticmethod
+    def _paged_statement(query: str, fetch_size: int):
+        """fetch_size rides on the STATEMENT in the real driver
+        (SimpleStatement) — Session.execute has no fetch_size kwarg; a
+        keyword call TypeErrors straight into the shrink ladder and
+        dies as a misleading 'cannot shrink further'. SDK-less (fake)
+        sessions get a namespace with the same two attributes."""
+        try:
+            from cassandra.query import SimpleStatement
+
+            return SimpleStatement(query, fetch_size=fetch_size)
+        except ImportError:
+            from types import SimpleNamespace
+
+            return SimpleNamespace(query_string=query, fetch_size=fetch_size)
+
     def read_cursor(self, collection: str, cursor: dict) -> Iterator[pd.DataFrame]:
         shrink = BatchShrinkPolicy(initial=self.FETCH_SIZE, shrink_factor=0.9)
         fetch_size = shrink.initial
@@ -394,14 +423,21 @@ class AstraDBCqlConnector(VectorDBConnector):
         while True:
             try:
                 rows = self.session.execute(
-                    f"SELECT * FROM {collection} {where}",
-                    fetch_size=fetch_size,
+                    self._paged_statement(
+                        f"SELECT * FROM {collection} {where}", fetch_size
+                    ),
                     paging_state=paging_state,
                 )
             except Exception:
                 fetch_size = shrink.shrunk(fetch_size)  # -10%, floored
                 continue
-            page = [json.loads(r.doc_json) for r in rows]
+            # current_rows = THIS page only; iterating the ResultSet
+            # auto-pages through the entire result, defeating the
+            # manual paging_state loop (one giant page per task)
+            page = [
+                json.loads(r.doc_json)
+                for r in getattr(rows, "current_rows", list(rows))
+            ]
             if page:
                 yield pd.DataFrame(
                     [
@@ -422,15 +458,18 @@ class AstraDBCqlConnector(VectorDBConnector):
                 return
 
     def upsert_batch(self, collection: str, batch: pd.DataFrame) -> None:
+        # parameterized statements (%s placeholders, the driver's
+        # binding protocol): raw interpolation left string metadata
+        # unquoted (CQL syntax error on every write) and let quote
+        # characters in ids inject into the statement
         for row in batch.to_dict("records"):
             meta = {k: v for k, v in row.items() if k not in ("id", "vector")}
-            cols = ', '.join(meta.keys())
-            vals = ', '.join(str(v) for v in meta.values())
+            cols = "".join(f", {k}" for k in meta)
+            slots = ", ".join(["%s"] * (2 + len(meta)))
             self.session.execute(
                 f'INSERT INTO {self.keyspace}.{collection} '
-                f'(id, "$vector"{", " + cols if cols else ""}) '
-                f"VALUES ('{row['id']}', {list(row['vector'])}"
-                f"{', ' + vals if vals else ''})"
+                f'(id, "$vector"{cols}) VALUES ({slots})',
+                tuple([row["id"], list(row["vector"])] + list(meta.values())),
             )
 
 
@@ -532,8 +571,13 @@ class KDBAIConnector(VectorDBConnector):
             index_type=cfg.get("index_type", self.index_type),
             all_vector_cols=cfg.get("all_vector_cols"),
         )
-        if name not in self.session.list():
-            self.session.create_table(kdb_compliant_name(name), schema)
+        # check the COMPLIANT name (tables are created under it): the
+        # raw name is never in session.list() when it contains -, space,
+        # . or /, so every re-run would re-create and hit 'already
+        # exists'
+        table = kdb_compliant_name(name)
+        if table not in self.session.list():
+            self.session.create_table(table, schema)
 
     def count(self, collection: str) -> int:
         return len(self.session.table(collection).query())
