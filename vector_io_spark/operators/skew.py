@@ -7,6 +7,8 @@ double-digit percent of all rows (the classic power-law id).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +76,7 @@ def two_phase_agg(
                 "algebraic sum/count/min/max compose over salt buckets "
                 "(express avg as sum+count)"
             )
-        if "distinct" in expr.lower():
+        if re.search(r"\(\s*distinct\b", expr, re.IGNORECASE):
             # count(distinct x) would pass the name check but OVERCOUNT
             # silently: a value landing in k salt buckets is counted k
             # times by the combine-phase sum

@@ -10188,24 +10188,28 @@ _GATE_PILLARS = [
     "training_data_pipeline",        # composite pipeline
 ]
 
-# Rotation r6: families the r5 gate never sampled (asof/range joins,
-# BI rollups, transition matrices, retrieval fusion, sparse vectors,
-# CMS/HLL-merge sketches, sampling splits) plus the round's new surface.
+# Rotation r7: third disjoint slice, drawn ONLY from the 105 queries
+# with no driver-side CORRECTNESS row across r1-r6 (complement of the
+# union of CORRECTNESS_r01..r06 keys). Families: TPC-H shapes the gate
+# never sampled (Q4/Q5/Q14/Q16/Q17/Q18/Q20/Q22 equivalents), BPE and
+# vocabulary, PQ/IVF catalog twins, passage spans + cluster audits,
+# leakage-safe sampling splits, and gap-fill/retention/LTV BI rollups.
 _GATE_ROTATION = [
-    "asof_join_events", "range_join_events", "key_union_join",
-    "nation_trade_volume", "market_share_by_year",
-    "late_shipment_by_priority", "customer_order_distribution",
-    "top_supplier_by_revenue", "min_price_supplier_per_part",
-    "returned_item_report",
-    "session_stats", "events_rollup", "event_transition_matrix",
-    "cohort_retention_weekly", "wau_stickiness", "ab_test_report",
-    "token_counts", "tfidf_top_terms", "redact_pii", "repetition_stats",
-    "decontaminate_eval_overlap", "bigram_lm_score", "pmi_collocations",
-    "ann_topk_euclid", "ann_topk_dot", "sparse_dot_topk",
-    "cascade_hamming_cosine", "knn_graph_batch", "mmr_diversified_topk",
-    "embedding_covariance", "semdedup_keep",
-    "cms_heavy_hitters", "hll_merge_by_event_type",
-    "set_overlap_customers", "sketch_catalog_overlap",
+    "local_supplier_volume", "promo_revenue_share",
+    "large_volume_customers", "small_quantity_revenue",
+    "idle_customer_balance", "late_order_priority_check",
+    "supplier_count_by_part_attr", "excess_shipment_suppliers",
+    "order_value_percentiles", "bracket_revenue",
+    "bpe_vocab", "bpe_encode_docs", "bpe_tokenize_and_pack",
+    "vocab_coverage", "token_length_histogram",
+    "pq_train_encode", "ann_topk_pq_exact_catalog", "ivf_cell_balance",
+    "ann_topk_chebyshev", "l2_normalize_embeddings", "embedding_isotropy",
+    "dup_passage_spans", "dup_cluster_sizes", "line_dedup_boilerplate",
+    "char_entropy_quality", "doc_novelty", "incremental_dedup",
+    "leakage_safe_split", "train_val_test_split", "kfold_assignments",
+    "temporal_split",
+    "hourly_gapfill_locf", "top_session_paths", "dayn_retention",
+    "customer_ltv_deciles",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
