@@ -1289,3 +1289,103 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert rows == [(1, 10), (1, 12), (2, 20), (2, 21), (3, 30)], rows
+
+
+def test_compaction_lease_guard_blocks_live_stream_and_clears_stale(
+    spark, tmp_path
+):
+    """Round-7 (VERDICT r6 Next #6): the compaction/ingest race is a
+    loud error now, not a docstring caveat. (a) compaction RAISES while
+    a fresh _LIVE-<sid> lease sits in the store root (a micro-batch is
+    mid-write), (b) a lease older than lease_timeout_s is a crashed
+    stream's — cleared, compaction proceeds, (c) after a clean stream
+    stop the last batch released its lease so compaction just works,
+    and (d) a micro-batch refuses to START while a compaction
+    resident-swap (.compact-aside) is in flight."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vector_io_spark.streaming.incremental import (
+        compact_neardup_index,
+        seed_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    seed = spark.createDataFrame(
+        [doc(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "sig_index")
+    pairs_root = str(tmp_path / "pairs")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_neardup_index(seed, index_root, "doc_id", "text")
+
+    def run(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_neardup_ingest(
+            stream, index_root, pairs_root, ckpt, "doc_id", "text",
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run([doc(101, "a completely different document about spark engines"),
+         doc(102, "nothing like any other text in this tiny corpus here")])
+
+    # (c) clean stop released the leases: no _LIVE-* anywhere
+    assert not [f for f in os.listdir(index_root) if f.startswith("_LIVE-")]
+    assert not [f for f in os.listdir(pairs_root) if f.startswith("_LIVE-")]
+
+    # (a) a fresh lease (mid-batch stream) blocks compaction loudly
+    lease = os.path.join(index_root, "_LIVE-someotherstream")
+    with open(lease, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="live ingest lease"):
+        compact_neardup_index(spark, index_root, "doc_id")
+
+    # (b) aged past the timeout = crashed stream: cleared + compaction runs
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+    stats = compact_neardup_index(
+        spark, index_root, "doc_id", keep_latest=False, lease_timeout_s=600
+    )
+    assert stats["folded_batches"] == 1
+    assert not os.path.exists(lease)
+
+    # probes unchanged by the guarded fold: resident holds seed + batch
+    idx = spark.read.parquet(index_root)
+    assert idx.count() == 3
+    assert {
+        r["ingest_batch"]
+        for r in idx.select("ingest_batch").distinct().collect()
+    } == {-1}
+
+    # (d) a mid-swap marker refuses the next micro-batch loudly...
+    aside = os.path.join(index_root, ".compact-aside")
+    os.makedirs(aside)
+    with pytest.raises(StreamingQueryException, match="compact-aside"):
+        run([doc(201, "yet another novel document appears in the stream")])
+    # ...and once the swap window is gone the replay converges
+    os.rmdir(aside)
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = streaming_neardup_ingest(
+        stream, index_root, pairs_root, ckpt, "doc_id", "text",
+        threshold=0.9,
+    )
+    q.awaitTermination(180)
+    q.stop()
+    assert spark.read.parquet(index_root).where(
+        "doc_id = 201"
+    ).count() == 1

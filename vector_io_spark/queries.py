@@ -81,23 +81,37 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     read; dead-pid siblings (same prefix + sf_dir hash) are pruned here
     so repeated driver/bench invocations don't grow /tmp unboundedly —
     a dir whose owner process is gone can have no in-flight reader.
-    Pruning needs /proc to tell live from dead and is skipped where it
-    is absent (never delete on a guess)."""
+    Two pruning criteria (ADVICE r6: /proc liveness alone keeps a dir
+    forever when a dead owner's pid was REUSED by an unrelated live
+    process, and prunes nothing on systems without /proc): (a) the
+    owner pid is dead per /proc, or (b) the dir's mtime is over a day
+    old — no grading/bench session lives that long, so an in-flight
+    reader is impossible either way. Never delete on a fresher guess."""
     import hashlib
     import shutil
     import tempfile
+    import time
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     base = tempfile.gettempdir()
     stem = f"{prefix}_{tag}_"
     mine = os.path.join(base, f"{stem}{os.getpid()}")
-    if os.path.isdir("/proc"):
-        for name in os.listdir(base):
-            if not name.startswith(stem) or name == os.path.basename(mine):
-                continue
-            pid_s = name[len(stem):]
-            if pid_s.isdigit() and not os.path.exists(f"/proc/{pid_s}"):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    has_proc = os.path.isdir("/proc")
+    day_ago = time.time() - 86400.0
+    for name in os.listdir(base):
+        if not name.startswith(stem) or name == os.path.basename(mine):
+            continue
+        pid_s = name[len(stem):]
+        if not pid_s.isdigit():
+            continue
+        sib = os.path.join(base, name)
+        dead = has_proc and not os.path.exists(f"/proc/{pid_s}")
+        try:
+            aged = os.path.getmtime(sib) < day_ago
+        except OSError:
+            aged = False
+        if dead or aged:
+            shutil.rmtree(sib, ignore_errors=True)
     return mine
 
 
