@@ -88,7 +88,15 @@ BENCH_QUERIES = [
     # round-6 additions (BENCH_r06+ only — totals not comparable back)
     "sketch_catalog_overlap",  # persisted per-source KMV catalog, 190 pairs
     "token_budget_selection",  # bucketed boundary math, no row-level sort
-    "ann_topk_pq_exact_catalog",  # persisted PQ index: write + from-disk ADC
+    # round-7: the r6 single ann_topk_pq_exact_catalog entry folded the
+    # one-time index build into every rep, masking probe-kernel
+    # regressions under ~5 s of parquet-write noise (VERDICT r6 #7).
+    # Build and steady-state probe are now separate entries, for both
+    # the oracle-exact PQ catalog and the float IVFPQ production pair.
+    "pq_exact_catalog_build",   # one-time: fixed-point train + index write
+    "pq_exact_catalog_probe",   # steady-state: from-disk ADC rank only
+    "ivfpq_index_build",        # one-time: train + encode + partitioned write
+    "ivfpq_index_probe",        # steady-state: pruned cell scan + ADC
 ]
 
 
@@ -97,7 +105,7 @@ def _extra_queries():
     from pyspark.sql import functions as F
 
     from vector_io_spark.operators.dedup import dedup_embedding_cosine
-    from vector_io_spark.queries import _t
+    from vector_io_spark.queries import _scratch_dir, _t
 
     def embedding_cosine_lsh(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -107,8 +115,80 @@ def _extra_queries():
             threshold=0.995, method="lsh",
         )
 
+    # Build-vs-probe split for the persisted ANN catalogs: the *_build
+    # entries pay the one-time train+write each rep (that IS the number);
+    # the *_probe entries build once per process (memoized below) so
+    # every rep measures the steady-state probe a production query batch
+    # pays — the amortization argument the catalogs exist for.
+    _built: dict[str, str] = {}
+
+    def _queries16(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    def pq_exact_catalog_build(spark, sf_dir):
+        from vector_io_spark.operators.pq_exact import write_pq_exact_index
+
+        path = _scratch_dir("vios_bench_pq_build", sf_dir)
+        write_pq_exact_index(_t(spark, sf_dir, "embeddings"), path)
+        return spark.read.parquet(f"{path}/codebook")
+
+    def pq_exact_catalog_probe(spark, sf_dir):
+        from vector_io_spark.operators.pq_exact import (
+            pq_adc_topk_from_index,
+            write_pq_exact_index,
+        )
+
+        path = _built.get("pq_exact")
+        if path is None:
+            path = _scratch_dir("vios_bench_pq_probe", sf_dir)
+            write_pq_exact_index(_t(spark, sf_dir, "embeddings"), path)
+            _built["pq_exact"] = path
+        return pq_adc_topk_from_index(spark, path, _queries16(spark, sf_dir))
+
+    _IVFPQ_PARAMS = dict(
+        num_cells=16, num_subspaces=16, codebook_size=64,
+        max_train_rows=20_000,
+    )
+
+    def ivfpq_index_build(spark, sf_dir):
+        from vector_io_spark.operators.similarity import write_ivfpq_index
+
+        path = _scratch_dir("vios_bench_ivfpq_build", sf_dir)
+        write_ivfpq_index(
+            _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            path, **_IVFPQ_PARAMS,
+        )
+        return spark.read.parquet(f"{path}/centroids")
+
+    def ivfpq_index_probe(spark, sf_dir):
+        from vector_io_spark.operators.similarity import (
+            ivfpq_index_probe_topk,
+            write_ivfpq_index,
+        )
+
+        path = _built.get("ivfpq")
+        if path is None:
+            path = _scratch_dir("vios_bench_ivfpq_probe", sf_dir)
+            write_ivfpq_index(
+                _t(spark, sf_dir, "embeddings").select(
+                    "vec_id", "embedding"
+                ),
+                path, **_IVFPQ_PARAMS,
+            )
+            _built["ivfpq"] = path
+        return ivfpq_index_probe_topk(
+            spark, path, _queries16(spark, sf_dir), k=10, nprobe=4
+        )
+
     return {
         "embedding_cosine_lsh": embedding_cosine_lsh,
+        "pq_exact_catalog_build": pq_exact_catalog_build,
+        "pq_exact_catalog_probe": pq_exact_catalog_probe,
+        "ivfpq_index_build": ivfpq_index_build,
+        "ivfpq_index_probe": ivfpq_index_probe,
     }
 
 
@@ -148,6 +228,14 @@ def main() -> None:
     unknown = [q for q in bench_queries if q not in registry]
     if unknown:
         raise SystemExit(f"unknown bench queries: {unknown}")
+    # prime the *_probe entries' memoized one-time index builds outside
+    # the timed loop — every timed rep then measures steady-state probe
+    for name in bench_queries:
+        if name.endswith("_probe"):
+            registry[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     samples: dict[str, list[float]] = {q: [] for q in bench_queries}
     for _rep in range(n_runs):
         for name in bench_queries:

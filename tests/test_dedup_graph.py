@@ -65,6 +65,55 @@ def test_hf_source_import_gated(spark):
         push_to_hub("/tmp/nope", "user/ds")
 
 
+def test_hf_source_root_level_splits_and_empty_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: '**/'-only allow_patterns download ZERO files from
+    repos storing split shards at the repo ROOT (fnmatch '**/' needs a
+    literal '/'), and the subsequent spark.read failed with an
+    unrelated schema error. Pin (a) root-level patterns are requested,
+    (b) an empty filtered snapshot raises a CLEAR error, (c) a
+    root-level train-*.parquet snapshot reads fine."""
+    import os
+    import sys
+    import types
+
+    captured = {}
+    snap = str(tmp_path / "snapshot")
+    os.makedirs(snap)
+
+    fake = types.ModuleType("huggingface_hub")
+
+    def snapshot_download(repo_id, repo_type, allow_patterns):
+        captured["patterns"] = allow_patterns
+        return snap
+
+    fake.snapshot_download = snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+    # reimport-free: read_hf_dataset does a local import each call
+    from vector_io_spark.sources.hf import read_hf_dataset
+
+    # (b) empty snapshot -> clear error, not a schema-inference crash
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        read_hf_dataset(spark, "user/ds", split="train")
+    # (a) both nested and ROOT-level layouts are requested
+    assert "train/*.parquet" in captured["patterns"]
+    assert "train-*.parquet" in captured["patterns"]
+    assert "**/train/*.parquet" in captured["patterns"]
+
+    # (c) a root-level shard layout reads
+    spark.range(5).toDF("id").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    import glob
+    import shutil
+
+    src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(src, os.path.join(snap, "train-00000-of-00001.parquet"))
+    got = read_hf_dataset(spark, "user/ds", split="train", max_num_rows=3)
+    assert got.count() == 3
+
+
 def test_connected_components_long_chain_pointer_jumping(spark):
     """A 300-link path graph: plain min-propagation needs 300 rounds;
     pointer jumping must converge within max_iter=12 (2^12 >> 300) and

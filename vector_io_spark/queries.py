@@ -9996,6 +9996,103 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize_release(out, sh)
 
 
+@_register(
+    "sketch_catalog_probe",
+    f"""
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source, unnest(list_distinct({_SHINGLES3})) AS shingle
+            FROM documents
+        )
+    ),
+    mx AS (SELECT max(source) AS nsrc FROM sh),
+    sk AS (SELECT source, h FROM (
+             SELECT source, md5('qsk|' || shingle) AS h,
+                    row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5('qsk|' || shingle)) AS rn
+             FROM sh WHERE source <> (SELECT nsrc FROM mx))
+           WHERE rn <= 256),
+    nw AS (SELECT h FROM (
+             SELECT md5('qsk|' || shingle) AS h,
+                    row_number() OVER (
+                        ORDER BY md5('qsk|' || shingle)) AS rn
+             FROM sh WHERE source = (SELECT nsrc FROM mx))
+           WHERE rn <= 256),
+    gs AS (SELECT DISTINCT source FROM sk),
+    memb AS (
+        SELECT source, h, 1 AS fa, 0 AS fb FROM sk
+        UNION ALL
+        SELECT g.source, n.h, 0 AS fa, 1 AS fb FROM gs g CROSS JOIN nw n
+    ),
+    mb AS (SELECT source, h, max(fa) AS fa, max(fb) AS fb
+           FROM memb GROUP BY 1, 2),
+    tr AS (SELECT source, fa, fb FROM (
+             SELECT source, fa, fb,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM mb) WHERE rn <= 256)
+    SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+           round(CAST(sum(fa * fb) AS DOUBLE) / count(*), 6) AS jaccard_est
+    FROM tr GROUP BY source
+    """,
+)
+def sketch_catalog_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC catalog probe (r7): one NEW source arrives (the
+    max-named source plays newcomer), its k-row KMV sketch is written
+    once (operators/sketches.py::write_kmv_sketch), and its overlap
+    against EVERY cataloged resident source is answered from saved
+    signatures alone via kmv_probe_group — N·k + k rows read, no
+    corpus rescans, no all-pairs recompute. The incremental-ingest
+    mirror of sketch_catalog_overlap (which answers the full pairwise
+    grid): per group the math is bottomk_jaccard_from_sketches, so the
+    probe row equals the full pairwise run's row for that pair
+    (pytest-pinned in test_sketch_catalog.py).
+
+    Scale shape: catalog write = one scan with per-source
+    WindowGroupLimit rank<=k; probe sketch = one scan of the NEW
+    source only + a global rank<=k (WindowGroupLimit fires); probe
+    math = the ≤k-row new sketch broadcast onto the |groups| list
+    (BroadcastNestedLoopJoin), per-group ≤2k-row truncation windows.
+    Nothing corpus-sized anywhere. Engine-exact: md5 KMV hashes,
+    deterministic truncation, integer flag arithmetic."""
+    from vector_io_spark.functions.text import word_shingles_from_tokens
+    from vector_io_spark.operators.sketches import (
+        kmv_probe_group,
+        write_kmv_sketch,
+        write_kmv_sketch_catalog,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    word_shingles_from_tokens(tokens("text"), 3)
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .persist()
+    )
+    newcomer = sh.agg(F.max("source")).first()[0]
+    path = _scratch_dir("vios_sketch_probe_cat", sf_dir)
+    new_path = _scratch_dir("vios_sketch_probe_new", sf_dir)
+    write_kmv_sketch_catalog(
+        sh.where(F.col("source") != newcomer), path, "shingle", "source",
+        k=256,
+    )
+    write_kmv_sketch(
+        sh.where(F.col("source") == newcomer).select("shingle"),
+        new_path, "shingle", k=256,
+    )
+    out = kmv_probe_group(
+        spark.read.parquet(path), spark.read.parquet(new_path),
+        "source", k=256,
+    )
+    return _finalize_release(out, sh)
+
+
 _TBUDGET_U01 = _hex8_num_sql(
     "substr(md5(CAST(doc_id AS VARCHAR) || '|tbudget'), 1, 8)"
 ) + " / 4294967296e0"

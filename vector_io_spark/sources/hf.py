@@ -38,10 +38,31 @@ def read_hf_dataset(
     local = snapshot_download(
         repo_id=dataset,
         repo_type="dataset",
-        # both parquet layout conventions: <split>/*.parquet and
-        # <config>/<split>-xxxxx-of-yyyyy.parquet
-        allow_patterns=[f"**/{split}/*.parquet", f"**/{split}-*.parquet"],
+        # every parquet layout convention: <split>/*.parquet and
+        # <config>/<split>-xxxxx-of-yyyyy.parquet, nested OR at the
+        # repo root — fnmatch's '**/' requires a literal '/', so the
+        # nested patterns alone download ZERO files from repos that
+        # keep train-00000-of-....parquet at the root (ADVICE r6), and
+        # spark.read.parquet then failed with an unrelated
+        # schema-inference error.
+        allow_patterns=[
+            f"**/{split}/*.parquet",
+            f"**/{split}-*.parquet",
+            f"{split}/*.parquet",
+            f"{split}-*.parquet",
+        ],
     )
+    import glob
+    import os as _os
+
+    if not glob.glob(
+        _os.path.join(local, "**", "*.parquet"), recursive=True
+    ):
+        raise FileNotFoundError(
+            f"read_hf_dataset: dataset {dataset!r} has no parquet files "
+            f"for split {split!r} in its snapshot — check the split name "
+            "and that the repo stores parquet (not arrow/jsonl) shards"
+        )
     df = spark.read.option("recursiveFileLookup", "true").parquet(local)
     return df.limit(max_num_rows) if max_num_rows is not None else df
 

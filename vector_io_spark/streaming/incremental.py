@@ -929,7 +929,22 @@ def compact_neardup_index(
     # without it the folded resident would flatten the column into row
     # data while unfolded batches keep it as a directory, and the mixed
     # layout breaks partition discovery at the store root.
-    writer = merged.write
+    #
+    # Size the folded resident's file count from its ROW count (r7: the
+    # streaming bench harness caught the default-32-shuffle-partition
+    # write EXPANDING small stores — 93 -> 313 files on the sub-
+    # partitioned IVFPQ store — i.e. the compactor re-creating the
+    # small-file problem it exists to cure). ~1M index rows per file
+    # (signatures/codes are ~100 B/row -> ~100 MB files); hash-
+    # repartitioning by the sub-partition columns keeps each cell's
+    # rows in as few tasks as possible so a cell dir gets ~1 file.
+    n_files = max(1, -(-n_rows // 1_000_000))
+    folded = (
+        merged.repartition(n_files, *[F.col(c) for c in partition_by])
+        if partition_by
+        else merged.repartition(n_files)
+    )
+    writer = folded.write
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{index_root}/.compact-tmp")
