@@ -995,3 +995,50 @@ def test_probe_paths_return_empty_typed_result_for_empty_queries(
 
     got = pq_topk(emb, none, k=5, num_subspaces=8, codebook_size=16)
     assert got.count() == 0
+
+
+def test_rebuild_ivf_if_drifted_twin(spark, sf_dir, tmp_path):
+    """The plain-IVF rebuild twin shares the contract: iid delta ->
+    keep; amplified shifted delta -> rebuild, imbalance back under
+    budget, rebuilt store covers the full corpus."""
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        rebuild_ivf_if_drifted,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(old, path, num_cells=8, seed=7)
+
+    iid = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 1))
+    append_to_ivf_index(iid, path, delta_token="iid")
+    got = rebuild_ivf_if_drifted(
+        spark, path, old.unionByName(iid), imbalance_budget=3.0
+    )
+    assert got["rebuilt"] is False and got["nlist"] == 8
+
+    shifted = (
+        emb.where(F.col("vec_id") % 4 == 3)
+        .select(
+            "vec_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("rep"),
+            "embedding",
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias(
+                "vec_id"
+            ),
+            F.expr(
+                "transform(embedding, x -> float(x + 2.0d))"
+            ).alias("embedding"),
+        )
+    )
+    append_to_ivf_index(shifted, path, delta_token="shifted")
+    corpus = old.unionByName(iid).unionByName(shifted)
+    got2 = rebuild_ivf_if_drifted(spark, path, corpus, imbalance_budget=3.0)
+    assert got2["rebuilt"] is True, got2
+    assert got2["imbalance_before"] > 3.0, got2
+    assert got2["imbalance_after"] <= 3.0, got2
+    assert spark.read.parquet(f"{path}/cells").count() == corpus.count()

@@ -1796,6 +1796,69 @@ def rebuild_ivfpq_if_drifted(
     }
 
 
+def rebuild_ivf_if_drifted(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    imbalance_budget: float = 3.0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """Plain-IVF twin of :func:`rebuild_ivfpq_if_drifted` — the raw-
+    vector :func:`write_ivf_index` layout drifts under appends exactly
+    like the coded one (hot stale cells = probe COST, the measured
+    first casualty), and :func:`ivfpq_index_stats` reads any
+    cells+centroids layout (the per-cell rollup touches partition
+    metadata only), so the stats → threshold → conditional retrain
+    composition is identical; num_cells is read from the persisted
+    centroid table, never caller-supplied. Returns the same decision
+    dict."""
+    nlist = spark.read.parquet(f"{path}/centroids").count()
+
+    def _imbalance() -> float:
+        row = (
+            ivfpq_index_stats(spark, path)
+            .agg(F.max("imbalance_factor"))
+            .first()
+        )
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"rebuild_ivf_if_drifted: no rows under {path}/cells — "
+                "not a populated write_ivf_index layout"
+            )
+        return float(row[0])
+
+    before = _imbalance()
+    if before <= imbalance_budget:
+        return {
+            "rebuilt": False,
+            "imbalance_before": before,
+            "imbalance_after": None,
+            "imbalance_budget": imbalance_budget,
+            "nlist": int(nlist),
+        }
+    write_ivf_index(
+        corpus,
+        path,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        num_cells=int(nlist),
+        max_train_rows=max_train_rows,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    return {
+        "rebuilt": True,
+        "imbalance_before": before,
+        "imbalance_after": _imbalance(),
+        "imbalance_budget": imbalance_budget,
+        "nlist": int(nlist),
+    }
+
+
 def _idempotent_delta_write(
     delta: DataFrame, cells_path: str, delta_token: str
 ) -> None:
