@@ -1389,3 +1389,109 @@ def test_compaction_lease_guard_blocks_live_stream_and_clears_stale(
     assert spark.read.parquet(index_root).where(
         "doc_id = 201"
     ).count() == 1
+
+
+def test_reseed_streaming_ivfpq_if_drifted(spark, tmp_path):
+    """Round-7: the streaming store's rebuild-on-drift composition.
+    (a) lease guard blocks a reseed while a batch is mid-write; (b) an
+    iid batch stays under budget -> keep, store untouched; (c) a
+    shifted pile-up trips the budget -> retrain from the supplied
+    corpus, imbalance back under budget, batch partitions + lineage
+    markers gone, counts == corpus; (d) a FRESH checkpoint lineage can
+    adopt the reseeded store and keep ingesting."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.streaming.incremental import (
+        reseed_ivfpq_stream_index_if_drifted,
+        seed_ivfpq_stream_index,
+        streaming_ivfpq_ingest,
+    )
+
+    def v(i, pattern):
+        base = [0.05 * ((i + j) % 7) for j in range(8)]
+        base[pattern % 8] += 3.0
+        return (i, [float(x) for x in base])
+
+    def shifted(i):
+        # far from every seed pattern: all-dims offset -> one hot cell
+        return (i, [9.0 + 0.01 * ((i + j) % 5) for j in range(8)])
+
+    seed_rows = [v(i, i) for i in range(16)]
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "ivfpq_stream")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    seed_ivfpq_stream_index(
+        seed, root, num_cells=4, num_subspaces=4, codebook_size=4, seed=3
+    )
+
+    def run(rows, checkpoint):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_ivfpq_ingest(stream, root, checkpoint)
+        q.awaitTermination(180)
+        q.stop()
+
+    # (b) iid batch: same generator -> balanced, keep
+    iid = [v(100 + i, i) for i in range(8)]
+    run(iid, ckpt)
+    corpus1 = spark.createDataFrame(
+        seed_rows + iid, "vec_id long, embedding array<double>"
+    )
+    got = reseed_ivfpq_stream_index_if_drifted(
+        spark, root, corpus1, imbalance_budget=3.0
+    )
+    assert got["rebuilt"] is False and got["nlist"] == 4
+    cells = spark.read.parquet(f"{root}/cells")
+    assert set(
+        r["ingest_batch"]
+        for r in cells.select("ingest_batch").distinct().collect()
+    ) == {-1, 0}
+
+    # (a) a fresh lease blocks the reseed loudly
+    lease = os.path.join(root, "cells", "_LIVE-phantom")
+    with open(lease, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="live ingest lease"):
+        reseed_ivfpq_stream_index_if_drifted(
+            spark, root, corpus1, imbalance_budget=3.0
+        )
+    os.remove(lease)
+
+    # (c) shifted pile-up (3x the resident count, one hot stale cell)
+    drift = [shifted(1000 + i) for i in range(72)]
+    run(drift, ckpt)
+    corpus2 = spark.createDataFrame(
+        seed_rows + iid + drift, "vec_id long, embedding array<double>"
+    )
+    got2 = reseed_ivfpq_stream_index_if_drifted(
+        spark, root, corpus2, imbalance_budget=3.0
+    )
+    assert got2["rebuilt"] is True, got2
+    assert got2["imbalance_before"] > 3.0, got2
+    assert got2["imbalance_after"] <= 3.0, got2
+    cells = spark.read.parquet(f"{root}/cells")
+    assert set(
+        r["ingest_batch"]
+        for r in cells.select("ingest_batch").distinct().collect()
+    ) == {-1}
+    assert cells.count() == corpus2.count()
+    assert not [
+        f
+        for f in os.listdir(os.path.join(root, "cells"))
+        if f.startswith("_STREAM-")
+    ]
+
+    # (d) a fresh checkpoint lineage adopts the folded store cleanly
+    ckpt2 = str(tmp_path / "ckpt2")
+    run([v(5000, 3)], ckpt2)
+    cells = spark.read.parquet(f"{root}/cells")
+    assert cells.where("vec_id = 5000").count() == 1

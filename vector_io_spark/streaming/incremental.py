@@ -642,6 +642,38 @@ def _guard_ingest_store(
         ).close()
 
 
+def _check_no_live_leases(
+    spark: SparkSession, root: str, lease_timeout_s: float, caller: str,
+    consequence: str,
+) -> None:
+    """Raise while any ``_LIVE-<sid>`` ingest lease under ``root`` is
+    fresher than ``lease_timeout_s``; clear leases stale enough to
+    belong to crashed streams (a healthy micro-batch refreshes its
+    lease every batch). Shared by compaction and the streaming reseed
+    — any maintenance op that mutates a store a live stream also
+    writes must pass through here first."""
+    jvm = spark._jvm
+    root_p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root_p):
+        return
+    now_ms = time.time() * 1000.0
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if not name.startswith("_LIVE-"):
+            continue
+        age_s = (now_ms - st.getModificationTime()) / 1000.0
+        if age_s < lease_timeout_s:
+            raise RuntimeError(
+                f"{caller}: {root} has a live ingest lease {name} "
+                f"({age_s:.1f}s old < lease_timeout_s={lease_timeout_s}) "
+                f"— a stream micro-batch is (or was very recently) "
+                f"mid-write; {consequence}. Stop the stream (or wait "
+                "for the lease to release/expire) and re-run."
+            )
+        fs.delete(st.getPath(), False)
+
+
 def _release_ingest_leases(
     spark: SparkSession, roots, checkpoint_dir: str
 ) -> None:
@@ -833,24 +865,10 @@ def compact_neardup_index(
 
     # refuse while an ingest micro-batch holds a fresh lease; clear
     # leases stale enough to belong to a crashed stream
-    if fs.exists(root):
-        now_ms = time.time() * 1000.0
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("_LIVE-"):
-                continue
-            age_s = (now_ms - st.getModificationTime()) / 1000.0
-            if age_s < lease_timeout_s:
-                raise RuntimeError(
-                    f"compact_neardup_index: {index_root} has a live "
-                    f"ingest lease {name} ({age_s:.1f}s old < "
-                    f"lease_timeout_s={lease_timeout_s}) — a stream "
-                    "micro-batch is (or was very recently) mid-write; "
-                    "compacting now could swap the resident out from "
-                    "under its reads. Stop the stream (or wait for the "
-                    "lease to release/expire) and re-run."
-                )
-            fs.delete(st.getPath(), False)
+    _check_no_live_leases(
+        spark, index_root, lease_timeout_s, "compact_neardup_index",
+        "compacting now could swap the resident out from under its reads",
+    )
 
     def _rename(src, dst):
         # Hadoop FileSystem.rename signals failure by returning False
@@ -1221,3 +1239,139 @@ def streaming_ivfpq_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def reseed_ivfpq_stream_index_if_drifted(
+    spark: SparkSession,
+    index_root: str,
+    corpus: DataFrame,
+    imbalance_budget: float = 3.0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_train_rows: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    lease_timeout_s: float = 600.0,
+) -> dict:
+    """The STREAMING store's rebuild-on-drift composition (r7) — the
+    :func:`~vector_io_spark.operators.similarity.rebuild_ivfpq_if_drifted`
+    twin for a :func:`seed_ivfpq_stream_index` /
+    :func:`streaming_ivfpq_ingest` layout, closing the last manual
+    step in the streaming-index lifecycle: check imbalance over the
+    trained nlist (``ivfpq_index_stats`` reads ``ingest_batch`` levels
+    transparently); past budget, RETRAIN from the caller-supplied
+    current corpus and reseed.
+
+    A streaming reseed is more than a rewrite, because the store holds
+    batch partitions encoded against the OLD codebooks — codes from two
+    codebook generations cannot coexist (ADC distances would silently
+    mix geometries) — and a lineage marker binding it to the old
+    checkpoint. So, in crash-safe order:
+
+    1. **refuse while the stream is live** (fresh ``_LIVE-<sid>``
+       lease — the shared :func:`_check_no_live_leases` guard; also
+       required because step 3 deletes partitions a mid-batch probe
+       could be reading);
+    2. **drop every ``ingest_batch>=0`` partition and every
+       ``_STREAM-<sid>`` / stray compaction marker** — their rows are
+       re-encoded from ``corpus`` in step 3, and clearing the lineage
+       marker lets a FRESH checkpoint adopt the reseeded store (the
+       old checkpoint MUST be discarded: its offsets refer to batches
+       whose partitions no longer exist);
+    3. **retrain + rewrite** seed artifacts and the
+       ``ingest_batch=-1`` resident via :func:`seed_ivfpq_stream_index`
+       (parquet ``overwrite`` per artifact dir).
+
+    A crash between 2 and 3 leaves a store with no batch partitions
+    and possibly stale artifacts — re-running converges (step 2 is
+    then a no-op, step 3 rewrites everything); nothing is lost because
+    ``corpus`` is the source of truth for a rebuild, exactly as in the
+    static twin (codes cannot be decoded back).
+
+    ``corpus`` must be the CURRENT full corpus (original seed rows +
+    every streamed batch's rows). Returns the same decision dict as
+    the static twin: ``{"rebuilt", "imbalance_before",
+    "imbalance_after", "imbalance_budget", "nlist"}``.
+
+    Scale shape: the decision reads partition metadata + the nlist-row
+    centroid table; a triggered reseed pays the one-time build (bounded
+    sample train + one encode pass + one partitionBy shuffle) — the
+    same cost profile as the initial seed.
+    """
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.similarity import (
+        _load_ivfpq_artifacts,
+        ivfpq_index_stats,
+    )
+
+    cells_root = f"{index_root}/cells"
+    _check_no_live_leases(
+        spark, cells_root, lease_timeout_s,
+        "reseed_ivfpq_stream_index_if_drifted",
+        "reseeding deletes batch partitions a mid-batch probe could be "
+        "reading and retrains the codebooks its writes encode against",
+    )
+    cents, cb = _load_ivfpq_artifacts(spark, index_root)
+
+    def _imbalance() -> float:
+        row = (
+            ivfpq_index_stats(spark, index_root)
+            .agg(F.max("imbalance_factor"))
+            .first()
+        )
+        if row is None or row[0] is None:
+            raise ValueError(
+                "reseed_ivfpq_stream_index_if_drifted: no code rows "
+                f"under {cells_root} — not a populated streaming IVFPQ "
+                "store"
+            )
+        return float(row[0])
+
+    before = _imbalance()
+    nlist = int(len(cents))
+    if before <= imbalance_budget:
+        return {
+            "rebuilt": False,
+            "imbalance_before": before,
+            "imbalance_after": None,
+            "imbalance_budget": imbalance_budget,
+            "nlist": nlist,
+        }
+    jvm = spark._jvm
+    root_p = jvm.org.apache.hadoop.fs.Path(cells_root)
+    fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        drop = (
+            (
+                name.startswith("ingest_batch=")
+                and int(name.split("=", 1)[1]) >= 0
+            )
+            or name.startswith("_STREAM-")
+            or name in (".compact-tmp", ".compact-aside")
+        )
+        if drop and not fs.delete(st.getPath(), True):
+            raise RuntimeError(
+                f"reseed_ivfpq_stream_index_if_drifted: could not delete "
+                f"{st.getPath()} — store left as-is; re-run to repair"
+            )
+    seed_ivfpq_stream_index(
+        corpus,
+        index_root,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        num_cells=nlist,
+        num_subspaces=int(cb.shape[0]),
+        codebook_size=int(cb.shape[1]),
+        max_train_rows=max_train_rows,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    return {
+        "rebuilt": True,
+        "imbalance_before": before,
+        "imbalance_after": _imbalance(),
+        "imbalance_budget": imbalance_budget,
+        "nlist": nlist,
+    }
