@@ -1042,3 +1042,56 @@ def test_rebuild_ivf_if_drifted_twin(spark, sf_dir, tmp_path):
     assert got2["imbalance_before"] > 3.0, got2
     assert got2["imbalance_after"] <= 3.0, got2
     assert spark.read.parquet(f"{path}/cells").count() == corpus.count()
+
+
+def test_filtered_topk_restricts_to_matching_metadata(spark, sf_dir):
+    """filtered_topk == brute_force_topk over the predicate-restricted
+    corpus, per query; every returned neighbor shares the query's
+    filter value; a NULL filter value matches nothing; a missing
+    filter column raises."""
+    import pytest
+
+    from vector_io_spark.operators.similarity import filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")  # vec_id, embedding, label
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = filtered_topk(emb, queries, k=5, filter_cols=("label",))
+    rows = got.collect()
+
+    # neighbor labels match the query's label, and per-query results
+    # equal brute force over that label's sub-corpus
+    qlabels = {r["query_id"]: r["label"] for r in queries.collect()}
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in rows:
+        assert labels[r["vec_id"]] == qlabels[r["query_id"]]
+    for qid, lab in qlabels.items():
+        sub = emb.where(F.col("label") == lab)
+        want = sorted(
+            (r["vec_id"], r["score"], r["rank"])
+            for r in brute_force_topk(
+                sub,
+                queries.where(F.col("query_id") == qid).select(
+                    "query_id", "embedding"
+                ),
+                k=5,
+            ).collect()
+        )
+        have = sorted(
+            (r["vec_id"], r["score"], r["rank"])
+            for r in rows
+            if r["query_id"] == qid
+        )
+        assert have == want, qid
+
+    # NULL filter value matches nothing
+    nullq = spark.createDataFrame(
+        [(999, [0.0] * 64, None)],
+        "query_id long, embedding array<float>, label int",
+    )
+    assert filtered_topk(emb, nullq, k=5).count() == 0
+
+    # missing filter column raises loudly
+    with pytest.raises(ValueError, match="filter column"):
+        filtered_topk(emb, queries.drop("label"), k=5)

@@ -266,6 +266,91 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    filter_cols: tuple = ("label",),
+    metric: str = "cosine",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """FILTERED vector search (r7): exact top-k where each query scores
+    ONLY the corpus rows whose ``filter_cols`` values equal its own —
+    the metadata-predicate + vector-query composition every production
+    vector store exposes (Pinecone `filter=`, Qdrant payload filters,
+    Milvus expr; the reference ships these filters to those services —
+    here the engine runs them). Both frames must carry ``filter_cols``;
+    a query with a NULL filter value matches nothing (SQL equality),
+    and a query whose predicate selects < k rows returns what exists.
+
+    Spark-first shape — this is a JOIN, not a post-filter: the tiny
+    query side broadcasts and the equality on ``filter_cols`` prunes
+    candidates inside the codegen'd broadcast-hash join BEFORE any
+    vector math runs (a filter-after-scoring formulation would pay the
+    dot product on every corpus row). The corpus — the 100 TB side —
+    is scanned once, in place, never shuffled; per-query top-k is a
+    partitioned window (WindowGroupLimit applies). If the corpus is
+    stored partitioned/bucketed by a filter column, the broadcast join
+    additionally enables dynamic partition pruning, so highly
+    selective predicates never even read the pruned-out files.
+
+    Engine-exact: hoisted-norm sequential-double cosine (identical
+    subexpression order to :func:`brute_force_topk`'s hof path),
+    ``F.round(..., 6)``, NULLS-LAST rank, ascending-id tie-break.
+    Returns (query_id, vec_id, score, rank).
+    """
+    fcols = list(filter_cols)
+    for c in fcols:
+        for side, df in (("corpus", corpus), ("queries", queries)):
+            if c not in df.columns:
+                raise ValueError(
+                    f"filtered_topk: filter column {c!r} missing from "
+                    f"the {side} frame"
+                )
+    asc = metric in ("euclid", "manhattan", "chebyshev")
+    if metric == "cosine":
+        from vector_io_spark.functions.vectors import l2_norm
+
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            l2_norm(query_vec).alias("__qn"),
+            *fcols,
+        )
+        c = corpus.withColumn("__cn", l2_norm(corpus_vec))
+        den = F.col("__cn") * F.col("__qn")
+        score = F.when(
+            den != 0.0, dot_product(F.col(corpus_vec), F.col("__qv")) / den
+        )
+    else:
+        score_fn = _METRIC_FNS[metric]
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            *fcols,
+        )
+        c = corpus
+        score = score_fn(F.col(corpus_vec), F.col("__qv"))
+    scored = c.join(broadcast(q), fcols).select(
+        "query_id", F.col(corpus_id), F.round(score, 6).alias("score")
+    )
+    order = [
+        F.col("score").asc_nulls_last()
+        if asc
+        else F.col("score").desc_nulls_last(),
+        F.col(corpus_id).asc(),
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )
+
+
 def _brute_force_topk_kernel(
     corpus: DataFrame,
     queries: DataFrame,

@@ -650,6 +650,41 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_filtered",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM embeddings c
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 16) q
+              ON c.label = q.label
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: per-query metadata predicate (label
+    equality) + exact cosine top-10 — the filter composes as a
+    broadcast-hash equi-join that prunes candidates BEFORE any vector
+    math (operators/similarity.py::filtered_topk), the production
+    vector-store query shape (Pinecone filter= / Qdrant payload
+    filters) run natively by the engine. Corpus scanned once, never
+    shuffled; per-query top-k is a WindowGroupLimit-eligible
+    partitioned window."""
+    from vector_io_spark.operators.similarity import filtered_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return filtered_topk(emb, queries, k=10, filter_cols=("label",))
+
+
+@_register(
     "embedding_cosine_neardup",
     f"""
     WITH corpus AS (SELECT vec_id, embedding FROM embeddings
