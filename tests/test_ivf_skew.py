@@ -1095,3 +1095,93 @@ def test_filtered_topk_restricts_to_matching_metadata(spark, sf_dir):
     # missing filter column raises loudly
     with pytest.raises(ValueError, match="filter column"):
         filtered_topk(emb, queries.drop("label"), k=5)
+
+
+def test_filtered_ivfpq_index_probe_pushes_predicate(spark, sf_dir, tmp_path):
+    """Filtered ANN against the persisted catalog (r7): metadata_cols
+    persist next to the codes; a probe `where` predicate (a) restricts
+    results to matching rows with PRE-filter semantics — identical to
+    probing an index holding only the matching rows under the same
+    artifacts — (b) pushes into the parquet code scan (PushedFilters),
+    and (c) deltas must carry the store's metadata columns (missing ->
+    loud error; present -> filtered probes see the delta)."""
+    import shutil
+
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_index_probe_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")  # vec_id, embedding, label
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivfpq_meta_index")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16,
+        seed=11, metadata_cols=("label",),
+    )
+    lab = old.select("label").first()[0]
+    queries = emb.where(F.col("vec_id") < 6).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    got = ivfpq_index_probe_topk(
+        spark, path, queries, k=5, nprobe=8, where=f"label = {lab}"
+    )
+    rows = got.collect()
+    labels = {r["vec_id"]: r["label"] for r in old.collect()}
+    assert rows and all(labels[r["vec_id"]] == lab for r in rows)
+    # (b) the predicate reaches the parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan, plan
+
+    # (a) pre-filter semantics == probing a matching-rows-only index
+    # under the SAME artifacts (copy artifacts, filter the codes)
+    sub = str(tmp_path / "ivfpq_sub_index")
+    import os
+
+    os.makedirs(sub)
+    for leaf in ("centroids", "codebooks"):
+        shutil.copytree(f"{path}/{leaf}", f"{sub}/{leaf}")
+    (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("label") == lab)
+        .write.partitionBy("cell")
+        .parquet(f"{sub}/cells")
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+        for r in ivfpq_index_probe_topk(
+            spark, sub, queries, k=5, nprobe=8
+        ).collect()
+    )
+    have = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"]) for r in rows
+    )
+    assert have == want
+
+    # (c) delta metadata contract
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="metadata columns"):
+        append_to_ivfpq_index(
+            delta.drop("label"), path, delta_token="d1"
+        )
+    append_to_ivfpq_index(delta, path, delta_token="d1")
+    lab_delta_ids = {
+        r["vec_id"]
+        for r in delta.where(F.col("label") == lab)
+        .select("vec_id")
+        .collect()
+    }
+    dq = delta.where(
+        (F.col("label") == lab) & (F.col("vec_id") < 50)
+    ).selectExpr("vec_id as query_id", "embedding")
+    if dq.count():
+        got2 = ivfpq_index_probe_topk(
+            spark, path, dq, k=3, nprobe=8, where=f"label = {lab}"
+        )
+        selfs = got2.where(F.col("query_id") == F.col("vec_id")).collect()
+        assert {r["vec_id"] for r in selfs} <= lab_delta_ids
+        assert len(selfs) == dq.count()

@@ -1617,6 +1617,7 @@ def write_ivfpq_index(
     max_train_rows: int = 100_000,
     sample_fraction: float = 1.0,
     seed: int = 42,
+    metadata_cols: tuple = (),
 ) -> None:
     """Persist an IVF+PQ index (FAISS IndexIVFPQ shape, reference
     parity: the reference ships vectors to external ANN services —
@@ -1629,19 +1630,27 @@ def write_ivfpq_index(
     encode pass + one partitionBy shuffle ONCE, after which every
     probe batch reads ``nprobe``/num_cells of the codes via
     directory-level partition pruning and a few KB of artifacts.
+
+    ``metadata_cols`` (r7) persists filterable attribute columns NEXT
+    TO the codes, enabling FILTERED probes
+    (:func:`ivfpq_index_probe_topk`'s ``where``) whose predicates push
+    into the pruned code scan — the persisted-index form of
+    :func:`filtered_topk`. Keep it to the few columns queries filter
+    on: each adds bytes to every code row.
     """
     cents, cb = _ivfpq_train(
         corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
         max_train_rows, sample_fraction, seed,
     )
     _write_ivfpq_artifacts(
-        corpus, cents, cb, f"{path}/cells", path, corpus_id, corpus_vec
+        corpus, cents, cb, f"{path}/cells", path, corpus_id, corpus_vec,
+        metadata_cols=metadata_cols,
     )
 
 
 def _write_ivfpq_artifacts(
     corpus: DataFrame, cents, cb, cells_path: str, artifacts_root: str,
-    corpus_id: str, corpus_vec: str,
+    corpus_id: str, corpus_vec: str, metadata_cols: tuple = (),
 ) -> None:
     """The one serializer for an IVF+PQ layout: encode + cell-partitioned
     codes write (``cells_path`` — the only thing that differs between
@@ -1650,9 +1659,14 @@ def _write_ivfpq_artifacts(
     so the two layouts can never drift from `_load_ivfpq_artifacts`."""
     enc = _ivfpq_encode_udf(cents, cb)
     (
-        corpus.select(F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc"))
+        corpus.select(
+            F.col(corpus_id),
+            *metadata_cols,
+            enc(F.col(corpus_vec)).alias("__cc"),
+        )
         .select(
             corpus_id,
+            *metadata_cols,
             F.col("__cc.cell").alias("cell"),
             F.col("__cc.code").alias("code"),
         )
@@ -1706,6 +1720,7 @@ def ivfpq_index_probe_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    where=None,
 ) -> DataFrame:
     """Top-k ADC probe against a persisted :func:`write_ivfpq_index`
     layout. Centroids + codebooks (KBs) collect to the driver; each
@@ -1714,21 +1729,30 @@ def ivfpq_index_probe_topk(
     ``.where(cell.isin(...))`` becomes a PartitionFilter, so unprobed
     cells cost zero I/O — and scoring/ranking are the exact
     `ivfpq_topk` kernels. No float vector is ever re-read: executors
-    see M-byte codes and LUT lookups only."""
+    see M-byte codes and LUT lookups only.
+
+    ``where`` (r7): an optional predicate (SQL string or Column) over
+    the index's persisted ``metadata_cols`` — FILTERED ANN against the
+    catalog. It is applied to the code scan BEFORE candidate ranking
+    (pre-filter semantics: the top-k is over matching rows, exactly
+    like :func:`filtered_topk`), and Catalyst pushes it into the
+    parquet scan (PushedFilters), so non-matching code rows are
+    skipped at I/O level via row-group stats, on top of the cell-level
+    partition pruning. One predicate applies to ALL queries in the
+    batch — group query batches by their filter."""
     cents, cb = _load_ivfpq_artifacts(spark, path)
     probe_rows, luts = _ivfpq_query_probes(
         queries, cents, cb, nprobe, query_id, query_vec,
         "ivfpq_index_probe_topk",
     )
     cells = sorted({c for _, c in probe_rows})
-    scan = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("cell").isin(cells))
-        .select(
-            corpus_id,
-            F.col("cell").alias("__cell"),
-            F.col("code").alias("__code"),
-        )
+    scan = spark.read.parquet(f"{path}/cells")
+    if where is not None:
+        scan = scan.where(where)
+    scan = scan.where(F.col("cell").isin(cells)).select(
+        corpus_id,
+        F.col("cell").alias("__cell"),
+        F.col("code").alias("__code"),
     )
     id_type = scan.schema[corpus_id].dataType
     probe_df = _ivfpq_probe_df(spark, probe_rows, id_type)
@@ -2052,6 +2076,12 @@ def append_to_ivfpq_index(
     see :func:`_idempotent_delta_write`. Use a stable batch identity
     (ingest date, job id), never a random value.
 
+    Metadata carryover (r7): if the index was built with
+    ``metadata_cols``, the delta MUST carry the same columns — they
+    are detected from the store schema and included automatically;
+    missing ones raise (silently appending NULL metadata would make
+    filtered probes exclude every delta row).
+
     Same trade as :func:`append_to_ivf_index`: appended data drifts
     cell means AND residual distributions, degrading quantization
     fidelity over time — monitor with :func:`ivfpq_index_stats` and
@@ -2059,11 +2089,25 @@ def append_to_ivfpq_index(
     add-vs-retrain guidance)."""
     spark = new_rows.sparkSession
     cents, cb = _load_ivfpq_artifacts(spark, path)
+    meta_cols = [
+        f.name
+        for f in spark.read.parquet(f"{path}/cells").schema.fields
+        if f.name not in (corpus_id, "cell", "code", "ingest_batch")
+    ]
+    missing = [c for c in meta_cols if c not in new_rows.columns]
+    if missing:
+        raise ValueError(
+            f"append_to_ivfpq_index: the index at {path} persists "
+            f"metadata columns {meta_cols} but the delta is missing "
+            f"{missing} — appending NULL metadata would silently hide "
+            "these rows from every filtered probe."
+        )
     enc = _ivfpq_encode_udf(cents, cb)
     delta = new_rows.select(
-        F.col(corpus_id), enc(F.col(corpus_vec)).alias("__cc")
+        F.col(corpus_id), *meta_cols, enc(F.col(corpus_vec)).alias("__cc")
     ).select(
         corpus_id,
+        *meta_cols,
         F.col("__cc.cell").alias("cell"),
         F.col("__cc.code").alias("code"),
     )
