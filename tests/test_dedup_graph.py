@@ -113,6 +113,19 @@ def test_hf_source_root_level_splits_and_empty_snapshot(
     got = read_hf_dataset(spark, "user/ds", split="train", max_num_rows=3)
     assert got.count() == 3
 
+    # r7 review fix: the snapshot dir is a SHARED cache — the read and
+    # the guard must be scoped to the requested split's patterns, or a
+    # warm cache silently serves another split's rows
+    spark.range(5, 7).toDF("id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage2"))
+    src2 = glob.glob(str(tmp_path / "stage2" / "*.parquet"))[0]
+    shutil.copy(src2, os.path.join(snap, "test-00000-of-00001.parquet"))
+    assert read_hf_dataset(spark, "user/ds", split="train").count() == 5
+    assert read_hf_dataset(spark, "user/ds", split="test").count() == 2
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        read_hf_dataset(spark, "user/ds", split="tset")  # typo'd split
+
 
 def test_connected_components_long_chain_pointer_jumping(spark):
     """A 300-link path graph: plain min-propagation needs 300 rounds;

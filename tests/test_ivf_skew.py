@@ -838,6 +838,15 @@ def test_ivfpq_append_same_token_is_retry_idempotent(spark, sf_dir, tmp_path):
         delta.limit(10), path, delta_token="batch-002"
     )
     assert spark.read.parquet(f"{path}/cells").count() == emb.count() + 10
+
+    # r7 review fix: a token that is a dash-prefix of another must NOT
+    # clear the other's files (startswith("delta-batch-0-") would also
+    # match "delta-batch-002-..."; the clear is exact-name now)
+    append_to_ivfpq_index(delta.limit(7), path, delta_token="batch-0")
+    n_with_both = spark.read.parquet(f"{path}/cells").count()
+    assert n_with_both == emb.count() + 10 + 7
+    append_to_ivfpq_index(delta.limit(7), path, delta_token="batch-0")
+    assert spark.read.parquet(f"{path}/cells").count() == n_with_both
     # no hidden staging dirs survive
     import os
 
@@ -1185,3 +1194,28 @@ def test_filtered_ivfpq_index_probe_pushes_predicate(spark, sf_dir, tmp_path):
         selfs = got2.where(F.col("query_id") == F.col("vec_id")).collect()
         assert {r["vec_id"] for r in selfs} <= lab_delta_ids
         assert len(selfs) == dq.count()
+
+    # r7 review fix: a triggered rebuild must PRESERVE the persisted
+    # metadata columns (filtered probes keep working), and a corpus
+    # missing them must raise instead of silently dropping them
+    from vector_io_spark.operators.similarity import (
+        rebuild_ivfpq_if_drifted,
+    )
+
+    full = emb.select("vec_id", "embedding", "label")
+    with pytest.raises(ValueError, match="metadata columns"):
+        rebuild_ivfpq_if_drifted(
+            spark, path, full.drop("label"), imbalance_budget=0.0
+        )
+    got3 = rebuild_ivfpq_if_drifted(
+        spark, path, full, imbalance_budget=0.0  # force via tiny budget
+    )
+    assert got3["rebuilt"] is True
+    schema = {f.name for f in spark.read.parquet(f"{path}/cells").schema}
+    assert "label" in schema, schema
+    post = ivfpq_index_probe_topk(
+        spark, path, queries, k=5, nprobe=8, where=f"label = {lab}"
+    ).collect()
+    assert post and all(
+        labels.get(r["vec_id"], lab) == lab for r in post
+    )

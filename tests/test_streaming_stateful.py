@@ -1495,3 +1495,35 @@ def test_reseed_streaming_ivfpq_if_drifted(spark, tmp_path):
     run([v(5000, 3)], ckpt2)
     cells = spark.read.parquet(f"{root}/cells")
     assert cells.where("vec_id = 5000").count() == 1
+
+    # (e) r7 review fix: a crashed reseed (marker present, batch
+    # partitions already deleted) must FORCE the rewrite on re-run —
+    # the remaining resident measures balanced, so an unforced re-run
+    # would wrongly decide "keep" and serve the stale seed forever.
+    # Simulate the crash state: marker + the batch partition dropped.
+    import shutil
+
+    corpus3 = spark.createDataFrame(
+        seed_rows + iid + drift + [v(5000, 3)],
+        "vec_id long, embedding array<double>",
+    )
+    marker = os.path.join(root, "cells", "_RESEED-PENDING")
+    with open(marker, "w"):
+        pass
+    for d in os.listdir(os.path.join(root, "cells")):
+        if d.startswith("ingest_batch=") and not d.endswith("=-1"):
+            shutil.rmtree(os.path.join(root, "cells", d))
+    # the marker also blocks new micro-batches until repaired
+    with pytest.raises(Exception, match="RESEED-PENDING"):
+        run([v(6000, 1)], ckpt2)
+    got4 = reseed_ivfpq_stream_index_if_drifted(
+        spark, root, corpus3, imbalance_budget=3.0
+    )
+    assert got4["rebuilt"] is True  # forced despite balanced remainder
+    assert not os.path.exists(marker)
+    cells = spark.read.parquet(f"{root}/cells")
+    assert cells.count() == corpus3.count()
+    assert set(
+        r["ingest_batch"]
+        for r in cells.select("ingest_batch").distinct().collect()
+    ) == {-1}

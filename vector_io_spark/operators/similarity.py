@@ -1861,6 +1861,70 @@ def rebuild_ivfpq_if_drifted(
     no rebuild ran.
     """
     cents, cb = _load_ivfpq_artifacts(spark, path)
+    # preserve the persisted metadata_cols (r7 review finding: a rebuild
+    # that drops them silently destroys the filtered-ANN capability and
+    # every subsequent where= probe fails) — detected from the store
+    # schema exactly like append_to_ivfpq_index
+    meta_cols = _index_metadata_cols(spark, path, corpus_id)
+    missing = [c for c in meta_cols if c not in corpus.columns]
+    if missing:
+        raise ValueError(
+            f"rebuild_ivfpq_if_drifted: the index at {path} persists "
+            f"metadata columns {meta_cols} but the supplied corpus is "
+            f"missing {missing} — rebuilding without them would break "
+            "every filtered probe."
+        )
+
+    def _rebuild() -> None:
+        write_ivfpq_index(
+            corpus,
+            path,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            num_cells=int(len(cents)),
+            num_subspaces=int(cb.shape[0]),
+            codebook_size=int(cb.shape[1]),
+            max_train_rows=max_train_rows,
+            sample_fraction=sample_fraction,
+            seed=seed,
+            metadata_cols=tuple(meta_cols),
+        )
+
+    return _drift_decision(
+        spark, path, int(len(cents)), imbalance_budget, _rebuild,
+        "rebuild_ivfpq_if_drifted",
+    )
+
+
+def _index_metadata_cols(spark, path: str, corpus_id: str) -> list:
+    """The filterable metadata columns a cells layout persists beside
+    its codes/vectors — everything that isn't the id, the partition
+    levels, or the payload column. Shared by append/rebuild so neither
+    can silently drop what the build persisted."""
+    return [
+        f.name
+        for f in spark.read.parquet(f"{path}/cells").schema.fields
+        if f.name
+        not in (corpus_id, "cell", "code", "embedding", "ingest_batch")
+    ]
+
+
+def _drift_decision(
+    spark,
+    path: str,
+    nlist: int,
+    imbalance_budget: float,
+    rebuild_fn,
+    caller: str,
+    force: bool = False,
+) -> dict:
+    """The one stats → threshold → conditional-rebuild decision shared
+    by every rebuild-on-drift twin (static IVFPQ / static IVF /
+    streaming reseed — r7 review: three hand-copies of this logic were
+    one drift away from diverging). ``rebuild_fn`` does whatever
+    "rebuild" means for the layout; ``force=True`` skips the budget
+    check (used by the streaming reseed to finish an interrupted
+    rebuild whose batch partitions are already gone)."""
 
     def _imbalance() -> float:
         row = (
@@ -1870,38 +1934,27 @@ def rebuild_ivfpq_if_drifted(
         )
         if row is None or row[0] is None:
             raise ValueError(
-                f"rebuild_ivfpq_if_drifted: no code rows under "
-                f"{path}/cells — not a populated write_ivfpq_index layout"
+                f"{caller}: no rows under {path}/cells — not a "
+                "populated index layout"
             )
         return float(row[0])
 
     before = _imbalance()
-    if before <= imbalance_budget:
+    if not force and before <= imbalance_budget:
         return {
             "rebuilt": False,
             "imbalance_before": before,
             "imbalance_after": None,
             "imbalance_budget": imbalance_budget,
-            "nlist": int(len(cents)),
+            "nlist": nlist,
         }
-    write_ivfpq_index(
-        corpus,
-        path,
-        corpus_id=corpus_id,
-        corpus_vec=corpus_vec,
-        num_cells=int(len(cents)),
-        num_subspaces=int(cb.shape[0]),
-        codebook_size=int(cb.shape[1]),
-        max_train_rows=max_train_rows,
-        sample_fraction=sample_fraction,
-        seed=seed,
-    )
+    rebuild_fn()
     return {
         "rebuilt": True,
         "imbalance_before": before,
         "imbalance_after": _imbalance(),
         "imbalance_budget": imbalance_budget,
-        "nlist": int(len(cents)),
+        "nlist": nlist,
     }
 
 
@@ -1925,47 +1978,24 @@ def rebuild_ivf_if_drifted(
     composition is identical; num_cells is read from the persisted
     centroid table, never caller-supplied. Returns the same decision
     dict."""
-    nlist = spark.read.parquet(f"{path}/centroids").count()
+    nlist = int(spark.read.parquet(f"{path}/centroids").count())
 
-    def _imbalance() -> float:
-        row = (
-            ivfpq_index_stats(spark, path)
-            .agg(F.max("imbalance_factor"))
-            .first()
+    def _rebuild() -> None:
+        write_ivf_index(
+            corpus,
+            path,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            num_cells=nlist,
+            max_train_rows=max_train_rows,
+            sample_fraction=sample_fraction,
+            seed=seed,
         )
-        if row is None or row[0] is None:
-            raise ValueError(
-                f"rebuild_ivf_if_drifted: no rows under {path}/cells — "
-                "not a populated write_ivf_index layout"
-            )
-        return float(row[0])
 
-    before = _imbalance()
-    if before <= imbalance_budget:
-        return {
-            "rebuilt": False,
-            "imbalance_before": before,
-            "imbalance_after": None,
-            "imbalance_budget": imbalance_budget,
-            "nlist": int(nlist),
-        }
-    write_ivf_index(
-        corpus,
-        path,
-        corpus_id=corpus_id,
-        corpus_vec=corpus_vec,
-        num_cells=int(nlist),
-        max_train_rows=max_train_rows,
-        sample_fraction=sample_fraction,
-        seed=seed,
+    return _drift_decision(
+        spark, path, nlist, imbalance_budget, _rebuild,
+        "rebuild_ivf_if_drifted",
     )
-    return {
-        "rebuilt": True,
-        "imbalance_before": before,
-        "imbalance_after": _imbalance(),
-        "imbalance_budget": imbalance_budget,
-        "nlist": int(nlist),
-    }
 
 
 def _idempotent_delta_write(
@@ -2023,13 +2053,20 @@ def _idempotent_delta_write(
     delta.write.mode("overwrite").partitionBy("cell").parquet(
         f"{cells_path}/.delta-{delta_token}"
     )
-    # clear every committed file of this token (retry-replace semantics)
+    # clear every committed file of this token (retry-replace semantics).
+    # EXACT-name match, not a prefix test: tokens can be dash-prefixes of
+    # each other ("2026-08" vs "2026-08-15"), and startswith("delta-a-")
+    # would also match "delta-a-b-00000.parquet" — silently deleting a
+    # DIFFERENT delta's committed rows (r7 review finding, repro'd).
     prefix = f"delta-{delta_token}-"
+    mine = _re.compile(
+        rf"delta-{_re.escape(delta_token)}-\d{{5}}\.parquet"
+    )
     for st in fs.listStatus(root):
         if not (st.isDirectory() and st.getPath().getName().startswith("cell=")):
             continue
         for f_st in fs.listStatus(st.getPath()):
-            if f_st.getPath().getName().startswith(prefix):
+            if mine.fullmatch(f_st.getPath().getName()):
                 fs.delete(f_st.getPath(), False)
     # move staged files in under deterministic names
     for st in fs.listStatus(staging):
@@ -2089,11 +2126,7 @@ def append_to_ivfpq_index(
     add-vs-retrain guidance)."""
     spark = new_rows.sparkSession
     cents, cb = _load_ivfpq_artifacts(spark, path)
-    meta_cols = [
-        f.name
-        for f in spark.read.parquet(f"{path}/cells").schema.fields
-        if f.name not in (corpus_id, "cell", "code", "ingest_batch")
-    ]
+    meta_cols = _index_metadata_cols(spark, path, corpus_id)
     missing = [c for c in meta_cols if c not in new_rows.columns]
     if missing:
         raise ValueError(

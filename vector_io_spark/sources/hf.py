@@ -55,15 +55,30 @@ def read_hf_dataset(
     import glob
     import os as _os
 
-    if not glob.glob(
-        _os.path.join(local, "**", "*.parquet"), recursive=True
-    ):
+    # Scope BOTH the existence check and the read to THIS split's file
+    # patterns (r7 review): snapshot_download returns a shared cached
+    # dir, so a whole-dir glob/scan after an earlier different-split
+    # call would silently return the OTHER split's rows (or a union)
+    # instead of raising on a typo'd or parquet-less split.
+    files = sorted(
+        {
+            f
+            for pat in (
+                _os.path.join(local, "**", split, "*.parquet"),
+                _os.path.join(local, "**", f"{split}-*.parquet"),
+                _os.path.join(local, split, "*.parquet"),
+                _os.path.join(local, f"{split}-*.parquet"),
+            )
+            for f in glob.glob(pat, recursive=True)
+        }
+    )
+    if not files:
         raise FileNotFoundError(
             f"read_hf_dataset: dataset {dataset!r} has no parquet files "
             f"for split {split!r} in its snapshot — check the split name "
             "and that the repo stores parquet (not arrow/jsonl) shards"
         )
-    df = spark.read.option("recursiveFileLookup", "true").parquet(local)
+    df = spark.read.parquet(*files)
     return df.limit(max_num_rows) if max_num_rows is not None else df
 
 

@@ -588,13 +588,21 @@ def _guard_ingest_store(
         fs = root_p.getFileSystem(conf)
         fs.mkdirs(root_p)
         names = [st.getPath().getName() for st in fs.listStatus(root_p)]
-        if ".compact-aside" in names:
+        swap_markers = [
+            n
+            for n in names
+            if n in (".compact-aside", ".compact-swap", "_RESEED-PENDING")
+        ]
+        if swap_markers:
             raise RuntimeError(
-                f"{caller}: {root} has a compaction resident-swap in "
-                "flight (.compact-aside present) — refusing to start "
-                "the micro-batch against a half-swapped store; the "
-                "replayed batch converges once the swap (or its "
-                "startup repair) completes."
+                f"{caller}: {root} has a maintenance operation in "
+                f"flight ({swap_markers[0]} present) — refusing to "
+                "start the micro-batch against a half-swapped or "
+                "half-reseeded store; the replayed batch converges "
+                "once the operation (or its repair — re-run "
+                "compact_neardup_index / "
+                "reseed_ivfpq_stream_index_if_drifted after a crash) "
+                "completes."
             )
         live = sorted(
             int(n.split("=", 1)[1])
@@ -823,12 +831,16 @@ def compact_neardup_index(
     ``_LIVE-<sid>`` lease in the store root for the duration of its
     writes (``_guard_ingest_store`` takes it, the batch releases it on
     success), and this compactor RAISES while any lease fresher than
-    ``lease_timeout_s`` exists — the sub-second resident-swap window
-    can therefore never overlap a mid-batch read. Leases older than
-    the timeout belong to crashed streams (a healthy micro-batch
-    refreshes its lease every batch) and are cleared here; symmetric
-    protection on the other side: a micro-batch refuses to start while
-    the swap's ``.compact-aside`` dir exists. Size ``lease_timeout_s``
+    ``lease_timeout_s`` exists — checked at entry AND re-checked
+    immediately before the resident swap behind a ``.compact-swap``
+    announce marker that blocks new micro-batches (the entry check
+    alone left the whole union-write duration as a race window — r7
+    review). Leases older than the timeout belong to crashed streams
+    (a healthy micro-batch refreshes its lease every batch) and are
+    cleared here; symmetric protection on the other side: a
+    micro-batch refuses to start while ``.compact-swap`` or the swap's
+    ``.compact-aside`` dir exists (a crashed compactor's markers are
+    cleared by the next run's startup repair). Size ``lease_timeout_s``
     comfortably above the slowest expected micro-batch.
 
     Crash safety of the swap itself: the union is written to a hidden
@@ -881,7 +893,8 @@ def compact_neardup_index(
                 "store left as-is (re-run to repair)"
             )
 
-    # repair a half-finished previous swap
+    # repair a half-finished previous swap (incl. a crashed compactor's
+    # swap-announce marker, which blocks micro-batches until cleared)
     if fs.exists(aside):
         if not fs.exists(resident):
             _rename(aside, resident)
@@ -889,6 +902,7 @@ def compact_neardup_index(
             fs.delete(aside, True)
     if fs.exists(tmp):
         fs.delete(tmp, True)
+    fs.delete(p(".compact-swap"), False)
     # finish an interrupted batch-dir delete phase: a resident that
     # carries _FOLDED-<b> markers already CONTAINS those batches' rows
     # (the markers are written before the swap), so the stale batch
@@ -979,6 +993,28 @@ def compact_neardup_index(
                 "into the staged resident; aborting before the swap "
                 "(store left as-is)"
             )
+    # Close the check-then-swap race (r7 review): the entry lease check
+    # ran BEFORE the potentially-long union write — a stream could have
+    # started a micro-batch since and be mid-read of the dirs the swap
+    # is about to rename/delete. Announce the swap first (the batch
+    # guard refuses to start while .compact-swap exists), THEN re-check
+    # leases: a batch that slipped in holds a lease and aborts us here
+    # (marker removed, staged tmp left for the next run — nothing
+    # resident was touched). The remaining window is two adjacent
+    # filesystem metadata ops (the batch guard's marker check and its
+    # lease write vs this marker write and lease check), not the whole
+    # union-write duration.
+    swap_marker = p(".compact-swap")
+    fs.create(swap_marker, True).close()
+    try:
+        _check_no_live_leases(
+            spark, index_root, lease_timeout_s, "compact_neardup_index",
+            "a micro-batch started during the fold and could be "
+            "mid-read of the partitions the swap renames",
+        )
+    except BaseException:
+        fs.delete(swap_marker, False)
+        raise
     if fs.exists(resident):
         _rename(resident, aside)
     _rename(tmp, resident)
@@ -986,6 +1022,7 @@ def compact_neardup_index(
     for b in batch_ids:
         fs.delete(p(f"ingest_batch={b}"), True)
         fs.delete(p(f"ingest_batch=-1/_FOLDED-{b}"), False)
+    fs.delete(swap_marker, False)
     n_after = sum(
         1
         for st in fs.listStatus(root)
@@ -1282,11 +1319,16 @@ def reseed_ivfpq_stream_index_if_drifted(
        ``ingest_batch=-1`` resident via :func:`seed_ivfpq_stream_index`
        (parquet ``overwrite`` per artifact dir).
 
-    A crash between 2 and 3 leaves a store with no batch partitions
-    and possibly stale artifacts — re-running converges (step 2 is
-    then a no-op, step 3 rewrites everything); nothing is lost because
-    ``corpus`` is the source of truth for a rebuild, exactly as in the
-    static twin (codes cannot be decoded back).
+    Crash safety (r7 review): a ``_RESEED-PENDING`` marker is written
+    into the cells root BEFORE the first destructive delete and
+    removed only after step 3 completes. Without it, a crash between
+    the deletes and the retrain would leave a store whose REMAINING
+    resident measures balanced, so a naive re-run would decide
+    "no rebuild needed" and silently serve only the stale seed corpus
+    forever; with it, a re-run is FORCED through the rewrite
+    regardless of the measured imbalance. ``corpus`` is the source of
+    truth for a rebuild, exactly as in the static twin (codes cannot
+    be decoded back), so nothing is lost at any crash point.
 
     ``corpus`` must be the CURRENT full corpus (original seed rows +
     every streamed batch's rows). Returns the same decision dict as
@@ -1298,11 +1340,9 @@ def reseed_ivfpq_stream_index_if_drifted(
     sample train + one encode pass + one partitionBy shuffle) — the
     same cost profile as the initial seed.
     """
-    from pyspark.sql import functions as F
-
     from vector_io_spark.operators.similarity import (
+        _drift_decision,
         _load_ivfpq_artifacts,
-        ivfpq_index_stats,
     )
 
     cells_root = f"{index_root}/cells"
@@ -1313,65 +1353,53 @@ def reseed_ivfpq_stream_index_if_drifted(
         "reading and retrains the codebooks its writes encode against",
     )
     cents, cb = _load_ivfpq_artifacts(spark, index_root)
-
-    def _imbalance() -> float:
-        row = (
-            ivfpq_index_stats(spark, index_root)
-            .agg(F.max("imbalance_factor"))
-            .first()
-        )
-        if row is None or row[0] is None:
-            raise ValueError(
-                "reseed_ivfpq_stream_index_if_drifted: no code rows "
-                f"under {cells_root} — not a populated streaming IVFPQ "
-                "store"
-            )
-        return float(row[0])
-
-    before = _imbalance()
     nlist = int(len(cents))
-    if before <= imbalance_budget:
-        return {
-            "rebuilt": False,
-            "imbalance_before": before,
-            "imbalance_after": None,
-            "imbalance_budget": imbalance_budget,
-            "nlist": nlist,
-        }
     jvm = spark._jvm
     root_p = jvm.org.apache.hadoop.fs.Path(cells_root)
     fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(root_p):
-        name = st.getPath().getName()
-        drop = (
-            (
-                name.startswith("ingest_batch=")
-                and int(name.split("=", 1)[1]) >= 0
-            )
-            or name.startswith("_STREAM-")
-            or name in (".compact-tmp", ".compact-aside")
-        )
-        if drop and not fs.delete(st.getPath(), True):
+    pending = jvm.org.apache.hadoop.fs.Path(f"{cells_root}/_RESEED-PENDING")
+    # a marker from a crashed predecessor forces the rewrite: its batch
+    # partitions are already (partially) gone, so the measured imbalance
+    # of what remains says nothing about whether the rebuild is needed
+    force = bool(fs.exists(pending))
+
+    def _rebuild() -> None:
+        if not force and not fs.createNewFile(pending):
             raise RuntimeError(
-                f"reseed_ivfpq_stream_index_if_drifted: could not delete "
-                f"{st.getPath()} — store left as-is; re-run to repair"
+                "reseed_ivfpq_stream_index_if_drifted: could not stamp "
+                f"{pending} — store left as-is"
             )
-    seed_ivfpq_stream_index(
-        corpus,
-        index_root,
-        corpus_id=corpus_id,
-        corpus_vec=corpus_vec,
-        num_cells=nlist,
-        num_subspaces=int(cb.shape[0]),
-        codebook_size=int(cb.shape[1]),
-        max_train_rows=max_train_rows,
-        sample_fraction=sample_fraction,
-        seed=seed,
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            drop = (
+                (
+                    name.startswith("ingest_batch=")
+                    and int(name.split("=", 1)[1]) >= 0
+                )
+                or name.startswith("_STREAM-")
+                or name in (".compact-tmp", ".compact-aside")
+            )
+            if drop and not fs.delete(st.getPath(), True):
+                raise RuntimeError(
+                    "reseed_ivfpq_stream_index_if_drifted: could not "
+                    f"delete {st.getPath()} — store left as-is; re-run "
+                    "to repair"
+                )
+        seed_ivfpq_stream_index(
+            corpus,
+            index_root,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            num_cells=nlist,
+            num_subspaces=int(cb.shape[0]),
+            codebook_size=int(cb.shape[1]),
+            max_train_rows=max_train_rows,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+        fs.delete(pending, False)
+
+    return _drift_decision(
+        spark, index_root, nlist, imbalance_budget, _rebuild,
+        "reseed_ivfpq_stream_index_if_drifted", force=force,
     )
-    return {
-        "rebuilt": True,
-        "imbalance_before": before,
-        "imbalance_after": _imbalance(),
-        "imbalance_budget": imbalance_budget,
-        "nlist": nlist,
-    }
