@@ -1219,3 +1219,66 @@ def test_filtered_ivfpq_index_probe_pushes_predicate(spark, sf_dir, tmp_path):
     assert post and all(
         labels.get(r["vec_id"], lab) == lab for r in post
     )
+
+
+def test_filtered_ivf_index_probe(spark, sf_dir, tmp_path):
+    """IVF twin of the filtered catalog probe: metadata persists beside
+    the raw vectors, where= pre-filters with pushdown, deltas must
+    carry the metadata, and results equal probing a matching-rows-only
+    index under the same centroids."""
+    import os
+    import shutil
+
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_meta_index")
+    write_ivf_index(
+        old, path, num_cells=8, seed=7, metadata_cols=("label",)
+    )
+    lab = old.select("label").first()[0]
+    queries = emb.where(F.col("vec_id") < 6).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = ivf_index_probe_topk(
+        spark, path, queries, k=5, nprobe=8, where=f"label = {lab}"
+    )
+    rows = got.collect()
+    labels = {r["vec_id"]: r["label"] for r in old.collect()}
+    assert rows and all(labels[r["vec_id"]] == lab for r in rows)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan, plan
+
+    sub = str(tmp_path / "ivf_sub_index")
+    os.makedirs(sub)
+    shutil.copytree(f"{path}/centroids", f"{sub}/centroids")
+    (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("label") == lab)
+        .write.partitionBy("cell")
+        .parquet(f"{sub}/cells")
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in ivf_index_probe_topk(
+            spark, sub, queries, k=5, nprobe=8
+        ).collect()
+    )
+    assert sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"]) for r in rows
+    ) == want
+
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="metadata columns"):
+        append_to_ivf_index(delta.drop("label"), path, delta_token="d1")
+    append_to_ivf_index(delta, path, delta_token="d1")
+    assert spark.read.parquet(f"{path}/cells").where(
+        "label is null"
+    ).count() == 0

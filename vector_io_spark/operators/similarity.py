@@ -1278,6 +1278,7 @@ def write_ivf_index(
     max_train_rows: int = 100_000,
     sample_fraction: float = 1.0,
     seed: int = 42,
+    metadata_cols: tuple = (),
 ) -> None:
     """Persist an IVF index as a CELL-PARTITIONED parquet layout:
     ``<path>/cells/cell=<i>/…`` holds each cell's (id, vector) rows and
@@ -1291,6 +1292,11 @@ def write_ivf_index(
     (collect capped at max_train_rows); assignment is one shuffle-free
     Arrow pass; the write's partitionBy shuffles each row once to its
     cell file — at 100 TB this is the index-build job.
+
+    ``metadata_cols`` (r7) persists filterable attribute columns next
+    to the vectors, enabling FILTERED probes
+    (:func:`ivf_index_probe_topk`'s ``where``) — same contract as the
+    IVFPQ catalog's.
     """
     import numpy as np
 
@@ -1303,7 +1309,7 @@ def write_ivf_index(
     cent = _lloyd(train, num_cells, seed)
 
     (
-        corpus.select(corpus_id, corpus_vec)
+        corpus.select(corpus_id, *metadata_cols, corpus_vec)
         .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -1326,6 +1332,7 @@ def ivf_index_probe_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    where=None,
 ) -> DataFrame:
     """Top-k probe against a persisted :func:`write_ivf_index` layout.
     The centroid table (num_cells rows) collects to the driver; each
@@ -1358,7 +1365,13 @@ def ivf_index_probe_topk(
         f"{query_id} long, cell int, __qv array<float>",
     )
     cells = sorted({c for _, c in probe_pairs})
-    scan = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(cells))
+    scan = spark.read.parquet(f"{path}/cells")
+    if where is not None:
+        # filtered ANN against the catalog (r7): pre-filter semantics
+        # over the persisted metadata_cols, pushed into the pruned scan
+        # (same contract as ivfpq_index_probe_topk's where)
+        scan = scan.where(where)
+    scan = scan.where(F.col("cell").isin(cells))
     scored = scan.join(broadcast(probe_df), "cell").select(
         F.col(query_id).alias("query_id"),
         F.col(corpus_id),
@@ -1407,7 +1420,16 @@ def append_to_ivf_index(
     """
     spark = new_rows.sparkSession
     cent = _load_centroid_matrix(spark, path)
-    delta = new_rows.select(corpus_id, corpus_vec).withColumn(
+    meta_cols = _index_metadata_cols(spark, path, corpus_id)
+    missing = [c for c in meta_cols if c not in new_rows.columns]
+    if missing:
+        raise ValueError(
+            f"append_to_ivf_index: the index at {path} persists "
+            f"metadata columns {meta_cols} but the delta is missing "
+            f"{missing} — appending NULL metadata would silently hide "
+            "these rows from every filtered probe."
+        )
+    delta = new_rows.select(corpus_id, *meta_cols, corpus_vec).withColumn(
         "cell", _cell_assign_udf(cent)(F.col(corpus_vec))
     )
     _idempotent_delta_write(delta, f"{path}/cells", delta_token)
