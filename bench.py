@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "pq_exact_catalog_probe",   # steady-state: from-disk ADC rank only
     "ivfpq_index_build",        # one-time: train + encode + partitioned write
     "ivfpq_index_probe",        # steady-state: pruned cell scan + ADC
-    "ann_topk_filtered",        # metadata-predicate + top-k (filtered ANN)
+    "ann_topk_filtered_perquery",  # per-query metadata predicate + top-k
 ]
 
 

@@ -186,6 +186,12 @@ ORACLE: dict[str, str] = {}
 
 def _register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate registration silently SHADOWS the earlier query
+        # (dict overwrite — later definition wins, correctness gates
+        # then never see the shadowed one); caught live in r7 when a
+        # new query reused a historical name.
+        assert name not in QUERIES, f"duplicate query registration: {name}"
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _release_pending_caches()
             return fn(spark, sf_dir)
@@ -650,7 +656,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "ann_topk_filtered",
+    "ann_topk_filtered_perquery",
     f"""
     SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
         SELECT query_id, vec_id, score,
@@ -666,14 +672,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 10
     """,
 )
-def ann_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search: per-query metadata predicate (label
-    equality) + exact cosine top-10 — the filter composes as a
-    broadcast-hash equi-join that prunes candidates BEFORE any vector
-    math (operators/similarity.py::filtered_topk), the production
-    vector-store query shape (Pinecone filter= / Qdrant payload
-    filters) run natively by the engine. Corpus scanned once, never
-    shuffled; per-query top-k is a WindowGroupLimit-eligible
+def ann_topk_filtered_perquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY filtered vector search (r7): each query carries its
+    OWN metadata predicate (its label) and scores only matching corpus
+    rows — vs `ann_topk_filtered`, where ONE static predicate
+    pre-filters the corpus for the whole batch. The per-query form
+    composes as a broadcast-hash equi-join that prunes candidates
+    BEFORE any vector math (operators/similarity.py::filtered_topk) —
+    the production vector-store query shape (Pinecone filter= / Qdrant
+    payload filters) run natively by the engine. Corpus scanned once,
+    never shuffled; per-query top-k is a WindowGroupLimit-eligible
     partitioned window."""
     from vector_io_spark.operators.similarity import filtered_topk
 
@@ -10347,11 +10355,16 @@ _GATE_ROTATION = [
     "supplier_count_by_part_attr", "excess_shipment_suppliers",
     "order_value_percentiles", "bracket_revenue",
     "bpe_vocab", "bpe_encode_docs", "bpe_tokenize_and_pack",
-    "vocab_coverage", "token_length_histogram",
+    "vocab_coverage",
     "pq_train_encode", "ann_topk_pq_exact_catalog", "ivf_cell_balance",
     "ann_topk_chebyshev", "l2_normalize_embeddings", "embedding_isotropy",
+    # the two r7-new hash-exact queries ride this round's slice so the
+    # driver gates the new surface immediately (both never-gated by
+    # definition; char_entropy_quality / token_length_histogram moved
+    # to the r8 pool — their families are already sampled here)
+    "sketch_catalog_probe", "ann_topk_filtered_perquery",
     "dup_passage_spans", "dup_cluster_sizes", "line_dedup_boilerplate",
-    "char_entropy_quality", "doc_novelty", "incremental_dedup",
+    "doc_novelty", "incremental_dedup",
     "leakage_safe_split", "train_val_test_split", "kfold_assignments",
     "temporal_split",
     "hourly_gapfill_locf", "top_session_paths", "dayn_retention",
