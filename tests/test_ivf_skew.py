@@ -1282,3 +1282,65 @@ def test_filtered_ivf_index_probe(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{path}/cells").where(
         "label is null"
     ).count() == 0
+
+
+def test_ivf_append_and_rebuild_with_renamed_vec_and_metadata(
+    spark, sf_dir, tmp_path
+):
+    """r7 review round 2: (a) a non-default corpus_vec name must not be
+    misclassified as metadata (append previously produced a duplicate
+    column and crashed); (b) rebuild_ivf_if_drifted preserves the
+    store's metadata columns like its IVFPQ twin and refuses a corpus
+    missing them."""
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_probe_topk,
+        rebuild_ivf_if_drifted,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "embedding as vector", "label"
+    )
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_renamed")
+    write_ivf_index(
+        old, path, corpus_vec="vector", num_cells=8, seed=7,
+        metadata_cols=("label",),
+    )
+    # (a) append with the renamed vector column works and keeps metadata
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    append_to_ivf_index(
+        delta, path, corpus_vec="vector", delta_token="d1"
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.where("label is null").count() == 0
+    assert {f.name for f in cells.schema} == {
+        "vec_id", "vector", "label", "cell",
+    }
+
+    # (b) rebuild preserves metadata; missing metadata raises
+    with pytest.raises(ValueError, match="metadata columns"):
+        rebuild_ivf_if_drifted(
+            spark, path, emb.drop("label"), corpus_vec="vector",
+            imbalance_budget=0.0,
+        )
+    got = rebuild_ivf_if_drifted(
+        spark, path, emb, corpus_vec="vector", imbalance_budget=0.0
+    )
+    assert got["rebuilt"] is True
+    cells = spark.read.parquet(f"{path}/cells")
+    assert "label" in {f.name for f in cells.schema}
+    lab = emb.select("label").first()[0]
+    got_probe = ivf_index_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 4).selectExpr(
+            "vec_id as query_id", "vector as embedding"
+        ),
+        k=3, nprobe=8, corpus_vec="vector", where=f"label = {lab}",
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = got_probe.collect()
+    assert rows and all(labels[r["vec_id"]] == lab for r in rows)

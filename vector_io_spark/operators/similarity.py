@@ -1420,15 +1420,10 @@ def append_to_ivf_index(
     """
     spark = new_rows.sparkSession
     cent = _load_centroid_matrix(spark, path)
-    meta_cols = _index_metadata_cols(spark, path, corpus_id)
-    missing = [c for c in meta_cols if c not in new_rows.columns]
-    if missing:
-        raise ValueError(
-            f"append_to_ivf_index: the index at {path} persists "
-            f"metadata columns {meta_cols} but the delta is missing "
-            f"{missing} — appending NULL metadata would silently hide "
-            "these rows from every filtered probe."
-        )
+    meta_cols = _require_index_metadata(
+        spark, path, new_rows, corpus_id, corpus_vec,
+        "append_to_ivf_index", "appending",
+    )
     delta = new_rows.select(corpus_id, *meta_cols, corpus_vec).withColumn(
         "cell", _cell_assign_udf(cent)(F.col(corpus_vec))
     )
@@ -1885,17 +1880,11 @@ def rebuild_ivfpq_if_drifted(
     cents, cb = _load_ivfpq_artifacts(spark, path)
     # preserve the persisted metadata_cols (r7 review finding: a rebuild
     # that drops them silently destroys the filtered-ANN capability and
-    # every subsequent where= probe fails) — detected from the store
-    # schema exactly like append_to_ivfpq_index
-    meta_cols = _index_metadata_cols(spark, path, corpus_id)
-    missing = [c for c in meta_cols if c not in corpus.columns]
-    if missing:
-        raise ValueError(
-            f"rebuild_ivfpq_if_drifted: the index at {path} persists "
-            f"metadata columns {meta_cols} but the supplied corpus is "
-            f"missing {missing} — rebuilding without them would break "
-            "every filtered probe."
-        )
+    # every subsequent where= probe fails)
+    meta_cols = _require_index_metadata(
+        spark, path, corpus, corpus_id, corpus_vec,
+        "rebuild_ivfpq_if_drifted", "rebuilding",
+    )
 
     def _rebuild() -> None:
         write_ivfpq_index(
@@ -1918,17 +1907,43 @@ def rebuild_ivfpq_if_drifted(
     )
 
 
-def _index_metadata_cols(spark, path: str, corpus_id: str) -> list:
+def _index_metadata_cols(
+    spark, path: str, corpus_id: str, corpus_vec: str = "embedding"
+) -> list:
     """The filterable metadata columns a cells layout persists beside
     its codes/vectors — everything that isn't the id, the partition
-    levels, or the payload column. Shared by append/rebuild so neither
-    can silently drop what the build persisted."""
+    levels, or the payload column (``corpus_vec`` must be the CALLER'S
+    vector column name, not a hardcoded default: a plain-IVF store
+    built with corpus_vec="vector" would otherwise misclassify its own
+    vector column as metadata — r7 review). Shared by append/rebuild
+    so neither can silently drop what the build persisted."""
     return [
         f.name
         for f in spark.read.parquet(f"{path}/cells").schema.fields
         if f.name
-        not in (corpus_id, "cell", "code", "embedding", "ingest_batch")
+        not in (corpus_id, corpus_vec, "cell", "code", "ingest_batch")
     ]
+
+
+def _require_index_metadata(
+    spark, path: str, df: DataFrame, corpus_id: str, corpus_vec: str,
+    caller: str, action: str,
+) -> list:
+    """Detect the store's persisted metadata columns and refuse a frame
+    missing any of them — the one guard shared by every append/rebuild
+    site (r7 review: three hand-copies existed and the fourth required
+    site had none). Writing NULL (or absent) metadata silently hides
+    rows from every filtered probe."""
+    meta_cols = _index_metadata_cols(spark, path, corpus_id, corpus_vec)
+    missing = [c for c in meta_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{caller}: the index at {path} persists metadata columns "
+            f"{meta_cols} but the supplied frame is missing {missing} — "
+            f"{action} without them would silently break every "
+            "filtered probe."
+        )
+    return meta_cols
 
 
 def _drift_decision(
@@ -2001,6 +2016,12 @@ def rebuild_ivf_if_drifted(
     centroid table, never caller-supplied. Returns the same decision
     dict."""
     nlist = int(spark.read.parquet(f"{path}/centroids").count())
+    # preserve persisted metadata_cols — same hazard as the IVFPQ twin
+    # (r7 review: this site was initially missed)
+    meta_cols = _require_index_metadata(
+        spark, path, corpus, corpus_id, corpus_vec,
+        "rebuild_ivf_if_drifted", "rebuilding",
+    )
 
     def _rebuild() -> None:
         write_ivf_index(
@@ -2012,6 +2033,7 @@ def rebuild_ivf_if_drifted(
             max_train_rows=max_train_rows,
             sample_fraction=sample_fraction,
             seed=seed,
+            metadata_cols=tuple(meta_cols),
         )
 
     return _drift_decision(
@@ -2148,15 +2170,10 @@ def append_to_ivfpq_index(
     add-vs-retrain guidance)."""
     spark = new_rows.sparkSession
     cents, cb = _load_ivfpq_artifacts(spark, path)
-    meta_cols = _index_metadata_cols(spark, path, corpus_id)
-    missing = [c for c in meta_cols if c not in new_rows.columns]
-    if missing:
-        raise ValueError(
-            f"append_to_ivfpq_index: the index at {path} persists "
-            f"metadata columns {meta_cols} but the delta is missing "
-            f"{missing} — appending NULL metadata would silently hide "
-            "these rows from every filtered probe."
-        )
+    meta_cols = _require_index_metadata(
+        spark, path, new_rows, corpus_id, corpus_vec,
+        "append_to_ivfpq_index", "appending",
+    )
     enc = _ivfpq_encode_udf(cents, cb)
     delta = new_rows.select(
         F.col(corpus_id), *meta_cols, enc(F.col(corpus_vec)).alias("__cc")

@@ -189,8 +189,10 @@ def _register(name: str, sql: str | None = None):
         # duplicate registration silently SHADOWS the earlier query
         # (dict overwrite — later definition wins, correctness gates
         # then never see the shadowed one); caught live in r7 when a
-        # new query reused a historical name.
-        assert name not in QUERIES, f"duplicate query registration: {name}"
+        # new query reused a historical name. ValueError, not assert:
+        # python -O strips asserts, silently restoring the hazard.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _release_pending_caches()
