@@ -1344,3 +1344,84 @@ def test_ivf_append_and_rebuild_with_renamed_vec_and_metadata(
     labels = {r["vec_id"]: r["label"] for r in emb.collect()}
     rows = got_probe.collect()
     assert rows and all(labels[r["vec_id"]] == lab for r in rows)
+
+
+def test_compact_index_cells_collapses_files_probe_invariant(
+    spark, sf_dir, tmp_path
+):
+    """Static-index file compaction (r7): token appends accumulate
+    files per cell; compaction collapses them to row-count-sized files
+    while filtered probe results and stats stay byte-identical;
+    metadata columns survive; a half-finished swap self-repairs;
+    streaming stores are refused."""
+    import os
+    import shutil
+
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        compact_index_cells,
+        ivfpq_index_probe_topk,
+        ivfpq_index_stats,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "ivfpq_compact")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16,
+        seed=11, metadata_cols=("label",),
+    )
+    for i, m in enumerate((1, 2, 3)):
+        append_to_ivfpq_index(
+            emb.where(F.col("vec_id") % 4 == m), path,
+            delta_token=f"day-{i}",
+        )
+    lab = old.select("label").first()[0]
+    queries = emb.where(F.col("vec_id") < 6).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    def state():
+        probe = sorted(
+            (r["query_id"], r["vec_id"], r["adc_dist"], r["rank"])
+            for r in ivfpq_index_probe_topk(
+                spark, path, queries, k=5, nprobe=8,
+                where=f"label = {lab}",
+            ).collect()
+        )
+        stats = sorted(
+            (r["cell"], r["n_vectors"], r["imbalance_factor"])
+            for r in ivfpq_index_stats(spark, path).collect()
+        )
+        return probe, stats
+
+    before = state()
+    got = compact_index_cells(spark, path)
+    assert got["rows"] == emb.count()
+    assert got["files_after"] < got["files_before"], got
+    assert got["files_after"] <= 8  # <=1 per cell at this size
+    assert state() == before
+    schema = {f.name for f in spark.read.parquet(f"{path}/cells").schema}
+    assert "label" in schema
+
+    # half-finished swap repairs: simulate crash-after-rename-aside
+    os.rename(
+        os.path.join(path, "cells"), os.path.join(path, ".cells-aside")
+    )
+    got2 = compact_index_cells(spark, path)
+    assert got2["rows"] == emb.count()
+    assert state() == before
+
+    # streaming layout refused
+    sroot = str(tmp_path / "stream_store")
+    os.makedirs(os.path.join(sroot, "cells", "ingest_batch=-1"))
+    shutil.copytree(
+        os.path.join(path, "cells"),
+        os.path.join(sroot, "cells", "ingest_batch=-1"),
+        dirs_exist_ok=True,
+    )
+    with pytest.raises(ValueError, match="STREAMING store"):
+        compact_index_cells(spark, sroot)

@@ -2042,6 +2042,95 @@ def rebuild_ivf_if_drifted(
     )
 
 
+def compact_index_cells(spark, path: str) -> dict:
+    """File compaction for a STATIC :func:`write_ivf_index` /
+    :func:`write_ivfpq_index` cells layout (r7): every
+    ``append_to_*_index`` delta token adds ≥1 file to each touched
+    ``cell=<i>`` dir, so after N nightly appends a probe pays N file
+    opens per probed cell — this rewrites the layout into
+    row-count-sized files (~1M rows/file, the footprint cure the
+    streaming store gets from ``compact_neardup_index``). All columns
+    (including persisted ``metadata_cols``) survive verbatim; rows are
+    NOT deduplicated — token-keyed appends cannot duplicate ids, and a
+    genuine duplicate id is an upstream bug this should surface, not
+    hide.
+
+    Crash safety — stage + swap with repair, the compaction pattern:
+    the rewrite lands in a hidden ``.cells-tmp`` (invisible to parquet
+    discovery), the live ``cells`` dir renames to ``.cells-aside``,
+    tmp renames in, aside is deleted; entry repair restores a
+    half-finished predecessor (aside present + cells missing →
+    restore; stale tmp → delete), and every rename return value is
+    checked (Hadoop signals failure by returning False).
+
+    Streaming stores are refused — their batch-partitioned layout
+    needs ``compact_neardup_index(partition_by=("cell",))``, which
+    also honors ingest leases and replay safety.
+
+    Scale shape: one scan + one partitionBy("cell") shuffle of the
+    index rows (codes are M small ints/row; raw-vector IVF rows are
+    corpus-row-sized — run it as the same class of job as the original
+    build). Returns ``{"rows", "files_before", "files_after"}``.
+    """
+    jvm = spark._jvm
+    cells = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-tmp")
+    aside = jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-aside")
+    fs = cells.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _rename(src, dst):
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"compact_index_cells: rename {src} -> {dst} failed; "
+                "store left as-is (re-run to repair)"
+            )
+
+    # repair a half-finished predecessor
+    if fs.exists(aside):
+        if not fs.exists(cells):
+            _rename(aside, cells)
+        else:
+            fs.delete(aside, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    for st in fs.listStatus(cells):
+        if st.getPath().getName().startswith("ingest_batch="):
+            raise ValueError(
+                f"compact_index_cells: {path}/cells is a STREAMING "
+                "store (ingest_batch partitions) — use "
+                'compact_neardup_index(spark, f"{path}/cells", id_col, '
+                'partition_by=("cell",)) instead; it honors ingest '
+                "leases and replay safety."
+            )
+
+    def _count_files() -> int:
+        n = 0
+        it = fs.listFiles(cells, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    files_before = _count_files()
+    df = spark.read.parquet(f"{path}/cells")
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // 1_000_000))
+    (
+        df.repartition(n_files, F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(f"{path}/.cells-tmp")
+    )
+    _rename(cells, aside)
+    _rename(tmp, cells)
+    fs.delete(aside, True)
+    return {
+        "rows": n_rows,
+        "files_before": files_before,
+        "files_after": _count_files(),
+    }
+
+
 def _idempotent_delta_write(
     delta: DataFrame, cells_path: str, delta_token: str
 ) -> None:
