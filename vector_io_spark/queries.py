@@ -10344,33 +10344,35 @@ _GATE_PILLARS = [
     "training_data_pipeline",        # composite pipeline
 ]
 
-# Rotation r7: third disjoint slice, drawn ONLY from the 105 queries
-# with no driver-side CORRECTNESS row across r1-r6 (complement of the
-# union of CORRECTNESS_r01..r06 keys). Families: TPC-H shapes the gate
-# never sampled (Q4/Q5/Q14/Q16/Q17/Q18/Q20/Q22 equivalents), BPE and
-# vocabulary, PQ/IVF catalog twins, passage spans + cluster audits,
-# leakage-safe sampling splits, and gap-fill/retention/LTV BI rollups.
+# Rotation r8: fourth disjoint slice, drawn ONLY from the 72 queries
+# with no driver-side CORRECTNESS row across r1-r7 (complement of the
+# union of CORRECTNESS_r01..r07 keys; set-difference verified at the
+# start of round 8). Includes the two text queries explicitly deferred
+# from the r7 slice (char_entropy_quality, token_length_histogram —
+# VERDICT r7 Next #7). The three approximate-ANN twins
+# (ann_topk_ivf/ivfpq/pq) are the only rows-only entries (no oracle SQL
+# by design — approximate results); everything else is hash-gated.
+# Families: retrieval/ranking (BM25, RRF, sparse, nDCG), persisted-PQ
+# and IVF approximate paths, embedding transforms (matryoshka, random
+# projection, robust int8, norm outliers, centroids, k-means profile),
+# corpus mixing/sampling (reservoir, stratified, temperature, token
+# budget), TPC-H-ish revenue/reliability rollups, events cube/pivot/
+# session windows, and z-order locality.
 _GATE_ROTATION = [
-    "local_supplier_volume", "promo_revenue_share",
-    "large_volume_customers", "small_quantity_revenue",
-    "idle_customer_balance", "late_order_priority_check",
-    "supplier_count_by_part_attr", "excess_shipment_suppliers",
-    "order_value_percentiles", "bracket_revenue",
-    "bpe_vocab", "bpe_encode_docs", "bpe_tokenize_and_pack",
-    "vocab_coverage",
-    "pq_train_encode", "ann_topk_pq_exact_catalog", "ivf_cell_balance",
-    "ann_topk_chebyshev", "l2_normalize_embeddings", "embedding_isotropy",
-    # the two r7-new hash-exact queries ride this round's slice so the
-    # driver gates the new surface immediately (both never-gated by
-    # definition; char_entropy_quality / token_length_histogram moved
-    # to the r8 pool — their families are already sampled here)
-    "sketch_catalog_probe", "ann_topk_filtered_perquery",
-    "dup_passage_spans", "dup_cluster_sizes", "line_dedup_boilerplate",
-    "doc_novelty", "incremental_dedup",
-    "leakage_safe_split", "train_val_test_split", "kfold_assignments",
-    "temporal_split",
-    "hourly_gapfill_locf", "top_session_paths", "dayn_retention",
-    "customer_ltv_deciles",
+    "char_entropy_quality", "token_length_histogram",
+    "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_pq",
+    "hybrid_rrf_search", "bm25_keyword_search", "sparse_keyword_retrieval",
+    "semantic_decontamination", "hard_negative_mining",
+    "matryoshka_truncate", "random_projection_16d", "quantize_robust_int8",
+    "embedding_norm_outliers", "label_centroids", "kmeans_cluster_profile",
+    "pq_trained_codebook", "retrieval_ndcg_euclid",
+    "weighted_reservoir_sample", "stratified_sample_mix",
+    "temperature_mix_weights", "token_budget_selection", "mixture_rebalance",
+    "monthly_revenue_trend", "pareto_revenue_concentration",
+    "return_rate_by_brand", "supplier_reliability", "top_value_parts",
+    "shipping_delay_profile", "join_key_skew_report",
+    "events_cube", "session_window_native", "user_event_pivot",
+    "weekday_seasonality", "zorder_locality",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
