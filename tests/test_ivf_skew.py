@@ -949,6 +949,41 @@ def test_rebuild_ivfpq_if_drifted_acts_only_past_budget(
     )
     append_to_ivfpq_index(shifted, path, delta_token="shifted")
     corpus2 = corpus1.unionByName(shifted)
+
+    # r8 (VERDICT r7 Next #6): a rebuild must restore PROBE RECALL on
+    # the shifted distribution, not only the imbalance number — a buggy
+    # rebuild could rebalance the cells while mis-ranking (e.g. dropped
+    # codebook residuals). Snapshot recall@10 of shifted queries on the
+    # APPENDED index, then require the rebuilt index to match or beat
+    # it (both sides deterministic: md5-seeded k-means, fixed iters).
+    from vector_io_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_index_probe_topk,
+    )
+
+    shifted_queries = shifted.where(
+        F.col("vec_id") < 1_000_100
+    ).selectExpr("vec_id as query_id", "embedding")
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = sets(
+        brute_force_topk(corpus2, shifted_queries, k=10, metric="euclid")
+    )
+
+    def probe_recall():
+        approx = sets(ivfpq_index_probe_topk(
+            spark, path, shifted_queries, k=10, nprobe=4
+        ))
+        num = sum(len(approx.get(q, set()) & w) for q, w in truth.items())
+        return num / sum(len(w) for w in truth.values())
+
+    recall_appended = probe_recall()
+
     got2 = rebuild_ivfpq_if_drifted(
         spark, path, corpus2, imbalance_budget=3.0
     )
@@ -957,6 +992,11 @@ def test_rebuild_ivfpq_if_drifted_acts_only_past_budget(
     assert got2["imbalance_after"] <= 3.0, got2
     # the rebuilt index covers the full current corpus
     assert spark.read.parquet(f"{path}/cells").count() == corpus2.count()
+    recall_rebuilt = probe_recall()
+    assert recall_rebuilt >= recall_appended, (
+        f"rebuild REGRESSED shifted-query recall: "
+        f"{recall_appended} -> {recall_rebuilt}"
+    )
 
 
 def test_probe_paths_return_empty_typed_result_for_empty_queries(
@@ -1425,3 +1465,164 @@ def test_compact_index_cells_collapses_files_probe_invariant(
     )
     with pytest.raises(ValueError, match="STREAMING store"):
         compact_index_cells(spark, sroot)
+
+
+def test_static_index_maintenance_mutex_and_token_ledger(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 (VERDICT r7 Next #3 + ADVICE r8 medium): static-index
+    maintenance ops are mutually exclusive via a ``_MAINT-<op>-…``
+    marker in the index root, and token appends keep a ``_DELTA-<token>``
+    commit ledger that survives compaction — a token retry spanning a
+    compaction must be a no-op, not a silent re-append (the compactor
+    folds the token's files into anonymous names, so 'no files present'
+    proves nothing)."""
+    import os
+    import time
+
+    import pytest
+
+    from vector_io_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        compact_index_cells,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_maint")
+    write_ivfpq_index(
+        old, path, num_cells=8, num_subspaces=8, codebook_size=16, seed=11
+    )
+    total = emb.count()
+
+    def n_rows():
+        return spark.read.parquet(f"{path}/cells").count()
+
+    # (a) a fresh compaction marker blocks an append, and vice versa
+    compact_blocker = os.path.join(path, "_MAINT-compact-999-deadbeef")
+    with open(compact_blocker, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="maintenance in flight"):
+        append_to_ivfpq_index(delta, path, delta_token="d1")
+    os.remove(compact_blocker)
+    append_blocker = os.path.join(path, "_MAINT-append-777-cafe0000")
+    with open(append_blocker, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="maintenance in flight"):
+        compact_index_cells(spark, path)
+
+    # (b) stale markers (crashed holder) are cleared and the op proceeds
+    old_t = time.time() - 7200.0
+    os.utime(append_blocker, (old_t, old_t))
+    append_to_ivfpq_index(delta, path, delta_token="d1")
+    assert not os.path.exists(append_blocker)
+    assert n_rows() == total
+    ledger = os.path.join(path, "cells", "_DELTA-d1")
+    assert os.path.exists(ledger), "commit ledger marker missing"
+    # the op releases its own marker on completion
+    assert not [
+        f for f in os.listdir(path) if f.startswith("_MAINT-")
+    ]
+
+    # (c) committed-token retry is a pure no-op (rows never transiently
+    # removed, never doubled)
+    append_to_ivfpq_index(delta, path, delta_token="d1")
+    assert n_rows() == total
+
+    # (d) ADVICE r8 repro: the ledger survives compaction's swap, so a
+    # token retry SPANNING a compaction stays a no-op instead of
+    # re-appending the whole delta
+    got = compact_index_cells(spark, path)
+    assert got["rows"] == total
+    assert os.path.exists(ledger), "ledger lost across compaction swap"
+    append_to_ivfpq_index(delta, path, delta_token="d1")
+    assert n_rows() == total, (
+        "token retry after compaction duplicated the delta"
+    )
+
+    # (e) a genuinely new token still appends after compaction
+    d2 = delta.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    append_to_ivfpq_index(d2, path, delta_token="d2")
+    assert n_rows() == total + 5
+
+
+def test_filtered_probe_recall_floor(spark, sf_dir, tmp_path):
+    """Round-8 (VERDICT r7 Next #2): recall floors for FILTERED probes
+    against both persisted catalogs, vs the exact filtered_topk truth.
+    The hazard is silent: `where` thins candidates AFTER cell pruning,
+    so a selective predicate can leave the probed cells holding < k
+    matches. Pins (sf0.1 sweep, tools/ann_recall.py): (a) moderate
+    selectivity floors at nprobe=4; (b) the monotone rescue — raising
+    nprobe to nlist lifts 1%-selectivity recall from ~0.35 to ≥0.75
+    (ivfpq, ADC error remains) and to 1.0 exactly (raw-vector IVF at
+    nprobe=nlist scores every matching row with the identical rounded
+    cosine + tie-break as filtered_topk). Deterministic seeds."""
+    from vector_io_spark.operators.similarity import (
+        filtered_topk,
+        ivf_index_probe_topk,
+        ivfpq_index_probe_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("sel2", (F.col("vec_id") % 2).cast("int"))
+        .withColumn("sel100", (F.col("vec_id") % 100).cast("int"))
+    )
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq_path = str(tmp_path / "f_ivfpq")
+    ivf_path = str(tmp_path / "f_ivf")
+    write_ivfpq_index(
+        emb, pq_path, num_cells=16, num_subspaces=16, codebook_size=64,
+        max_train_rows=20_000, metadata_cols=("sel2", "sel100"),
+    )
+    write_ivf_index(
+        emb, ivf_path, num_cells=16, max_train_rows=20_000,
+        metadata_cols=("sel2", "sel100"),
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    def rec(approx, exact):
+        num = sum(len(approx.get(q, set()) & w) for q, w in exact.items())
+        return num / sum(len(w) for w in exact.values())
+
+    # (a) moderate selectivity (50%), nprobe=4
+    truth50 = sets(filtered_topk(
+        emb, queries.withColumn("sel2", F.lit(0).cast("int")),
+        k=10, filter_cols=("sel2",),
+    ))
+    r_pq50 = rec(sets(ivfpq_index_probe_topk(
+        spark, pq_path, queries, k=10, nprobe=4, where="sel2 = 0")), truth50)
+    r_ivf50 = rec(sets(ivf_index_probe_topk(
+        spark, ivf_path, queries, k=10, nprobe=4, where="sel2 = 0")), truth50)
+    assert r_pq50 >= 0.30, r_pq50
+    assert r_ivf50 >= 0.40, r_ivf50
+
+    # (b) selective predicate (1%): nprobe=4 starves the candidates;
+    # nprobe=nlist recovers per the documented rule
+    truth1 = sets(filtered_topk(
+        emb, queries.withColumn("sel100", F.lit(0).cast("int")),
+        k=10, filter_cols=("sel100",),
+    ))
+    low_pq = rec(sets(ivfpq_index_probe_topk(
+        spark, pq_path, queries, k=10, nprobe=4, where="sel100 = 0")), truth1)
+    high_pq = rec(sets(ivfpq_index_probe_topk(
+        spark, pq_path, queries, k=10, nprobe=16, where="sel100 = 0")), truth1)
+    assert high_pq >= max(low_pq, 0.75), (low_pq, high_pq)
+    high_ivf = sets(ivf_index_probe_topk(
+        spark, ivf_path, queries, k=10, nprobe=16, where="sel100 = 0"))
+    assert rec(high_ivf, truth1) == 1.0, "nprobe=nlist raw-IVF == exact"

@@ -1527,3 +1527,86 @@ def test_reseed_streaming_ivfpq_if_drifted(spark, tmp_path):
         r["ingest_batch"]
         for r in cells.select("ingest_batch").distinct().collect()
     ) == {-1}
+
+
+def test_reseed_recheck_aborts_on_lease_taken_during_stats(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (medium): the reseed's entry lease-check runs BEFORE
+    the imbalance-stats Spark job; a micro-batch starting during that
+    scan (guard sees no marker yet, takes its lease) must be detected
+    by a re-check AFTER _RESEED-PENDING is stamped — and the clean
+    abort must un-stamp the marker so the store is neither forced nor
+    blocked. Simulated by planting a fresh lease from inside the stats
+    call. Also: a forced re-run on a crashed, row-EMPTY store (deletes
+    done, overwrite not committed) must converge with
+    imbalance_before=None instead of raising forever (ADVICE r8 low)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from vector_io_spark.operators import similarity as sim
+    from vector_io_spark.streaming.incremental import (
+        reseed_ivfpq_stream_index_if_drifted,
+        seed_ivfpq_stream_index,
+    )
+
+    def v(i, pattern):
+        base = [0.05 * ((i + j) % 7) for j in range(8)]
+        base[pattern % 8] += 3.0
+        return (i, [float(x) for x in base])
+
+    seed_rows = [v(i, i) for i in range(16)]
+    corpus = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "ivfpq_stream")
+    seed_ivfpq_stream_index(
+        corpus, root, num_cells=4, num_subspaces=4, codebook_size=4, seed=3
+    )
+    cells_dir = os.path.join(root, "cells")
+    lease = os.path.join(cells_dir, "_LIVE-racer")
+    pending = os.path.join(cells_dir, "_RESEED-PENDING")
+
+    real_stats = sim.ivfpq_index_stats
+
+    def stats_plants_lease(spark_, path_):
+        # a micro-batch slips in while the stats scan runs
+        if not os.path.exists(lease):
+            with open(lease, "w"):
+                pass
+        return real_stats(spark_, path_)
+
+    monkeypatch.setattr(sim, "ivfpq_index_stats", stats_plants_lease)
+    # imbalance_budget=0 forces the rebuild branch on a balanced store
+    with pytest.raises(RuntimeError, match="ingest lease"):
+        reseed_ivfpq_stream_index_if_drifted(
+            spark, root, corpus, imbalance_budget=0.0
+        )
+    assert not os.path.exists(pending), (
+        "clean abort must un-stamp _RESEED-PENDING"
+    )
+    monkeypatch.setattr(sim, "ivfpq_index_stats", real_stats)
+    os.remove(lease)
+    # store unharmed: an unforced run still measures and keeps
+    got = reseed_ivfpq_stream_index_if_drifted(
+        spark, root, corpus, imbalance_budget=3.0
+    )
+    assert got["rebuilt"] is False
+
+    # (g) forced recovery on a row-empty store: marker present, every
+    # partition (including the resident) destroyed by the crash
+    with open(pending, "w"):
+        pass
+    for d in os.listdir(cells_dir):
+        full = os.path.join(cells_dir, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+    got2 = reseed_ivfpq_stream_index_if_drifted(
+        spark, root, corpus, imbalance_budget=3.0
+    )
+    assert got2["rebuilt"] is True
+    assert got2["imbalance_before"] is None
+    assert not os.path.exists(pending)
+    assert spark.read.parquet(f"{root}/cells").count() == corpus.count()

@@ -105,7 +105,78 @@ def main() -> None:
     run("hamming_packed", lambda: hamming_topk(
         packed, qpacked, k=k), exact_cos)
 
-    print(json.dumps({"sf_dir": sf_dir, "k": k, "methods": results}))
+    # ------------------------------------------------------------------
+    # Filtered-ANN sweep (VERDICT r7 Next #2): the persisted catalogs'
+    # `where=` filters candidates AFTER cell pruning, so a selective
+    # predicate thins the probed cells and recall@k can drop silently
+    # vs the exact filtered_topk truth. Sweep predicate selectivity
+    # (~50% / 10% / 1%) x nprobe on BOTH catalogs; also report the
+    # SHORTFALL rate (queries returning < k rows) — at high selectivity
+    # the probed cells may simply not hold k matches.
+    # ------------------------------------------------------------------
+    import shutil
+    import tempfile
+
+    from vector_io_spark.operators.similarity import (
+        filtered_topk,
+        ivf_index_probe_topk,
+        ivfpq_index_probe_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    sels = [("sel2", 2, 0.5), ("sel10", 10, 0.1), ("sel100", 100, 0.01)]
+    embf = emb
+    for col, mod, _frac in sels:
+        embf = embf.withColumn(col, (F.col("vec_id") % mod).cast("int"))
+    meta = tuple(c for c, _, _ in sels)
+    base = tempfile.mkdtemp(prefix="ann_recall_filtered_")
+    write_ivfpq_index(
+        embf, f"{base}/ivfpq", num_cells=16, num_subspaces=16,
+        codebook_size=64, max_train_rows=20_000, metadata_cols=meta,
+    )
+    write_ivf_index(
+        embf, f"{base}/ivf", num_cells=16, metadata_cols=meta,
+        max_train_rows=20_000,
+    )
+
+    filtered: dict = {"ivfpq": {}, "ivf": {}}
+    for col, _mod, frac in sels:
+        # exact truth: the filtered_topk operator itself (pre-filter
+        # join semantics — every query constrained to <col> = 0)
+        fq = queries.withColumn(col, F.lit(0).cast("int"))
+        truth = topk_sets(
+            filtered_topk(embf, fq, k=k, filter_cols=(col,)), k
+        )
+        for nprobe in (4, 8, 16):
+            for method, probe in (
+                ("ivfpq", ivfpq_index_probe_topk),
+                ("ivf", ivf_index_probe_topk),
+            ):
+                t0 = time.perf_counter()
+                approx = topk_sets(
+                    probe(
+                        spark, f"{base}/{method}", queries, k=k,
+                        nprobe=nprobe, where=f"{col} = 0",
+                    ),
+                    k,
+                )
+                secs = round(time.perf_counter() - t0, 2)
+                short = sum(
+                    1 for q in truth
+                    if len(approx.get(q, set())) < min(k, len(truth[q]))
+                )
+                filtered[method][f"sel={frac},nprobe={nprobe}"] = {
+                    "recall_at_k": recall(approx, truth),
+                    "short_queries": short,
+                    "seconds": secs,
+                }
+    shutil.rmtree(base, ignore_errors=True)
+
+    print(json.dumps(
+        {"sf_dir": sf_dir, "k": k, "methods": results,
+         "filtered": filtered}
+    ))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,8 @@ Two strategies:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -27,6 +29,15 @@ from vector_io_spark.functions.vectors import (
     l2_distance,
 )
 from vector_io_spark.operators.dedup import _hyperplane_signature
+
+# Static-index maintenance ops (token appends, compaction) hold a
+# mutual-exclusion marker for their whole run — a marker older than
+# this is assumed to belong to a crashed holder and is cleared by the
+# next taker. Generous: a holder's clock is its marker's mtime, never
+# refreshed mid-run, so the timeout must exceed the LONGEST plausible
+# append/compaction (a delta encode+write or a full cells rewrite).
+_MAINT_TIMEOUT_S = 3600.0
+
 
 _METRIC_FNS = {
     "cosine": cosine_similarity,
@@ -1360,16 +1371,23 @@ def ivf_index_probe_topk(
     else:
         probe_pairs = []  # empty query side -> empty typed result
     qvec_map = {r[0]: r[1] for r in qrows}
+    # inherit the CALLER's query-id type — hardcoding long broke any
+    # string-keyed probe (r8: the maxsim token probe keys queries by a
+    # "qid#pos" composite)
+    qid_dt = queries.schema[query_id].dataType.simpleString()
     probe_df = spark.createDataFrame(
         [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
-        f"{query_id} long, cell int, __qv array<float>",
+        f"{query_id} {qid_dt}, cell int, __qv array<float>",
     )
     cells = sorted({c for _, c in probe_pairs})
     scan = spark.read.parquet(f"{path}/cells")
     if where is not None:
         # filtered ANN against the catalog (r7): pre-filter semantics
         # over the persisted metadata_cols, pushed into the pruned scan
-        # (same contract as ivfpq_index_probe_topk's where)
+        # (same contract as ivfpq_index_probe_topk's where, including
+        # its r8 selectivity rule: aim for ≥ ~20×k matching candidates
+        # in the probed cells — selectivity × N × nprobe / nlist —
+        # else raise nprobe or fall back to filtered_topk)
         scan = scan.where(where)
     scan = scan.where(F.col("cell").isin(cells))
     scored = scan.join(broadcast(probe_df), "cell").select(
@@ -1395,6 +1413,7 @@ def append_to_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     delta_token: str | None = None,
+    maint_timeout_s: float = _MAINT_TIMEOUT_S,
 ) -> None:
     """Incremental IVF index maintenance: assign a delta batch of
     vectors to the EXISTING persisted centroids (no retrain) and append
@@ -1427,7 +1446,9 @@ def append_to_ivf_index(
     delta = new_rows.select(corpus_id, *meta_cols, corpus_vec).withColumn(
         "cell", _cell_assign_udf(cent)(F.col(corpus_vec))
     )
-    _idempotent_delta_write(delta, f"{path}/cells", delta_token)
+    _idempotent_delta_write(
+        delta, f"{path}/cells", delta_token, maint_timeout_s=maint_timeout_s
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1756,7 +1777,21 @@ def ivfpq_index_probe_topk(
     parquet scan (PushedFilters), so non-matching code rows are
     skipped at I/O level via row-group stats, on top of the cell-level
     partition pruning. One predicate applies to ALL queries in the
-    batch — group query batches by their filter."""
+    batch — group query batches by their filter.
+
+    **Selectivity rule (r8, measured — BASELINE.md round-8 filtered
+    table)**: the predicate thins candidates AFTER cell pruning, so a
+    selective ``where`` can leave the probed cells with fewer than
+    ``k`` matches and recall@k drops SILENTLY (sf0.1: at 1%
+    selectivity, nprobe=4 returned < k rows for all 32 queries,
+    recall 0.35; nprobe=nlist recovered 0.83). Size
+    ``selectivity × N × nprobe / nlist`` to at least ~20×k matching
+    candidates; below that, raise ``nprobe`` (recall rises
+    monotonically, pinned by ``test_filtered_probe_recall_floor``) —
+    and when the predicate is so selective that even ``nprobe=nlist``
+    scans few matching rows, skip the index and use
+    :func:`filtered_topk`: an exact pushed-down scan of a 1% slice is
+    both cheaper and recall-1.0."""
     cents, cb = _load_ivfpq_artifacts(spark, path)
     probe_rows, luts = _ivfpq_query_probes(
         queries, cents, cb, nprobe, query_id, query_vec,
@@ -1976,15 +2011,27 @@ def _drift_decision(
             )
         return float(row[0])
 
-    before = _imbalance()
-    if not force and before <= imbalance_budget:
-        return {
-            "rebuilt": False,
-            "imbalance_before": before,
-            "imbalance_after": None,
-            "imbalance_budget": imbalance_budget,
-            "nlist": nlist,
-        }
+    if force:
+        # a forced run exists to FINISH an interrupted rebuild whose
+        # destructive deletes already happened — the store can be
+        # row-empty mid-overwrite, making _imbalance() raise on every
+        # re-run and the recovery path unable to converge (ADVICE r8).
+        # The before-measurement is reporting, not a decision input,
+        # when force is set: tolerate its failure.
+        try:
+            before = _imbalance()
+        except Exception:
+            before = None
+    else:
+        before = _imbalance()
+        if before <= imbalance_budget:
+            return {
+                "rebuilt": False,
+                "imbalance_before": before,
+                "imbalance_after": None,
+                "imbalance_budget": imbalance_budget,
+                "nlist": nlist,
+            }
     rebuild_fn()
     return {
         "rebuilt": True,
@@ -2042,7 +2089,9 @@ def rebuild_ivf_if_drifted(
     )
 
 
-def compact_index_cells(spark, path: str) -> dict:
+def compact_index_cells(
+    spark, path: str, maint_timeout_s: float = _MAINT_TIMEOUT_S
+) -> dict:
     """File compaction for a STATIC :func:`write_ivf_index` /
     :func:`write_ivfpq_index` cells layout (r7): every
     ``append_to_*_index`` delta token adds ≥1 file to each touched
@@ -2054,6 +2103,16 @@ def compact_index_cells(spark, path: str) -> dict:
     NOT deduplicated — token-keyed appends cannot duplicate ids, and a
     genuine duplicate id is an upstream bug this should surface, not
     hide.
+
+    Concurrency (r8): the whole run holds the ``_MAINT-compact-…``
+    mutex (:func:`_take_maint_marker`) — an ``append_to_*_index``
+    racing the swap would otherwise land its committed delta files in
+    the aside dir and have them deleted with it; both ops now refuse
+    while the other holds a fresh marker instead of assuming serial
+    nightly scheduling. The appends' ``_DELTA-<token>`` commit-ledger
+    markers are recreated inside ``.cells-tmp`` BEFORE the swap, so
+    the atomic rename carries them and a token retry spanning a
+    compaction stays a no-op instead of re-appending (ADVICE r8).
 
     Crash safety — stage + swap with repair, the compaction pattern:
     the rewrite lands in a hidden ``.cells-tmp`` (invisible to parquet
@@ -2085,54 +2144,152 @@ def compact_index_cells(spark, path: str) -> dict:
                 "store left as-is (re-run to repair)"
             )
 
-    # repair a half-finished predecessor
-    if fs.exists(aside):
-        if not fs.exists(cells):
-            _rename(aside, cells)
-        else:
-            fs.delete(aside, True)
-    if fs.exists(tmp):
-        fs.delete(tmp, True)
-    for st in fs.listStatus(cells):
-        if st.getPath().getName().startswith("ingest_batch="):
-            raise ValueError(
-                f"compact_index_cells: {path}/cells is a STREAMING "
-                "store (ingest_batch partitions) — use "
-                'compact_neardup_index(spark, f"{path}/cells", id_col, '
-                'partition_by=("cell",)) instead; it honors ingest '
-                "leases and replay safety."
-            )
-
-    def _count_files() -> int:
-        n = 0
-        it = fs.listFiles(cells, True)
-        while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith(("_", ".")):
-                n += 1
-        return n
-
-    files_before = _count_files()
-    df = spark.read.parquet(f"{path}/cells")
-    n_rows = df.count()
-    n_files = max(1, -(-n_rows // 1_000_000))
-    (
-        df.repartition(n_files, F.col("cell"))
-        .write.partitionBy("cell")
-        .parquet(f"{path}/.cells-tmp")
+    marker = _take_maint_marker(
+        spark, path, "compact", timeout_s=maint_timeout_s
     )
-    _rename(cells, aside)
-    _rename(tmp, cells)
-    fs.delete(aside, True)
-    return {
-        "rows": n_rows,
-        "files_before": files_before,
-        "files_after": _count_files(),
-    }
+    try:
+        # repair a half-finished predecessor
+        if fs.exists(aside):
+            if not fs.exists(cells):
+                _rename(aside, cells)
+            else:
+                fs.delete(aside, True)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        ledgers = []
+        for st in fs.listStatus(cells):
+            name = st.getPath().getName()
+            if name.startswith("ingest_batch="):
+                raise ValueError(
+                    f"compact_index_cells: {path}/cells is a STREAMING "
+                    "store (ingest_batch partitions) — use "
+                    'compact_neardup_index(spark, f"{path}/cells", '
+                    'id_col, partition_by=("cell",)) instead; it honors '
+                    "ingest leases and replay safety."
+                )
+            if name.startswith("_DELTA-"):
+                ledgers.append(name)
+
+        def _count_files() -> int:
+            n = 0
+            it = fs.listFiles(cells, True)
+            while it.hasNext():
+                name = it.next().getPath().getName()
+                if not name.startswith(("_", ".")):
+                    n += 1
+            return n
+
+        files_before = _count_files()
+        df = spark.read.parquet(f"{path}/cells")
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // 1_000_000))
+        (
+            df.repartition(n_files, F.col("cell"))
+            .write.partitionBy("cell")
+            .parquet(f"{path}/.cells-tmp")
+        )
+        # carry the append commit-ledger through the swap atomically:
+        # stage the markers into tmp BEFORE renaming it in, so no crash
+        # point exists where the new layout is live without its ledger
+        for name in ledgers:
+            if not fs.createNewFile(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-tmp/{name}")
+            ):
+                raise RuntimeError(
+                    f"compact_index_cells: could not stage ledger "
+                    f"marker {name} into .cells-tmp — store left as-is"
+                )
+        _rename(cells, aside)
+        _rename(tmp, cells)
+        fs.delete(aside, True)
+        return {
+            "rows": n_rows,
+            "files_before": files_before,
+            "files_after": _count_files(),
+        }
+    finally:
+        fs.delete(marker, False)
+
+
+def _fs_now_ms(fs, jvm, dir_path: str) -> int:
+    """Read "now" from the FILESYSTEM's clock — touch a probe file and
+    take its mtime — so staleness comparisons against other files'
+    mtimes are skew-free on HDFS/object stores whose server clock may
+    differ from the driver's (ADVICE r7: a wall-clock `time.time()`
+    baseline can mis-age a fresh lease by exactly the skew)."""
+    probe = jvm.org.apache.hadoop.fs.Path(
+        f"{dir_path}/.clock-probe-{os.getpid()}"
+    )
+    fs.create(probe, True).close()
+    try:
+        return int(fs.getFileStatus(probe).getModificationTime())
+    finally:
+        fs.delete(probe, False)
+
+
+def _take_maint_marker(
+    spark, index_root: str, op: str, timeout_s: float = _MAINT_TIMEOUT_S
+):
+    """Acquire the static-index maintenance mutex: a ``_MAINT-<op>-…``
+    marker file in the INDEX ROOT (not inside ``cells`` — it must
+    observe the compactor's cells-dir swap, not travel with it).
+    Check → create → re-check: if two takers race past the first
+    check, both re-list and the lexicographically-smallest marker name
+    wins deterministically; the loser deletes its own marker and
+    raises. Markers older than ``timeout_s`` (per the FILESYSTEM
+    clock, :func:`_fs_now_ms`) belong to crashed holders and are
+    cleared. Returns the marker Path for the caller's ``finally``
+    delete.
+
+    This converts the r6/r7 "run maintenance serially" operational
+    assumption into a loud error: an ``append_to_*_index`` racing
+    :func:`compact_index_cells` would otherwise have its committed
+    delta destroyed with the compactor's aside dir."""
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    root_p = jvm.org.apache.hadoop.fs.Path(index_root)
+    fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(root_p)
+
+    def _fresh(exclude: str | None):
+        now_ms = _fs_now_ms(fs, jvm, index_root)
+        names = []
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            if not name.startswith("_MAINT-") or name == exclude:
+                continue
+            if (now_ms - st.getModificationTime()) / 1000.0 < timeout_s:
+                names.append(name)
+            else:
+                fs.delete(st.getPath(), False)  # crashed holder
+        return names
+
+    held = _fresh(None)
+    if held:
+        raise RuntimeError(
+            f"{op}: {index_root} has maintenance in flight "
+            f"({held[0]}, fresher than {timeout_s}s) — static-index "
+            "maintenance ops are mutually exclusive; wait for it to "
+            "finish (or age out if its holder crashed) and re-run."
+        )
+    mine = f"_MAINT-{op}-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    mine_p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/{mine}")
+    if not fs.createNewFile(mine_p):
+        raise RuntimeError(f"{op}: could not create {mine_p}")
+    others = _fresh(mine)
+    if others and min([mine, *others]) != mine:
+        fs.delete(mine_p, False)
+        raise RuntimeError(
+            f"{op}: lost the maintenance-marker race to {min(others)} "
+            f"on {index_root} — re-run once it completes."
+        )
+    return mine_p
 
 
 def _idempotent_delta_write(
-    delta: DataFrame, cells_path: str, delta_token: str
+    delta: DataFrame, cells_path: str, delta_token: str,
+    maint_timeout_s: float = _MAINT_TIMEOUT_S,
 ) -> None:
     """Exactly-once append of a cell-partitioned delta frame into an
     existing ``cell=<i>`` parquet layout, keyed by a caller-supplied
@@ -2141,26 +2298,42 @@ def _idempotent_delta_write(
     silently distorts every subsequent probe plus the imbalance
     trigger).
 
-    Mechanism — stage + deterministic rename, the
+    Mechanism — ledger check, then stage + deterministic rename (the
     :func:`~vector_io_spark.streaming.incremental.compact_neardup_index`
-    pattern:
+    pattern), all under the maintenance mutex:
 
-    1. the encoded delta is written (``mode("overwrite")``) to a hidden
+    0. the whole run holds the ``_MAINT-append-…`` marker
+       (:func:`_take_maint_marker`) — a concurrent
+       :func:`compact_index_cells` would otherwise destroy this
+       delta's committed files with its aside dir;
+    1. if the ``_DELTA-<token>`` LEDGER marker exists at the cells
+       root, the token was fully committed by a previous run —
+       **no-op** (its files may since have been folded into anonymous
+       compacted files, so "no delta-<token> files present" proves
+       nothing; ADVICE r8: without the ledger, a retry spanning a
+       compaction re-appends the whole delta). This also means a
+       committed token's rows are never transiently removed by a
+       retry — probes racing a retry see a complete index throughout;
+    2. the encoded delta is written (``mode("overwrite")``) to a hidden
        ``.delta-<token>`` staging dir — dot-prefixed, so INVISIBLE to
        parquet discovery and safe to overwrite on any retry;
-    2. every previously-committed file named ``delta-<token>-*`` is
-       deleted from the resident cell dirs (a retry of an
-       already-committed token replaces, never doubles — file COUNTS
-       may differ between runs if the input partitioning differed);
-    3. staged files rename into the resident cells under DETERMINISTIC
+    3. every previously-committed file named ``delta-<token>-*`` is
+       deleted from the resident cell dirs (a CRASHED earlier attempt
+       may have moved some files without reaching the ledger write —
+       re-clear, never double; file COUNTS may differ between runs if
+       the input partitioning differed);
+    4. staged files rename into the resident cells under DETERMINISTIC
        names ``delta-<token>-<j>.parquet`` (rename checked — Hadoop
-       signals failure by returning False).
+       signals failure by returning False);
+    5. the ``_DELTA-<token>`` ledger marker is written LAST. It lives
+       inside the cells dir (underscore-prefixed — invisible to
+       parquet discovery), so it dies with the layout on a full
+       rebuild and is carried through compaction by the compactor's
+       atomic swap (staged into ``.cells-tmp`` pre-swap).
 
     Crash at any point converges on re-run: staging is overwrite,
-    step 2 re-clears partial moves, step 3 re-moves everything. The
-    only caveat is that RE-running an already-committed token briefly
-    removes that token's rows before re-adding them — run retries
-    before opening the index to probes, as with any maintenance op.
+    step 3 re-clears partial moves, step 4 re-moves everything, and
+    only the post-ledger state is a no-op.
 
     Scale shape: one partitionBy shuffle of the DELTA only; renames are
     metadata ops; nothing resident is read or rewritten.
@@ -2182,50 +2355,70 @@ def _idempotent_delta_write(
     def p(sub: str):
         return jvm.org.apache.hadoop.fs.Path(f"{cells_path}/{sub}")
 
-    staging = p(f".delta-{delta_token}")
-    delta.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{cells_path}/.delta-{delta_token}"
+    index_root = cells_path.rsplit("/", 1)[0]
+    marker = _take_maint_marker(
+        spark, index_root, "append", timeout_s=maint_timeout_s
     )
-    # clear every committed file of this token (retry-replace semantics).
-    # EXACT-name match, not a prefix test: tokens can be dash-prefixes of
-    # each other ("2026-08" vs "2026-08-15"), and startswith("delta-a-")
-    # would also match "delta-a-b-00000.parquet" — silently deleting a
-    # DIFFERENT delta's committed rows (r7 review finding, repro'd).
-    prefix = f"delta-{delta_token}-"
-    mine = _re.compile(
-        rf"delta-{_re.escape(delta_token)}-\d{{5}}\.parquet"
-    )
-    for st in fs.listStatus(root):
-        if not (st.isDirectory() and st.getPath().getName().startswith("cell=")):
-            continue
-        for f_st in fs.listStatus(st.getPath()):
-            if mine.fullmatch(f_st.getPath().getName()):
-                fs.delete(f_st.getPath(), False)
-    # move staged files in under deterministic names
-    for st in fs.listStatus(staging):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("cell=")):
-            continue
-        dest_dir = p(name)
-        fs.mkdirs(dest_dir)
-        files = sorted(
-            f_st.getPath().getName()
-            for f_st in fs.listStatus(st.getPath())
-            if not f_st.getPath().getName().startswith(("_", "."))
+    try:
+        ledger = p(f"_DELTA-{delta_token}")
+        if fs.exists(ledger):
+            return  # committed once already — retry is a no-op
+        staging = p(f".delta-{delta_token}")
+        delta.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{cells_path}/.delta-{delta_token}"
         )
-        for j, fname in enumerate(files):
-            src = jvm.org.apache.hadoop.fs.Path(
-                f"{cells_path}/.delta-{delta_token}/{name}/{fname}"
+        # clear files a CRASHED pre-ledger attempt moved in (retry-repair
+        # semantics). EXACT-name match, not a prefix test: tokens can be
+        # dash-prefixes of each other ("2026-08" vs "2026-08-15"), and
+        # startswith("delta-a-") would also match "delta-a-b-00000.parquet"
+        # — silently deleting a DIFFERENT delta's committed rows (r7
+        # review finding, repro'd).
+        prefix = f"delta-{delta_token}-"
+        mine = _re.compile(
+            rf"delta-{_re.escape(delta_token)}-\d{{5}}\.parquet"
+        )
+        for st in fs.listStatus(root):
+            if not (
+                st.isDirectory() and st.getPath().getName().startswith("cell=")
+            ):
+                continue
+            for f_st in fs.listStatus(st.getPath()):
+                if mine.fullmatch(f_st.getPath().getName()):
+                    fs.delete(f_st.getPath(), False)
+        # move staged files in under deterministic names
+        for st in fs.listStatus(staging):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell=")):
+                continue
+            dest_dir = p(name)
+            fs.mkdirs(dest_dir)
+            files = sorted(
+                f_st.getPath().getName()
+                for f_st in fs.listStatus(st.getPath())
+                if not f_st.getPath().getName().startswith(("_", "."))
             )
-            dst = jvm.org.apache.hadoop.fs.Path(
-                f"{cells_path}/{name}/{prefix}{j:05d}.parquet"
-            )
-            if not fs.rename(src, dst):
-                raise RuntimeError(
-                    f"append: rename {src} -> {dst} failed; staging left "
-                    "in place (re-run with the same delta_token to repair)"
+            for j, fname in enumerate(files):
+                src = jvm.org.apache.hadoop.fs.Path(
+                    f"{cells_path}/.delta-{delta_token}/{name}/{fname}"
                 )
-    fs.delete(staging, True)
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{cells_path}/{name}/{prefix}{j:05d}.parquet"
+                )
+                if not fs.rename(src, dst):
+                    raise RuntimeError(
+                        f"append: rename {src} -> {dst} failed; staging "
+                        "left in place (re-run with the same delta_token "
+                        "to repair)"
+                    )
+        fs.delete(staging, True)
+        if not fs.createNewFile(ledger):
+            raise RuntimeError(
+                f"append: could not write ledger marker {ledger} — "
+                "re-run with the same delta_token (the commit itself "
+                "is complete; only retry-no-op detection is at stake)"
+            )
+    finally:
+        fs.delete(marker, False)
 
 
 def append_to_ivfpq_index(
@@ -2234,6 +2427,7 @@ def append_to_ivfpq_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     delta_token: str | None = None,
+    maint_timeout_s: float = _MAINT_TIMEOUT_S,
 ) -> None:
     """Incremental IVF+PQ maintenance: encode a delta batch against the
     PERSISTED centroids + codebooks (no retrain) and append the codes
@@ -2272,4 +2466,6 @@ def append_to_ivfpq_index(
         F.col("__cc.cell").alias("cell"),
         F.col("__cc.code").alias("code"),
     )
-    _idempotent_delta_write(delta, f"{path}/cells", delta_token)
+    _idempotent_delta_write(
+        delta, f"{path}/cells", delta_token, maint_timeout_s=maint_timeout_s
+    )

@@ -659,13 +659,22 @@ def _check_no_live_leases(
     belong to crashed streams (a healthy micro-batch refreshes its
     lease every batch). Shared by compaction and the streaming reseed
     — any maintenance op that mutates a store a live stream also
-    writes must pass through here first."""
+    writes must pass through here first.
+
+    Lease age is measured against the FILESYSTEM's clock (a probe-file
+    mtime, :func:`~vector_io_spark.operators.similarity._fs_now_ms`),
+    not driver wall-clock — on HDFS/object stores with driver↔server
+    clock skew, ``time.time()`` could mis-age a fresh lease by exactly
+    the skew and let maintenance proceed under a mid-write micro-batch
+    (ADVICE r8)."""
+    from vector_io_spark.operators.similarity import _fs_now_ms
+
     jvm = spark._jvm
     root_p = jvm.org.apache.hadoop.fs.Path(root)
     fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root_p):
         return
-    now_ms = time.time() * 1000.0
+    now_ms = _fs_now_ms(fs, jvm, root)
     for st in fs.listStatus(root_p):
         name = st.getPath().getName()
         if not name.startswith("_LIVE-"):
@@ -1328,7 +1337,11 @@ def reseed_ivfpq_stream_index_if_drifted(
     forever; with it, a re-run is FORCED through the rewrite
     regardless of the measured imbalance. ``corpus`` is the source of
     truth for a rebuild, exactly as in the static twin (codes cannot
-    be decoded back), so nothing is lost at any crash point.
+    be decoded back), so nothing is lost at any crash point. r8:
+    leases are re-checked AFTER the marker is stamped (announce-then-
+    recheck, the compactor's pattern) — a micro-batch that started
+    during the imbalance-stats scan is detected before any delete, and
+    a clean abort un-stamps the marker.
 
     ``corpus`` must be the CURRENT full corpus (original seed rows +
     every streamed batch's rows). Returns the same decision dict as
@@ -1364,11 +1377,35 @@ def reseed_ivfpq_stream_index_if_drifted(
     force = bool(fs.exists(pending))
 
     def _rebuild() -> None:
-        if not force and not fs.createNewFile(pending):
-            raise RuntimeError(
-                "reseed_ivfpq_stream_index_if_drifted: could not stamp "
-                f"{pending} — store left as-is"
+        stamped_now = False
+        if not force:
+            if not fs.createNewFile(pending):
+                raise RuntimeError(
+                    "reseed_ivfpq_stream_index_if_drifted: could not "
+                    f"stamp {pending} — store left as-is"
+                )
+            stamped_now = True
+        # re-check leases AFTER the marker is stamped (announce-then-
+        # recheck, the compactor's pattern): the entry check ran before
+        # the imbalance-stats Spark job, so a micro-batch can have
+        # started (guard saw no marker, took its lease) while the stats
+        # scan ran — without this, the deletes below would destroy a
+        # partition that batch is mid-write/mid-read (ADVICE r8). The
+        # marker now blocks NEW batches; a lease taken before it means
+        # the store may still be being written.
+        try:
+            _check_no_live_leases(
+                spark, cells_root, lease_timeout_s,
+                "reseed_ivfpq_stream_index_if_drifted",
+                "a micro-batch took its ingest lease before the reseed "
+                "marker was stamped and may be mid-write",
             )
+        except Exception:
+            if stamped_now:
+                # nothing destructive happened yet — un-stamp so the
+                # store is neither forced nor blocked for ingest
+                fs.delete(pending, False)
+            raise
         for st in fs.listStatus(root_p):
             name = st.getPath().getName()
             drop = (
