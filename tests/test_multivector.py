@@ -1,0 +1,111 @@
+"""Late-interaction (maxsim) retrieval — semantics SQL can't express:
+the candidate-pruned two-stage path against its exact twin, recall
+floors at realistic settings, and typed-empty handling. The exact
+path's values are oracle-gated (queries.py maxsim_multivector_topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+
+def _tokens(df, id_alias, n_tok=4, dim=16):
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tok - 1))).alias("qpos"),
+        "embedding",
+    ).select(
+        id_alias,
+        "qpos",
+        F.expr(f"slice(embedding, qpos*{dim}+1, {dim})").alias("vec"),
+    )
+
+
+def _sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["doc_id"])
+    return out
+
+
+def test_maxsim_pruned_matches_exact(spark, sf_dir, tmp_path):
+    """With exhaustive settings (nprobe=num_cells, candidates >= all
+    tokens) the two-stage path must reproduce the exact maxsim top-k
+    EXACTLY — same pairs, same scores, same ranks (the re-rank stage
+    shares the micro-unit sum kernel, so equality is structural, not a
+    tolerance)."""
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.col("vec_id") < 8), "query_id")
+    n_tokens = dt.count()
+
+    path = str(tmp_path / "tok_index")
+    write_token_index(dt, path, num_cells=8, seed=5)
+
+    exact = maxsim_topk(dt, qt, k=10, metric="dot")
+    pruned = maxsim_topk_pruned(
+        spark, path, dt, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert rows(pruned) == rows(exact)
+
+
+def test_maxsim_pruned_recall_floor(spark, tmp_path):
+    """Realistic pruning (candidates_per_token=32, nprobe=4 of 8
+    cells) keeps recall@10 against the exact top-k above a pinned
+    floor at sf0.01 (500 docs x 4 tokens). Deterministic (md5-seeded
+    k-means), so the floor is stable."""
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.col("vec_id") < 8), "query_id")
+
+    path = str(tmp_path / "tok_index")
+    write_token_index(dt, path, num_cells=8, seed=5)
+
+    truth = _sets(maxsim_topk(dt, qt, k=10, metric="dot"))
+    approx = _sets(maxsim_topk_pruned(
+        spark, path, dt, qt, k=10, metric="dot",
+        candidates_per_token=32, nprobe=4,
+    ))
+    num = sum(len(approx.get(q, set()) & w) for q, w in truth.items())
+    recall = num / sum(len(w) for w in truth.values())
+    assert recall >= 0.5, recall
+
+
+def test_maxsim_empty_queries_and_bad_metric(spark, sf_dir):
+    import pytest
+
+    from vector_io_spark.operators.multivector import maxsim_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.lit(False)), "query_id")
+    got = maxsim_topk(dt, qt, k=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "doc_id", "score", "rank",
+    ]
+    with pytest.raises(ValueError, match="metric"):
+        maxsim_topk(dt, qt, k=5, metric="l2")

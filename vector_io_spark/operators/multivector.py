@@ -1,0 +1,281 @@
+"""Late-interaction (multi-vector) retrieval — ColBERT-style maxsim.
+
+The reference's VDF data model is natively multi-vector
+(``vector_columns: List[str]`` — SURVEY §1.1; e.g. Qdrant named-vector
+dicts, ``qdrant_import.py`` PointStruct multi-vector), but the
+reference never SCORES across the vectors of one entity. This module
+adds the operation that data model exists for in modern retrieval:
+score(query, doc) = Σ_{query token} max_{doc token} sim(qt, dt) —
+late interaction over per-token vectors (Khattab & Zaharia, ColBERT,
+SIGIR 2020; PLAID's candidate-pruned variant, CIKM 2022).
+
+Spark-first shapes:
+
+- :func:`maxsim_topk` — EXACT late interaction. The query-token frame
+  (|Q| × tokens rows — a query batch, bounded) broadcasts; the
+  doc-token table (the 100 TB side) is scanned once, never shuffled —
+  only (query_id, qpos, doc_id, sim) tuples enter the two partial-agg
+  shuffles (max per query-token×doc, then sum per query×doc). Both
+  aggregations map-side combine, so the shuffle volume is bounded by
+  |docs| × |query tokens|, not by doc-token count.
+- :func:`maxsim_topk_pruned` — the PLAID/ColBERTv2 scale path:
+  an IVF token index (built once with :func:`~vector_io_spark.
+  operators.similarity.write_ivf_index` over doc TOKENS, doc_id
+  persisted as a metadata column) yields per-query-token candidate
+  docs; exact maxsim then re-ranks only the candidate (query, doc)
+  pairs. The full doc-token table is touched only through the index's
+  partition-pruned cell dirs plus one semi-join on the candidates.
+
+Engine-exact recipe (oracle-paired, hash-exact vs DuckDB): per-pair
+sim = round(sequential-double dot, 6) — max over doc tokens is
+order-independent; the per-query sum runs in integer MICRO-UNITS
+(floor(m·1e6 + 0.5) BIGINT), so cross-row addition order cannot
+change the score; ranking orders by the integer. See the
+spark-graft-engine-exactness recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from vector_io_spark.functions.vectors import dot_product
+
+_METRICS = ("dot", "cosine")
+
+
+def _pair_sim(metric: str, dv, qv):
+    if metric == "dot":
+        return F.round(dot_product(dv, qv), 6)
+    from vector_io_spark.functions.vectors import cosine_similarity
+
+    return F.round(cosine_similarity(dv, qv), 6)
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    metric: str = "dot",
+    doc_id: str = "doc_id",
+    doc_vec: str = "vec",
+    query_id: str = "query_id",
+    query_pos: str = "qpos",
+    query_vec: str = "vec",
+) -> DataFrame:
+    """Exact late-interaction top-k: per (query, doc), sum over the
+    query's tokens of the max similarity any doc token attains.
+
+    ``doc_tokens``: (doc_id, doc_vec) rows — one row per doc token
+    (positions are irrelevant on the doc side: maxsim maxes over
+    them). ``query_tokens``: (query_id, query_pos, query_vec) — the
+    position column is the summation key, so it must be present and
+    unique per (query, token). Returns (query_id, doc_id, score,
+    rank), rank ≤ k, ties broken by ascending doc_id.
+
+    Scale shape: broadcast-NLJ of the bounded query-token frame
+    against the doc-token scan (the corpus side never shuffles);
+    groupBy(query, qpos, doc).max then groupBy(query, doc).sum — both
+    with map-side partial aggregation, so at 1000 executors the
+    shuffled rows are |docs| × |query tokens|, independent of how many
+    tokens each DOC has; final per-query top-k is a partitioned window
+    (WindowGroupLimit fires on the rank ≤ k filter). A query batch of
+    32 × 4 tokens over a 10-token/doc 100 TB corpus shuffles ~128
+    bytes per doc — the scan dominates, as it should.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"maxsim_topk: metric must be one of {_METRICS}")
+    qt = query_tokens.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_pos).alias("__qpos"),
+        F.col(query_vec).alias("__qv"),
+    )
+    dt = doc_tokens.select(
+        F.col(doc_id).alias("doc_id"), F.col(doc_vec).alias("__dv")
+    )
+    per_token = (
+        dt.crossJoin(broadcast(qt))
+        .groupBy("query_id", "__qpos", "doc_id")
+        .agg(F.max(_pair_sim(metric, F.col("__dv"), F.col("__qv"))).alias("m"))
+    )
+    scored = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.expr("CAST(floor(m * 1e6 + 0.5d) AS BIGINT)")
+        ).alias("__usim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__usim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__usim") / F.lit(1e6), 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def write_token_index(
+    doc_tokens: DataFrame,
+    path: str,
+    doc_id: str = "doc_id",
+    doc_vec: str = "vec",
+    num_cells: int = 16,
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+) -> None:
+    """Persist the doc-TOKEN IVF index :func:`maxsim_topk_pruned`
+    probes: each token row gets a deterministic surrogate ``__tok_id``
+    (row_number within doc — stable across rebuilds for identical
+    input), the owning ``doc_id`` rides as a persisted metadata
+    column, and the layout is a standard
+    :func:`~vector_io_spark.operators.similarity.write_ivf_index`
+    cells tree (partition-pruned probes, append/rebuild/compaction
+    maintenance all apply unchanged).
+
+    Scale shape: one window over (doc_id) for the surrogate ids (per-
+    doc token counts are tiny and bounded), then the IVF build's
+    bounded-sample train + one assignment pass + partitionBy write.
+    """
+    from vector_io_spark.operators.similarity import write_ivf_index
+
+    w = Window.partitionBy(doc_id).orderBy(F.monotonically_increasing_id())
+    toks = doc_tokens.select(
+        F.col(doc_id).alias("doc_id"), F.col(doc_vec).alias("vec")
+    ).withColumn(
+        "__tok_id",
+        F.concat_ws("#", F.col("doc_id"), F.row_number().over(w)),
+    )
+    write_ivf_index(
+        toks,
+        path,
+        corpus_id="__tok_id",
+        corpus_vec="vec",
+        num_cells=num_cells,
+        max_train_rows=max_train_rows,
+        seed=seed,
+        metadata_cols=("doc_id",),
+    )
+
+
+def maxsim_topk_pruned(
+    spark,
+    token_index_path: str,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    candidates_per_token: int = 64,
+    nprobe: int = 4,
+    metric: str = "dot",
+    doc_id: str = "doc_id",
+    doc_vec: str = "vec",
+    query_id: str = "query_id",
+    query_pos: str = "qpos",
+    query_vec: str = "vec",
+) -> DataFrame:
+    """Candidate-pruned late interaction (the PLAID two-stage shape):
+
+    1. **Generate**: every query token probes the persisted doc-token
+       IVF index (:func:`write_token_index`) for its
+       ``candidates_per_token`` nearest tokens (cosine over probed
+       cells — partition-pruned scan, nothing corpus-wide); the hit
+       tokens' ``doc_id`` values (read from the probed cells
+       themselves, one semi-join-sized lookup) become the query's
+       candidate docs.
+    2. **Re-rank**: exact :func:`maxsim_topk` semantics restricted to
+       the candidate (query, doc) pairs — the candidate-pair frame
+       (≤ |Q| × tokens × candidates rows) broadcasts into an equi-join
+       with the doc-token table, so only candidate docs' tokens are
+       ever scored.
+
+    Recall is governed by candidates_per_token × nprobe exactly like
+    any IVF probe (see the selectivity rule on
+    ``ivfpq_index_probe_topk``); ``test_maxsim_pruned_matches_exact``
+    pins that generous settings reproduce the exact top-k, and the
+    registered recall floor covers realistic ones. Output schema ==
+    :func:`maxsim_topk`.
+
+    Scale shape: stage 1 reads nprobe/num_cells of the token index per
+    query token; stage 2's scan of the doc-token table prunes through
+    a broadcast-hash semi-join on doc_id (candidate set is bounded by
+    the query batch, never data-sized); the same two partial-agg
+    shuffles as the exact path, now over candidate pairs only.
+    """
+    from vector_io_spark.operators.similarity import ivf_index_probe_topk
+
+    qt = query_tokens.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_pos).alias("__qpos"),
+        F.col(query_vec).alias("__qv"),
+    )
+    # stage 1: per-token probes -> candidate token ids
+    probe_q = qt.select(
+        F.concat_ws("#", F.col("query_id"), F.col("__qpos")).alias(
+            "query_id"
+        ),
+        F.col("__qv").alias("embedding"),
+    )
+    hits = ivf_index_probe_topk(
+        spark,
+        token_index_path,
+        probe_q,
+        k=candidates_per_token,
+        nprobe=nprobe,
+        corpus_id="__tok_id",
+        corpus_vec="vec",
+    )
+    # map hit tokens back to their docs via the index's own cells
+    # (doc_id is a persisted metadata column — no corpus rescan)
+    tok_docs = spark.read.parquet(f"{token_index_path}/cells").select(
+        "__tok_id", "doc_id"
+    )
+    cand = (
+        hits.withColumn(
+            "query_id",
+            # the '#' composite assumes query ids without '#'; numeric
+            # ids (the common case) always round-trip
+            F.split(F.col("query_id"), "#").getItem(0),
+        )
+        .join(tok_docs, "__tok_id")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # stage 2: exact maxsim over candidate pairs only. The candidate
+    # frame is bounded by |Q| x tokens x candidates -> broadcast.
+    dt = doc_tokens.select(
+        F.col(doc_id).alias("doc_id"), F.col(doc_vec).alias("__dv")
+    )
+    qid_type = qt.schema["query_id"].dataType
+    pairs = broadcast(
+        cand.select(
+            F.col("query_id").cast(qid_type).alias("query_id"), "doc_id"
+        )
+    )
+    per_token = (
+        dt.join(pairs, "doc_id")
+        .join(broadcast(qt), "query_id")
+        .groupBy("query_id", "__qpos", "doc_id")
+        .agg(F.max(_pair_sim(metric, F.col("__dv"), F.col("__qv"))).alias("m"))
+    )
+    scored = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr("CAST(floor(m * 1e6 + 0.5d) AS BIGINT)")).alias(
+            "__usim"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__usim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__usim") / F.lit(1e6), 6).alias("score"),
+            "rank",
+        )
+    )

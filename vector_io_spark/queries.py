@@ -81,16 +81,35 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     read; dead-pid siblings (same prefix + sf_dir hash) are pruned here
     so repeated driver/bench invocations don't grow /tmp unboundedly —
     a dir whose owner process is gone can have no in-flight reader.
-    Two pruning criteria (ADVICE r6: /proc liveness alone keeps a dir
-    forever when a dead owner's pid was REUSED by an unrelated live
-    process, and prunes nothing on systems without /proc): (a) the
-    owner pid is dead per /proc, or (b) the dir's mtime is over a day
-    old — no grading/bench session lives that long, so an in-flight
-    reader is impossible either way. Never delete on a fresher guess."""
+    Pruning criteria (ADVICE r6 + r8): (a) the owner pid is dead per
+    /proc; (b) /proc shows a pid that STARTED AFTER the dir was last
+    modified — a reused pid, not the owner (the owner created the dir,
+    so its start predates every dir mtime; 60 s slack absorbs clock
+    granularity); or (c) no /proc exists (liveness unknowable) and the
+    dir's mtime is over a day old. A live owner's dir is never deleted
+    on age alone — a >1-day bench/driver session must keep its
+    memoized catalogs (ADVICE r8: the old mtime-only rule rmtree'd
+    them out from under lazy reads)."""
     import hashlib
     import shutil
     import tempfile
     import time
+
+    def _proc_start_epoch(pid_s: str) -> float | None:
+        """Process start time as epoch seconds (Linux /proc), else None."""
+        try:
+            with open(f"/proc/{pid_s}/stat", "rb") as fh:
+                stat = fh.read()
+            # field 22 (starttime, clock ticks since boot); fields 1-2
+            # are pid and (comm) — comm may contain spaces/parens, so
+            # split after the LAST ')': starttime is then index 19
+            ticks = int(stat.rsplit(b")", 1)[1].split()[19])
+            with open("/proc/uptime") as fh:
+                uptime = float(fh.read().split()[0])
+            boot = time.time() - uptime
+            return boot + ticks / os.sysconf("SC_CLK_TCK")
+        except (OSError, ValueError, IndexError):
+            return None
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     base = tempfile.gettempdir()
@@ -105,12 +124,19 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
         if not pid_s.isdigit():
             continue
         sib = os.path.join(base, name)
-        dead = has_proc and not os.path.exists(f"/proc/{pid_s}")
         try:
-            aged = os.path.getmtime(sib) < day_ago
+            mtime = os.path.getmtime(sib)
         except OSError:
-            aged = False
-        if dead or aged:
+            continue
+        if has_proc:
+            if not os.path.exists(f"/proc/{pid_s}"):
+                dead = True
+            else:
+                start = _proc_start_epoch(pid_s)
+                dead = start is not None and start > mtime + 60.0
+        else:
+            dead = mtime < day_ago
+        if dead:
             shutil.rmtree(sib, ignore_errors=True)
     return mine
 
@@ -10305,6 +10331,76 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("budget_fill"),
         )
     )
+
+
+@_register(
+    "maxsim_multivector_topk",
+    f"""
+    WITH dt AS (
+        SELECT vec_id AS doc_id, t.p AS p,
+               embedding[t.p*16+1 : t.p*16+16] AS dv
+        FROM embeddings CROSS JOIN range(0, 4) AS t(p)
+    ),
+    qt AS (
+        SELECT vec_id AS query_id, t.p AS qpos,
+               embedding[t.p*16+1 : t.p*16+16] AS qv
+        FROM embeddings CROSS JOIN range(0, 4) AS t(p)
+        WHERE vec_id < 8
+    ),
+    mx AS (
+        SELECT q.query_id, q.qpos, d.doc_id,
+               max(round({_dot_sql('d.dv', 'q.qv')}, 6)) AS m
+        FROM dt d CROSS JOIN qt q
+        GROUP BY 1, 2, 3
+    ),
+    sc AS (
+        SELECT query_id, doc_id,
+               sum(CAST(floor(m * 1e6 + 0.5) AS BIGINT)) AS usim
+        FROM mx GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(usim / 1e6, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, doc_id, usim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY usim DESC, doc_id ASC) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT maxsim) top-10 over a multi-vector
+    corpus derived from the embeddings table: each 64-dim vector splits
+    into 4 x 16-dim token vectors (the reference's VDF data model is
+    natively multi-vector — vector_columns, SURVEY §1.1 — this is the
+    retrieval operation that model exists for). score(q, d) =
+    sum over q's tokens of max over d's tokens of round(dot, 6),
+    summed in integer micro-units (order-independent, hash-exact).
+
+    Scale shape (operators/multivector.py::maxsim_topk): query tokens
+    broadcast; the doc-token side is scanned once, never shuffled; two
+    partial-agg shuffles bounded by |docs| x |query tokens|; per-query
+    top-k via WindowGroupLimit."""
+    from vector_io_spark.operators.multivector import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def tokens(df, id_alias, with_pos):
+        cols = [F.col("vec_id").alias(id_alias)]
+        out = df.select(
+            *cols,
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("p"),
+            "embedding",
+        ).select(
+            id_alias,
+            F.col("p").alias("qpos") if with_pos else F.col("p"),
+            F.expr("slice(embedding, p*16+1, 16)").alias("vec"),
+        )
+        return out
+
+    dt = tokens(emb, "doc_id", False).select("doc_id", "vec")
+    qt = tokens(emb.where(F.col("vec_id") < 8), "query_id", True)
+    return maxsim_topk(dt, qt, k=10, metric="dot")
 
 
 # ===========================================================================
