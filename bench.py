@@ -258,19 +258,43 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "n": n_runs,
-                "sf": sf_val,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "n": n_runs,
+        "sf": sf_val,
+    }
+    # Full machine-readable record -> BENCH_LOCAL.json in the repo
+    # (VERDICT r7 Next #4: the external driver captures only the TAIL
+    # of stdout, so the historical one-giant-line dump parsed as null
+    # in BENCH_r06/r07). stdout carries ONLY a compact summary line,
+    # ≤1 KB, with the slowest per-query medians that fit — small
+    # enough that any tail capture ends with complete, parseable JSON.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact: dict = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "n": n_runs,
+        "sf": sf_val,
+        "full": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    for name in sorted(timings, key=lambda q: timings[q], reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > 960:
+            del compact["queries"][name]
+            compact["queries_omitted"] = len(timings) - len(
+                compact["queries"]
+            )
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
