@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "ivfpq_index_build",        # one-time: train + encode + partitioned write
     "ivfpq_index_probe",        # steady-state: pruned cell scan + ADC
     "ann_topk_filtered_perquery",  # per-query metadata predicate + top-k
+    # round-8 additions (BENCH_r08+ only — totals not comparable back)
+    "maxsim_multivector_topk",  # late-interaction multi-vector retrieval
 ]
 
 

@@ -1626,3 +1626,35 @@ def test_filtered_probe_recall_floor(spark, sf_dir, tmp_path):
     high_ivf = sets(ivf_index_probe_topk(
         spark, ivf_path, queries, k=10, nprobe=16, where="sel100 = 0"))
     assert rec(high_ivf, truth1) == 1.0, "nprobe=nlist raw-IVF == exact"
+
+
+def test_probe_paths_accept_string_query_ids(spark, sf_dir, tmp_path):
+    """r8: probe frames type query ids from the CALLER's queries frame
+    — a string-keyed query batch against a long-keyed corpus is legal
+    (the maxsim token probe keys queries by 'qid#pos' composites and
+    hit the old hardcoded-long path)."""
+    from vector_io_spark.operators.similarity import (
+        ivf_index_probe_topk,
+        ivfpq_index_probe_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q#"), F.col("vec_id")).alias("query_id"),
+        "embedding",
+    )
+    pq_path = str(tmp_path / "s_ivfpq")
+    write_ivfpq_index(
+        emb, pq_path, num_cells=4, num_subspaces=8, codebook_size=16, seed=3
+    )
+    got = ivfpq_index_probe_topk(spark, pq_path, queries, k=5, nprobe=2)
+    assert got.count() == 15
+    assert got.schema["query_id"].dataType.simpleString() == "string"
+
+    ivf_path = str(tmp_path / "s_ivf")
+    write_ivf_index(emb, ivf_path, num_cells=4, seed=3)
+    got = ivf_index_probe_topk(spark, ivf_path, queries, k=5, nprobe=2)
+    assert got.count() == 15
+    assert got.schema["query_id"].dataType.simpleString() == "string"

@@ -129,10 +129,12 @@ def write_token_index(
     seed: int = 42,
 ) -> None:
     """Persist the doc-TOKEN IVF index :func:`maxsim_topk_pruned`
-    probes: each token row gets a deterministic surrogate ``__tok_id``
-    (row_number within doc — stable across rebuilds for identical
-    input), the owning ``doc_id`` rides as a persisted metadata
-    column, and the layout is a standard
+    probes: each token row gets a surrogate ``__tok_id`` (row_number
+    within doc — unique, but NOT stable across rebuilds: the ordering
+    key is partition-layout-dependent, which is fine because the index
+    is only ever rebuilt wholesale and probes resolve hits to doc_id,
+    never to token identity), the owning ``doc_id`` rides as a
+    persisted metadata column, and the layout is a standard
     :func:`~vector_io_spark.operators.similarity.write_ivf_index`
     cells tree (partition-pruned probes, append/rebuild/compaction
     maintenance all apply unchanged).

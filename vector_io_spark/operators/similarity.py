@@ -1086,9 +1086,14 @@ def ivfpq_topk(
         queries, cents, cb, nprobe, query_id, query_vec, "ivfpq_topk"
     )
     id_type = coded.schema[corpus_id].dataType
-    probe_df = _ivfpq_probe_df(corpus.sparkSession, probe_rows, id_type)
+    probe_df = _ivfpq_probe_df(
+        corpus.sparkSession, probe_rows, queries.schema[query_id].dataType
+    )
     cand = coded.join(broadcast(probe_df), "__cell")
-    return _ivfpq_adc_rank(cand, luts, k, num_subspaces, corpus_id, id_type)
+    return _ivfpq_adc_rank(
+        cand, luts, k, num_subspaces, corpus_id, id_type,
+        qid_type=queries.schema[query_id].dataType,
+    )
 
 
 def mmr_topk(
@@ -1572,15 +1577,16 @@ def _ivfpq_query_probes(
     return probe_rows, luts
 
 
-def _ivfpq_probe_df(spark, probe_rows, id_type):
-    """(query_id, __cell) probe list as a broadcastable DataFrame."""
+def _ivfpq_probe_df(spark, probe_rows, qid_type):
+    """(query_id, __cell) probe list as a broadcastable DataFrame,
+    query ids typed from the caller's queries frame."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     return spark.createDataFrame(
         probe_rows,
         StructType(
             [
-                StructField("query_id", id_type),
+                StructField("query_id", qid_type),
                 StructField("__cell", IntegerType()),
             ]
         ),
@@ -1588,7 +1594,8 @@ def _ivfpq_probe_df(spark, probe_rows, id_type):
 
 
 def _ivfpq_adc_rank(
-    cand: DataFrame, luts, k: int, num_subspaces: int, corpus_id, id_type
+    cand: DataFrame, luts, k: int, num_subspaces: int, corpus_id, id_type,
+    qid_type=None,
 ) -> DataFrame:
     """ADC-score candidate (query, row) pairs from codes — rows grouped
     by (query, cell) so each group is one vectorized LUT gather — then
@@ -1628,7 +1635,9 @@ def _ivfpq_adc_rank(
 
     out_schema = StructType(
         [
-            StructField("query_id", id_type),
+            # query ids are typed from the caller's queries frame (r8):
+            # they are unrelated to the corpus id type in general
+            StructField("query_id", qid_type if qid_type is not None else id_type),
             StructField(corpus_id, id_type),
             StructField("adc_dist", DoubleType()),
         ]
@@ -1807,9 +1816,17 @@ def ivfpq_index_probe_topk(
         F.col("code").alias("__code"),
     )
     id_type = scan.schema[corpus_id].dataType
-    probe_df = _ivfpq_probe_df(spark, probe_rows, id_type)
+    # query ids are typed from the CALLER's queries frame, not from the
+    # corpus id column (r8: they are unrelated types in general — a
+    # string-keyed query batch against a long-keyed corpus is legal)
+    probe_df = _ivfpq_probe_df(
+        spark, probe_rows, queries.schema[query_id].dataType
+    )
     cand = scan.join(broadcast(probe_df), "__cell")
-    return _ivfpq_adc_rank(cand, luts, k, cb.shape[0], corpus_id, id_type)
+    return _ivfpq_adc_rank(
+        cand, luts, k, cb.shape[0], corpus_id, id_type,
+        qid_type=queries.schema[query_id].dataType,
+    )
 
 
 def ivfpq_index_stats(spark, path: str) -> DataFrame:
