@@ -5,6 +5,7 @@ path's values are oracle-gated (queries.py maxsim_multivector_topk)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import load
@@ -109,3 +110,85 @@ def test_maxsim_empty_queries_and_bad_metric(spark, sf_dir):
     ]
     with pytest.raises(ValueError, match="metric"):
         maxsim_topk(dt, qt, k=5, metric="l2")
+
+
+def test_token_index_maintenance_composes(spark, sf_dir, tmp_path):
+    """The doc-token index is a standard write_ivf_index layout, so the
+    static-maintenance surface must compose with maxsim: (a) a token
+    delta appends via append_to_ivf_index (doc_id metadata required and
+    carried), (b) pruned maxsim then retrieves the NEW doc under
+    exhaustive settings exactly as a fresh index would, (c)
+    compact_index_cells folds the append's files probe-invariantly."""
+    import pytest
+
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_index_cells,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 8)
+    delta_docs = emb.where(F.col("vec_id") < 8)
+
+    dt_base = _tokens(base, "doc_id").select("doc_id", "vec")
+    dt_delta = _tokens(delta_docs, "doc_id").select("doc_id", "vec")
+    dt_all = dt_base.unionByName(dt_delta)
+    qt = _tokens(emb.where(F.col("vec_id") < 4), "query_id")
+
+    path = str(tmp_path / "tok_index")
+    write_token_index(dt_base, path, num_cells=8, seed=5)
+
+    # (a) token deltas must carry doc_id (the persisted metadata col)
+    with pytest.raises(ValueError, match="doc_id"):
+        append_to_ivf_index(
+            dt_delta.withColumn(
+                "__tok_id", F.concat_ws("#", "doc_id", F.lit("x"))
+            ).drop("doc_id"),
+            path, corpus_id="__tok_id", corpus_vec="vec",
+            delta_token="tok-delta-1",
+        )
+    w = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.monotonically_increasing_id()
+        )
+    )
+    delta_tok = dt_delta.withColumn(
+        "__tok_id", F.concat_ws("#", F.col("doc_id"), w)
+    )
+    append_to_ivf_index(
+        delta_tok, path, corpus_id="__tok_id", corpus_vec="vec",
+        delta_token="tok-delta-1",
+    )
+
+    # (b) exhaustive pruned maxsim over the appended index == exact
+    n_tokens = dt_all.count()
+    exact = maxsim_topk(dt_all, qt, k=10, metric="dot")
+    pruned = maxsim_topk_pruned(
+        spark, path, dt_all, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    want = rows(exact)
+    assert rows(pruned) == want
+    # the new docs are retrievable (each query's own doc tokens exist
+    # only in the delta, and self-similarity puts it in its top-10)
+    got_docs = {r[1] for r in rows(pruned)}
+    assert got_docs & {0, 1, 2, 3}
+
+    # (c) compaction is probe-invariant for the pruned path too
+    compact_index_cells(spark, path)
+    assert rows(maxsim_topk_pruned(
+        spark, path, dt_all, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    )) == want

@@ -199,7 +199,20 @@ def maxsim_topk_pruned(
     ``ivfpq_index_probe_topk``); ``test_maxsim_pruned_matches_exact``
     pins that generous settings reproduce the exact top-k, and the
     registered recall floor covers realistic ones. Output schema ==
-    :func:`maxsim_topk`.
+    :func:`maxsim_topk`. Note stage 1 generates candidates by COSINE
+    (the IVF probe's scoring) regardless of ``metric`` — identical to
+    dot for unit-normalized token vectors (the ColBERT convention);
+    for unnormalized vectors it is a heuristic generator whose recall
+    the floor test bounds, never a correctness input (stage 2 rescoring
+    is exact in the requested metric).
+
+    The token index is a standard :func:`write_ivf_index` layout, so
+    the whole static-maintenance surface applies unchanged: token
+    deltas append with ``append_to_ivf_index`` (doc_id rides as the
+    persisted metadata column and is REQUIRED on deltas),
+    ``compact_index_cells`` folds append files, and the ``_MAINT``
+    mutex serializes both (pinned by
+    ``test_token_index_maintenance_composes``).
 
     Scale shape: stage 1 reads nprobe/num_cells of the token index per
     query token; stage 2's scan of the doc-token table prunes through
