@@ -10499,7 +10499,13 @@ _GATE_PILLARS = [
 # session windows, and z-order locality.
 _GATE_ROTATION = [
     "char_entropy_quality", "token_length_histogram",
-    "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_pq",
+    # the two r8-new late-interaction queries ride this round's slice
+    # (r7 precedent: gate new surface immediately; both never-gated by
+    # definition) — they displace ann_topk_ivf / ann_topk_pq to the r9
+    # pool (rows-only checks, the weakest gate signal; ann_topk_ivfpq
+    # stays as the approximate-family representative)
+    "maxsim_multivector_topk", "maxsim_pruned_topk",
+    "ann_topk_ivfpq",
     "hybrid_rrf_search", "bm25_keyword_search", "sparse_keyword_retrieval",
     "semantic_decontamination", "hard_negative_mining",
     "matryoshka_truncate", "random_projection_16d", "quantize_robust_int8",
