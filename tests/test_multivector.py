@@ -192,3 +192,55 @@ def test_token_index_maintenance_composes(spark, sf_dir, tmp_path):
         spark, path, dt_all, qt, k=10, metric="dot",
         candidates_per_token=n_tokens, nprobe=8,
     )) == want
+
+
+def test_filtered_maxsim_pruned(spark, tmp_path):
+    """Filtered late interaction (r8): a doc-level predicate persisted
+    as token-index metadata restricts the pruned search — under
+    exhaustive settings the result equals exact maxsim over the
+    predicate-filtered corpus, and no non-matching doc ever appears."""
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding", "label")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    # doc-level label replicated onto every token row
+    dtl = dt.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    qt = _tokens(emb.where(F.col("vec_id") < 8), "query_id")
+    lab = int(emb.select("label").first()[0])
+
+    path = str(tmp_path / "tok_index_meta")
+    write_token_index(
+        dtl, path, num_cells=8, seed=5, metadata_cols=("label",)
+    )
+    n_tokens = dt.count()
+
+    matching_docs = {
+        r["vec_id"] for r in emb.where(F.col("label") == lab).collect()
+    }
+    exact_filtered = maxsim_topk(
+        dtl.where(F.col("label") == lab).select("doc_id", "vec"),
+        qt, k=10, metric="dot",
+    )
+    got = maxsim_topk_pruned(
+        spark, path, dt, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+        where=f"label = {lab}",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    got_rows = rows(got)
+    assert got_rows == rows(exact_filtered)
+    assert all(r[1] in matching_docs for r in got_rows)

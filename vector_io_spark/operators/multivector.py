@@ -127,6 +127,7 @@ def write_token_index(
     num_cells: int = 16,
     max_train_rows: int = 100_000,
     seed: int = 42,
+    metadata_cols: tuple = (),
 ) -> None:
     """Persist the doc-TOKEN IVF index :func:`maxsim_topk_pruned`
     probes: each token row gets a surrogate ``__tok_id`` (row_number
@@ -139,15 +140,26 @@ def write_token_index(
     cells tree (partition-pruned probes, append/rebuild/compaction
     maintenance all apply unchanged).
 
+    ``metadata_cols`` (r8) persists DOC-LEVEL attribute columns beside
+    each token row (the caller supplies them on ``doc_tokens``,
+    constant per doc), enabling FILTERED late interaction:
+    :func:`maxsim_topk_pruned`'s ``where`` pushes the predicate into
+    the token probe's pruned cell scan, so non-matching docs never
+    produce candidates — the multi-vector form of
+    ``ivfpq_index_probe_topk(where=...)``.
+
     Scale shape: one window over (doc_id) for the surrogate ids (per-
     doc token counts are tiny and bounded), then the IVF build's
     bounded-sample train + one assignment pass + partitionBy write.
     """
     from vector_io_spark.operators.similarity import write_ivf_index
 
+    meta = list(metadata_cols)
     w = Window.partitionBy(doc_id).orderBy(F.monotonically_increasing_id())
     toks = doc_tokens.select(
-        F.col(doc_id).alias("doc_id"), F.col(doc_vec).alias("vec")
+        F.col(doc_id).alias("doc_id"),
+        F.col(doc_vec).alias("vec"),
+        *[F.col(c) for c in meta],
     ).withColumn(
         "__tok_id",
         F.concat_ws("#", F.col("doc_id"), F.row_number().over(w)),
@@ -160,7 +172,7 @@ def write_token_index(
         num_cells=num_cells,
         max_train_rows=max_train_rows,
         seed=seed,
-        metadata_cols=("doc_id",),
+        metadata_cols=tuple(["doc_id", *meta]),
     )
 
 
@@ -178,6 +190,7 @@ def maxsim_topk_pruned(
     query_id: str = "query_id",
     query_pos: str = "qpos",
     query_vec: str = "vec",
+    where=None,
 ) -> DataFrame:
     """Candidate-pruned late interaction (the PLAID two-stage shape):
 
@@ -193,6 +206,12 @@ def maxsim_topk_pruned(
        (≤ |Q| × tokens × candidates rows) broadcasts into an equi-join
        with the doc-token table, so only candidate docs' tokens are
        ever scored.
+
+    ``where`` (r8): an optional doc-level predicate over the token
+    index's persisted ``metadata_cols`` (see
+    :func:`write_token_index`) — FILTERED late interaction. It pushes
+    into stage 1's pruned token scan; stage 2 is automatically
+    restricted because candidates only come from matching docs.
 
     Recall is governed by candidates_per_token × nprobe exactly like
     any IVF probe (see the selectivity rule on
@@ -242,6 +261,13 @@ def maxsim_topk_pruned(
         nprobe=nprobe,
         corpus_id="__tok_id",
         corpus_vec="vec",
+        # filtered late interaction (r8): the doc-level predicate over
+        # the index's persisted metadata_cols prunes candidates inside
+        # the pushed-down token scan, so non-matching docs never reach
+        # stage 2 (candidates are a subset of matching docs, and the
+        # re-rank scores only candidates, so the filter is complete).
+        # The ivfpq selectivity rule applies per TOKEN here.
+        where=where,
     )
     # map hit tokens back to their docs via the index's own cells
     # (doc_id is a persisted metadata column — no corpus rescan)
