@@ -244,3 +244,95 @@ def test_filtered_maxsim_pruned(spark, tmp_path):
     got_rows = rows(got)
     assert got_rows == rows(exact_filtered)
     assert all(r[1] in matching_docs for r in got_rows)
+
+
+def test_streaming_token_index_ingest(spark, sf_dir, tmp_path):
+    """r8: the fourth continuous-ingest pipeline — token-index
+    maintenance on the STATIC layout via exactly-once tokened appends.
+    (a) streamed batches land and pruned maxsim retrieves the new
+    docs; (b) compaction folds the per-batch files and the SAME
+    lineage keeps ingesting afterwards; (c) a reset checkpoint (new
+    lineage) is refused loudly — its fresh tokens would duplicate
+    replayed rows."""
+    import shutil
+
+    import pytest
+
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+    from vector_io_spark.operators.similarity import compact_index_cells
+    from vector_io_spark.streaming.incremental import (
+        streaming_token_index_ingest,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") >= 20)
+    dt_base = _tokens(base, "doc_id").select("doc_id", "vec")
+    path = str(tmp_path / "tok_stream_index")
+    write_token_index(dt_base, path, num_cells=8, seed=5)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(docs_df, checkpoint):
+        toks = _tokens(docs_df, "doc_id").select("doc_id", "vec")
+        toks.coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = streaming_token_index_ingest(stream, path, checkpoint)
+        q.awaitTermination(180)
+        q.stop()
+
+    # (a) two streamed batches
+    run(emb.where(F.col("vec_id") < 10), ckpt)
+    run(emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)), ckpt)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count() * 4  # 4 tokens per doc
+
+    dt_all = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.col("vec_id") < 4), "query_id")
+    n_tokens = dt_all.count()
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    want = rows(maxsim_topk(dt_all, qt, k=10, metric="dot"))
+    got = rows(maxsim_topk_pruned(
+        spark, path, dt_all, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    ))
+    assert got == want
+    assert {r[1] for r in got} & {0, 1, 2, 3}  # streamed docs retrieved
+
+    # (b) compaction folds, ledgers survive, lineage continues
+    got_c = compact_index_cells(spark, path)
+    assert got_c["files_after"] <= got_c["files_before"]
+    import os
+
+    assert [
+        f for f in os.listdir(os.path.join(path, "cells"))
+        if f.startswith("_DELTA-stream-")
+    ], "stream ledgers must survive compaction"
+    extra = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    run(extra, ckpt)
+    assert spark.read.parquet(f"{path}/cells").count() == (
+        emb.count() + 2
+    ) * 4
+
+    # (c) a reset checkpoint is refused
+    ckpt2 = str(tmp_path / "ckpt2")
+    with pytest.raises(Exception, match="different checkpoint lineage"):
+        run(extra, ckpt2)
+    shutil.rmtree(ckpt2, ignore_errors=True)

@@ -1440,3 +1440,142 @@ def reseed_ivfpq_stream_index_if_drifted(
         spark, index_root, nlist, imbalance_budget, _rebuild,
         "reseed_ivfpq_stream_index_if_drifted", force=force,
     )
+
+
+def _guard_token_store(
+    spark: SparkSession, index_root: str, checkpoint_dir: str, caller: str
+) -> str:
+    """Lineage guard for the STATIC token-index streaming ingest (r8).
+    Unlike the batch-partitioned stores, the hazard here is not
+    partition clobbering but token-space collision: delta tokens are
+    ``stream-<sid>-<batch_id>``, so a RESET checkpoint (new sid)
+    replaying the same source rows would mint NEW tokens and silently
+    re-append every replayed row as a duplicate. The persisted
+    ``_DELTA-stream-…`` commit ledgers (which survive compaction by
+    design) are the durable record of which lineage has streamed into
+    the index: a different lineage may adopt only a store with no
+    foreign stream ledgers — otherwise rebuild the index from the
+    current corpus (``write_token_index``), which clears the cells
+    layout and its ledger. Returns the stream id."""
+    sid = _checkpoint_stream_id(spark, checkpoint_dir)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root_p = jvm.org.apache.hadoop.fs.Path(index_root)
+    cells_p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/cells")
+    fs = root_p.getFileSystem(conf)
+    markers = [
+        st.getPath().getName()
+        for st in fs.listStatus(root_p)
+        if st.getPath().getName().startswith("_STREAM-")
+    ]
+    if f"_STREAM-{sid}" in markers:
+        return sid
+    mine_prefix = f"_DELTA-stream-{sid}-"
+    foreign = [
+        st.getPath().getName()
+        for st in fs.listStatus(cells_p)
+        if st.getPath().getName().startswith("_DELTA-stream-")
+        and not st.getPath().getName().startswith(mine_prefix)
+    ]
+    if foreign:
+        raise RuntimeError(
+            f"{caller}: {index_root} carries committed stream deltas "
+            f"from a different checkpoint lineage ({foreign[:3]}…) — a "
+            "reset/foreign checkpoint would re-append every replayed "
+            "row under fresh tokens, silently duplicating doc tokens. "
+            "Re-attach the original checkpoint, or rebuild the index "
+            "from the current corpus with write_token_index (clears "
+            "the layout and its ledger) before streaming with a new "
+            "checkpoint."
+        )
+    for m in markers:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_root}/{m}"), False)
+    if not fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(f"{index_root}/_STREAM-{sid}")
+    ):
+        raise RuntimeError(f"{caller}: could not claim {index_root}")
+    return sid
+
+
+def streaming_token_index_ingest(
+    token_stream,
+    index_root: str,
+    checkpoint_dir: str,
+    doc_id: str = "doc_id",
+    doc_vec: str = "vec",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CONTINUOUS doc-token index maintenance for late-interaction
+    retrieval (r8) — the fourth continuous-ingest pipeline, and the
+    first built on the STATIC index's tokened-append path instead of
+    batch partitions: each micro-batch of token rows (doc_id, vec,
+    plus any metadata columns the index persists) appends via
+    ``append_to_ivf_index`` with ``delta_token =
+    stream-<sid>-<batch_id>``. Exactly-once is STRUCTURAL, not
+    best-effort:
+
+    - a replayed micro-batch finds its token in the ``_DELTA`` commit
+      ledger and the append no-ops (rows are never transiently
+      removed, so concurrent probes see a complete index throughout);
+    - a batch that crashed mid-append repairs on replay
+      (delete-then-rename under the same token);
+    - ``_guard_token_store`` refuses a reset/foreign checkpoint whose
+      fresh tokens would silently duplicate replayed rows — the
+      ledgers survive compaction, so the lineage record is durable;
+    - the ``_MAINT`` maintenance mutex inside the append serializes
+      micro-batches against ``compact_index_cells`` (fold the
+      per-batch files nightly) and ad-hoc appends; a mutex loss is a
+      loud batch failure the stream retries after the holder finishes.
+
+    Probes (``maxsim_topk_pruned`` / ``ivf_index_probe_topk``) see
+    resident and streamed tokens uniformly; drift is the standard
+    contract — monitor ``ivfpq_index_stats``, rebuild past budget with
+    ``rebuild_ivf_if_drifted`` on the full current token corpus.
+
+    Scale shape per micro-batch: one window over the BATCH's doc ids
+    (surrogate token ids), one shuffle-free centroid assignment of
+    batch rows, one partitionBy write of the delta, metadata-op
+    renames. Nothing resident is read or rewritten.
+    """
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from vector_io_spark.operators.similarity import (
+            append_to_ivf_index,
+        )
+
+        spark = batch_df.sparkSession
+        sid = _guard_token_store(
+            spark, index_root, checkpoint_dir,
+            "streaming_token_index_ingest",
+        )
+        # surrogate token ids: unique per (doc, batch); replay-safe not
+        # by determinism but by token-replace semantics (a half-written
+        # delta is cleared and rewritten wholesale under its token)
+        w = Window.partitionBy(doc_id).orderBy(
+            F.monotonically_increasing_id()
+        )
+        toks = batch_df.withColumn(
+            "__tok_id",
+            F.concat_ws(
+                "#", F.col(doc_id), F.lit(f"b{batch_id}"),
+                F.row_number().over(w),
+            ),
+        ).withColumnRenamed(doc_id, "doc_id")
+        if doc_vec != "vec":
+            toks = toks.withColumnRenamed(doc_vec, "vec")
+        append_to_ivf_index(
+            toks, index_root, corpus_id="__tok_id", corpus_vec="vec",
+            delta_token=f"stream-{sid}-{batch_id}",
+        )
+
+    writer = (
+        token_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
