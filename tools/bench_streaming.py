@@ -196,6 +196,60 @@ def main() -> None:
                 partition_by=("cell",),
             )
         )
+
+        # -- token-index (late-interaction) ingest (r8) ----------------
+        # static layout + tokened appends: per-batch wall includes the
+        # _MAINT mutex take/release and the ledger write; compaction is
+        # the STATIC compactor (compact_index_cells), ledger-preserving
+        from vector_io_spark.operators.multivector import (
+            write_token_index,
+        )
+        from vector_io_spark.operators.similarity import (
+            compact_index_cells,
+        )
+        from vector_io_spark.streaming.incremental import (
+            streaming_token_index_ingest,
+        )
+
+        def _toks(df, id_alias):
+            return df.select(
+                F.col("vec_id").alias(id_alias),
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("p"),
+                "embedding",
+            ).select(
+                id_alias,
+                F.expr("slice(embedding, p*16+1, 16)").alias("vec"),
+            )
+
+        d = os.path.join(work, "token")
+        index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
+        write_token_index(
+            _toks(emb_seed, "doc_id"), index_root, num_cells=16,
+            max_train_rows=20_000,
+        )
+        _land_batches(_toks(emb_new, "doc_id"), "doc_id", landing, N_BATCHES)
+        schema = spark.read.parquet(landing).schema
+        per_batch = _run_stream(
+            lambda: streaming_token_index_ingest(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing),
+                index_root, ckpt,
+            )
+        )
+        results["token_index_ingest"] = _summary(
+            per_batch, emb_batch_rows * 4
+        )
+        files_before = _count_files(f"{index_root}/cells")
+        t0 = time.perf_counter()
+        compact_index_cells(spark, index_root)
+        results["token_index_ingest"].update(
+            {
+                "compact_s": round(time.perf_counter() - t0, 2),
+                "files_before": files_before,
+                "files_after": _count_files(f"{index_root}/cells"),
+            }
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
