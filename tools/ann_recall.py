@@ -173,9 +173,56 @@ def main() -> None:
                 }
     shutil.rmtree(base, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # Late-interaction (maxsim) pruned-vs-exact recall (r8): the
+    # candidate-pruned two-stage path against the exact maxsim truth,
+    # 4x16-dim token split, swept over candidates_per_token x nprobe.
+    # ------------------------------------------------------------------
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    def _tok(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("qpos"),
+            "embedding",
+        ).select(
+            id_alias, "qpos",
+            F.expr("slice(embedding, qpos*16+1, 16)").alias("vec"),
+        )
+
+    dt = _tok(emb, "doc_id").select("doc_id", "vec")
+    mq = _tok(emb.where(F.col("vec_id") < 32), "query_id")
+    tok_base = tempfile.mkdtemp(prefix="ann_recall_maxsim_")
+    write_token_index(
+        dt, f"{tok_base}/idx", num_cells=64, max_train_rows=50_000,
+    )
+    def doc_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["doc_id"])
+        return out
+
+    maxsim_truth = doc_sets(maxsim_topk(dt, mq, k=k, metric="dot"))
+    maxsim_res: dict = {}
+    for c, np_ in ((32, 8), (64, 8), (128, 16)):
+        t0 = time.perf_counter()
+        approx = doc_sets(maxsim_topk_pruned(
+            spark, f"{tok_base}/idx", dt, mq, k=k, metric="dot",
+            candidates_per_token=c, nprobe=np_,
+        ))
+        maxsim_res[f"c={c},nprobe={np_}"] = {
+            "recall_at_k": recall(approx, maxsim_truth),
+            "seconds": round(time.perf_counter() - t0, 2),
+        }
+    shutil.rmtree(tok_base, ignore_errors=True)
+
     print(json.dumps(
         {"sf_dir": sf_dir, "k": k, "methods": results,
-         "filtered": filtered}
+         "filtered": filtered, "maxsim_pruned": maxsim_res}
     ))
 
 
