@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "ann_topk_filtered_perquery",  # per-query metadata predicate + top-k
     # round-8 additions (BENCH_r08+ only — totals not comparable back)
     "maxsim_multivector_topk",  # late-interaction multi-vector retrieval
+    # round-9 additions (BENCH_r09+ only — totals not comparable back)
+    "maxsim_pruned_probe",      # steady-state pruned maxsim (memoized index)
+    "ann_probe_payload_exact",  # payload-carrying IVF catalog probe
 ]
 
 
@@ -186,12 +189,24 @@ def _extra_queries():
             spark, path, _queries16(spark, sf_dir), k=10, nprobe=4
         )
 
+    def maxsim_pruned_probe(spark, sf_dir):
+        # steady-state pruned late interaction: the registered query
+        # memoizes its token-index build in _scratch_dir, and this
+        # name's *_probe suffix makes the harness prime that build
+        # outside the timed loop — reps measure stage-1 probe +
+        # candidate re-rank only (VERDICT r8 Next #4: stage-1 kernel
+        # regressions were invisible without a headline entry)
+        from vector_io_spark.queries import QUERIES
+
+        return QUERIES["maxsim_pruned_topk"](spark, sf_dir)
+
     return {
         "embedding_cosine_lsh": embedding_cosine_lsh,
         "pq_exact_catalog_build": pq_exact_catalog_build,
         "pq_exact_catalog_probe": pq_exact_catalog_probe,
         "ivfpq_index_build": ivfpq_index_build,
         "ivfpq_index_probe": ivfpq_index_probe,
+        "maxsim_pruned_probe": maxsim_pruned_probe,
     }
 
 
@@ -202,6 +217,20 @@ def main() -> None:
     spark = get_spark(app_name="vector_io_spark_bench")
     registry = dict(QUERIES)
     registry.update(_extra_queries())
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # committed prior medians (last round's BENCH_LOCAL.json, same sf)
+    # drive the auto solo-retest below (VERDICT r8 nit #3: the manual
+    # "re-run flagged entries solo" protocol, mechanized)
+    prior_queries: dict = {}
+    try:
+        with open(os.path.join(repo_dir, "BENCH_LOCAL.json")) as fh:
+            _prior = json.load(fh)
+        prior_queries = _prior.get("queries", {}) or {}
+        _prior_sf = _prior.get("sf")
+    except (OSError, ValueError):
+        _prior_sf = None
+    loadavg_before = list(os.getloadavg())
 
     # warm the JVM + parquet footers + the Python-UDF worker pool (forking
     # 32 workers and importing pandas costs ~5-10 s once; without this the
@@ -260,6 +289,33 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # auto solo-retest (r9): any entry whose median exceeds 1.5× its
+    # committed prior re-runs SOLO (after the interleaved sweep, so
+    # nothing else shares the session) — external load shows up as a
+    # solo median back at/under prior, a real regression stays high.
+    # The headline "queries" keep the sweep medians; solo results ride
+    # beside them so the record is self-auditing.
+    solo_retests: dict = {}
+    if _prior_sf == sf_val:
+        for name, med in sorted(timings.items()):
+            p = prior_queries.get(name)
+            if not p or med <= 1.5 * p:
+                continue
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                registry[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            solo_retests[name] = {
+                "prior": p,
+                "sweep_median": med,
+                "solo_median": round(statistics.median(runs), 3),
+                "solo_runs": runs,
+            }
+
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -268,6 +324,13 @@ def main() -> None:
         "spread": spread,
         "n": n_runs,
         "sf": sf_val,
+        # machine-audit context (r9): loadavg brackets the run so a
+        # noisy-neighbor window is visible in the committed record
+        "loadavg": {
+            "before": loadavg_before,
+            "after": list(os.getloadavg()),
+        },
+        "solo_retests": solo_retests,
     }
     # Full machine-readable record -> BENCH_LOCAL.json in the repo
     # (VERDICT r7 Next #4: the external driver captures only the TAIL
@@ -275,7 +338,6 @@ def main() -> None:
     # in BENCH_r06/r07). stdout carries ONLY a compact summary line,
     # ≤1 KB, with the slowest per-query medians that fit — small
     # enough that any tail capture ends with complete, parseable JSON.
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -286,6 +348,7 @@ def main() -> None:
         "n": n_runs,
         "sf": sf_val,
         "full": "BENCH_LOCAL.json",
+        "solo_retests": len(solo_retests),
         "queries": {},
     }
     for name in sorted(timings, key=lambda q: timings[q], reverse=True):

@@ -1338,6 +1338,37 @@ def write_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _check_return_cols(
+    scan: DataFrame, return_cols: tuple, corpus_id: str, corpus_vec: str,
+    query_id: str, caller: str,
+) -> None:
+    """Validate a probe's ``return_cols`` against the index's persisted
+    schema: every requested column must exist (else the caller gets an
+    AnalysisException deep in the plan) and must not collide with the
+    probe's own output columns (query_id/id/score/rank) — shared by
+    every catalog probe so the payload-passthrough contract cannot
+    drift between them (r9)."""
+    present = set(scan.columns)
+    missing = [c for c in return_cols if c not in present]
+    if missing:
+        meta = sorted(
+            present - {corpus_id, corpus_vec, "cell", "code", "ingest_batch"}
+        )
+        raise ValueError(
+            f"{caller}: return_cols {missing} are not persisted in this "
+            f"index (available metadata columns: {meta}) — pass them as "
+            "metadata_cols at build/append time to return them with hits."
+        )
+    reserved = {query_id, "query_id", corpus_id, "score", "rank",
+                "adc_dist", "cell", corpus_vec}
+    clash = [c for c in return_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{caller}: return_cols {clash} collide with the probe's own "
+            "output columns — rename the metadata column at build time."
+        )
+
+
 def ivf_index_probe_topk(
     spark,
     path: str,
@@ -1349,6 +1380,7 @@ def ivf_index_probe_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     where=None,
+    return_cols: tuple = (),
 ) -> DataFrame:
     """Top-k probe against a persisted :func:`write_ivf_index` layout.
     The centroid table (num_cells rows) collects to the driver; each
@@ -1357,6 +1389,17 @@ def ivf_index_probe_topk(
     PartitionFilter, so unprobed cells cost zero I/O (gated by
     ``test_ivf_index_partition_pruned_probe``). Scoring and ranking are
     the standard broadcast-queries / window top-k shape.
+
+    ``return_cols`` (r9): persisted ``metadata_cols`` to return WITH
+    each hit — the reference's own query shape (Pinecone query
+    ``include_metadata=True``, pinecone_export.py:186-192; Qdrant
+    scroll ``with_payload``, qdrant_export.py:119-163). The columns
+    ride the already-probed cells scan out through the ranking, so
+    payload retrieval costs zero extra I/O or joins — callers who
+    previously joined hits back against the corpus (or, worse, the
+    index tree itself: ``maxsim_topk_pruned`` pre-r9 re-read the WHOLE
+    cells tree to recover doc_id) should ask for the column here.
+    Output schema: (query_id, corpus_id, score, rank, *return_cols).
     """
     import numpy as np
 
@@ -1386,6 +1429,10 @@ def ivf_index_probe_topk(
     )
     cells = sorted({c for _, c in probe_pairs})
     scan = spark.read.parquet(f"{path}/cells")
+    _check_return_cols(
+        scan, return_cols, corpus_id, corpus_vec, query_id,
+        "ivf_index_probe_topk",
+    )
     if where is not None:
         # filtered ANN against the catalog (r7): pre-filter semantics
         # over the persisted metadata_cols, pushed into the pruned scan
@@ -1401,6 +1448,7 @@ def ivf_index_probe_topk(
         F.round(cosine_similarity(F.col(corpus_vec), F.col("__qv")), 6).alias(
             "score"
         ),
+        *[F.col(c) for c in return_cols],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
@@ -1408,7 +1456,7 @@ def ivf_index_probe_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", corpus_id, "score", "rank")
+        .select("query_id", corpus_id, "score", "rank", *return_cols)
     )
 
 
@@ -1595,17 +1643,20 @@ def _ivfpq_probe_df(spark, probe_rows, qid_type):
 
 def _ivfpq_adc_rank(
     cand: DataFrame, luts, k: int, num_subspaces: int, corpus_id, id_type,
-    qid_type=None,
+    qid_type=None, extra_fields: tuple = (),
 ) -> DataFrame:
     """ADC-score candidate (query, row) pairs from codes — rows grouped
     by (query, cell) so each group is one vectorized LUT gather — then
-    per-query top-k. Only (query, id, dist) triples reach the ranking
-    exchange."""
+    per-query top-k. Only (query, id, dist) triples — plus any
+    requested ``extra_fields`` payload columns (r9 ``return_cols``,
+    already present on ``cand``) — reach the ranking exchange."""
     import itertools
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    extra_names = [f.name for f in extra_fields]
 
     def _adc(batches):
         for pdf in batches:
@@ -1625,13 +1676,14 @@ def _ivfpq_adc_rank(
                 dist[idx] = lut[np.arange(num_subspaces)[None, :], g].sum(
                     axis=1
                 )
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    corpus_id: pdf[corpus_id].to_numpy(),
-                    "adc_dist": np.round(dist, 6),
-                }
-            )
+            out = {
+                "query_id": qcol,
+                corpus_id: pdf[corpus_id].to_numpy(),
+                "adc_dist": np.round(dist, 6),
+            }
+            for c in extra_names:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     out_schema = StructType(
         [
@@ -1640,6 +1692,7 @@ def _ivfpq_adc_rank(
             StructField("query_id", qid_type if qid_type is not None else id_type),
             StructField(corpus_id, id_type),
             StructField("adc_dist", DoubleType()),
+            *extra_fields,
         ]
     )
     scored = cand.mapInPandas(_adc, schema=out_schema)
@@ -1649,7 +1702,7 @@ def _ivfpq_adc_rank(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", corpus_id, "adc_dist", "rank")
+        .select("query_id", corpus_id, "adc_dist", "rank", *extra_names)
     )
 
 
@@ -1768,6 +1821,7 @@ def ivfpq_index_probe_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     where=None,
+    return_cols: tuple = (),
 ) -> DataFrame:
     """Top-k ADC probe against a persisted :func:`write_ivfpq_index`
     layout. Centroids + codebooks (KBs) collect to the driver; each
@@ -1787,6 +1841,14 @@ def ivfpq_index_probe_topk(
     skipped at I/O level via row-group stats, on top of the cell-level
     partition pruning. One predicate applies to ALL queries in the
     batch — group query batches by their filter.
+
+    ``return_cols`` (r9): persisted ``metadata_cols`` returned WITH
+    each hit — reference parity for Pinecone ``include_metadata`` /
+    Qdrant ``with_payload`` (pinecone_export.py:186-192,
+    qdrant_export.py:119-163). The columns ride the pruned code scan
+    through the ADC kernel and out of the ranking — zero extra I/O,
+    no join-back against the corpus. Composes with ``where``. Output:
+    (query_id, corpus_id, adc_dist, rank, *return_cols).
 
     **Selectivity rule (r8, measured — BASELINE.md round-8 filtered
     table)**: the predicate thins candidates AFTER cell pruning, so a
@@ -1808,10 +1870,20 @@ def ivfpq_index_probe_topk(
     )
     cells = sorted({c for _, c in probe_rows})
     scan = spark.read.parquet(f"{path}/cells")
+    _check_return_cols(
+        scan, return_cols, corpus_id, "embedding", query_id,
+        "ivfpq_index_probe_topk",
+    )
+    from pyspark.sql.types import StructField
+
+    extra_fields = tuple(
+        StructField(c, scan.schema[c].dataType) for c in return_cols
+    )
     if where is not None:
         scan = scan.where(where)
     scan = scan.where(F.col("cell").isin(cells)).select(
         corpus_id,
+        *return_cols,
         F.col("cell").alias("__cell"),
         F.col("code").alias("__code"),
     )
@@ -1826,6 +1898,7 @@ def ivfpq_index_probe_topk(
     return _ivfpq_adc_rank(
         cand, luts, k, cb.shape[0], corpus_id, id_type,
         qid_type=queries.schema[query_id].dataType,
+        extra_fields=extra_fields,
     )
 
 
@@ -2121,12 +2194,16 @@ def compact_index_cells(
     genuine duplicate id is an upstream bug this should surface, not
     hide.
 
-    Concurrency (r8): the whole run holds the ``_MAINT-compact-…``
-    mutex (:func:`_take_maint_marker`) — an ``append_to_*_index``
-    racing the swap would otherwise land its committed delta files in
-    the aside dir and have them deleted with it; both ops now refuse
-    while the other holds a fresh marker instead of assuming serial
-    nightly scheduling. The appends' ``_DELTA-<token>`` commit-ledger
+    Concurrency (r8, hardened r9): the whole run holds the fixed-name
+    ``_MAINT-LOCK`` mutex (:func:`_take_maint_marker`, atomic
+    ``createNewFile`` claim) — an ``append_to_*_index`` racing the
+    swap would otherwise land its committed delta files in the aside
+    dir and have them deleted with it; both ops refuse while the other
+    holds a fresh lock instead of assuming serial nightly scheduling.
+    Long rewrites heartbeat the lock between stages
+    (:func:`_refresh_maint_marker`), so a run exceeding the staleness
+    timeout is never reaped as "crashed" while alive — and a holder
+    that really was reaped aborts loudly BEFORE the swap. The appends' ``_DELTA-<token>`` commit-ledger
     markers are recreated inside ``.cells-tmp`` BEFORE the swap, so
     the atomic rename carries them and a token retry spanning a
     compaction stays a no-op instead of re-appending (ADVICE r8).
@@ -2199,12 +2276,22 @@ def compact_index_cells(
         files_before = _count_files()
         df = spark.read.parquet(f"{path}/cells")
         n_rows = df.count()
+        # heartbeat between the expensive stages (ADVICE r8): the count
+        # and the full rewrite can each exceed the staleness timeout at
+        # 100 TB — keep the lock fresh so a concurrent append never
+        # reaps it mid-run
+        _refresh_maint_marker(spark, marker, "compact_index_cells")
         n_files = max(1, -(-n_rows // 1_000_000))
         (
             df.repartition(n_files, F.col("cell"))
             .write.partitionBy("cell")
             .parquet(f"{path}/.cells-tmp")
         )
+        # last heartbeat doubles as a lost-lock abort gate: if we were
+        # reaped during the rewrite, raise HERE — before staging the
+        # ledger and swapping — instead of destroying a new holder's
+        # committed delta with the aside dir
+        _refresh_maint_marker(spark, marker, "compact_index_cells")
         # carry the append commit-ledger through the swap atomically:
         # stage the markers into tmp BEFORE renaming it in, so no crash
         # point exists where the new layout is live without its ledger
@@ -2244,19 +2331,30 @@ def _fs_now_ms(fs, jvm, dir_path: str) -> int:
         fs.delete(probe, False)
 
 
+_MAINT_LOCK_NAME = "_MAINT-LOCK"
+
+
 def _take_maint_marker(
     spark, index_root: str, op: str, timeout_s: float = _MAINT_TIMEOUT_S
 ):
-    """Acquire the static-index maintenance mutex: a ``_MAINT-<op>-…``
-    marker file in the INDEX ROOT (not inside ``cells`` — it must
-    observe the compactor's cells-dir swap, not travel with it).
-    Check → create → re-check: if two takers race past the first
-    check, both re-list and the lexicographically-smallest marker name
-    wins deterministically; the loser deletes its own marker and
-    raises. Markers older than ``timeout_s`` (per the FILESYSTEM
-    clock, :func:`_fs_now_ms`) belong to crashed holders and are
-    cleared. Returns the marker Path for the caller's ``finally``
-    delete.
+    """Acquire the static-index maintenance mutex: ONE fixed-name lock
+    file (``_MAINT-LOCK``) in the INDEX ROOT (not inside ``cells`` — it
+    must observe the compactor's cells-dir swap, not travel with it),
+    claimed with the atomic ``fs.createNewFile`` — exactly one of two
+    racing takers gets ``true``, so mutual exclusion holds by
+    construction (ADVICE r8: the previous unique-name check → create →
+    re-check protocol had a window where BOTH takers could see
+    themselves as the lexicographic minimum).
+
+    Staleness (crashed holders): a lock older than ``timeout_s`` per
+    the FILESYSTEM clock (:func:`_fs_now_ms`) is reclaimed by renaming
+    it aside — rename is atomic, so of N takers racing to reap the same
+    stale lock exactly one wins (deleting in place would let a slow
+    second taker delete the winner's FRESH lock — the ABA hazard).
+    Live holders whose run may exceed ``timeout_s`` keep the lock
+    fresh with :func:`_refresh_maint_marker` between expensive steps,
+    so ``timeout_s`` bounds the heartbeat GAP, not the run length.
+    Returns the lock Path for the caller's ``finally`` delete.
 
     This converts the r6/r7 "run maintenance serially" operational
     assumption into a loud error: an ``append_to_*_index`` racing
@@ -2269,39 +2367,68 @@ def _take_maint_marker(
     fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(root_p)
 
-    def _fresh(exclude: str | None):
-        now_ms = _fs_now_ms(fs, jvm, index_root)
-        names = []
-        for st in fs.listStatus(root_p):
-            name = st.getPath().getName()
-            if not name.startswith("_MAINT-") or name == exclude:
-                continue
-            if (now_ms - st.getModificationTime()) / 1000.0 < timeout_s:
-                names.append(name)
-            else:
-                fs.delete(st.getPath(), False)  # crashed holder
-        return names
+    now_ms = _fs_now_ms(fs, jvm, index_root)
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        # any _MAINT-* entry blocks: the fixed-name lock, plus legacy
+        # unique-named markers a pre-r9 holder (or a test) may have left
+        if not name.startswith("_MAINT-"):
+            continue
+        if (now_ms - st.getModificationTime()) / 1000.0 < timeout_s:
+            raise RuntimeError(
+                f"{op}: {index_root} has maintenance in flight "
+                f"({name}, fresher than {timeout_s}s) — static-index "
+                "maintenance ops are mutually exclusive; wait for it "
+                "to finish (or age out if its holder crashed, or "
+                "heartbeat-refresh if it is long-running) and re-run."
+            )
+        # stale: reclaim ATOMICALLY via rename-aside; only one of N
+        # concurrent reapers wins the rename (the others raise)
+        aside = jvm.org.apache.hadoop.fs.Path(
+            f"{index_root}/.maint-reaped-{_uuid.uuid4().hex[:8]}"
+        )
+        if not fs.rename(st.getPath(), aside):
+            raise RuntimeError(
+                f"{op}: lost the race to reap the stale maintenance "
+                f"lock {name} on {index_root} — another maintenance op "
+                "is acquiring; re-run once it completes."
+            )
+        fs.delete(aside, False)
+    lock_p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_root}/{_MAINT_LOCK_NAME}"
+    )
+    if not fs.createNewFile(lock_p):
+        raise RuntimeError(
+            f"{op}: lost the maintenance-lock race on {index_root} "
+            "(another op created _MAINT-LOCK first) — re-run once it "
+            "completes."
+        )
+    return lock_p
 
-    held = _fresh(None)
-    if held:
+
+def _refresh_maint_marker(spark, marker_path, op: str) -> None:
+    """Heartbeat for a held maintenance lock (ADVICE r8 medium #2): a
+    holder whose run exceeds ``timeout_s`` — plausible for a full-cells
+    compaction rewrite at 100 TB — would otherwise have its lock reaped
+    as "crashed" by a concurrent append, whose committed delta the
+    still-running compactor's swap then destroys. Holders call this
+    between expensive steps (after the big count, after the repartition
+    write, before the swap); the overwrite-create refreshes the lock's
+    mtime on the FILESYSTEM clock, the same clock staleness is measured
+    against. If the lock is GONE — we were paused past ``timeout_s``
+    between heartbeats and reaped — abort loudly BEFORE any destructive
+    step rather than fight the new holder."""
+    jvm = spark._jvm
+    fs = marker_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker_path):
         raise RuntimeError(
-            f"{op}: {index_root} has maintenance in flight "
-            f"({held[0]}, fresher than {timeout_s}s) — static-index "
-            "maintenance ops are mutually exclusive; wait for it to "
-            "finish (or age out if its holder crashed) and re-run."
+            f"{op}: the maintenance lock {marker_path} disappeared "
+            "mid-run (reaped as stale after a heartbeat gap exceeded "
+            "the timeout?) — aborting before any destructive step; "
+            "the store is unchanged by this op since the last "
+            "completed stage, re-run to continue."
         )
-    mine = f"_MAINT-{op}-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
-    mine_p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/{mine}")
-    if not fs.createNewFile(mine_p):
-        raise RuntimeError(f"{op}: could not create {mine_p}")
-    others = _fresh(mine)
-    if others and min([mine, *others]) != mine:
-        fs.delete(mine_p, False)
-        raise RuntimeError(
-            f"{op}: lost the maintenance-marker race to {min(others)} "
-            f"on {index_root} — re-run once it completes."
-        )
-    return mine_p
+    fs.create(marker_path, True).close()
 
 
 def _idempotent_delta_write(
@@ -2319,10 +2446,11 @@ def _idempotent_delta_write(
     :func:`~vector_io_spark.streaming.incremental.compact_neardup_index`
     pattern), all under the maintenance mutex:
 
-    0. the whole run holds the ``_MAINT-append-…`` marker
-       (:func:`_take_maint_marker`) — a concurrent
-       :func:`compact_index_cells` would otherwise destroy this
-       delta's committed files with its aside dir;
+    0. the whole run holds the fixed-name ``_MAINT-LOCK`` mutex
+       (:func:`_take_maint_marker`; heartbeat-refreshed after the
+       staging write) — a concurrent :func:`compact_index_cells`
+       would otherwise destroy this delta's committed files with its
+       aside dir;
     1. if the ``_DELTA-<token>`` LEDGER marker exists at the cells
        root, the token was fully committed by a previous run —
        **no-op** (its files may since have been folded into anonymous
@@ -2384,6 +2512,11 @@ def _idempotent_delta_write(
         delta.write.mode("overwrite").partitionBy("cell").parquet(
             f"{cells_path}/.delta-{delta_token}"
         )
+        # heartbeat after the one expensive step (the delta write) and
+        # before the resident-dir renames: a big delta can out-age the
+        # staleness timeout, and losing the lock mid-rename would race
+        # a compactor's swap (ADVICE r8)
+        _refresh_maint_marker(spark, marker, "append")
         # clear files a CRASHED pre-ledger attempt moved in (retry-repair
         # semantics). EXACT-name match, not a prefix test: tokens can be
         # dash-prefixes of each other ("2026-08" vs "2026-08-15"), and

@@ -1504,6 +1504,7 @@ def streaming_token_index_ingest(
     doc_id: str = "doc_id",
     doc_vec: str = "vec",
     available_now: bool = True,
+    maint_retry_s: float = 900.0,
 ) -> StreamingQuery:
     """CONTINUOUS doc-token index maintenance for late-interaction
     retrieval (r8) — the fourth continuous-ingest pipeline, and the
@@ -1522,10 +1523,15 @@ def streaming_token_index_ingest(
     - ``_guard_token_store`` refuses a reset/foreign checkpoint whose
       fresh tokens would silently duplicate replayed rows — the
       ledgers survive compaction, so the lineage record is durable;
-    - the ``_MAINT`` maintenance mutex inside the append serializes
-      micro-batches against ``compact_index_cells`` (fold the
-      per-batch files nightly) and ad-hoc appends; a mutex loss is a
-      loud batch failure the stream retries after the holder finishes.
+    - the ``_MAINT-LOCK`` maintenance mutex inside the append
+      serializes micro-batches against ``compact_index_cells`` (fold
+      the per-batch files nightly) and ad-hoc appends. On contention
+      the batch RETRIES the append in-process with backoff for up to
+      ``maint_retry_s`` (a foreachBatch exception otherwise TERMINATES
+      the streaming query — nothing restarts it automatically; ADVICE
+      r8). A holder that outlives the retry window still fails the
+      stream loudly; restarting it is safe — the batch replays and its
+      token makes the append a no-op or a clean repair.
 
     Probes (``maxsim_topk_pruned`` / ``ivf_index_probe_topk``) see
     resident and streamed tokens uniformly; drift is the standard
@@ -1566,10 +1572,30 @@ def streaming_token_index_ingest(
         ).withColumnRenamed(doc_id, "doc_id")
         if doc_vec != "vec":
             toks = toks.withColumnRenamed(doc_vec, "vec")
-        append_to_ivf_index(
-            toks, index_root, corpus_id="__tok_id", corpus_vec="vec",
-            delta_token=f"stream-{sid}-{batch_id}",
-        )
+        # retry mutex contention in-process (ADVICE r8): an exception
+        # out of foreachBatch TERMINATES the streaming query — nothing
+        # retries automatically — so a nightly compaction overlapping
+        # ingest would kill the stream until an operator restarts it.
+        # Each attempt is safe to repeat: the delta token makes a
+        # replayed/partial append a no-op or a clean repair.
+        import time as _time
+
+        deadline = _time.monotonic() + maint_retry_s
+        backoff = 5.0
+        while True:
+            try:
+                append_to_ivf_index(
+                    toks, index_root, corpus_id="__tok_id",
+                    corpus_vec="vec",
+                    delta_token=f"stream-{sid}-{batch_id}",
+                )
+                break
+            except RuntimeError as e:
+                contended = "maintenance" in str(e)
+                if not contended or _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(min(backoff, max(0.0, deadline - _time.monotonic())))
+                backoff = min(backoff * 2.0, 60.0)
 
     writer = (
         token_stream.writeStream.foreachBatch(_ingest)
