@@ -39,6 +39,16 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
 )
 N_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "5"))
+# optional subset, e.g. SPARK_GRAFT_STREAM_PIPELINES=token_index_ingest
+# (r9: lets the sf10 token-ingest row run without paying the other
+# three pipelines at that scale)
+_PIPELINES = os.environ.get("SPARK_GRAFT_STREAM_PIPELINES")
+_WANTED = ({x.strip() for x in _PIPELINES.split(",") if x.strip()}
+           if _PIPELINES else None)
+
+
+def _want(name: str) -> bool:
+    return _WANTED is None or name in _WANTED
 
 
 def _land_batches(df, id_col, landing, n):
@@ -131,125 +141,129 @@ def main() -> None:
         doc_batch_rows = doc_new.count() // N_BATCHES
         emb_batch_rows = emb_new.count() // N_BATCHES
 
-        # -- text near-dup ingest ------------------------------------
-        d = os.path.join(work, "text")
-        index_root, pairs_root = f"{d}/sig_index", f"{d}/pairs"
-        landing, ckpt = f"{d}/landing", f"{d}/ckpt"
-        seed_neardup_index(doc_seed, index_root, "doc_id", "text")
-        _land_batches(doc_new, "doc_id", landing, N_BATCHES)
-        schema = spark.read.parquet(landing).schema
-        per_batch = _run_stream(
-            lambda: streaming_neardup_ingest(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(landing),
-                index_root, pairs_root, ckpt, "doc_id", "text",
+        if _want("text_neardup"):
+            # -- text near-dup ingest ------------------------------------
+            d = os.path.join(work, "text")
+            index_root, pairs_root = f"{d}/sig_index", f"{d}/pairs"
+            landing, ckpt = f"{d}/landing", f"{d}/ckpt"
+            seed_neardup_index(doc_seed, index_root, "doc_id", "text")
+            _land_batches(doc_new, "doc_id", landing, N_BATCHES)
+            schema = spark.read.parquet(landing).schema
+            per_batch = _run_stream(
+                lambda: streaming_neardup_ingest(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    index_root, pairs_root, ckpt, "doc_id", "text",
+                )
             )
-        )
-        results["text_neardup"] = _summary(per_batch, doc_batch_rows)
-        results["text_neardup"].update(_compact(spark, index_root, "doc_id"))
+            results["text_neardup"] = _summary(per_batch, doc_batch_rows)
+            results["text_neardup"].update(_compact(spark, index_root, "doc_id"))
 
-        # -- embedding near-dup ingest --------------------------------
-        d = os.path.join(work, "embedding")
-        index_root, vectors_root = f"{d}/sig_index", f"{d}/vectors"
-        pairs_root, landing, ckpt = f"{d}/pairs", f"{d}/landing", f"{d}/ckpt"
-        seed_embedding_neardup_index(
-            emb_seed, index_root, vectors_root, "vec_id", "embedding"
-        )
-        _land_batches(emb_new, "vec_id", landing, N_BATCHES)
-        schema = spark.read.parquet(landing).schema
-        per_batch = _run_stream(
-            lambda: streaming_embedding_neardup_ingest(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(landing),
-                index_root, vectors_root, pairs_root, ckpt,
-                "vec_id", "embedding",
+        if _want("embedding_neardup"):
+            # -- embedding near-dup ingest --------------------------------
+            d = os.path.join(work, "embedding")
+            index_root, vectors_root = f"{d}/sig_index", f"{d}/vectors"
+            pairs_root, landing, ckpt = f"{d}/pairs", f"{d}/landing", f"{d}/ckpt"
+            seed_embedding_neardup_index(
+                emb_seed, index_root, vectors_root, "vec_id", "embedding"
             )
-        )
-        results["embedding_neardup"] = _summary(per_batch, emb_batch_rows)
-        results["embedding_neardup"].update(
-            _compact(spark, index_root, "vec_id")
-        )
-
-        # -- IVF+PQ continuous index ingest ---------------------------
-        d = os.path.join(work, "ivfpq")
-        index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
-        seed_ivfpq_stream_index(
-            emb_seed, index_root, num_cells=16, num_subspaces=16,
-            codebook_size=64, max_train_rows=20_000,
-        )
-        _land_batches(emb_new, "vec_id", landing, N_BATCHES)
-        schema = spark.read.parquet(landing).schema
-        per_batch = _run_stream(
-            lambda: streaming_ivfpq_ingest(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(landing),
-                index_root, ckpt,
+            _land_batches(emb_new, "vec_id", landing, N_BATCHES)
+            schema = spark.read.parquet(landing).schema
+            per_batch = _run_stream(
+                lambda: streaming_embedding_neardup_ingest(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    index_root, vectors_root, pairs_root, ckpt,
+                    "vec_id", "embedding",
+                )
             )
-        )
-        results["ivfpq_ingest"] = _summary(per_batch, emb_batch_rows)
-        results["ivfpq_ingest"].update(
-            _compact(
-                spark, f"{index_root}/cells", "vec_id",
-                partition_by=("cell",),
-            )
-        )
-
-        # -- token-index (late-interaction) ingest (r8) ----------------
-        # static layout + tokened appends: per-batch wall includes the
-        # _MAINT mutex take/release and the ledger write; compaction is
-        # the STATIC compactor (compact_index_cells), ledger-preserving
-        from vector_io_spark.operators.multivector import (
-            write_token_index,
-        )
-        from vector_io_spark.operators.similarity import (
-            compact_index_cells,
-        )
-        from vector_io_spark.streaming.incremental import (
-            streaming_token_index_ingest,
-        )
-
-        def _toks(df, id_alias):
-            return df.select(
-                F.col("vec_id").alias(id_alias),
-                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("p"),
-                "embedding",
-            ).select(
-                id_alias,
-                F.expr("slice(embedding, p*16+1, 16)").alias("vec"),
+            results["embedding_neardup"] = _summary(per_batch, emb_batch_rows)
+            results["embedding_neardup"].update(
+                _compact(spark, index_root, "vec_id")
             )
 
-        d = os.path.join(work, "token")
-        index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
-        write_token_index(
-            _toks(emb_seed, "doc_id"), index_root, num_cells=16,
-            max_train_rows=20_000,
-        )
-        _land_batches(_toks(emb_new, "doc_id"), "doc_id", landing, N_BATCHES)
-        schema = spark.read.parquet(landing).schema
-        per_batch = _run_stream(
-            lambda: streaming_token_index_ingest(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(landing),
-                index_root, ckpt,
+        if _want("ivfpq_ingest"):
+            # -- IVF+PQ continuous index ingest ---------------------------
+            d = os.path.join(work, "ivfpq")
+            index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
+            seed_ivfpq_stream_index(
+                emb_seed, index_root, num_cells=16, num_subspaces=16,
+                codebook_size=64, max_train_rows=20_000,
             )
-        )
-        results["token_index_ingest"] = _summary(
-            per_batch, emb_batch_rows * 4
-        )
-        files_before = _count_files(f"{index_root}/cells")
-        t0 = time.perf_counter()
-        compact_index_cells(spark, index_root)
-        results["token_index_ingest"].update(
-            {
-                "compact_s": round(time.perf_counter() - t0, 2),
-                "files_before": files_before,
-                "files_after": _count_files(f"{index_root}/cells"),
-            }
-        )
+            _land_batches(emb_new, "vec_id", landing, N_BATCHES)
+            schema = spark.read.parquet(landing).schema
+            per_batch = _run_stream(
+                lambda: streaming_ivfpq_ingest(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    index_root, ckpt,
+                )
+            )
+            results["ivfpq_ingest"] = _summary(per_batch, emb_batch_rows)
+            results["ivfpq_ingest"].update(
+                _compact(
+                    spark, f"{index_root}/cells", "vec_id",
+                    partition_by=("cell",),
+                )
+            )
+
+        if _want("token_index_ingest"):
+            # -- token-index (late-interaction) ingest (r8) ----------------
+            # static layout + tokened appends: per-batch wall includes the
+            # _MAINT mutex take/release and the ledger write; compaction is
+            # the STATIC compactor (compact_index_cells), ledger-preserving
+            from vector_io_spark.operators.multivector import (
+                write_token_index,
+            )
+            from vector_io_spark.operators.similarity import (
+                compact_index_cells,
+            )
+            from vector_io_spark.streaming.incremental import (
+                streaming_token_index_ingest,
+            )
+
+            def _toks(df, id_alias):
+                return df.select(
+                    F.col("vec_id").alias(id_alias),
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias("p"),
+                    "embedding",
+                ).select(
+                    id_alias,
+                    F.expr("slice(embedding, p*16+1, 16)").alias("vec"),
+                )
+
+            d = os.path.join(work, "token")
+            index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
+            write_token_index(
+                _toks(emb_seed, "doc_id"), index_root, num_cells=16,
+                max_train_rows=20_000,
+            )
+            _land_batches(_toks(emb_new, "doc_id"), "doc_id", landing, N_BATCHES)
+            schema = spark.read.parquet(landing).schema
+            per_batch = _run_stream(
+                lambda: streaming_token_index_ingest(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    index_root, ckpt,
+                )
+            )
+            results["token_index_ingest"] = _summary(
+                per_batch, emb_batch_rows * 4
+            )
+            files_before = _count_files(f"{index_root}/cells")
+            t0 = time.perf_counter()
+            compact_index_cells(spark, index_root)
+            results["token_index_ingest"].update(
+                {
+                    "compact_s": round(time.perf_counter() - t0, 2),
+                    "files_before": files_before,
+                    "files_after": _count_files(f"{index_root}/cells"),
+                }
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
