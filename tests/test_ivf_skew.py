@@ -1663,6 +1663,151 @@ def test_probe_return_cols_payload_passthrough(spark, sf_dir, tmp_path):
         )
 
 
+def test_index_delete_tombstones(spark, sf_dir, tmp_path):
+    """r9: delete-by-id completes the persisted catalogs' CRUD surface.
+    Tombstones suppress rows from every probe immediately; compaction
+    applies them physically and clears exactly what it folded; retries
+    are no-ops; appends intersecting a live tombstone raise; rebuilds
+    clear stale tombstones; streaming stores and mixed delete columns
+    are refused."""
+    import os
+
+    import pytest
+
+    from vector_io_spark.operators.pq_exact import (
+        pq_adc_topk_from_index,
+        write_pq_exact_index,
+    )
+    from vector_io_spark.operators.similarity import (
+        append_to_ivf_index,
+        brute_force_topk,
+        compact_index_cells,
+        delete_from_index,
+        ivf_index_probe_topk,
+        ivfpq_index_probe_topk,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    dead = [10, 11, 12, 13, 14, 15]
+    alive = emb.where(~F.col("vec_id").isin(dead))
+
+    # ---- IVF: delete -> probe omits; exhaustive probe == brute over
+    # the remaining corpus (same scores, same ranks)
+    path = str(tmp_path / "ivf_del")
+    write_ivf_index(emb, path, num_cells=8, seed=7)
+    delete_from_index(spark, path, dead, delete_token="d1")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    got = ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+    want = rows(brute_force_topk(alive, queries, k=10))
+    assert rows(got) == want
+    assert not {r[1] for r in rows(got)} & set(dead)
+    # plan: anti-join present, partition pruning intact
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "PartitionFilters" in plan, plan
+
+    # retry of the same token is a no-op; a second token composes
+    delete_from_index(spark, path, dead, delete_token="d1")
+    delete_from_index(spark, path, [16], delete_token="d2")
+    alive2 = emb.where(~F.col("vec_id").isin(dead + [16]))
+    got2 = ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+    assert rows(got2) == rows(brute_force_topk(alive2, queries, k=10))
+
+    # mixed delete columns refused (store has vec_id tombstones)
+    with pytest.raises(ValueError, match="one store uses one"):
+        delete_from_index(
+            spark, path, [1], id_col="embedding", delete_token="d3"
+        )
+
+    # appends intersecting a live tombstone raise; disjoint appends ok
+    dlt = emb.where(F.col("vec_id").isin([10, 200]))
+    with pytest.raises(ValueError, match="live tombstone"):
+        append_to_ivf_index(
+            dlt.withColumn("vec_id", F.col("vec_id")), path,
+            delta_token="bad-readd",
+        )
+    ok_delta = emb.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    append_to_ivf_index(ok_delta, path, delta_token="ok-delta")
+
+    # compaction applies tombstones physically and clears them
+    got_c = compact_index_cells(spark, path)
+    assert got_c["tombstones_applied"] == 2
+    assert not os.path.exists(os.path.join(path, "tombstones")) or not [
+        d for d in os.listdir(os.path.join(path, "tombstones"))
+        if d.startswith("del-")
+    ]
+    cells_ids = {
+        r["vec_id"] for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+    assert not cells_ids & set(dead + [16])
+    got3 = ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+    assert rows(got3) == rows(
+        brute_force_topk(
+            alive2.unionByName(ok_delta), queries, k=10
+        )
+    )
+    # after compaction the formerly-tombstoned id can re-append
+    re_add = emb.where(F.col("vec_id") == 10)
+    append_to_ivf_index(re_add, path, delta_token="re-add-10")
+
+    # rebuild clears stale tombstones (re-inserted ids stay visible)
+    delete_from_index(spark, path, [0], delete_token="d4")
+    write_ivf_index(emb, path, num_cells=8, seed=7)
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    got4 = ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+    assert rows(got4) == rows(brute_force_topk(emb, queries, k=10))
+
+    # ---- IVFPQ: same contract through the ADC kernel
+    pq_path = str(tmp_path / "ivfpq_del")
+    write_ivfpq_index(
+        emb, pq_path, num_cells=8, num_subspaces=8, codebook_size=16,
+        seed=11,
+    )
+    before = ivfpq_index_probe_topk(
+        spark, pq_path, queries, k=10, nprobe=8
+    ).collect()
+    assert {r["vec_id"] for r in before} & set(dead)
+    delete_from_index(spark, pq_path, dead, delete_token="d1")
+    after = ivfpq_index_probe_topk(
+        spark, pq_path, queries, k=10, nprobe=8
+    ).collect()
+    assert not {r["vec_id"] for r in after} & set(dead)
+    assert all(len({r["query_id"] for r in after if r["rank"] == i}) == 5
+               for i in (1, 10))
+
+    # ---- exact-PQ codes layout: probe-time apply, rebuild clears
+    pqe_path = str(tmp_path / "pq_exact_del")
+    write_pq_exact_index(emb, pqe_path, num_subspaces=8, codebook_size=8)
+    delete_from_index(spark, pqe_path, dead, delete_token="d1")
+    hits = pq_adc_topk_from_index(spark, pqe_path, queries, k=10).collect()
+    assert hits and not {r["vec_id"] for r in hits} & set(dead)
+
+    # ---- streaming store refused
+    sroot = str(tmp_path / "stream_store")
+    os.makedirs(os.path.join(sroot, "cells", "ingest_batch=-1"))
+    import shutil
+
+    shutil.copytree(
+        os.path.join(path, "cells"),
+        os.path.join(sroot, "cells", "ingest_batch=-1"),
+        dirs_exist_ok=True,
+    )
+    with pytest.raises(ValueError, match="STREAMING"):
+        delete_from_index(spark, sroot, [1], delete_token="d1")
+
+
 def test_maint_lock_atomic_claim_and_heartbeat(spark, tmp_path):
     """Round-9 (ADVICE r8 medium ×2): the maintenance mutex is ONE
     fixed-name ``_MAINT-LOCK`` claimed with atomic createNewFile —

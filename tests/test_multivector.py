@@ -375,6 +375,109 @@ def test_write_token_index_custom_doc_id_column(spark, sf_dir, tmp_path):
     assert got.count() == 4 * 5
 
 
+def test_maxsim_pruned_return_cols_payload(spark, tmp_path):
+    """r9: late-interaction payload passthrough — maxsim_topk_pruned
+    returns requested doc-level metadata_cols of the token index with
+    each result row (values ride stage 1's pruned probe; no extra
+    read). Composes with `where`."""
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding", "label")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    dtl = dt.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    qt = _tokens(emb.where(F.col("vec_id") < 4), "query_id")
+    truth = {r["vec_id"]: r["label"] for r in emb.collect()}
+
+    path = str(tmp_path / "tok_payload")
+    write_token_index(
+        dtl, path, num_cells=8, seed=5, metadata_cols=("label",)
+    )
+    got = maxsim_topk_pruned(
+        spark, path, dt, qt, k=5, metric="dot",
+        candidates_per_token=16, nprobe=8, return_cols=("label",),
+    )
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "doc_id", "score", "rank", "label",
+    ]
+    rows = got.collect()
+    assert len(rows) == 4 * 5
+    for r in rows:
+        assert r["label"] == truth[r["doc_id"]], r
+
+    lab = int(emb.select("label").first()[0])
+    fil = maxsim_topk_pruned(
+        spark, path, dt, qt, k=5, metric="dot",
+        candidates_per_token=64, nprobe=8,
+        where=f"label = {lab}", return_cols=("label",),
+    ).collect()
+    assert fil and all(r["label"] == lab for r in fil)
+
+
+def test_token_index_doc_delete(spark, sf_dir, tmp_path):
+    """r9: doc-level deletes on the token index —
+    delete_from_index(id_col='doc_id') tombstones every token of the
+    doc, so pruned maxsim can never surface it; under exhaustive
+    settings the result equals exact maxsim over the corpus minus the
+    deleted docs; compaction folds the tombstones and the result is
+    unchanged."""
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+    from vector_io_spark.operators.similarity import (
+        compact_index_cells,
+        delete_from_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.col("vec_id") < 4), "query_id")
+    path = str(tmp_path / "tok_del_index")
+    write_token_index(dt, path, num_cells=8, seed=5)
+    n_tokens = dt.count()
+
+    # every query's own doc is its top-1; delete the query docs
+    dead = [0, 1, 2, 3]
+    delete_from_index(spark, path, dead, id_col="doc_id",
+                      delete_token="docs-gone")
+
+    dt_alive = _tokens(
+        emb.where(~F.col("vec_id").isin(dead)), "doc_id"
+    ).select("doc_id", "vec")
+    exact_alive = maxsim_topk(dt_alive, qt, k=10, metric="dot")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in df.collect()
+        )
+
+    want = rows(exact_alive)
+    got = maxsim_topk_pruned(
+        spark, path, dt_alive, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    )
+    assert rows(got) == want
+    assert not {r[1] for r in rows(got)} & set(dead)
+
+    # compaction applies the doc tombstone physically; result unchanged
+    got_c = compact_index_cells(spark, path)
+    assert got_c["tombstones_applied"] == 1
+    got2 = maxsim_topk_pruned(
+        spark, path, dt_alive, qt, k=10, metric="dot",
+        candidates_per_token=n_tokens, nprobe=8,
+    )
+    assert rows(got2) == want
+
+
 def test_streaming_token_index_ingest(spark, sf_dir, tmp_path):
     """r8: the fourth continuous-ingest pipeline — token-index
     maintenance on the STATIC layout via exactly-once tokened appends.

@@ -25,7 +25,12 @@ from vector_io_spark.operators.dedup import (  # noqa: F401
 )
 from vector_io_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    delete_from_index,
+    ivf_index_probe_topk,
+    ivfpq_index_probe_topk,
     lsh_bucketed_topk,
+    write_ivf_index,
+    write_ivfpq_index,
 )
 from vector_io_spark.operators.aggregates import (  # noqa: F401
     count_rows,

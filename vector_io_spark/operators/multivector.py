@@ -197,6 +197,7 @@ def maxsim_topk_pruned(
     query_pos: str = "qpos",
     query_vec: str = "vec",
     where=None,
+    return_cols: tuple = (),
 ) -> DataFrame:
     """Candidate-pruned late interaction (the PLAID two-stage shape):
 
@@ -221,6 +222,14 @@ def maxsim_topk_pruned(
     into stage 1's pruned token scan; stage 2 is automatically
     restricted because candidates only come from matching docs.
 
+    ``return_cols`` (r9): doc-level ``metadata_cols`` of the token
+    index returned WITH each result row — late-interaction payload
+    passthrough. The values ride stage 1's pruned probe out (they are
+    constant per doc by the :func:`write_token_index` contract) and
+    attach to the ranked output from the driver-side candidate map —
+    zero extra reads or joins. Output schema gains the columns after
+    ``rank``.
+
     Recall is governed by candidates_per_token × nprobe exactly like
     any IVF probe (see the selectivity rule on
     ``ivfpq_index_probe_topk``); ``test_maxsim_pruned_matches_exact``
@@ -237,9 +246,13 @@ def maxsim_topk_pruned(
     the whole static-maintenance surface applies unchanged: token
     deltas append with ``append_to_ivf_index`` (doc_id rides as the
     persisted metadata column and is REQUIRED on deltas),
-    ``compact_index_cells`` folds append files, and the ``_MAINT``
-    mutex serializes both (pinned by
-    ``test_token_index_maintenance_composes``).
+    ``compact_index_cells`` folds append files, the ``_MAINT`` mutex
+    serializes both (pinned by
+    ``test_token_index_maintenance_composes``), and doc-level DELETES
+    are ``delete_from_index(..., id_col="doc_id")`` (r9) — one
+    tombstone suppresses every token of the doc from stage 1, so the
+    doc can never re-enter the candidate set (pinned by
+    ``test_token_index_doc_delete``).
 
     Scale shape (r9, VERDICT r8 What's-wrong #1): stage 1 reads
     nprobe/num_cells of the token index per query token — ONE pruned
@@ -296,6 +309,7 @@ def maxsim_topk_pruned(
         ),
         F.col("__qv").alias("embedding"),
     )
+    extra = tuple(c for c in return_cols if c != "doc_id")
     hits = ivf_index_probe_topk(
         spark,
         token_index_path,
@@ -311,13 +325,14 @@ def maxsim_topk_pruned(
         # re-rank scores only candidates, so the filter is complete).
         # The ivfpq selectivity rule applies per TOKEN here.
         where=where,
-        return_cols=("doc_id",),
+        return_cols=("doc_id", *extra),
     )
     # candidate (query, doc) pairs: bounded by |Q| × tokens ×
     # candidates_per_token by construction — collect under a loud cap
     # (the same driver-state contract as the probe's own query
     # collect), so stage 2 can push the doc-id list into the scan as a
-    # static predicate
+    # static predicate. Requested payload columns ride along (constant
+    # per doc by the write_token_index contract).
     pair_rows = (
         hits.select(
             F.split(F.col("query_id"), "#", 2)
@@ -325,6 +340,7 @@ def maxsim_topk_pruned(
             .cast(qid_type)
             .alias("query_id"),
             "doc_id",
+            *extra,
         )
         .distinct()
         .limit(MAX_QUERY_ROWS + 1)
@@ -338,6 +354,7 @@ def maxsim_topk_pruned(
             "parallel across batches)."
         )
     doc_type = doc_tokens.schema[doc_id].dataType
+    extra_fields = [StructField(c, hits.schema[c].dataType) for c in extra]
     if not pair_rows:
         return spark.createDataFrame(
             [],
@@ -347,6 +364,7 @@ def maxsim_topk_pruned(
                     StructField("doc_id", doc_type),
                     StructField("score", DoubleType()),
                     StructField("rank", LongType()),
+                    *extra_fields,
                 ]
             ),
         )
@@ -384,7 +402,7 @@ def maxsim_topk_pruned(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__usim").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(
@@ -393,4 +411,17 @@ def maxsim_topk_pruned(
             F.round(F.col("__usim") / F.lit(1e6), 6).alias("score"),
             "rank",
         )
+    )
+    if not extra:
+        return out
+    # attach the requested doc-level payload from the driver-side
+    # candidate map (already collected above — no extra read): one
+    # broadcast hash join against the bounded ranked frame
+    meta_map = {r["doc_id"]: tuple(r[c] for c in extra) for r in pair_rows}
+    meta_df = broadcast(spark.createDataFrame(
+        [(d, *m) for d, m in meta_map.items()],
+        StructType([StructField("doc_id", doc_type), *extra_fields]),
+    ))
+    return out.join(meta_df, "doc_id").select(
+        "query_id", "doc_id", "score", "rank", *extra
     )

@@ -1324,6 +1324,11 @@ def write_ivf_index(
     ).astype(np.float64)
     cent = _lloyd(train, num_cells, seed)
 
+    # a full rebuild replaces the layout wholesale, so stale tombstones
+    # must not outlive it (they would hide re-inserted ids); cleared
+    # up-front — a crash mid-build leaves a broken layout that needs a
+    # re-run regardless (overwrite writes are not atomic)
+    _clear_tombstones(corpus.sparkSession, path)
     (
         corpus.select(corpus_id, *metadata_cols, corpus_vec)
         .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
@@ -1442,6 +1447,10 @@ def ivf_index_probe_topk(
         # else raise nprobe or fall back to filtered_topk)
         scan = scan.where(where)
     scan = scan.where(F.col("cell").isin(cells))
+    # deleted rows stop matching immediately (r9): broadcast anti-join
+    # against the live tombstones, applied AFTER partition pruning so
+    # it costs one hash probe per surviving row
+    scan = _apply_tombstones(spark, path, scan, "ivf_index_probe_topk")
     scored = scan.join(broadcast(probe_df), "cell").select(
         F.col(query_id).alias("query_id"),
         F.col(corpus_id),
@@ -1742,6 +1751,9 @@ def write_ivfpq_index(
         corpus, corpus_vec, num_cells, num_subspaces, codebook_size,
         max_train_rows, sample_fraction, seed,
     )
+    # rebuild = new truth: stale tombstones must not hide re-inserted
+    # ids (see write_ivf_index)
+    _clear_tombstones(corpus.sparkSession, path)
     _write_ivfpq_artifacts(
         corpus, cents, cb, f"{path}/cells", path, corpus_id, corpus_vec,
         metadata_cols=metadata_cols,
@@ -1881,7 +1893,11 @@ def ivfpq_index_probe_topk(
     )
     if where is not None:
         scan = scan.where(where)
-    scan = scan.where(F.col("cell").isin(cells)).select(
+    scan = scan.where(F.col("cell").isin(cells))
+    # deleted rows stop matching immediately (r9): broadcast anti-join
+    # against live tombstones, after partition pruning, before the ADC
+    scan = _apply_tombstones(spark, path, scan, "ivfpq_index_probe_topk")
+    scan = scan.select(
         corpus_id,
         *return_cols,
         F.col("cell").alias("__cell"),
@@ -2179,6 +2195,196 @@ def rebuild_ivf_if_drifted(
     )
 
 
+def _tombstone_frames(spark, index_root: str):
+    """List the live tombstone dirs under ``<index_root>/tombstones``
+    and load their union as one single-column DataFrame. Returns
+    ``(names, df_or_None)``. All tombstones in one store must target
+    the SAME column (mixed targets would need per-column anti-joins
+    and make 'is this id deleted' ambiguous) — enforced here so every
+    reader shares the check."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{index_root}/tombstones")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return [], None
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("del-")
+    )
+    if not names:
+        return [], None
+    df = spark.read.parquet(
+        *[f"{index_root}/tombstones/{n}" for n in names]
+    )
+    if len(df.columns) != 1:
+        raise ValueError(
+            f"tombstones at {index_root} target mixed columns "
+            f"{sorted(df.columns)} — every delete_from_index call on "
+            "one store must use the same id_col; compact to apply the "
+            "existing tombstones before deleting by a different column."
+        )
+    return names, df.distinct()
+
+
+def _apply_tombstones(spark, index_root: str, scan: DataFrame, caller: str):
+    """Anti-join a cells/codes scan against the store's live tombstones
+    (no-op when none exist). The tombstone side is bounded by the
+    compaction cadence — deletes accumulate only until the next
+    :func:`compact_index_cells` folds them into the layout — so it
+    broadcasts; the scan side never shuffles."""
+    _, tombs = _tombstone_frames(spark, index_root)
+    if tombs is None:
+        return scan
+    col = tombs.columns[0]
+    if col not in scan.columns:
+        raise ValueError(
+            f"{caller}: tombstones at {index_root} target column "
+            f"{col!r}, which this scan does not carry ({scan.columns})."
+        )
+    return scan.join(broadcast(tombs), col, "left_anti")
+
+
+def delete_from_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+    delete_token: str | None = None,
+) -> None:
+    """Delete rows from a persisted STATIC index (IVF / IVFPQ / token —
+    any ``cells`` layout) by id, or by any persisted metadata column
+    (e.g. ``id_col="doc_id"`` on a token index deletes every token of
+    those docs — the late-interaction delete). This completes the
+    catalogs' CRUD surface: build, probe, append, compact, rebuild —
+    and now delete; the reference's targets all expose delete-by-id
+    (e.g. Pinecone ``delete(ids=...)``, Qdrant points delete — cited
+    for parity scope), while the reference itself only ever re-uploads.
+
+    Mechanism — TOMBSTONES, the LSM/Delta-style shape, never an
+    in-place rewrite:
+
+    - ``ids`` (a DataFrame carrying ``id_col``, or a plain Python
+      iterable of values) is written to
+      ``<path>/tombstones/del-<delete_token>`` via hidden staging +
+      one atomic rename — a crashed write is invisible, a retried
+      token is a no-op (same contract as append's ``delta_token``);
+    - every probe anti-joins its (already partition-pruned) scan
+      against the broadcast tombstone union — deleted rows stop
+      matching IMMEDIATELY, with zero data movement;
+    - :func:`compact_index_cells` APPLIES tombstones physically during
+      its rewrite and clears exactly the tombstone dirs it folded in
+      (a delete landing mid-compaction survives untouched); a full
+      rebuild (``write_*_index``) clears them wholesale — the new
+      layout is the new truth;
+    - appending rows whose ids are under a live tombstone raises
+      loudly (the tombstone would silently hide the new rows);
+      compact first, then re-append — re-insert-after-delete is a
+      compaction-ordered sequence, not a race.
+
+    Tombstone writes take NO maintenance lock: they only add files
+    under ``tombstones/``, which the compactor snapshots at entry (the
+    one reader that also deletes them deletes only what it listed).
+    The exact-PQ ``codes`` layout has no compactor — its tombstones
+    apply at probe time and clear on the next
+    ``write_pq_exact_index`` rebuild.
+
+    Scale shape: the delete itself writes |ids| rows — a metadata-
+    sized job; probes add one broadcast anti-join on the pruned scan
+    (tombstone volume is bounded by compaction cadence); nothing
+    corpus-sized moves until the next compaction, which was already a
+    full-rewrite job. Streaming (``ingest_batch``) stores are refused
+    — their replay semantics need lease-aware folding; delete support
+    there is the streaming compactor's contract, not this one's.
+    """
+    import re as _re
+
+    if not delete_token or not _re.fullmatch(
+        r"[A-Za-z0-9._-]+", str(delete_token)
+    ):
+        raise ValueError(
+            "delete_from_index: delete_token must be a non-empty "
+            "[A-Za-z0-9._-]+ string uniquely identifying this delete "
+            "batch (it keys retry idempotency); got "
+            f"{delete_token!r}"
+        )
+    jvm = spark._jvm
+    root_p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    data_sub = None  # cells = IVF/IVFPQ/token layouts; codes = exact-PQ
+    for sub in ("cells", "codes"):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
+            data_sub = sub
+            break
+    if data_sub is None:
+        raise ValueError(
+            f"delete_from_index: {path} has neither a cells nor a codes "
+            "layout — not a persisted index root."
+        )
+    if data_sub == "cells":
+        cells_p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+        for st in fs.listStatus(cells_p):
+            if st.getPath().getName().startswith("ingest_batch="):
+                raise ValueError(
+                    f"delete_from_index: {path}/cells is a STREAMING "
+                    "store (ingest_batch partitions) — tombstone "
+                    "deletes are a static-layout contract; fold the "
+                    "stream first."
+                )
+    schema = spark.read.parquet(f"{path}/{data_sub}").schema
+    if id_col not in schema.fieldNames():
+        raise ValueError(
+            f"delete_from_index: column {id_col!r} is not persisted in "
+            f"{path}/cells (has {schema.fieldNames()})."
+        )
+    names, tombs = _tombstone_frames(spark, path)
+    if tombs is not None and tombs.columns[0] != id_col:
+        raise ValueError(
+            f"delete_from_index: store already has tombstones on "
+            f"{tombs.columns[0]!r}; one store uses one delete column — "
+            "compact to apply them before deleting by a different one."
+        )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/tombstones/del-{delete_token}"
+    )
+    if fs.exists(final):
+        return  # committed once already — retry is a no-op
+    if isinstance(ids, DataFrame):
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"delete_from_index: ids frame is missing {id_col!r}."
+            )
+        ids_df = ids.select(id_col)
+    else:
+        from pyspark.sql.types import StructField, StructType
+
+        ids_df = spark.createDataFrame(
+            [(v,) for v in ids],
+            StructType([StructField(id_col, schema[id_col].dataType)]),
+        )
+    staging = f"{path}/tombstones/.del-{delete_token}"
+    ids_df.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staging), final
+    ):
+        raise RuntimeError(
+            f"delete_from_index: rename {staging} -> {final} failed "
+            "(concurrent identical token?) — re-run; a committed token "
+            "is a no-op."
+        )
+
+
+def _clear_tombstones(spark, index_root: str) -> None:
+    """Drop every tombstone: a full index rebuild makes the fresh
+    layout the whole truth (stale tombstones would silently hide
+    re-inserted ids from probes)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/tombstones")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def compact_index_cells(
     spark, path: str, maint_timeout_s: float = _MAINT_TIMEOUT_S
 ) -> dict:
@@ -2275,6 +2481,18 @@ def compact_index_cells(
 
         files_before = _count_files()
         df = spark.read.parquet(f"{path}/cells")
+        # apply live tombstones physically (r9): snapshot the dir list
+        # FIRST — a delete landing mid-compaction is not folded in and
+        # must survive; we clear exactly what we folded, after the swap
+        tomb_names, tombs = _tombstone_frames(spark, path)
+        if tombs is not None:
+            tcol = tombs.columns[0]
+            if tcol not in df.columns:
+                raise ValueError(
+                    f"compact_index_cells: tombstones at {path} target "
+                    f"{tcol!r}, which the cells layout does not carry."
+                )
+            df = df.join(broadcast(tombs), tcol, "left_anti")
         n_rows = df.count()
         # heartbeat between the expensive stages (ADVICE r8): the count
         # and the full rewrite can each exceed the staleness timeout at
@@ -2306,10 +2524,20 @@ def compact_index_cells(
         _rename(cells, aside)
         _rename(tmp, cells)
         fs.delete(aside, True)
+        # clear ONLY the tombstones this rewrite folded in (snapshotted
+        # above); a crash between the swap and here just means the
+        # already-applied tombstones keep anti-joining absent ids —
+        # harmless — until the next compaction clears them
+        for name in tomb_names:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones/{name}"),
+                True,
+            )
         return {
             "rows": n_rows,
             "files_before": files_before,
             "files_after": _count_files(),
+            "tombstones_applied": len(tomb_names),
         }
     finally:
         fs.delete(marker, False)
@@ -2508,6 +2736,28 @@ def _idempotent_delta_write(
         ledger = p(f"_DELTA-{delta_token}")
         if fs.exists(ledger):
             return  # committed once already — retry is a no-op
+        # refuse appends that intersect live tombstones (r9): the
+        # tombstone anti-join would silently hide the new rows from
+        # every probe; compact first (applies + clears tombstones),
+        # then re-append — re-insert-after-delete is compaction-ordered
+        _, tombs = _tombstone_frames(spark, index_root)
+        if tombs is not None:
+            tcol = tombs.columns[0]
+            if tcol not in delta.columns:
+                raise ValueError(
+                    f"append: tombstones at {index_root} target "
+                    f"{tcol!r}, which the delta does not carry."
+                )
+            if delta.join(broadcast(tombs), tcol, "left_semi").limit(
+                1
+            ).count():
+                raise ValueError(
+                    f"append: the delta contains rows whose {tcol!r} is "
+                    f"under a live tombstone at {index_root} — probes "
+                    "would silently hide them. Run compact_index_cells "
+                    "first (applies and clears tombstones), then "
+                    "re-append."
+                )
         staging = p(f".delta-{delta_token}")
         delta.write.mode("overwrite").partitionBy("cell").parquet(
             f"{cells_path}/.delta-{delta_token}"

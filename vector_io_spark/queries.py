@@ -10501,6 +10501,61 @@ def ann_probe_payload_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_topk_after_delete",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+            FROM (SELECT * FROM embeddings
+                  WHERE vec_id NOT BETWEEN 100 AND 119) c,
+                 (SELECT * FROM embeddings WHERE vec_id < 5) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-id on the persisted IVF catalog (r9): tombstones
+    (operators/similarity.py::delete_from_index) suppress deleted rows
+    from every probe IMMEDIATELY via a broadcast anti-join on the
+    pruned scan — no rewrite — and compaction later applies them
+    physically. Probed at nprobe == num_cells (exact), the result must
+    hash-match brute-force cosine top-k over the corpus MINUS the
+    deleted ids — the oracle pairing that makes the delete path
+    correctness-gatable. Reference targets all expose delete-by-id
+    (Pinecone delete(ids=...), Qdrant points delete — parity scope);
+    the reference itself only re-uploads.
+
+    Scale shape: the delete writes |ids| rows (metadata-sized, atomic
+    rename, token-idempotent); the probe adds one broadcast anti-join
+    after partition pruning; nothing corpus-sized moves until the next
+    compaction (which was already a full-rewrite job)."""
+    from vector_io_spark.operators.similarity import (
+        delete_from_index,
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_delete", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), path, num_cells=8, seed=7
+        )
+    # idempotent: a committed token is a no-op on every later call
+    delete_from_index(
+        spark, path, list(range(100, 120)), delete_token="gate-del"
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+
+
 # ===========================================================================
 # Registry ordering: the external driver's correctness gate samples the
 # FIRST 50 queries in registry order. Registration order is historical
@@ -10546,12 +10601,14 @@ _GATE_PILLARS = [
 # twins displaced from the r8 slice (ann_topk_ivf / ann_topk_pq —
 # VERDICT r8 Next #7) and the r9-new payload-probe query (gate new
 # surface immediately, hash-exact). Everything else is hash-gated.
-# The 5-name tail deferred to r10 (finishing the 100% cycle):
+# The 6-name tail deferred to r10 (finishing the 100% cycle):
 # profile_lineitem, charclass_profile, fanout_histogram,
-# dup_cluster_histogram, snapshot_diff — all profile/histogram shapes
-# whose families already have multiple driver rows.
+# dup_cluster_histogram, snapshot_diff, discount_elasticity — all
+# profile/histogram/elasticity shapes whose families already have
+# multiple driver rows (discount_elasticity displaced by the r9-new
+# delete query: gate new surface immediately).
 _GATE_ROTATION = [
-    "ann_probe_payload_exact",
+    "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
     "revenue_change_forecast", "upsample_weighted", "vocab_topk",
     "quality_drift_by_source", "chunk_documents", "pack_sequences",
@@ -10567,7 +10624,6 @@ _GATE_ROTATION = [
     "classifier_calibration", "seasonal_anomaly_hours",
     "data_quality_rules", "embedding_drift_by_label",
     "customer_purchase_sequences", "source_quality_report",
-    "discount_elasticity",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
