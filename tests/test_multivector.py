@@ -311,6 +311,51 @@ def test_maxsim_pruned_plan_single_index_read_and_pushed_candidates(
     assert len(rows) == 8 * 10
 
 
+def test_maxsim_pruned_bucket_pruning_on_bucketed_doc_tokens(
+    spark, sf_dir, tmp_path
+):
+    """r9: when the doc-token table is BUCKETED by doc_id
+    (format/bucketing.py — the 100 TB layout for repeated candidate
+    joins), the pruned path's pushed candidate In predicate also
+    prunes whole buckets: the stage-2 scan reads only the buckets that
+    can hold candidate docs (SelectedBucketsCount < total), on top of
+    row-group skipping — byte-level evidence for the 'stage-2 I/O is
+    candidate-bounded' claim."""
+    from vector_io_spark.format.bucketing import write_bucketed
+    from vector_io_spark.operators.multivector import (
+        maxsim_topk_pruned,
+        write_token_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dt = _tokens(emb, "doc_id").select("doc_id", "vec")
+    qt = _tokens(emb.where(F.col("vec_id") < 1), "query_id")
+    path = str(tmp_path / "tok_index")
+    write_token_index(dt, path, num_cells=8, seed=5)
+
+    write_bucketed(
+        dt, "doc_tokens_bucketed_r9", key="doc_id", num_buckets=16,
+        path=str(tmp_path / "dt_bucketed"),
+    )
+    try:
+        dt_b = spark.table("doc_tokens_bucketed_r9")
+        # 1 query x 4 tokens x 2 candidates -> at most 8 candidate
+        # docs -> at most 8 of the 16 buckets can be selected
+        got = maxsim_topk_pruned(
+            spark, path, dt_b, qt, k=5, metric="dot",
+            candidates_per_token=2, nprobe=2,
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+        assert got.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_tokens_bucketed_r9")
+
+
 def test_maxsim_pruned_rejects_hash_in_string_query_ids(
     spark, sf_dir, tmp_path
 ):

@@ -1936,6 +1936,13 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     between probe batches; ``imbalance_factor`` or ``delta_share``
     past budget ⇒ rebuild with :func:`write_ivfpq_index` / reseed.
 
+    Counts include rows under live tombstones (r9,
+    :func:`delete_from_index`) — deliberately: the stats job reads
+    partition metadata only, and tombstoned rows still occupy the
+    files probes scan, so they are the honest COST signal this
+    monitor exists for; :func:`compact_index_cells` removes them
+    physically and the counts drop then.
+
     Scale shape: one scan of the code table reading ONLY partition
     columns (cell, ingest_batch — satisfied from directory names +
     row-group counts, no column data), one |cells|-row rollup, a
