@@ -1663,6 +1663,44 @@ def test_probe_return_cols_payload_passthrough(spark, sf_dir, tmp_path):
         )
 
 
+def test_suggest_nprobe_rule():
+    """r9: the measured filtered-probe sizing rule as API. Pins the
+    arithmetic against the round-8 sweep scenarios and the exact-
+    fallback threshold."""
+    import pytest
+
+    from vector_io_spark.operators.similarity import suggest_nprobe
+
+    # unfiltered 40k-row corpus, 16 cells, k=10: one cell holds 2.5k
+    # rows >= 200 candidates -> nprobe=1 suffices
+    got = suggest_nprobe(40_000, 16, k=10)
+    assert got["nprobe"] == 1 and not got["use_exact_fallback"]
+
+    # the r8 cliff scenario: 1% selectivity, 40k rows, 16 cells ->
+    # 25 matching rows/cell; the 200-candidate floor needs nprobe=8
+    got = suggest_nprobe(40_000, 16, k=10, selectivity=0.01)
+    assert got["nprobe"] == 8
+    assert got["expected_matching_candidates"] == 200.0
+    assert not got["use_exact_fallback"]
+
+    # monotone: tighter selectivity never lowers nprobe
+    ns = [
+        suggest_nprobe(40_000, 16, k=10, selectivity=s)["nprobe"]
+        for s in (1.0, 0.5, 0.1, 0.05, 0.01, 0.005)
+    ]
+    assert ns == sorted(ns)
+
+    # so selective that even nprobe=nlist scans < 20k matching rows:
+    # recommend the exact filtered_topk fallback (nprobe clamps)
+    got = suggest_nprobe(40_000, 16, k=10, selectivity=0.001)
+    assert got["nprobe"] == 16 and got["use_exact_fallback"]
+
+    with pytest.raises(ValueError):
+        suggest_nprobe(0, 16)
+    with pytest.raises(ValueError):
+        suggest_nprobe(100, 16, selectivity=0.0)
+
+
 def test_index_delete_tombstones(spark, sf_dir, tmp_path):
     """r9: delete-by-id completes the persisted catalogs' CRUD surface.
     Tombstones suppress rows from every probe immediately; compaction

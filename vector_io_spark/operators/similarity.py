@@ -1874,7 +1874,8 @@ def ivfpq_index_probe_topk(
     and when the predicate is so selective that even ``nprobe=nlist``
     scans few matching rows, skip the index and use
     :func:`filtered_topk`: an exact pushed-down scan of a 1% slice is
-    both cheaper and recall-1.0."""
+    both cheaper and recall-1.0. :func:`suggest_nprobe` (r9) computes
+    this rule from (corpus_rows, nlist, k, selectivity)."""
     cents, cb = _load_ivfpq_artifacts(spark, path)
     probe_rows, luts = _ivfpq_query_probes(
         queries, cents, cb, nprobe, query_id, query_vec,
@@ -2200,6 +2201,49 @@ def rebuild_ivf_if_drifted(
         spark, path, nlist, imbalance_budget, _rebuild,
         "rebuild_ivf_if_drifted",
     )
+
+
+def suggest_nprobe(
+    corpus_rows: int,
+    nlist: int,
+    k: int = 10,
+    selectivity: float = 1.0,
+    candidate_floor_multiple: float = 20.0,
+) -> dict:
+    """The round-8 measured filtered-probe sizing rule as API, so
+    callers don't re-derive it from docstrings: matching candidates a
+    probe sees ≈ ``selectivity × corpus_rows × nprobe / nlist``, and
+    recall@k stays healthy while that is ≥ ``candidate_floor_multiple
+    × k`` (sf0.1 sweep, BASELINE.md round-8 filtered tables: below the
+    floor all queries went "short" and recall cratered SILENTLY to
+    0.35; raising nprobe recovers it monotonically — pinned by
+    ``test_filtered_probe_recall_floor``).
+
+    Returns ``{"nprobe", "expected_matching_candidates",
+    "use_exact_fallback"}``. ``use_exact_fallback=True`` means even
+    ``nprobe = nlist`` (exact-over-filter) scans too few matching rows
+    to be worth the index — run :func:`filtered_topk` on the
+    predicate's slice instead (an exact pushed-down scan of a sliver
+    is both cheaper and recall-1.0). Driver-side arithmetic only —
+    call it with ``ivfpq_index_stats``' totals when sizing a batch.
+    """
+    if corpus_rows <= 0 or nlist <= 0 or k <= 0:
+        raise ValueError("suggest_nprobe: corpus_rows/nlist/k must be > 0")
+    if not 0.0 < selectivity <= 1.0:
+        raise ValueError("suggest_nprobe: selectivity must be in (0, 1]")
+    import math
+
+    floor_rows = candidate_floor_multiple * k
+    per_cell = selectivity * corpus_rows / nlist
+    nprobe = min(nlist, max(1, math.ceil(floor_rows / per_cell)))
+    expected = per_cell * nprobe
+    return {
+        "nprobe": int(nprobe),
+        "expected_matching_candidates": round(expected, 1),
+        "use_exact_fallback": bool(
+            selectivity * corpus_rows < floor_rows
+        ),
+    }
 
 
 def _tombstone_frames(spark, index_root: str):
@@ -2540,6 +2584,23 @@ def compact_index_cells(
                 jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones/{name}"),
                 True,
             )
+        # hygiene: a delete_from_index that crashed between its staging
+        # write and its rename leaves a hidden .del-* dir; prune the
+        # stale ones (older than the maintenance timeout — a LIVE
+        # delete's staging is always younger, so its rename never
+        # loses its source; and if one somehow did, the rename returns
+        # False and that delete retries cleanly under its token)
+        tomb_root = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+        if fs.exists(tomb_root):
+            now_ms = _fs_now_ms(fs, jvm, f"{path}/tombstones")
+            for st in fs.listStatus(tomb_root):
+                name = st.getPath().getName()
+                if (
+                    name.startswith(".del-")
+                    and (now_ms - st.getModificationTime()) / 1000.0
+                    > maint_timeout_s
+                ):
+                    fs.delete(st.getPath(), True)
         return {
             "rows": n_rows,
             "files_before": files_before,
