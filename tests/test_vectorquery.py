@@ -1,0 +1,218 @@
+"""Vector query API completion (operators/vectorquery.py) — semantics
+SQL can't express: contract validation (bounds, example caps, missing
+ids/columns), the annulus form, limit-vs-no-limit output shapes, the
+group_size invariant, and self-pair handling. Values are oracle-gated
+(queries.py ann_range_search / ann_recommend_topk / ann_grouped_topk /
+ann_distance_matrix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.vectorquery import (
+    distance_matrix,
+    grouped_topk,
+    range_search,
+    recommend_topk,
+)
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def _queries(emb, n=4):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+# --------------------------------------------------------------- range
+
+
+def test_range_search_requires_a_bound(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="at least one"):
+        range_search(emb, _queries(emb))
+
+
+def test_range_search_annulus_and_limit_shapes(spark, sf_dir):
+    """Milvus annulus form: BOTH bounds constrain; with limit the frame
+    gains a rank column and per-query row caps, without it the frame is
+    rank-free (the no-shuffle contract is plan-tested below)."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    open_hits = range_search(
+        emb, q, metric="euclid", min_score=0.5, max_score=2.0
+    )
+    assert open_hits.columns == ["query_id", "vec_id", "score"]
+    rows = open_hits.collect()
+    assert rows, "annulus selected nothing — bounds too tight for testdata"
+    assert all(0.5 <= r["score"] <= 2.0 for r in rows)
+
+    capped = range_search(
+        emb, q, metric="euclid", min_score=0.5, max_score=2.0, limit=3
+    )
+    assert capped.columns == ["query_id", "vec_id", "score", "rank"]
+    per_q = (
+        capped.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_q <= 3
+    # capped results are exactly the best-3 of the open results
+    best = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["score"], r["vec_id"])):
+        best.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for r in capped.collect():
+        assert (r["vec_id"], r["score"]) in best[r["query_id"]][:3]
+
+
+def test_range_search_unlimited_plan_has_no_shuffle(spark, sf_dir):
+    """The no-limit form must be a pure filter above the corpus scan —
+    no Exchange anywhere (the open-ended 100 TB threshold-stream
+    contract from the docstring)."""
+    emb = _emb(spark, sf_dir)
+    plan = range_search(
+        emb, _queries(emb), min_score=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    # the bounded query side broadcasts (fine); what must NOT appear is
+    # any shuffle (hash/range/single-partition repartitioning)
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles == 0, plan
+
+
+def test_range_search_threshold_on_rounded_score(spark, sf_dir):
+    """Bounds compare on the rounded-6dp score: a row whose raw score
+    is epsilon under the bound but rounds onto it must be INCLUDED
+    (engine-agnostic boundary semantics)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99999999, 0.00014142])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    # cos(q, row2) ≈ 0.99999999 -> rounds to 1.0
+    hits = range_search(df, q, min_score=1.0).collect()
+    assert {r["vec_id"] for r in hits} == {1, 2}
+
+
+# ----------------------------------------------------------- recommend
+
+
+def test_recommend_requires_positives_and_bounds_examples(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="positive"):
+        recommend_topk(emb, positive_ids=[])
+    with pytest.raises(ValueError, match="10k"):
+        recommend_topk(emb, positive_ids=list(range(10_001)))
+
+
+def test_recommend_missing_example_id_raises(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="not in corpus"):
+        recommend_topk(emb, positive_ids=[0, 10**12], k=3)
+
+
+def test_recommend_excludes_examples_and_positive_only_is_centroid(
+    spark, sf_dir
+):
+    """Without negatives the query is the positive centroid; example
+    rows never appear in results; k rows come back ranked 1..k."""
+    emb = _emb(spark, sf_dir)
+    out = recommend_topk(emb, positive_ids=[0, 1], k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
+    assert all(r["vec_id"] not in (0, 1) for r in out)
+    assert all(r["query_id"] == "recommend" for r in out)
+
+
+def test_recommend_negatives_change_the_ranking(spark, sf_dir):
+    """Pushing away from a negative example must actually move the
+    result set (the average_vector formula is applied, not ignored)."""
+    emb = _emb(spark, sf_dir)
+    base = {
+        r["vec_id"]
+        for r in recommend_topk(emb, positive_ids=[0, 1], k=10).collect()
+    }
+    steered = {
+        r["vec_id"]
+        for r in recommend_topk(
+            emb, positive_ids=[0, 1], negative_ids=[2], k=10
+        ).collect()
+    }
+    assert base != steered
+
+
+# ------------------------------------------------------------- grouped
+
+
+def test_grouped_topk_missing_group_col_raises(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="group column"):
+        grouped_topk(emb, _queries(emb), group_col="nope")
+
+
+def test_grouped_topk_group_size_invariant(spark, sf_dir):
+    """No (query, group) pair may exceed group_size rows, ranks are
+    dense 1..n per query, and the result equals plain top-k when
+    group_size is unbounded."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb, n=3)
+    out = grouped_topk(emb, q, k=8, group_col="label", group_size=2)
+    worst = (
+        out.groupBy("query_id", "label")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert worst <= 2
+    for _, grp in __import__("itertools").groupby(
+        sorted(out.collect(), key=lambda r: (str(r["query_id"]), r["rank"])),
+        key=lambda r: r["query_id"],
+    ):
+        ranks = [r["rank"] for r in grp]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+    from vector_io_spark.operators.similarity import brute_force_topk
+
+    plain = brute_force_topk(emb, q, k=8)
+    loose = grouped_topk(
+        emb, q, k=8, group_col="label", group_size=10**9
+    ).select("query_id", "vec_id", "score", "rank")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, loose.collect())
+    )
+
+
+# ------------------------------------------------------------- matrix
+
+
+def test_distance_matrix_self_pairs_and_topm(spark, sf_dir):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 10)
+    full = distance_matrix(emb, metric="cosine", include_self=True)
+    no_self = distance_matrix(emb, metric="cosine")
+    assert full.count() == 100
+    assert no_self.count() == 90
+    assert no_self.where(F.col("id_a") == F.col("id_b")).count() == 0
+
+    top = distance_matrix(emb, metric="cosine", top_m=3)
+    assert top.columns == ["id_a", "id_b", "score", "rank"]
+    assert (
+        top.groupBy("id_a").count().agg(F.max("count")).collect()[0][0] <= 3
+    )
+    # self-pairs excluded, so a point's best neighbor is never itself
+    assert top.where(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_distance_matrix_is_symmetric_for_symmetric_metrics(spark, sf_dir):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 8)
+    rows = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in distance_matrix(emb, metric="euclid").collect()
+    }
+    for (a, b), s in rows.items():
+        assert rows[(b, a)] == pytest.approx(s, abs=1e-6)

@@ -32,6 +32,12 @@ from vector_io_spark.operators.similarity import (  # noqa: F401
     write_ivf_index,
     write_ivfpq_index,
 )
+from vector_io_spark.operators.vectorquery import (  # noqa: F401
+    distance_matrix,
+    grouped_topk,
+    range_search,
+    recommend_topk,
+)
 from vector_io_spark.operators.aggregates import (  # noqa: F401
     count_rows,
     distinct_id_count,

@@ -1,0 +1,370 @@
+"""Vector query API completion: range/threshold search, recommend
+(positive/negative examples), grouped top-k, and pairwise distance
+matrices.
+
+These are the remaining first-class query shapes of the vector stores
+the reference exports to / imports from — run natively by the engine
+instead of shipped to a service:
+
+- range / score-threshold search: Qdrant ``score_threshold``
+  (`qdrant_client.search`), Milvus range search (``radius`` +
+  ``range_filter`` — an annulus of acceptable distances).
+- recommend: Qdrant's recommend API (positive/negative example ids,
+  ``average_vector`` strategy).
+- grouped search: Milvus ``group_by_field`` / ``group_size`` — top-k
+  diversified so one dominant group (e.g. one document's chunks)
+  cannot fill the result list.
+- distance matrix: Qdrant's distance-matrix API (pairwise scores over
+  a bounded sample of points, for clustering / dedup exploration).
+
+Reference parity: the reference ships predicates and query vectors to
+these services (e.g. `pinecone_export.py:186-192` include_metadata
+queries, `qdrant_export.py:119-163` scroll/search shapes); here the
+same query semantics execute on the corpus parquet directly.
+
+Scale shape (shared): the corpus — the 100 TB side — is scanned once,
+in place, and never shuffled; the query side is bounded and broadcast.
+Only (query_id, corpus_id, score) tuples (plus requested payload
+columns) leave the scan. Per-query/per-group rankings are partitioned
+windows with a rank predicate directly above ``row_number`` so Spark's
+WindowGroupLimit rewrite applies map-side partial top-k before the
+shuffle. Threshold (range) results with no ``limit`` skip the window
+entirely — a pure filter above the scan, no shuffle at all.
+
+Engine-exact: identical subexpression order to
+:func:`~vector_io_spark.operators.similarity.brute_force_topk`'s HOF
+path — hoisted sequential-double norms for cosine, ``F.round(..., 6)``,
+NULLS-LAST ranking, ascending-id tie-breaks — so every op here is
+hash-verifiable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from vector_io_spark.functions.vectors import l2_norm
+from vector_io_spark.operators.similarity import (
+    _METRIC_FNS,
+    brute_force_topk,
+    dot_product,
+)
+
+_ASC_METRICS = ("euclid", "manhattan", "chebyshev")
+
+
+def _scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    keep_corpus_cols: tuple = (),
+) -> DataFrame:
+    """(query_id, <corpus_id>, [keep_corpus_cols...], score) for every
+    (corpus row × query row) pair — the shared scoring stage of the ops
+    in this module.
+
+    The query side broadcasts (BroadcastNestedLoopJoin — bounded by the
+    query-batch contract); the corpus is scanned once and never
+    shuffled. Cosine hoists the norms exactly like
+    ``brute_force_topk``'s HOF path (same subexpressions in the same
+    order: sqrt(dot(x,x)), then na*nb, then the divide) so scores are
+    bit-identical to the rest of the ANN family and to the DuckDB
+    oracle replica. Undefined scores (NULL vector, zero-norm cosine)
+    surface as NULL.
+    """
+    if metric not in _METRIC_FNS:
+        raise ValueError(f"unknown metric {metric!r}")
+    keep = [F.col(c) for c in keep_corpus_cols]
+    if metric == "cosine":
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            l2_norm(query_vec).alias("__qn"),
+        )
+        c = corpus.withColumn("__cn", l2_norm(corpus_vec))
+        den = F.col("__cn") * F.col("__qn")
+        score = F.when(
+            den != 0.0, dot_product(F.col(corpus_vec), F.col("__qv")) / den
+        )
+    else:
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+        )
+        c = corpus
+        score = _METRIC_FNS[metric](F.col(corpus_vec), F.col("__qv"))
+    return c.crossJoin(broadcast(q)).select(
+        "query_id",
+        F.col(corpus_id),
+        *keep,
+        F.round(score, 6).alias("score"),
+    )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str = "cosine",
+    min_score: float | None = None,
+    max_score: float | None = None,
+    limit: int | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Range / score-threshold search: every corpus row whose score
+    falls inside [min_score, max_score] for each query — Qdrant
+    ``score_threshold``, Milvus range search (``radius`` outer bound +
+    ``range_filter`` inner bound; pass both for the annulus form).
+
+    At least one bound is required. Bounds compare against the ROUNDED
+    (6 dp) score — the value the caller sees and the oracle hashes — so
+    boundary rows cannot flap between engines on the 7th decimal.
+    NULL scores (un-scoreable rows) never match any bound.
+
+    Returns (query_id, <corpus_id>, score) with NO ranking when
+    ``limit`` is None — a pure filter above the single corpus scan, no
+    shuffle anywhere, so an open-ended threshold over 100 TB streams
+    straight to the sink. With ``limit`` set, adds rank (best-first per
+    metric, ascending-id tie-break) and keeps the best ``limit`` rows
+    per query — a WindowGroupLimit-eligible partitioned window over
+    only the rows that already passed the threshold.
+    """
+    if min_score is None and max_score is None:
+        raise ValueError(
+            "range_search: at least one of min_score / max_score is required"
+        )
+    scored = _scored_pairs(
+        corpus, queries, metric, corpus_id, corpus_vec, query_id, query_vec
+    )
+    cond = F.lit(True)
+    if min_score is not None:
+        cond = cond & (F.col("score") >= float(min_score))
+    if max_score is not None:
+        cond = cond & (F.col("score") <= float(max_score))
+    hits = scored.where(cond)
+    if limit is None:
+        return hits.select("query_id", corpus_id, "score")
+    asc = metric in _ASC_METRICS
+    order = [
+        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col(corpus_id).asc(),
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= limit)
+        .select("query_id", corpus_id, "score", "rank")
+    )
+
+
+def recommend_topk(
+    corpus: DataFrame,
+    positive_ids: list,
+    negative_ids: list = (),
+    k: int = 10,
+    metric: str = "cosine",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_label: str = "recommend",
+) -> DataFrame:
+    """Recommend-by-examples: build one query vector from positive /
+    negative example points and return its exact top-k — Qdrant's
+    recommend API, ``average_vector`` strategy: ``q = avg(pos) +
+    (avg(pos) - avg(neg))`` (just ``avg(pos)`` when no negatives).
+    Example rows themselves are excluded from the results.
+
+    Engine-exact construction: example vectors are looked up in the
+    corpus (a pushed-down id IN (...) scan), collected (bounded by the
+    example-list contract — validated ≤ 10k ids), sorted by id, and
+    accumulated SEQUENTIALLY row-at-a-time in float64 — the exact
+    order DuckDB's ``list_sum(list(x ORDER BY id))`` uses — then
+    ``mean = acc / n`` and the average_vector formula applied with the
+    same op order both engines. The final scan + rank is
+    :func:`brute_force_topk` (hash-exact kernel), with the example ids
+    excluded by a pushed NOT IN predicate on the corpus scan.
+
+    Scale: example lookup reads only matching row groups (id
+    predicate); the single combined query broadcasts; the corpus scans
+    once, never shuffles. Driver state = |examples| vectors.
+    """
+    pos = [p for p in positive_ids]
+    neg = [n for n in negative_ids]
+    if not pos:
+        raise ValueError("recommend_topk: at least one positive id required")
+    if len(pos) + len(neg) > 10_000:
+        raise ValueError(
+            "recommend_topk: example list exceeds 10k ids — recommend "
+            "queries are bounded by contract (the combined vector is "
+            "driver-built); pre-aggregate larger cohorts upstream"
+        )
+    import numpy as np
+
+    def _mean(ids):
+        rows = (
+            corpus.where(F.col(corpus_id).isin(ids))
+            .select(corpus_id, corpus_vec)
+            .collect()
+        )
+        found = {r[0] for r in rows}
+        missing = [i for i in ids if i not in found]
+        if missing:
+            raise ValueError(
+                f"recommend_topk: example ids not in corpus: {missing[:5]}"
+            )
+        acc = None
+        for r in sorted(rows, key=lambda r: r[0]):
+            v = np.asarray(r[1], dtype=np.float64)
+            acc = v if acc is None else acc + v
+        return acc / float(len(rows))
+
+    qv = _mean(pos)
+    if neg:
+        qv = qv + (qv - _mean(neg))
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qdf = corpus.sparkSession.createDataFrame(
+        [(query_label, [float(x) for x in qv])],
+        StructType(
+            [
+                StructField("query_id", StringType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    exclude = pos + neg
+    corpus_f = corpus.where(~F.col(corpus_id).isin(exclude))
+    return brute_force_topk(
+        corpus_f,
+        qdf,
+        k=k,
+        metric=metric,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id="query_id",
+        query_vec="embedding",
+    )
+
+
+def grouped_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    group_col: str = "label",
+    group_size: int = 1,
+    metric: str = "cosine",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Grouped (diversified) top-k: per query, at most ``group_size``
+    results from any one ``group_col`` value, then the best ``k``
+    overall — Milvus ``group_by_field``/``group_size`` (the "don't let
+    one document's chunks fill the page" query).
+
+    Returns (query_id, <corpus_id>, <group_col>, score, rank), rank
+    1..k best-first, deterministic (score, id) tie-break; NULL scores
+    rank last. A NULL group value is its own group (SQL window
+    semantics — matches the oracle).
+
+    Scale: single corpus scan, broadcast queries. Two partitioned
+    windows, each with its rank predicate directly above
+    ``row_number`` so WindowGroupLimit bounds both shuffles: the first
+    shuffles at most the scored pairs but emits ≤ group_size rows per
+    (query, group) with map-side partial limiting; the second sees
+    only those survivors — ≤ |groups| × group_size rows per query.
+    """
+    if group_col not in corpus.columns:
+        raise ValueError(
+            f"grouped_topk: group column {group_col!r} missing from corpus"
+        )
+    scored = _scored_pairs(
+        corpus,
+        queries,
+        metric,
+        corpus_id,
+        corpus_vec,
+        query_id,
+        query_vec,
+        keep_corpus_cols=(group_col,),
+    )
+    asc = metric in _ASC_METRICS
+    order = [
+        F.col("score").asc_nulls_last()
+        if asc
+        else F.col("score").desc_nulls_last(),
+        F.col(corpus_id).asc(),
+    ]
+    w_group = Window.partitionBy("query_id", group_col).orderBy(*order)
+    w_query = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__gr", F.row_number().over(w_group))
+        .where(F.col("__gr") <= group_size)
+        .withColumn("rank", F.row_number().over(w_query).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, group_col, "score", "rank")
+    )
+
+
+def distance_matrix(
+    vectors: DataFrame,
+    metric: str = "cosine",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    top_m: int | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """Pairwise score matrix over a bounded point sample — Qdrant's
+    distance-matrix API (cluster exploration, offline dedup triage).
+    ``vectors`` is the SAMPLE (caller pre-filters/samples; both sides
+    of the product are this frame), not a 100 TB corpus: the output is
+    |sample|² pairs, so the caller's sample bound IS the scale
+    contract — enforced softly by the broadcast (a sample past the
+    broadcast threshold fails loudly rather than shuffling quadratic
+    pairs).
+
+    Returns (id_a, id_b, score) for all ordered pairs (self-pairs
+    excluded unless ``include_self``); with ``top_m``, ranks each row's
+    neighbors best-first (ascending-id tie-break) and keeps m —
+    returning (id_a, id_b, score, rank).
+    """
+    q = vectors.select(
+        F.col(vec_id).alias("query_id"), F.col(vec_col).alias("__v")
+    )
+    scored = _scored_pairs(
+        vectors, q, metric, vec_id, vec_col, "query_id", "__v"
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col(vec_id).alias("id_b"),
+        "score",
+    )
+    if not include_self:
+        scored = scored.where(F.col("id_a") != F.col("id_b"))
+    if top_m is None:
+        return scored
+    asc = metric in _ASC_METRICS
+    order = [
+        F.col("score").asc_nulls_last()
+        if asc
+        else F.col("score").desc_nulls_last(),
+        F.col("id_b").asc(),
+    ]
+    w = Window.partitionBy("id_a").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_m)
+        .select("id_a", "id_b", "score", "rank")
+    )

@@ -10557,6 +10557,170 @@ def ann_topk_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Vector query API completion (r9): range/threshold search, recommend,
+# grouped top-k, distance matrix — operators/vectorquery.py
+# ===========================================================================
+
+@_register(
+    "ann_range_search",
+    f"""
+    SELECT query_id, vec_id, score FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+    ) WHERE score >= 0.2
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range / score-threshold search (r9): all corpus rows with
+    cosine >= 0.2 per query — Qdrant ``score_threshold`` / Milvus range
+    search, run natively (operators/vectorquery.py::range_search).
+    Thresholds compare on the ROUNDED score so boundary rows cannot
+    flap between engines.
+
+    Scale shape: broadcast queries over one corpus scan; with no
+    ``limit`` there is NO window and NO shuffle — the threshold filter
+    sits directly above the scan and results stream to the sink, so
+    the plan is scan-bound at any corpus size."""
+    from vector_io_spark.operators.vectorquery import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return range_search(emb, queries, metric="cosine", min_score=0.2)
+
+
+@_register(
+    "ann_recommend_topk",
+    f"""
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    pos AS (
+        SELECT d.i AS i,
+               list_sum(list(CAST(e.embedding[d.i] AS DOUBLE)
+                             ORDER BY e.vec_id)) / 3.0 AS m
+        FROM embeddings e, dims d WHERE e.vec_id IN (0, 1, 2) GROUP BY d.i
+    ),
+    neg AS (
+        SELECT d.i AS i,
+               list_sum(list(CAST(e.embedding[d.i] AS DOUBLE)
+                             ORDER BY e.vec_id)) / 2.0 AS m
+        FROM embeddings e, dims d WHERE e.vec_id IN (3, 4) GROUP BY d.i
+    ),
+    qv AS (
+        SELECT list(p.m + (p.m - n.m) ORDER BY p.i) AS v
+        FROM pos p JOIN neg n ON p.i = n.i
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT 'recommend' AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.embedding', 'q.v')}, 6) AS score
+            FROM (SELECT * FROM embeddings
+                  WHERE vec_id NOT IN (0, 1, 2, 3, 4)) c, qv q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommend-by-examples (r9): Qdrant recommend API,
+    ``average_vector`` strategy — q = avg(pos) + (avg(pos) - avg(neg))
+    over example ids {0,1,2} / {3,4}, examples excluded from results
+    (operators/vectorquery.py::recommend_topk). Hash-exact because the
+    combined vector is built with SEQUENTIAL float64 accumulation over
+    id-sorted example rows — the exact order of the oracle's
+    ``list_sum(list(x ORDER BY vec_id))`` — and scored by the same
+    round(cos, 6) kernel as ann_topk_bruteforce.
+
+    Scale shape: example lookup is a pushed id-IN scan; one combined
+    query broadcasts; corpus scanned once, never shuffled; the example
+    exclusion is a pushed NOT-IN predicate, not a join."""
+    from vector_io_spark.operators.vectorquery import recommend_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return recommend_topk(
+        emb, positive_ids=[0, 1, 2], negative_ids=[3, 4], k=10
+    )
+
+
+@_register(
+    "ann_grouped_topk",
+    f"""
+    SELECT query_id, vec_id, label, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, vec_id, label, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT query_id, vec_id, label, score,
+                   row_number() OVER (PARTITION BY query_id, label
+                                      ORDER BY score DESC, vec_id ASC) AS gr
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       c.label AS label,
+                       round({_cos_sql('c.embedding', 'q.embedding')}, 6)
+                           AS score
+                FROM embeddings c,
+                     (SELECT * FROM embeddings WHERE vec_id < 6) q
+            )
+        ) WHERE gr <= 2
+    ) WHERE rank <= 6
+    """,
+)
+def ann_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped / diversified top-k (r9): at most 2 hits per label, best
+    6 overall per query — Milvus ``group_by_field``/``group_size``
+    (operators/vectorquery.py::grouped_topk), the "one document's
+    chunks must not fill the page" query.
+
+    Scale shape: one corpus scan, broadcast queries, two partitioned
+    windows each with its rank predicate directly above row_number so
+    WindowGroupLimit applies map-side partial top-k before both
+    shuffles (the second window only ever sees ≤ |groups| × group_size
+    rows per query)."""
+    from vector_io_spark.operators.vectorquery import grouped_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return grouped_topk(
+        emb, queries, k=6, group_col="label", group_size=2
+    )
+
+
+@_register(
+    "ann_distance_matrix",
+    f"""
+    SELECT id_a, id_b, score FROM (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round({_l2_sql('c.embedding', 'a.embedding')}, 6) AS score
+        FROM (SELECT * FROM embeddings WHERE vec_id < 12) c,
+             (SELECT * FROM embeddings WHERE vec_id < 12) a
+    ) WHERE id_a <> id_b
+    """,
+)
+def ann_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance matrix over a bounded 12-point sample (r9)
+    — Qdrant's distance-matrix API for cluster/dedup exploration
+    (operators/vectorquery.py::distance_matrix). 132 ordered pairs,
+    self-pairs excluded.
+
+    Scale shape: the SAMPLE is the contract — output is |sample|²
+    pairs; one side broadcasts, so a sample past the broadcast
+    threshold fails loudly instead of shuffling quadratic pairs. The
+    engine-side corpus is the sample itself (pushed id predicate),
+    scanned once."""
+    from vector_io_spark.operators.vectorquery import distance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") < 12)
+    return distance_matrix(sample, metric="euclid")
+
+
+# ===========================================================================
 # Registry ordering: the external driver's correctness gate samples the
 # FIRST 50 queries in registry order. Registration order is historical
 # (round 1 first), which left every round-2/3 family (distributed ranks,
@@ -10601,12 +10765,15 @@ _GATE_PILLARS = [
 # twins displaced from the r8 slice (ann_topk_ivf / ann_topk_pq —
 # VERDICT r8 Next #7) and the r9-new payload-probe query (gate new
 # surface immediately, hash-exact). Everything else is hash-gated.
-# The 6-name tail deferred to r10 (finishing the 100% cycle):
+# The tail deferred to r10 (finishing the 100% cycle):
 # profile_lineitem, charclass_profile, fanout_histogram,
 # dup_cluster_histogram, snapshot_diff, discount_elasticity — all
 # profile/histogram/elasticity shapes whose families already have
 # multiple driver rows (discount_elasticity displaced by the r9-new
-# delete query: gate new surface immediately).
+# delete query: gate new surface immediately) — plus the four r9-new
+# vector-query-API registrations (ann_range_search, ann_recommend_topk,
+# ann_grouped_topk, ann_distance_matrix), registered after the r9
+# slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
