@@ -208,6 +208,89 @@ def test_distance_matrix_self_pairs_and_topm(spark, sf_dir):
     assert top.where(F.col("id_a") == F.col("id_b")).count() == 0
 
 
+# ------------------------------------------------- catalog range probe
+
+
+def test_ivf_probe_range_semantics(spark, sf_dir, tmp_path):
+    """Range search against the persisted IVF catalog: exact at
+    nprobe == num_cells (matches the corpus-scan range_search), a
+    SUBSET of exact at nprobe < num_cells (pruning only ever misses,
+    never invents), composes with where / return_cols / tombstoned
+    deletes, and the no-limit form stays shuffle-free past the probe
+    join."""
+    from vector_io_spark.operators.similarity import (
+        delete_from_index,
+        ivf_index_probe_range,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    q = _queries(emb, n=6)
+    path = str(tmp_path / "ivf_range")
+    write_ivf_index(emb, path, num_cells=8, seed=7, metadata_cols=("label",))
+
+    with pytest.raises(ValueError, match="at least one"):
+        ivf_index_probe_range(spark, path, q)
+
+    exact_scan = {
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in range_search(emb, q, min_score=0.1).collect()
+    }
+    full_probe = ivf_index_probe_range(
+        spark, path, q, min_score=0.1, nprobe=8
+    )
+    assert {
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in full_probe.collect()
+    } == exact_scan
+    pruned = {
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in ivf_index_probe_range(
+            spark, path, q, min_score=0.1, nprobe=1
+        ).collect()
+    }
+    assert pruned <= exact_scan and pruned  # misses allowed, inventions not
+
+    # plan: partition-pruned scan, no shuffle without a limit
+    plan = (
+        ivf_index_probe_range(spark, path, q, min_score=0.1, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan, plan
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 0, plan
+
+    # where + payload passthrough compose
+    fil = ivf_index_probe_range(
+        spark, path, q, min_score=0.1, nprobe=8,
+        where="label = 3", return_cols=("label",),
+    ).collect()
+    assert fil and all(r["label"] == 3 for r in fil)
+
+    # limit form ranks best-first within the threshold hits
+    lim = ivf_index_probe_range(
+        spark, path, q, min_score=0.1, nprobe=8, limit=2
+    )
+    assert lim.columns == ["query_id", "vec_id", "score", "rank"]
+    assert (
+        lim.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+        <= 2
+    )
+
+    # tombstoned deletes suppress hits immediately
+    victim = sorted({v for (_, v, _) in exact_scan})[0]
+    delete_from_index(spark, path, [victim], delete_token="t-range")
+    after = {
+        v
+        for (_, v, _) in {
+            (r["query_id"], r["vec_id"], r["score"])
+            for r in ivf_index_probe_range(
+                spark, path, q, min_score=0.1, nprobe=8
+            ).collect()
+        }
+    }
+    assert victim not in after
+
+
 def test_distance_matrix_is_symmetric_for_symmetric_metrics(spark, sf_dir):
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < 8)
     rows = {

@@ -1406,12 +1406,44 @@ def ivf_index_probe_topk(
     cells tree to recover doc_id) should ask for the column here.
     Output schema: (query_id, corpus_id, score, rank, *return_cols).
     """
+    scored = _ivf_probe_scored(
+        spark, path, queries, nprobe, corpus_id, corpus_vec, query_id,
+        query_vec, where, return_cols, "ivf_index_probe_topk",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank", *return_cols)
+    )
+
+
+def _ivf_probe_scored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    where,
+    return_cols: tuple,
+    caller: str,
+) -> DataFrame:
+    """Shared probe stage of the raw-IVF catalog queries: plan each
+    query's ``nprobe`` cells on the driver (centroid table is
+    num_cells rows), read ONLY those cell directories (the isin becomes
+    a PartitionFilter — unprobed cells cost zero I/O), apply ``where``
+    + live tombstones, and emit the scored candidate frame
+    (query_id, corpus_id, score, *return_cols) — rounded cosine, ready
+    for the caller's ranking (topk) or thresholding (range)."""
     import numpy as np
 
     cent = _load_centroid_matrix(spark, path)
-    qrows = _collect_bounded_queries(
-        queries, query_id, query_vec, "ivf_index_probe_topk"
-    )
+    qrows = _collect_bounded_queries(queries, query_id, query_vec, caller)
     if qrows:
         qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
         d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -1435,8 +1467,7 @@ def ivf_index_probe_topk(
     cells = sorted({c for _, c in probe_pairs})
     scan = spark.read.parquet(f"{path}/cells")
     _check_return_cols(
-        scan, return_cols, corpus_id, corpus_vec, query_id,
-        "ivf_index_probe_topk",
+        scan, return_cols, corpus_id, corpus_vec, query_id, caller,
     )
     if where is not None:
         # filtered ANN against the catalog (r7): pre-filter semantics
@@ -1450,8 +1481,8 @@ def ivf_index_probe_topk(
     # deleted rows stop matching immediately (r9): broadcast anti-join
     # against the live tombstones, applied AFTER partition pruning so
     # it costs one hash probe per surviving row
-    scan = _apply_tombstones(spark, path, scan, "ivf_index_probe_topk")
-    scored = scan.join(broadcast(probe_df), "cell").select(
+    scan = _apply_tombstones(spark, path, scan, caller)
+    return scan.join(broadcast(probe_df), "cell").select(
         F.col(query_id).alias("query_id"),
         F.col(corpus_id),
         F.round(cosine_similarity(F.col(corpus_vec), F.col("__qv")), 6).alias(
@@ -1459,12 +1490,68 @@ def ivf_index_probe_topk(
         ),
         *[F.col(c) for c in return_cols],
     )
+
+
+def ivf_index_probe_range(
+    spark,
+    path: str,
+    queries: DataFrame,
+    min_score: float | None = None,
+    max_score: float | None = None,
+    limit: int | None = None,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    where=None,
+    return_cols: tuple = (),
+) -> DataFrame:
+    """Range / score-threshold search against the persisted IVF catalog
+    (r9): every indexed row in the probed cells whose rounded cosine
+    falls inside [min_score, max_score] — the catalog-path twin of
+    :func:`~vector_io_spark.operators.vectorquery.range_search`
+    (Qdrant ``score_threshold``, Milvus radius search, served from the
+    index instead of a corpus scan). Composes with ``where`` (filtered
+    range search), ``return_cols`` (payload with hits) and tombstoned
+    deletes, exactly like the top-k probe.
+
+    Approximation contract: only the ``nprobe`` nearest cells per query
+    are searched, so rows past the threshold that live in unprobed
+    cells are missed — same recall geometry as the top-k probe (the
+    nprobe sizing rule in :func:`suggest_nprobe` applies). At
+    ``nprobe == num_cells`` the result is EXACT (every cell scanned) —
+    the oracle-gatable twin (queries.py ann_range_search_indexed).
+
+    Scale shape: pruned cells scan → broadcast probe join → threshold
+    filter. With ``limit`` None there is NO window and NO shuffle past
+    the probe join — threshold hits stream straight off the pruned
+    scan; with ``limit`` the per-query window ranks only rows that
+    already passed the threshold (WindowGroupLimit-eligible).
+    """
+    if min_score is None and max_score is None:
+        raise ValueError(
+            "ivf_index_probe_range: at least one of min_score / max_score "
+            "is required"
+        )
+    scored = _ivf_probe_scored(
+        spark, path, queries, nprobe, corpus_id, corpus_vec, query_id,
+        query_vec, where, return_cols, "ivf_index_probe_range",
+    )
+    cond = F.lit(True)
+    if min_score is not None:
+        cond = cond & (F.col("score") >= float(min_score))
+    if max_score is not None:
+        cond = cond & (F.col("score") <= float(max_score))
+    hits = scored.where(cond)
+    if limit is None:
+        return hits.select("query_id", corpus_id, "score", *return_cols)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= limit)
         .select("query_id", corpus_id, "score", "rank", *return_cols)
     )
 

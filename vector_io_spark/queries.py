@@ -10592,6 +10592,50 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_range_search_indexed",
+    f"""
+    SELECT query_id, vec_id, score, label FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS label,
+               round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS score
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+    ) WHERE score >= 0.2
+    """,
+)
+def ann_range_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search served from the persisted IVF catalog (r9), with
+    payload passthrough: cosine >= 0.2 hits carrying the persisted
+    ``label`` column (operators/similarity.py::ivf_index_probe_range).
+    Probed at nprobe == num_cells, the probe is EXACT (every cell
+    scanned), so the result hash-matches the corpus-scan range-search
+    oracle with the label joined — the exactness twin that makes the
+    catalog range path oracle-gatable.
+
+    Scale shape: at production nprobe << nlist the same plan reads
+    only the probed cell dirs (PartitionFilters); with no ``limit``
+    there is no window and no shuffle past the broadcast probe join —
+    threshold hits stream off the pruned scan. Index build is
+    one-time, memoized per process (_scratch_dir)."""
+    from vector_io_spark.operators.similarity import (
+        ivf_index_probe_range,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_payload", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb, path, num_cells=8, seed=7, metadata_cols=("label",)
+        )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_probe_range(
+        spark, path, queries, min_score=0.2, nprobe=8,
+        return_cols=("label",),
+    )
+
+
+@_register(
     "ann_recommend_topk",
     f"""
     WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
@@ -10772,8 +10816,8 @@ _GATE_PILLARS = [
 # multiple driver rows (discount_elasticity displaced by the r9-new
 # delete query: gate new surface immediately) — plus the four r9-new
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
-# ann_grouped_topk, ann_distance_matrix), registered after the r9
-# slice was frozen.
+# ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed),
+# registered after the r9 slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
