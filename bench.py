@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     # round-9 additions (BENCH_r09+ only — totals not comparable back)
     "maxsim_pruned_probe",      # steady-state pruned maxsim (memoized index)
     "ann_probe_payload_exact",  # payload-carrying IVF catalog probe
+    "ann_range_search",         # threshold search, shuffle-free corpus scan
+    "ann_grouped_topk",         # diversified top-k, double WindowGroupLimit
 ]
 
 
