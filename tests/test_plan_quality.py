@@ -554,6 +554,10 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         "quota_constrained_topk",
         "sparse_keyword_retrieval",
         "hybrid_rrf_search",
+        # same three-global-window shape as hybrid_rrf_search: two
+        # top-100 shortlist legs + final top-20, every window behind a
+        # rank<=k literal — rescue asserted below
+        "hybrid_weighted_search",
         "cms_heavy_hitters",
         # global top-5 heavy keys over the per-key rollup; rank<=5
         # filter — WindowGroupLimit rescue asserted below

@@ -51,3 +51,44 @@ def test_bm25_sparse_vector_struct_invariants(spark):
     assert f == "struct<indices:array<int>,values:array<float>>"
     # repeated-term doc: one entry, tf folded in (weight reflects tf=30)
     assert len(got[2]["indices"]) == 1
+
+
+def test_weighted_score_fusion_semantics(spark):
+    """Convex fusion (r9): min-max per leg, missing doc = 0 for that
+    leg, constant-score leg normalizes to 1.0, and validation errors
+    are loud. Values are oracle-gated (hybrid_weighted_search)."""
+    import pytest
+
+    from vector_io_spark.operators.ranking import weighted_score_fusion
+
+    lex = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(2, 0.9), (3, 0.1), (9, 0.5)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in weighted_score_fusion([lex, dense], [0.5, 0.5]).collect()
+    }
+    # doc 1: lex-normalized 1.0, absent dense -> 0.5*1 + 0.5*0
+    assert got[1]["fused_score"] == 0.5 and got[1]["n_rankers"] == 1
+    # doc 2: lex (5-0)/(10-0)=0.5, dense (0.9-0.1)/(0.8)=1.0
+    assert got[2]["fused_score"] == 0.75 and got[2]["n_rankers"] == 2
+    # doc 9: dense (0.5-0.1)/0.8=0.5 -> 0.25
+    assert got[9]["fused_score"] == 0.25
+
+    # constant-score leg: everyone ties at 1.0
+    flat = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["fused_score"]
+        for r in weighted_score_fusion([flat], [1.0]).collect()
+    }
+    assert got == {1: 1.0, 2: 1.0}
+
+    with pytest.raises(ValueError, match="empty"):
+        weighted_score_fusion([], [])
+    with pytest.raises(ValueError, match="weights"):
+        weighted_score_fusion([lex], [0.5, 0.5])

@@ -185,6 +185,75 @@ def rrf_fuse(
     )
 
 
+def weighted_score_fusion(
+    rankings: list[DataFrame],
+    weights: list[float],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Convex-combination hybrid fusion — the Weaviate ``alpha`` /
+    relativeScoreFusion convention (and Pinecone's recommended
+    normalized weighted hybrid), complementing :func:`rrf_fuse`:
+    each ranking's shortlist scores are min-max normalized to [0, 1]
+    WITHIN that ranking, then combined as Σ wᵢ · normᵢ(d), a doc
+    missing from a ranking contributing 0 for that leg.
+
+    Determinism/exactness: callers pass shortlists whose scores are
+    already rounded (6 dp house rule); min/max are exact, and the
+    normalize → weight → sum chain is a fixed sequence of double ops
+    replicated verbatim by the SQL oracle (hybrid_weighted_search), so
+    fused scores are hash-exact. A ranking whose shortlist has a single
+    distinct score normalizes every doc to 1.0 (all tied at the top).
+
+    Returns (id_col, fused_score, n_rankers). Scale shape: inputs are
+    SHORTLISTS (top-N per leg, bounded); per-leg stats are one tiny agg
+    broadcast back over the shortlist; the fusion joins are
+    shortlist-sized — nothing corpus-scale moves here (the legs
+    themselves own the corpus scans).
+    """
+    if not rankings:
+        raise ValueError(
+            "weighted_score_fusion: rankings is empty — at least one "
+            "(id, score) shortlist is required"
+        )
+    if len(rankings) != len(weights):
+        raise ValueError(
+            f"weighted_score_fusion: {len(rankings)} rankings but "
+            f"{len(weights)} weights"
+        )
+    normed = []
+    for i, r in enumerate(rankings):
+        stats = r.agg(
+            F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+        )
+        normed.append(
+            r.crossJoin(F.broadcast(stats)).select(
+                F.col(id_col),
+                F.when(F.col("__mx") == F.col("__mn"), F.lit(1.0))
+                .otherwise(
+                    (F.col(score_col) - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn"))
+                )
+                .alias(f"__n{i}"),
+            )
+        )
+    fused = normed[0]
+    for n in normed[1:]:
+        fused = fused.join(n, id_col, "full_outer")
+    combined = None
+    present = None
+    for i, w in enumerate(weights):
+        term = F.lit(float(w)) * F.coalesce(F.col(f"__n{i}"), F.lit(0.0))
+        combined = term if combined is None else combined + term
+        flag = F.when(F.col(f"__n{i}").isNotNull(), 1).otherwise(0)
+        present = flag if present is None else present + flag
+    return fused.select(
+        F.col(id_col),
+        F.round(combined, 6).alias("fused_score"),
+        present.cast("long").alias("n_rankers"),
+    )
+
+
 def bm25_sparse_vectors(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4466,6 +4466,109 @@ ORACLE["hybrid_rrf_search"] = ORACLE["hybrid_rrf_search"].replace(
 
 
 @_register(
+    "hybrid_weighted_search",
+    """
+    WITH lex AS (
+        SELECT doc_id, bm25 AS score,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        FROM ({BM25}) QUALIFY rank <= 100
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (
+            SELECT vec_id AS doc_id, round({COS}, 6) AS score
+            FROM embeddings, qv
+        ) QUALIFY rank <= 100
+    ),
+    ls AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+    ds AS (SELECT min(score) AS mn, max(score) AS mx FROM dense),
+    ln AS (SELECT doc_id,
+                  CASE WHEN s.mx = s.mn THEN 1.0
+                       ELSE (score - s.mn) / (s.mx - s.mn) END AS n
+           FROM lex, ls s),
+    dn AS (SELECT doc_id,
+                  CASE WHEN s.mx = s.mn THEN 1.0
+                       ELSE (score - s.mn) / (s.mx - s.mn) END AS n
+           FROM dense, ds s),
+    fused AS (
+        SELECT coalesce(ln.doc_id, dn.doc_id) AS doc_id,
+               round(0.3 * coalesce(ln.n, 0.0)
+                     + 0.7 * coalesce(dn.n, 0.0), 6) AS fused_score,
+               CAST((CASE WHEN ln.n IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN dn.n IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rankers
+        FROM ln FULL OUTER JOIN dn ON ln.doc_id = dn.doc_id
+    )
+    SELECT doc_id, fused_score, n_rankers FROM (
+        SELECT *, row_number() OVER (ORDER BY fused_score DESC,
+                                     doc_id ASC) AS rk
+        FROM fused
+    ) WHERE rk <= 20
+    """,
+)
+def hybrid_weighted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (convex-combination) hybrid search (r9): BM25 and dense
+    shortlists min-max normalized per leg, fused as 0.3·lex + 0.7·dense
+    — the Weaviate ``alpha`` / relativeScoreFusion convention, the
+    score-aware complement to hybrid_rrf_search's rank-only RRF
+    (operators/ranking.py::weighted_score_fusion). Hash-exact: both
+    legs' scores are rounded before fusion (bm25 4 dp, cosine 6 dp) and
+    the normalize → weight → sum chain is the same fixed double-op
+    sequence in both engines.
+
+    Scale shape: each leg owns its (single) corpus scan and emits a
+    top-100 shortlist (global rank<=k rewrites to
+    TakeOrderedAndProject); fusion is two tiny stat aggs broadcast back
+    over shortlist-sized frames — nothing corpus-scale moves past the
+    legs."""
+    from vector_io_spark.functions.vectors import cosine_similarity
+    from vector_io_spark.operators.ranking import (
+        bm25_scores,
+        weighted_score_fusion,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_scores(d, ["hash", "join", "filter"])
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        bm.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 100)
+        .select("doc_id", F.col("bm25").alias("score"))
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    wd = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__q")), 6
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 100)
+        .select(F.col("vec_id").alias("doc_id"), "score")
+    )
+    fused = weighted_score_fusion([lex, dense], [0.3, 0.7])
+    wf = Window.orderBy(F.col("fused_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "fused_score", "n_rankers")
+    )
+
+
+ORACLE["hybrid_weighted_search"] = ORACLE["hybrid_weighted_search"].replace(
+    "{BM25}", _bm25_oracle()
+).replace("{COS}", _cos_sql("embedding", "q"))
+
+
+@_register(
     "matryoshka_truncate",
     f"""
     SELECT vec_id, CAST(d AS BIGINT) AS dim,
@@ -10816,8 +10919,8 @@ _GATE_PILLARS = [
 # multiple driver rows (discount_elasticity displaced by the r9-new
 # delete query: gate new surface immediately) — plus the four r9-new
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
-# ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed),
-# registered after the r9 slice was frozen.
+# ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
+# hybrid_weighted_search), registered after the r9 slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
