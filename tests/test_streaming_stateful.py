@@ -1610,3 +1610,83 @@ def test_reseed_recheck_aborts_on_lease_taken_during_stats(
     assert got2["imbalance_before"] is None
     assert not os.path.exists(pending)
     assert spark.read.parquet(f"{root}/cells").count() == corpus.count()
+
+
+def test_streaming_semantic_match_exactly_once_and_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """Continuous threshold matching (r9): stream results must equal
+    the batch range_search over the same rows (same deterministic
+    kernel), replaying the checkpoint with no new input appends
+    nothing (exactly-once per file), and newly landed files emit only
+    their own matches. keep_cols payload rides the alert rows."""
+    from vector_io_spark.operators.vectorquery import range_search
+    from vector_io_spark.streaming.incremental import (
+        streaming_semantic_match,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+
+    first = emb.where(F.col("vec_id") < 300)
+    first.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        matched = streaming_semantic_match(
+            stream, q, min_score=0.1, keep_cols=("label",)
+        )
+        sq = (
+            matched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(180)
+
+    def rows():
+        return {
+            (r["query_id"], r["vec_id"], r["score"], r["label"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    with pytest.raises(ValueError, match="at least one"):
+        streaming_semantic_match(
+            spark.readStream.schema(schema).parquet(landing), q
+        )
+
+    run()
+    got1 = rows()
+    want1 = {
+        (r["query_id"], r["vec_id"], r["score"], r["label"])
+        for r in range_search(first, q, min_score=0.1)
+        .join(first.select("vec_id", "label"), "vec_id")
+        .collect()
+    }
+    assert got1 == want1 and got1
+
+    # replay with no new files: nothing new lands
+    run()
+    assert rows() == got1
+
+    # a second landed file emits exactly its own matches
+    second = emb.where(F.col("vec_id") >= 300)
+    second.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    want2 = want1 | {
+        (r["query_id"], r["vec_id"], r["score"], r["label"])
+        for r in range_search(second, q, min_score=0.1)
+        .join(second.select("vec_id", "label"), "vec_id")
+        .collect()
+    }
+    assert rows() == want2 and len(want2) > len(want1)

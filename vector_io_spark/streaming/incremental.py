@@ -110,6 +110,68 @@ def _refresh_meta(
     write_meta(dataset_dir, meta)
 
 
+def streaming_semantic_match(
+    stream: DataFrame,
+    queries: DataFrame,
+    min_score: float | None = None,
+    max_score: float | None = None,
+    metric: str = "cosine",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Continuous semantic matching/alerting: score every ARRIVING
+    embedding row against a static bounded query set and emit the rows
+    whose rounded score falls inside [min_score, max_score] — the
+    streaming twin of
+    :func:`~vector_io_spark.operators.vectorquery.range_search` (the
+    "alert me whenever a new document matches any of my saved queries"
+    shape: dedup triage on ingest, semantic routing, eval-set
+    contamination alarms at ingest time rather than after).
+
+    Stateless by construction — no watermark, no state store: the
+    static query side broadcasts into every micro-batch (stream-static
+    broadcast cross join), the threshold filters map-side, and the
+    matched (query_id, corpus_id, score, *keep_cols) rows append to the
+    caller's sink. With a file sink + checkpoint this is exactly-once
+    per input file (Spark's file-sink commit protocol); replaying a
+    micro-batch reproduces identical rows because the scoring chain is
+    the engine's deterministic rounded kernel. Works identically on a
+    BATCH frame (``stream.isStreaming == False``) — the same code path
+    serves backfill over history and live ingest, and the batch twin is
+    what the equality pytest pins against ``range_search``.
+
+    Scale shape: per micro-batch the arriving rows are the "corpus" —
+    scanned once, never shuffled; scoring cost is |batch| × |queries|
+    map-side multiply-adds; output is threshold-filtered before
+    anything leaves the stage. ``keep_cols`` ride the batch rows
+    through (payload alerting without a join-back).
+    """
+    from vector_io_spark.operators.vectorquery import _scored_pairs
+
+    if min_score is None and max_score is None:
+        raise ValueError(
+            "streaming_semantic_match: at least one of min_score / "
+            "max_score is required"
+        )
+    from pyspark.sql import functions as F
+
+    scored = _scored_pairs(
+        stream, queries, metric, corpus_id, corpus_vec, query_id,
+        query_vec, keep_corpus_cols=keep_cols,
+    )
+    cond = F.lit(True)
+    if min_score is not None:
+        cond = cond & (F.col("score") >= float(min_score))
+    if max_score is not None:
+        cond = cond & (F.col("score") <= float(max_score))
+    return scored.where(cond).select(
+        "query_id", corpus_id, "score", *keep_cols
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",
