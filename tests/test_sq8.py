@@ -1,0 +1,112 @@
+"""IVF-SQ8 catalog (operators/sq8.py) — semantics SQL can't express:
+recall floors of the quantized+pruned probe vs exact brute force,
+composition with where / return_cols / tombstoned deletes, and the
+empty-query typed result. Exact values are oracle-gated
+(queries.py ann_topk_sq8_exact)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.similarity import (
+    brute_force_topk,
+    delete_from_index,
+)
+from vector_io_spark.operators.sq8 import (
+    sq8_index_probe_topk,
+    write_sq8_index,
+)
+
+
+@pytest.fixture(scope="module")
+def sq8_store(spark, sf_dir, tmp_path_factory):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    path = str(tmp_path_factory.mktemp("sq8") / "idx")
+    write_sq8_index(
+        emb, path, num_cells=8, seed=7, metadata_cols=("label",)
+    )
+    return emb, path
+
+
+def _queries(emb, n=8):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_sq8_recall_floor_vs_exact(spark, sf_dir, sq8_store):
+    """Quantization (full scan, nprobe = num_cells) must keep recall@10
+    near-perfect on this data — 8-bit per-dim error is far below the
+    inter-neighbor score gaps; add cell pruning (nprobe=2/8) and recall
+    stays above the same floor the other catalogs pin at this SF."""
+    emb, path = sq8_store
+    q = _queries(emb)
+    exact = _sets(brute_force_topk(emb, q, k=10))
+    quant = _sets(sq8_index_probe_topk(spark, path, q, k=10, nprobe=8))
+    full_scan_recall = sum(
+        len(exact[i] & quant[i]) / 10 for i in exact
+    ) / len(exact)
+    assert full_scan_recall >= 0.9, full_scan_recall
+
+    pruned = _sets(sq8_index_probe_topk(spark, path, q, k=10, nprobe=2))
+    pruned_recall = sum(
+        len(exact[i] & pruned[i]) / 10 for i in exact
+    ) / len(exact)
+    assert pruned_recall >= 0.4, pruned_recall
+    # pruning can only lose candidates relative to its own full scan
+    assert all(pruned[i] <= quant[i] or len(pruned[i]) == 10 for i in pruned)
+
+
+def test_sq8_partition_pruning_and_payload(spark, sf_dir, sq8_store):
+    emb, path = sq8_store
+    q = _queries(emb, n=4)
+    got = sq8_index_probe_topk(
+        spark, path, q, k=5, nprobe=2, return_cols=("label",)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    truth = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = got.collect()
+    assert rows
+    assert got.columns == ["query_id", "vec_id", "score", "rank", "label"]
+    for r in rows:
+        assert r["label"] == truth[r["vec_id"]]
+
+    # filtered probe: pre-filter semantics on persisted metadata
+    fil = sq8_index_probe_topk(
+        spark, path, q, k=5, nprobe=8, where="label = 3",
+        return_cols=("label",),
+    ).collect()
+    assert fil and all(r["label"] == 3 for r in fil)
+
+    with pytest.raises(ValueError, match="not persisted"):
+        sq8_index_probe_topk(spark, path, q, k=5, return_cols=("nope",))
+
+
+def test_sq8_tombstone_deletes_apply(spark, sf_dir, sq8_store, tmp_path):
+    emb, path = sq8_store
+    q = _queries(emb, n=4)
+    before = _sets(sq8_index_probe_topk(spark, path, q, k=10, nprobe=8))
+    victim = sorted(set().union(*before.values()))[0]
+    delete_from_index(spark, path, [victim], delete_token="t-sq8")
+    after = _sets(sq8_index_probe_topk(spark, path, q, k=10, nprobe=8))
+    assert victim not in set().union(*after.values())
+
+
+def test_sq8_empty_query_side_returns_typed_empty(spark, sf_dir, sq8_store):
+    emb, path = sq8_store
+    q = _queries(emb).where(F.lit(False))
+    out = sq8_index_probe_topk(spark, path, q, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]

@@ -32,6 +32,10 @@ from vector_io_spark.operators.similarity import (  # noqa: F401
     write_ivf_index,
     write_ivfpq_index,
 )
+from vector_io_spark.operators.sq8 import (  # noqa: F401
+    sq8_index_probe_topk,
+    write_sq8_index,
+)
 from vector_io_spark.operators.vectorquery import (  # noqa: F401
     distance_matrix,
     grouped_topk,

@@ -1,0 +1,219 @@
+"""IVF-SQ8 persisted catalog: per-dimension scalar (uint8) quantization
+over the cell-partitioned IVF layout — the Faiss/Milvus ``IVF_SQ8``
+index type, completing the engine's codec spectrum (raw IVF = full
+floats, PQ/IVFPQ = subspace codebooks, SQ8 = 4× compression with
+near-raw recall).
+
+Reference parity scope: the reference ships vectors to services whose
+index DDL it writes (e.g. Milvus AUTOINDEX in `milvus_export.py`;
+Vertex TreeAH DDL) — SQ8 is one of those services' standard index
+types, here executed by the engine itself.
+
+Layout (``write_sq8_index``):
+    <path>/centroids   num_cells × dim coarse quantizer (driver k-means)
+    <path>/bounds      ONE row: (los array<double>, his array<double>) —
+                       exact per-dimension global min/max
+    <path>/cells/cell=<i>/  (corpus_id, code array<smallint>, *metadata)
+
+Quantization is DETERMINISTIC and exactly replicable in SQL:
+``code[i] = round(((v[i] - lo[i]) * 255.0) / span[i])`` (span 0 → code
+0), reconstruction ``lo[i] + (code[i] * span[i]) / 255.0`` — both
+HALF-UP-away-from-zero rounds on non-negative doubles, identical in
+Spark and DuckDB, so the nprobe == num_cells probe is hash-exact
+against a pure-SQL oracle (queries.py ann_topk_sq8_exact).
+
+Scale shape: bounds are ONE distributed posexplode→groupBy(dim) pass
+(shuffle carries dims × partitions partials, corpus-size independent);
+encode is a shuffle-free zip_with over the scan; the write's
+partitionBy is the index-build job. Probes read only the probed cell
+dirs (partition pruning) and reconstruct inline in codegen — no
+Python, no second read. Bounds are train-time artifacts: there is
+deliberately NO append path (new data outside the trained range would
+clamp silently) — extend by rebuild, same policy as a Faiss SQ8 train.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from vector_io_spark.functions.vectors import cosine_similarity
+from vector_io_spark.operators.similarity import (
+    _apply_tombstones,
+    _check_return_cols,
+    _clear_tombstones,
+    _collect_bounded_queries,
+    _cell_assign_udf,
+    _lloyd,
+    _load_centroid_matrix,
+)
+
+
+def write_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    num_cells: int = 16,
+    max_train_rows: int = 100_000,
+    seed: int = 42,
+    metadata_cols: tuple = (),
+) -> None:
+    """Build the IVF-SQ8 layout (see module docstring). Centroid
+    training is the bounded-sample driver k-means shared with the other
+    catalogs; bounds are exact global per-dim min/max; codes are a
+    shuffle-free zip_with over one corpus scan."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    sample = corpus.select(corpus_vec).where(F.col(corpus_vec).isNotNull())
+    train = np.vstack(
+        [r[0] for r in sample.limit(max_train_rows).collect()]
+    ).astype(np.float64)
+    cent = _lloyd(train, num_cells, seed)
+
+    stats = (
+        corpus.select(F.posexplode(F.col(corpus_vec)).alias("__p", "__v"))
+        .groupBy("__p")
+        .agg(
+            F.min("__v").cast("double").alias("__lo"),
+            F.max("__v").cast("double").alias("__hi"),
+        )
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("__p", "__lo", "__hi"))).alias(
+            "__s"
+        )
+    ).select(
+        F.transform("__s", lambda s: s["__lo"]).alias("los"),
+        F.transform("__s", lambda s: s["__hi"]).alias("his"),
+    )
+    packed.coalesce(1).write.mode("overwrite").parquet(f"{path}/bounds")
+
+    b = spark.read.parquet(f"{path}/bounds")
+    nums = F.zip_with(
+        F.col(corpus_vec), F.col("los"), lambda v, lo: v.cast("double") - lo
+    )
+    spans = F.zip_with(F.col("his"), F.col("los"), lambda h, lo: h - lo)
+    codes = F.zip_with(
+        nums,
+        spans,
+        lambda n, s: F.when(s > 0, F.round((n * 255.0) / s).cast("smallint"))
+        .otherwise(F.lit(0).cast("smallint")),
+    )
+    _clear_tombstones(spark, path)
+    (
+        corpus.select(corpus_id, *metadata_cols, corpus_vec)
+        .crossJoin(broadcast(b))
+        .withColumn("cell", _cell_assign_udf(cent)(F.col(corpus_vec)))
+        .select(corpus_id, *metadata_cols, codes.alias("code"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in cent[i]]) for i in range(len(cent))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def sq8_index_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    where=None,
+    return_cols: tuple = (),
+) -> DataFrame:
+    """Top-k cosine probe against a :func:`write_sq8_index` layout:
+    plan ``nprobe`` cells per query on the driver, read ONLY those cell
+    dirs (partition pruning), reconstruct each code inline
+    (``lo + (code · span) / 255.0`` — a codegen'd zip_with, no Python)
+    and rank the rounded cosine of the reconstruction. Composes with
+    ``where`` (filtered probe over persisted metadata), ``return_cols``
+    (payload passthrough) and tombstoned deletes — the same contract as
+    the raw-IVF/IVFPQ probes.
+
+    Approximation: quantization error only (recall vs exact is pinned
+    by test_sq8_recall_floor); at ``nprobe == num_cells`` every cell is
+    scanned and the result is the deterministic quantized ranking —
+    the hash-exact oracle twin (ann_topk_sq8_exact).
+
+    Scale shape: bounds (one d-array row) and centroids (num_cells
+    rows) collect to the driver; the cells scan is partition-pruned;
+    reconstruction+scoring stay in whole-stage codegen; only candidate
+    (query, id, score) rows reach the top-k window.
+    """
+    import numpy as np
+
+    cent = _load_centroid_matrix(spark, path)
+    brow = spark.read.parquet(f"{path}/bounds").collect()[0]
+    los, his = list(brow["los"]), list(brow["his"])
+    qrows = _collect_bounded_queries(
+        queries, query_id, query_vec, "sq8_index_probe_topk"
+    )
+    if qrows:
+        qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        d2 = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        probes = np.argsort(d2, axis=1)[:, :nprobe]
+        probe_pairs = [
+            (qrows[qi][0], int(c))
+            for qi in range(len(qrows))
+            for c in probes[qi]
+        ]
+    else:
+        probe_pairs = []
+    qvec_map = {r[0]: r[1] for r in qrows}
+    qid_dt = queries.schema[query_id].dataType.simpleString()
+    probe_df = spark.createDataFrame(
+        [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
+        f"{query_id} {qid_dt}, cell int, __qv array<float>",
+    )
+    cells = sorted({c for _, c in probe_pairs})
+    scan = spark.read.parquet(f"{path}/cells")
+    _check_return_cols(
+        scan, return_cols, corpus_id, "code", query_id,
+        "sq8_index_probe_topk",
+    )
+    if where is not None:
+        scan = scan.where(where)
+    scan = scan.where(F.col("cell").isin(cells))
+    scan = _apply_tombstones(spark, path, scan, "sq8_index_probe_topk")
+
+    los_lit = F.array(*[F.lit(float(x)) for x in los])
+    spans_lit = F.array(*[F.lit(float(h) - float(lo)) for h, lo in zip(his, los)])
+    recon = F.zip_with(
+        F.zip_with(
+            F.col("code"), spans_lit, lambda c, s: (c.cast("double") * s) / 255.0
+        ),
+        los_lit,
+        lambda t, lo: lo + t,
+    )
+    scored = (
+        scan.withColumn("__recon", recon)
+        .join(broadcast(probe_df), "cell")
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col(corpus_id),
+            F.round(
+                cosine_similarity(F.col("__recon"), F.col("__qv")), 6
+            ).alias("score"),
+            *[F.col(c) for c in return_cols],
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank", *return_cols)
+    )

@@ -10739,6 +10739,69 @@ def ann_range_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_topk_sq8_exact",
+    f"""
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    st AS (SELECT d.i AS i,
+                  min(CAST(e.embedding[d.i] AS DOUBLE)) AS lo,
+                  max(CAST(e.embedding[d.i] AS DOUBLE)) AS hi
+           FROM embeddings e, dims d GROUP BY d.i),
+    bl AS (SELECT list(lo ORDER BY i) AS los,
+                  list(hi ORDER BY i) AS his FROM st),
+    enc AS (SELECT e.vec_id AS vec_id,
+                   list_transform(range(1, 65), i ->
+                     CASE WHEN (b.his[i] - b.los[i]) > 0
+                          THEN b.los[i]
+                               + (round(((CAST(e.embedding[i] AS DOUBLE)
+                                          - b.los[i]) * 255.0)
+                                        / (b.his[i] - b.los[i]))
+                                  * (b.his[i] - b.los[i])) / 255.0
+                          ELSE b.los[i] END) AS recon
+            FROM embeddings e, bl b)
+    SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round({_cos_sql('c.recon', 'q.embedding')}, 6) AS score
+            FROM enc c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        )
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_sq8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 catalog probe, exactness twin (r9): per-dimension uint8
+    scalar quantization (Faiss/Milvus IVF_SQ8) served from the
+    persisted catalog (operators/sq8.py). Probed at nprobe ==
+    num_cells, the result is the DETERMINISTIC quantized ranking —
+    code = round((v-lo)·255/span), recon = lo + code·span/255, both
+    HALF-UP rounds on non-negative doubles identical in Spark and
+    DuckDB — so it hash-matches a pure-SQL oracle that re-derives
+    bounds, codes and reconstructions from the raw parquet.
+
+    Scale shape: bounds are one posexplode→groupBy(dim) pass
+    (corpus-size-independent shuffle); encode is a shuffle-free
+    zip_with; probes partition-prune to nprobe cells and reconstruct
+    inline in codegen. Build is one-time, memoized per process."""
+    from vector_io_spark.operators.sq8 import (
+        sq8_index_probe_topk,
+        write_sq8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_sq8", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_sq8_index(
+            emb.select("vec_id", "embedding"), path, num_cells=8, seed=7
+        )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_index_probe_topk(spark, path, queries, k=10, nprobe=8)
+
+
+@_register(
     "ann_recommend_topk",
     f"""
     WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
@@ -10920,7 +10983,8 @@ _GATE_PILLARS = [
 # delete query: gate new surface immediately) — plus the four r9-new
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
 # ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
-# hybrid_weighted_search), registered after the r9 slice was frozen.
+# hybrid_weighted_search, ann_topk_sq8_exact), registered after the r9
+# slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
