@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "ann_probe_payload_exact",  # payload-carrying IVF catalog probe
     "ann_range_search",         # threshold search, shuffle-free corpus scan
     "ann_grouped_topk",         # diversified top-k, double WindowGroupLimit
+    "ann_topk_sq8_exact",       # IVF-SQ8 catalog probe (build memoized rep 1)
+    "hybrid_weighted_search",   # convex-combination hybrid fusion
 ]
 
 
