@@ -1,0 +1,161 @@
+"""Catalog snapshot / restore (operators/snapshot.py): consistency
+under the maintenance mutex, ledger+tombstone preservation (restored
+stores resume exactly-once appends and delete visibility), manifest
+integrity detection, and refusal semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.similarity import (
+    append_to_ivf_index,
+    delete_from_index,
+    ivf_index_probe_topk,
+    write_ivf_index,
+)
+from vector_io_spark.operators.snapshot import (
+    MANIFEST_NAME,
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
+
+
+def _probe_rows(spark, path, q):
+    return sorted(
+        map(tuple, ivf_index_probe_topk(spark, path, q, k=10, nprobe=8).collect())
+    )
+
+
+@pytest.fixture()
+def store(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, num_cells=8, seed=7, metadata_cols=("label",))
+    # maintenance state a snapshot must carry: a committed tokened
+    # append (ledger) and a live tombstone
+    newbie = emb.limit(20).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    append_to_ivf_index(newbie, path, delta_token="snap-t1")
+    delete_from_index(spark, path, [0, 1], delete_token="snap-d1")
+    q = emb.where(F.col("vec_id").between(5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, path, q
+
+
+def test_snapshot_restore_roundtrip_preserves_state(
+    spark, sf_dir, store, tmp_path
+):
+    emb, path, q = store
+    at_cut = _probe_rows(spark, path, q)
+    snap = str(tmp_path / "snap1")
+    manifest = snapshot_index(spark, path, snap)
+    assert manifest["n_files"] == len(manifest["files"]) > 0
+    # transient / lock entries never enter the manifest
+    assert not any(
+        part.startswith((".", "_MAINT-"))
+        for rel in manifest["files"]
+        for part in rel.split("/")
+    )
+    # the ledger and tombstones DO travel
+    assert any("_DELTA-" in rel for rel in manifest["files"])
+    assert any("tombstones" in rel for rel in manifest["files"])
+
+    # mutate the original AFTER the cut
+    delete_from_index(spark, path, [5, 6, 7], delete_token="snap-d2")
+    assert _probe_rows(spark, path, q) != at_cut
+
+    dest = str(tmp_path / "restored")
+    restore_index(spark, snap, dest)
+    assert _probe_rows(spark, dest, q) == at_cut
+
+    # restored ledger: replaying the committed append token is a no-op
+    before = _probe_rows(spark, dest, q)
+    newbie = emb.limit(20).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    append_to_ivf_index(newbie, dest, delta_token="snap-t1")
+    assert _probe_rows(spark, dest, q) == before
+
+    # restore refuses an existing destination without overwrite...
+    with pytest.raises(ValueError, match="overwrite"):
+        restore_index(spark, snap, dest)
+    # ...and replaces it wholesale with it
+    delete_from_index(spark, dest, [8], delete_token="snap-d3")
+    restore_index(spark, snap, dest, overwrite=True)
+    assert _probe_rows(spark, dest, q) == at_cut
+
+
+def test_snapshot_refuses_overwrite_and_live_maintenance(
+    spark, sf_dir, store, tmp_path
+):
+    _, path, _ = store
+    snap = str(tmp_path / "snap2")
+    snapshot_index(spark, path, snap)
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_index(spark, path, snap)
+
+    # a fresh maintenance lock blocks the cut (consistency contract)
+    lock = os.path.join(path, "_MAINT-LOCK")
+    open(lock, "w").close()
+    try:
+        with pytest.raises(RuntimeError, match="maintenance in flight"):
+            snapshot_index(spark, path, str(tmp_path / "snap3"))
+    finally:
+        os.remove(lock)
+    # ...and the failed attempt must not have left its own lock behind
+    assert not os.path.exists(lock)
+
+
+def test_verify_snapshot_detects_drift(spark, sf_dir, store, tmp_path):
+    _, path, _ = store
+    snap = str(tmp_path / "snap4")
+    manifest = snapshot_index(spark, path, snap)
+    verify_snapshot(spark, snap)
+
+    victim = os.path.join(
+        snap, sorted(r for r in manifest["files"] if "cells" in r)[0]
+    )
+    os.truncate(victim, 1)
+    with pytest.raises(ValueError, match="size-mismatch"):
+        verify_snapshot(spark, snap)
+    os.remove(victim)
+    with pytest.raises(ValueError, match="missing"):
+        verify_snapshot(spark, snap)
+    # restore runs verification first — a corrupt snapshot never lands
+    with pytest.raises(ValueError):
+        restore_index(spark, snap, str(tmp_path / "never"))
+    assert not os.path.exists(str(tmp_path / "never"))
+
+
+def test_snapshot_works_on_sq8_catalog(spark, sf_dir, tmp_path):
+    from vector_io_spark.operators.sq8 import (
+        sq8_index_probe_topk,
+        write_sq8_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path, num_cells=8, seed=7)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        map(tuple, sq8_index_probe_topk(spark, path, q, k=5, nprobe=8).collect())
+    )
+    snap = str(tmp_path / "snap-sq8")
+    snapshot_index(spark, path, snap)
+    dest = str(tmp_path / "sq8-restored")
+    restore_index(spark, snap, dest)
+    got = sorted(
+        map(tuple, sq8_index_probe_topk(spark, dest, q, k=5, nprobe=8).collect())
+    )
+    assert got == want

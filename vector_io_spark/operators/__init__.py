@@ -32,6 +32,11 @@ from vector_io_spark.operators.similarity import (  # noqa: F401
     write_ivf_index,
     write_ivfpq_index,
 )
+from vector_io_spark.operators.snapshot import (  # noqa: F401
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
 from vector_io_spark.operators.sq8 import (  # noqa: F401
     sq8_index_probe_topk,
     write_sq8_index,
