@@ -147,6 +147,47 @@ def test_recommend_negatives_change_the_ranking(spark, sf_dir):
     assert base != steered
 
 
+def test_recommend_indexed_matches_scan_at_full_probe(
+    spark, sf_dir, tmp_path
+):
+    """index_path composition: at nprobe == num_cells the indexed
+    recommend reproduces the corpus-scan form exactly, examples stay
+    excluded, and a partial probe returns a subset-quality result
+    without ever returning an example row."""
+    from vector_io_spark.operators.similarity import write_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "rec_idx")
+    write_ivf_index(emb, path, num_cells=8, seed=7)
+    want = sorted(
+        map(
+            tuple,
+            recommend_topk(
+                emb, positive_ids=[0, 1], negative_ids=[2], k=8
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            recommend_topk(
+                emb, positive_ids=[0, 1], negative_ids=[2], k=8,
+                index_path=path, nprobe=8,
+            ).collect(),
+        )
+    )
+    assert got == want
+    pruned = recommend_topk(
+        emb, positive_ids=[0, 1], negative_ids=[2], k=8,
+        index_path=path, nprobe=1,
+    ).collect()
+    assert all(r["vec_id"] not in (0, 1, 2) for r in pruned)
+    with pytest.raises(ValueError, match="cosine-only"):
+        recommend_topk(
+            emb, positive_ids=[0], metric="euclid", index_path=path
+        )
+
+
 # ------------------------------------------------------------- grouped
 
 

@@ -173,12 +173,22 @@ def recommend_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_label: str = "recommend",
+    index_path: str | None = None,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Recommend-by-examples: build one query vector from positive /
     negative example points and return its exact top-k — Qdrant's
     recommend API, ``average_vector`` strategy: ``q = avg(pos) +
     (avg(pos) - avg(neg))`` (just ``avg(pos)`` when no negatives).
     Example rows themselves are excluded from the results.
+
+    ``index_path`` serves the final search from a persisted IVF
+    catalog instead of the corpus scan (cosine only): the combined
+    query probes ``nprobe`` cells and the example exclusion pushes
+    into the pruned scan as a NOT-IN predicate — the production shape
+    when recommends run against an indexed store. At
+    ``nprobe == num_cells`` the probe is exact, so the result
+    hash-matches the scan form's oracle (ann_recommend_indexed).
 
     Engine-exact construction: example vectors are looked up in the
     corpus (a pushed-down id IN (...) scan), collected (bounded by the
@@ -245,6 +255,26 @@ def recommend_topk(
         ),
     )
     exclude = pos + neg
+    if index_path is not None:
+        if metric != "cosine":
+            raise ValueError(
+                "recommend_topk: index_path probes are cosine-only "
+                "(the persisted-IVF probe metric)"
+            )
+        from vector_io_spark.operators.similarity import (
+            ivf_index_probe_topk,
+        )
+
+        return ivf_index_probe_topk(
+            corpus.sparkSession,
+            index_path,
+            qdf,
+            k=k,
+            nprobe=nprobe,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            where=~F.col(corpus_id).isin(exclude),
+        )
     corpus_f = corpus.where(~F.col(corpus_id).isin(exclude))
     return brute_force_topk(
         corpus_f,

@@ -10855,6 +10855,41 @@ def ann_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_recommend_indexed", None)
+def ann_recommend_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommend-by-examples served from the persisted IVF catalog
+    (r9): same average_vector construction as ann_recommend_topk, but
+    the combined query PROBES the memoized catalog with the example
+    exclusion pushed into the pruned scan (NOT-IN predicate) — the
+    production shape when recommends run against an indexed store.
+    Probed at nprobe == num_cells it is exact, so it shares
+    ann_recommend_topk's oracle verbatim (assigned below) and is
+    hash-gated.
+
+    Scale shape: one bounded example lookup, one probe over nprobe
+    cell dirs (PartitionFilters), exclusion pruned before vector math;
+    nothing corpus-sized moves. Index build memoized per process."""
+    from vector_io_spark.operators.similarity import write_ivf_index
+    from vector_io_spark.operators.vectorquery import recommend_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_payload", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb, path, num_cells=8, seed=7, metadata_cols=("label",)
+        )
+    return recommend_topk(
+        emb, positive_ids=[0, 1, 2], negative_ids=[3, 4], k=10,
+        index_path=path, nprobe=8,
+    )
+
+
+# the indexed recommend is exact at nprobe == num_cells, so its oracle
+# IS the scan form's oracle — shared verbatim (registered above with
+# sql=None, assigned here once ann_recommend_topk's SQL exists)
+ORACLE["ann_recommend_indexed"] = ORACLE["ann_recommend_topk"]
+
+
 @_register(
     "ann_grouped_topk",
     f"""
@@ -10983,8 +11018,8 @@ _GATE_PILLARS = [
 # delete query: gate new surface immediately) — plus the four r9-new
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
 # ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
-# hybrid_weighted_search, ann_topk_sq8_exact), registered after the r9
-# slice was frozen.
+# hybrid_weighted_search, ann_topk_sq8_exact, ann_recommend_indexed),
+# registered after the r9 slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
