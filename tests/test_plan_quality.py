@@ -553,6 +553,10 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         "vocab_coverage",
         "quota_constrained_topk",
         "sparse_keyword_retrieval",
+        # single-query posting-list probe: per-doc sums of MATCHING
+        # postings only, then one global rank<=20 — TakeOrderedAndProject
+        # rescue asserted below (same shape as sparse_keyword_retrieval)
+        "sparse_indexed_retrieval",
         "hybrid_rrf_search",
         # same three-global-window shape as hybrid_rrf_search: two
         # top-100 shortlist legs + final top-20, every window behind a

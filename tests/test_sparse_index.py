@@ -1,0 +1,111 @@
+"""Persisted sparse posting-list catalog (operators/sparse_index.py) —
+semantics SQL can't express: probe plan pruning (shard partition
+filters + pushed bucket-IN), equality with the scan-form retrieval,
+duplicate-bucket query folding, and validation. Values are
+oracle-gated (queries.py sparse_indexed_retrieval)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vector_io_spark.operators.ranking import bm25_sparse_vectors
+from vector_io_spark.operators.sparse_index import (
+    sparse_index_probe_topk,
+    write_sparse_index,
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_store(spark, sf_dir, tmp_path_factory):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+    path = str(tmp_path_factory.mktemp("sparse") / "idx")
+    write_sparse_index(docs, path, num_shards=64)
+    return d, docs, path
+
+
+def _qbuckets(spark, terms):
+    return sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(
+                (
+                    F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                    % 4096
+                ).cast("int")
+            )
+            .collect()
+        }
+    )
+
+
+def test_probe_matches_scan_form(spark, sf_dir, sparse_store):
+    """The catalog probe must return the same docs in the same order
+    as the scan-form sparse retrieval (same encoding, same keyword
+    query, same integer micro-unit arithmetic)."""
+    from vector_io_spark.queries import QUERIES
+
+    _, _, path = sparse_store
+    qb = _qbuckets(spark, ["hash", "join", "filter"])
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in sparse_index_probe_topk(
+            spark, path, [(b, 1.0) for b in qb], k=20
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], i + 1)
+        for i, r in enumerate(
+            QUERIES["sparse_keyword_retrieval"](spark, sf_dir)
+            .collect()
+        )
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_probe_plan_prunes_shards_and_buckets(spark, sf_dir, sparse_store):
+    _, _, path = sparse_store
+    qb = _qbuckets(spark, ["hash"])
+    df = sparse_index_probe_topk(spark, path, [(b, 1.0) for b in qb], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "shard" in plan, plan
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    # pushed bucket predicate reaches the scan
+    assert "bucket" in plan.split("PushedFilters")[-1] or "bucket" in plan
+
+
+def test_duplicate_query_buckets_fold_and_weights_scale(
+    spark, sf_dir, sparse_store
+):
+    """A query listing the same bucket twice contributes the SUMMED
+    weight (sparse-vector addition), and doubling a query weight
+    doubles its contribution exactly (integer micro-units)."""
+    _, _, path = sparse_store
+    qb = _qbuckets(spark, ["hash"])
+    b = qb[0]
+    once = {
+        r["doc_id"]: r["score"]
+        for r in sparse_index_probe_topk(spark, path, [(b, 1.0)], k=50).collect()
+    }
+    folded = {
+        r["doc_id"]: r["score"]
+        for r in sparse_index_probe_topk(
+            spark, path, [(b, 1.0), (b, 1.0)], k=50
+        ).collect()
+    }
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in sparse_index_probe_topk(spark, path, [(b, 2.0)], k=50).collect()
+    }
+    assert folded == doubled
+    for doc, s in once.items():
+        assert doubled[doc] == pytest.approx(2 * s, abs=1e-9)
+
+
+def test_probe_validates_empty_query(spark, sf_dir, sparse_store):
+    _, _, path = sparse_store
+    with pytest.raises(ValueError, match="empty"):
+        sparse_index_probe_topk(spark, path, [], k=5)

@@ -37,6 +37,10 @@ from vector_io_spark.operators.snapshot import (  # noqa: F401
     snapshot_index,
     verify_snapshot,
 )
+from vector_io_spark.operators.sparse_index import (  # noqa: F401
+    sparse_index_probe_topk,
+    write_sparse_index,
+)
 from vector_io_spark.operators.sq8 import (  # noqa: F401
     sq8_index_probe_topk,
     write_sq8_index,

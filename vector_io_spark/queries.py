@@ -10802,6 +10802,102 @@ def ann_topk_sq8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sparse_indexed_retrieval",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    w AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    qb AS (
+        SELECT DISTINCT CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                             % 4096 AS INT) AS bucket
+        FROM (SELECT unnest(['hash', 'join', 'filter']) AS term)
+    )
+    SELECT 'q0' AS query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                   AS BIGINT) * 1000000) AS DOUBLE)
+                     / 1e12, 6) AS score,
+               row_number() OVER (
+                   ORDER BY sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                     AS BIGINT) * 1000000) DESC,
+                            doc_id ASC) AS rank
+        FROM w JOIN qb USING (bucket)
+        GROUP BY doc_id
+    ) WHERE rank <= 20
+    """,
+)
+def sparse_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval served from the PERSISTED posting-list catalog
+    (r9, operators/sparse_index.py) — the Pinecone/Qdrant sparse-index
+    query shape. Same BM25 sparse encoding and keyword query as
+    sparse_keyword_retrieval, but inverted: the probe reads only the
+    shards containing the query's term buckets (PartitionFilters) and
+    the matching posting rows (pushed bucket-IN), instead of scanning
+    every document's sparse vector. Hash-exact: integer micro-unit
+    products (BIGINT Σ wd_int·wq_int / 1e12) — order-independent sums
+    both engines reproduce bit-for-bit.
+
+    Scale shape: probe I/O ∝ |query-bucket shards| / num_shards of the
+    index — corpus-size-independent for a fixed vocabulary; per-doc
+    partial sums combine map-side; top-k is one bounded window. Build
+    is one-time, memoized per process."""
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk,
+        write_sparse_index,
+    )
+
+    path = _scratch_dir("vios_sparse_idx", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, path, num_shards=64)
+    terms = ["hash", "join", "filter"]
+    qbuckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(
+                (
+                    F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                    % 4096
+                ).cast("int")
+            )
+            .collect()
+        }
+    )
+    return sparse_index_probe_topk(
+        spark, path, [(b, 1.0) for b in qbuckets], k=20
+    )
+
+
+@_register(
     "ann_recommend_topk",
     f"""
     WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
@@ -11018,8 +11114,8 @@ _GATE_PILLARS = [
 # delete query: gate new surface immediately) — plus the four r9-new
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
 # ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
-# hybrid_weighted_search, ann_topk_sq8_exact, ann_recommend_indexed),
-# registered after the r9 slice was frozen.
+# hybrid_weighted_search, ann_topk_sq8_exact, ann_recommend_indexed,
+# sparse_indexed_retrieval), registered after the r9 slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
