@@ -109,3 +109,54 @@ def test_probe_validates_empty_query(spark, sf_dir, sparse_store):
     _, _, path = sparse_store
     with pytest.raises(ValueError, match="empty"):
         sparse_index_probe_topk(spark, path, [], k=5)
+
+
+def test_sparse_append_and_delete_roundtrip(spark, sf_dir, tmp_path):
+    """CRUD parity with the vector catalogs: tokened appends are
+    exactly-once (replay is a no-op), appended docs become probeable,
+    and doc_id tombstones suppress hits immediately."""
+    from vector_io_spark.operators.similarity import delete_from_index
+    from vector_io_spark.operators.sparse_index import (
+        append_to_sparse_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    first = d.where(F.col("doc_id") < 300)
+    rest = d.where(F.col("doc_id") >= 300)
+    docs1 = bm25_sparse_vectors(first, "doc_id", "text", vocab_buckets=4096)
+    path = str(tmp_path / "idx")
+    write_sparse_index(docs1, path, num_shards=64)
+
+    qb = _qbuckets(spark, ["hash", "join", "filter"])
+    q = [(b, 1.0) for b in qb]
+
+    def docs_at(k=500):
+        return {
+            r["doc_id"]
+            for r in sparse_index_probe_topk(spark, path, q, k=k).collect()
+        }
+
+    base = docs_at()
+    assert base and all(i < 300 for i in base)
+
+    # NOTE: incremental postings are weighted with the DELTA's own
+    # corpus stats (df / avgdl drift is the caller's rebuild trigger,
+    # same as centroid drift on the vector catalogs)
+    docs2 = bm25_sparse_vectors(rest, "doc_id", "text", vocab_buckets=4096)
+    append_to_sparse_index(docs2, path, delta_token="sp-a1")
+    grown = docs_at()
+    assert grown > base and any(i >= 300 for i in grown)
+
+    # replaying the committed token is a pure no-op
+    scores_before = sorted(
+        map(tuple, sparse_index_probe_topk(spark, path, q, k=50).collect())
+    )
+    append_to_sparse_index(docs2, path, delta_token="sp-a1")
+    assert sorted(
+        map(tuple, sparse_index_probe_topk(spark, path, q, k=50).collect())
+    ) == scores_before
+
+    victim = sorted(grown)[0]
+    delete_from_index(spark, path, [victim], id_col="doc_id",
+                      delete_token="sp-d1")
+    assert victim not in docs_at()

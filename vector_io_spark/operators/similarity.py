@@ -2449,14 +2449,16 @@ def delete_from_index(
     jvm = spark._jvm
     root_p = jvm.org.apache.hadoop.fs.Path(path)
     fs = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
-    data_sub = None  # cells = IVF/IVFPQ/token layouts; codes = exact-PQ
-    for sub in ("cells", "codes"):
+    # cells = IVF/IVFPQ/token layouts; codes = exact-PQ;
+    # postings = the sparse posting-list catalog
+    data_sub = None
+    for sub in ("cells", "codes", "postings"):
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
             data_sub = sub
             break
     if data_sub is None:
         raise ValueError(
-            f"delete_from_index: {path} has neither a cells nor a codes "
+            f"delete_from_index: {path} has no cells / codes / postings "
             "layout — not a persisted index root."
         )
     if data_sub == "cells":
@@ -2473,7 +2475,7 @@ def delete_from_index(
     if id_col not in schema.fieldNames():
         raise ValueError(
             f"delete_from_index: column {id_col!r} is not persisted in "
-            f"{path}/cells (has {schema.fieldNames()})."
+            f"{path}/{data_sub} (has {schema.fieldNames()})."
         )
     names, tombs = _tombstone_frames(spark, path)
     if tombs is not None and tombs.columns[0] != id_col:
@@ -2817,10 +2819,12 @@ def _refresh_maint_marker(spark, marker_path, op: str) -> None:
 def _idempotent_delta_write(
     delta: DataFrame, cells_path: str, delta_token: str,
     maint_timeout_s: float = _MAINT_TIMEOUT_S,
+    partition_col: str = "cell",
 ) -> None:
-    """Exactly-once append of a cell-partitioned delta frame into an
-    existing ``cell=<i>`` parquet layout, keyed by a caller-supplied
-    ``delta_token`` (VERDICT r6 "What's wrong" #1: a plain
+    """Exactly-once append of a partition-keyed delta frame into an
+    existing ``<partition_col>=<i>`` parquet layout (``cell=`` for the
+    vector catalogs, ``shard=`` for the sparse posting-list catalog),
+    keyed by a caller-supplied ``delta_token`` (VERDICT r6 "What's wrong" #1: a plain
     ``mode("append")`` re-run doubles the delta's code rows and
     silently distorts every subsequent probe plus the imbalance
     trigger).
@@ -2914,7 +2918,7 @@ def _idempotent_delta_write(
                     "re-append."
                 )
         staging = p(f".delta-{delta_token}")
-        delta.write.mode("overwrite").partitionBy("cell").parquet(
+        delta.write.mode("overwrite").partitionBy(partition_col).parquet(
             f"{cells_path}/.delta-{delta_token}"
         )
         # heartbeat after the one expensive step (the delta write) and
@@ -2932,9 +2936,11 @@ def _idempotent_delta_write(
         mine = _re.compile(
             rf"delta-{_re.escape(delta_token)}-\d{{5}}\.parquet"
         )
+        part_prefix = f"{partition_col}="
         for st in fs.listStatus(root):
             if not (
-                st.isDirectory() and st.getPath().getName().startswith("cell=")
+                st.isDirectory()
+                and st.getPath().getName().startswith(part_prefix)
             ):
                 continue
             for f_st in fs.listStatus(st.getPath()):
@@ -2943,7 +2949,7 @@ def _idempotent_delta_write(
         # move staged files in under deterministic names
         for st in fs.listStatus(staging):
             name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("cell=")):
+            if not (st.isDirectory() and name.startswith(part_prefix)):
                 continue
             dest_dir = p(name)
             fs.mkdirs(dest_dir)

@@ -32,6 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_io_spark.operators.similarity import (
+    _apply_tombstones,
+    _idempotent_delta_write,
+)
+
 
 def write_sparse_index(
     doc_sparse: DataFrame,
@@ -64,6 +69,46 @@ def write_sparse_index(
     spark.createDataFrame(
         [(int(num_shards),)], "num_shards int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_sparse_index(
+    doc_sparse: DataFrame,
+    path: str,
+    delta_token: str,
+    doc_id: str = "doc_id",
+    sparse_col: str = "sparse",
+) -> None:
+    """Incremental sparse-catalog maintenance: explode a delta batch of
+    new documents' sparse vectors and append their postings into the
+    existing shard layout — the same exactly-once contract as the
+    vector catalogs (``_idempotent_delta_write``: `_MAINT` mutex,
+    hidden staging, deterministic renames, `_DELTA-<token>` ledger; a
+    committed token's re-run is a pure no-op). Appending an
+    already-indexed doc would double its postings — token-keyed appends
+    cannot, and a genuine duplicate id is an upstream bug, same stance
+    as the vector catalogs.
+
+    Scale shape: one explode + partitionBy shuffle of the DELTA only;
+    renames are metadata ops; nothing resident is read or rewritten.
+    """
+    spark = doc_sparse.sparkSession
+    num_shards = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["num_shards"]
+    )
+    entries = doc_sparse.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(
+            F.arrays_zip(f"{sparse_col}.indices", f"{sparse_col}.values")
+        ).alias("__e"),
+    ).select(
+        "doc_id",
+        F.col("__e.indices").alias("bucket"),
+        F.col("__e.values").alias("weight"),
+        (F.col("__e.indices") % num_shards).alias("shard"),
+    )
+    _idempotent_delta_write(
+        entries, f"{path}/postings", delta_token, partition_col="shard"
+    )
 
 
 def sparse_index_probe_topk(
@@ -109,6 +154,11 @@ def sparse_index_probe_topk(
         .where(F.col("shard").isin(shards))
         .where(F.col("bucket").isin(buckets))
     )
+    # deleted docs stop matching immediately (delete_from_index writes
+    # doc_id tombstones at the index root; compaction applies them
+    # physically) — broadcast anti-join after partition pruning, same
+    # contract as the vector catalogs
+    scan = _apply_tombstones(spark, path, scan, "sparse_index_probe_topk")
     scored = (
         scan.join(F.broadcast(qdf), "bucket")
         .groupBy("doc_id")
