@@ -111,6 +111,83 @@ def test_probe_validates_empty_query(spark, sf_dir, sparse_store):
         sparse_index_probe_topk(spark, path, [], k=5)
 
 
+def test_streaming_sparse_index_ingest(spark, sf_dir, tmp_path):
+    """r9: the FIFTH continuous-ingest pipeline — sparse posting-list
+    maintenance via exactly-once tokened appends on the generalized
+    machinery. (a) streamed batches land and the probe retrieves the
+    new docs; (b) compact_index_cells(data_sub='postings') folds the
+    per-batch files, stream ledgers survive, the SAME lineage keeps
+    ingesting; (c) a reset checkpoint is refused loudly."""
+    import os
+    import shutil
+
+    from vector_io_spark.operators.similarity import compact_index_cells
+    from vector_io_spark.streaming.incremental import (
+        streaming_sparse_index_ingest,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = bm25_sparse_vectors(
+        d.where(F.col("doc_id") >= 200), "doc_id", "text",
+        vocab_buckets=4096,
+    )
+    path = str(tmp_path / "sparse_stream_idx")
+    write_sparse_index(base, path, num_shards=16)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(docs_df, checkpoint):
+        sv = bm25_sparse_vectors(docs_df, "doc_id", "text",
+                                 vocab_buckets=4096)
+        sv.coalesce(1).write.mode("append").parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = streaming_sparse_index_ingest(stream, path, checkpoint)
+        q.awaitTermination(180)
+        q.stop()
+
+    # (a) two streamed batches become probeable
+    run(d.where(F.col("doc_id") < 100), ckpt)
+    run(d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)), ckpt)
+    qb = _qbuckets(spark, ["hash", "join", "filter"])
+    q = [(b, 1.0) for b in qb]
+    hits = {
+        r["doc_id"]
+        for r in sparse_index_probe_topk(spark, path, q, k=500).collect()
+    }
+    assert any(i < 200 for i in hits) and any(i >= 200 for i in hits)
+
+    # (b) postings compaction folds files; ledgers survive; lineage lives
+    got_c = compact_index_cells(
+        spark, path, data_sub="postings", partition_col="shard"
+    )
+    assert got_c["files_after"] <= got_c["files_before"]
+    assert [
+        f for f in os.listdir(os.path.join(path, "postings"))
+        if f.startswith("_DELTA-stream-")
+    ], "stream ledgers must survive postings compaction"
+    extra = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    run(extra, ckpt)
+    grown = {
+        r["doc_id"]
+        for r in sparse_index_probe_topk(spark, path, q, k=2000).collect()
+    }
+    assert hits <= grown
+
+    # (c) a reset checkpoint is refused
+    ckpt2 = str(tmp_path / "ckpt2")
+    with pytest.raises(Exception, match="different checkpoint lineage"):
+        run(extra, ckpt2)
+    shutil.rmtree(ckpt2, ignore_errors=True)
+
+
 def test_sparse_append_and_delete_roundtrip(spark, sf_dir, tmp_path):
     """CRUD parity with the vector catalogs: tokened appends are
     exactly-once (replay is a no-op), appended docs become probeable,

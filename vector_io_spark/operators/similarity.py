@@ -2526,10 +2526,14 @@ def _clear_tombstones(spark, index_root: str) -> None:
 
 
 def compact_index_cells(
-    spark, path: str, maint_timeout_s: float = _MAINT_TIMEOUT_S
+    spark, path: str, maint_timeout_s: float = _MAINT_TIMEOUT_S,
+    data_sub: str = "cells", partition_col: str = "cell",
 ) -> dict:
     """File compaction for a STATIC :func:`write_ivf_index` /
-    :func:`write_ivfpq_index` cells layout (r7): every
+    :func:`write_ivfpq_index` cells layout (r7) — and, via
+    ``data_sub="postings", partition_col="shard"``, the sparse
+    posting-list catalog (r9; same staging/swap/ledger/tombstone
+    machinery, different directory names): every
     ``append_to_*_index`` delta token adds ≥1 file to each touched
     ``cell=<i>`` dir, so after N nightly appends a probe pays N file
     opens per probed cell — this rewrites the layout into
@@ -2572,9 +2576,9 @@ def compact_index_cells(
     build). Returns ``{"rows", "files_before", "files_after"}``.
     """
     jvm = spark._jvm
-    cells = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-tmp")
-    aside = jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-aside")
+    cells = jvm.org.apache.hadoop.fs.Path(f"{path}/{data_sub}")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.{data_sub}-tmp")
+    aside = jvm.org.apache.hadoop.fs.Path(f"{path}/.{data_sub}-aside")
     fs = cells.getFileSystem(spark._jsc.hadoopConfiguration())
 
     def _rename(src, dst):
@@ -2601,8 +2605,8 @@ def compact_index_cells(
             name = st.getPath().getName()
             if name.startswith("ingest_batch="):
                 raise ValueError(
-                    f"compact_index_cells: {path}/cells is a STREAMING "
-                    "store (ingest_batch partitions) — use "
+                    f"compact_index_cells: {path}/{data_sub} is a "
+                    "STREAMING store (ingest_batch partitions) — use "
                     'compact_neardup_index(spark, f"{path}/cells", '
                     'id_col, partition_by=("cell",)) instead; it honors '
                     "ingest leases and replay safety."
@@ -2620,7 +2624,7 @@ def compact_index_cells(
             return n
 
         files_before = _count_files()
-        df = spark.read.parquet(f"{path}/cells")
+        df = spark.read.parquet(f"{path}/{data_sub}")
         # apply live tombstones physically (r9): snapshot the dir list
         # FIRST — a delete landing mid-compaction is not folded in and
         # must survive; we clear exactly what we folded, after the swap
@@ -2630,7 +2634,8 @@ def compact_index_cells(
             if tcol not in df.columns:
                 raise ValueError(
                     f"compact_index_cells: tombstones at {path} target "
-                    f"{tcol!r}, which the cells layout does not carry."
+                    f"{tcol!r}, which the {data_sub} layout does not "
+                    "carry."
                 )
             df = df.join(broadcast(tombs), tcol, "left_anti")
         n_rows = df.count()
@@ -2641,9 +2646,9 @@ def compact_index_cells(
         _refresh_maint_marker(spark, marker, "compact_index_cells")
         n_files = max(1, -(-n_rows // 1_000_000))
         (
-            df.repartition(n_files, F.col("cell"))
-            .write.partitionBy("cell")
-            .parquet(f"{path}/.cells-tmp")
+            df.repartition(n_files, F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .parquet(f"{path}/.{data_sub}-tmp")
         )
         # last heartbeat doubles as a lost-lock abort gate: if we were
         # reaped during the rewrite, raise HERE — before staging the
@@ -2655,11 +2660,14 @@ def compact_index_cells(
         # point exists where the new layout is live without its ledger
         for name in ledgers:
             if not fs.createNewFile(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/.cells-tmp/{name}")
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/.{data_sub}-tmp/{name}"
+                )
             ):
                 raise RuntimeError(
                     f"compact_index_cells: could not stage ledger "
-                    f"marker {name} into .cells-tmp — store left as-is"
+                    f"marker {name} into .{data_sub}-tmp — store left "
+                    "as-is"
                 )
         _rename(cells, aside)
         _rename(tmp, cells)

@@ -1505,7 +1505,8 @@ def reseed_ivfpq_stream_index_if_drifted(
 
 
 def _guard_token_store(
-    spark: SparkSession, index_root: str, checkpoint_dir: str, caller: str
+    spark: SparkSession, index_root: str, checkpoint_dir: str, caller: str,
+    data_sub: str = "cells",
 ) -> str:
     """Lineage guard for the STATIC token-index streaming ingest (r8).
     Unlike the batch-partitioned stores, the hazard here is not
@@ -1523,7 +1524,7 @@ def _guard_token_store(
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root_p = jvm.org.apache.hadoop.fs.Path(index_root)
-    cells_p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/cells")
+    cells_p = jvm.org.apache.hadoop.fs.Path(f"{index_root}/{data_sub}")
     fs = root_p.getFileSystem(conf)
     markers = [
         st.getPath().getName()
@@ -1557,6 +1558,88 @@ def _guard_token_store(
     ):
         raise RuntimeError(f"{caller}: could not claim {index_root}")
     return sid
+
+
+def streaming_sparse_index_ingest(
+    sparse_stream,
+    index_root: str,
+    checkpoint_dir: str,
+    doc_id: str = "doc_id",
+    sparse_col: str = "sparse",
+    available_now: bool = True,
+    maint_retry_s: float = 900.0,
+) -> StreamingQuery:
+    """CONTINUOUS sparse posting-list maintenance (r9) — the FIFTH
+    continuous-ingest pipeline: each micro-batch of pre-encoded sparse
+    document vectors (doc_id, struct<indices, values>) appends its
+    postings into the :func:`~vector_io_spark.operators.sparse_index.
+    write_sparse_index` layout via ``append_to_sparse_index`` with
+    ``delta_token = stream-<sid>-<batch_id>``. The exactly-once story
+    is the token-index pipeline's, verbatim — it runs on the SAME
+    generalized machinery:
+
+    - a replayed micro-batch no-ops on its ``_DELTA`` ledger entry; a
+      crashed batch repairs on replay (delete-then-rename under its
+      token);
+    - ``_guard_token_store(data_sub="postings")`` refuses a
+      reset/foreign checkpoint whose fresh tokens would duplicate
+      replayed postings (ledgers survive compaction — durable lineage);
+    - the ``_MAINT-LOCK`` mutex serializes batches against
+      ``compact_index_cells(data_sub="postings",
+      partition_col="shard")`` and ad-hoc appends, with the same
+      in-process bounded retry on contention (a foreachBatch exception
+      otherwise terminates the stream).
+
+    Weighting contract: streamed vectors carry THEIR encoder's weights
+    (e.g. per-batch BM25 stats); global df/avgdl drift is the caller's
+    rebuild trigger — monitor and rebuild with ``write_sparse_index``
+    on the full corpus, exactly like centroid drift on the vector
+    catalogs.
+
+    Scale shape per micro-batch: one explode + partitionBy shuffle of
+    the BATCH's postings, metadata-op renames; nothing resident read
+    or rewritten. Probes see resident and streamed postings uniformly.
+    """
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from vector_io_spark.operators.sparse_index import (
+            append_to_sparse_index,
+        )
+
+        spark = batch_df.sparkSession
+        sid = _guard_token_store(
+            spark, index_root, checkpoint_dir,
+            "streaming_sparse_index_ingest", data_sub="postings",
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + maint_retry_s
+        backoff = 5.0
+        while True:
+            try:
+                append_to_sparse_index(
+                    batch_df, index_root,
+                    delta_token=f"stream-{sid}-{batch_id}",
+                    doc_id=doc_id, sparse_col=sparse_col,
+                )
+                break
+            except RuntimeError as e:
+                contended = "maintenance" in str(e)
+                if not contended or _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(
+                    min(backoff, max(0.0, deadline - _time.monotonic()))
+                )
+                backoff = min(backoff * 2.0, 60.0)
+
+    writer = (
+        sparse_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_token_index_ingest(
