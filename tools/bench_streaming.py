@@ -264,6 +264,61 @@ def main() -> None:
                     "files_after": _count_files(f"{index_root}/cells"),
                 }
             )
+        if _want("sparse_index_ingest"):
+            # -- sparse posting-list ingest (r9) --------------------------
+            # same tokened-append machinery as the token-index pipeline on
+            # the shard-partitioned postings layout; compaction is the
+            # generalized static compactor
+            from vector_io_spark.operators.ranking import (
+                bm25_sparse_vectors,
+            )
+            from vector_io_spark.operators.similarity import (
+                compact_index_cells,
+            )
+            from vector_io_spark.operators.sparse_index import (
+                write_sparse_index,
+            )
+            from vector_io_spark.streaming.incremental import (
+                streaming_sparse_index_ingest,
+            )
+
+            d = os.path.join(work, "sparse")
+            index_root, landing, ckpt = f"{d}/index", f"{d}/landing", f"{d}/ckpt"
+            write_sparse_index(
+                bm25_sparse_vectors(doc_seed, "doc_id", "text",
+                                    vocab_buckets=4096),
+                index_root, num_shards=64,
+            )
+            _land_batches(
+                bm25_sparse_vectors(doc_new, "doc_id", "text",
+                                    vocab_buckets=4096),
+                "doc_id", landing, N_BATCHES,
+            )
+            schema = spark.read.parquet(landing).schema
+            per_batch = _run_stream(
+                lambda: streaming_sparse_index_ingest(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    index_root, ckpt,
+                )
+            )
+            results["sparse_index_ingest"] = _summary(
+                per_batch, doc_batch_rows
+            )
+            files_before = _count_files(f"{index_root}/postings")
+            t0 = time.perf_counter()
+            compact_index_cells(
+                spark, index_root, data_sub="postings",
+                partition_col="shard",
+            )
+            results["sparse_index_ingest"].update(
+                {
+                    "compact_s": round(time.perf_counter() - t0, 2),
+                    "files_before": files_before,
+                    "files_after": _count_files(f"{index_root}/postings"),
+                }
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
