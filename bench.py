@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ann_grouped_topk",         # diversified top-k, double WindowGroupLimit
     "ann_topk_sq8_exact",       # IVF-SQ8 catalog probe (build memoized rep 1)
     "hybrid_weighted_search",   # convex-combination hybrid fusion
+    "sparse_indexed_retrieval", # posting-list catalog probe (memoized build)
 ]
 
 
