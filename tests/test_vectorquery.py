@@ -229,6 +229,55 @@ def test_grouped_topk_group_size_invariant(spark, sf_dir):
     )
 
 
+def test_grouped_topk_indexed_matches_scan_at_full_probe(
+    spark, sf_dir, tmp_path
+):
+    """Catalog composition: at nprobe == num_cells the indexed grouped
+    top-k reproduces the corpus-scan form exactly; under pruning the
+    group_size invariant still holds and where= composes."""
+    from vector_io_spark.operators.similarity import write_ivf_index
+    from vector_io_spark.operators.vectorquery import grouped_topk_indexed
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb, n=4)
+    path = str(tmp_path / "grp_idx")
+    write_ivf_index(emb, path, num_cells=8, seed=7, metadata_cols=("label",))
+    want = sorted(
+        map(
+            tuple,
+            grouped_topk(
+                emb, q, k=6, group_col="label", group_size=2
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_topk_indexed(
+                spark, path, q, k=6, group_col="label", group_size=2,
+                nprobe=8,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    pruned = grouped_topk_indexed(
+        spark, path, q, k=6, group_col="label", group_size=2, nprobe=2
+    )
+    worst = (
+        pruned.groupBy("query_id", "label")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert worst <= 2
+    fil = grouped_topk_indexed(
+        spark, path, q, k=6, group_col="label", group_size=2, nprobe=8,
+        where="label = 3",
+    ).collect()
+    assert fil and all(r["label"] == 3 for r in fil)
+
+
 # ------------------------------------------------------------- matrix
 
 

@@ -349,6 +349,55 @@ def grouped_topk(
     )
 
 
+def grouped_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    group_col: str = "label",
+    group_size: int = 1,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    where=None,
+) -> DataFrame:
+    """Grouped / diversified top-k served from a persisted IVF catalog
+    (cosine): the group column is a persisted ``metadata_cols`` column
+    riding the probe out via ``return_cols`` — no join-back — and the
+    two-window diversification runs over probe candidates only.
+    Composes with ``where``. At ``nprobe == num_cells`` the probe is
+    exact, so the result hash-matches the corpus-scan
+    :func:`grouped_topk` oracle (ann_grouped_indexed).
+
+    Scale shape: partition-pruned cells scan (+ payload bytes for the
+    group column), then the same double-WindowGroupLimit ranking as
+    the scan form — but its input is probe candidates
+    (≤ probed-cells rows), not the corpus.
+    """
+    from vector_io_spark.operators.similarity import _ivf_probe_scored
+
+    scored = _ivf_probe_scored(
+        spark, index_path, queries, nprobe, corpus_id, corpus_vec,
+        query_id, query_vec, where, (group_col,),
+        "grouped_topk_indexed",
+    )
+    order = [
+        F.col("score").desc_nulls_last(),
+        F.col(corpus_id).asc(),
+    ]
+    w_group = Window.partitionBy("query_id", group_col).orderBy(*order)
+    w_query = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__gr", F.row_number().over(w_group))
+        .where(F.col("__gr") <= group_size)
+        .withColumn("rank", F.row_number().over(w_query).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", corpus_id, group_col, "score", "rank")
+    )
+
+
 def distance_matrix(
     vectors: DataFrame,
     metric: str = "cosine",

@@ -11032,6 +11032,39 @@ def ann_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_grouped_indexed", None)
+def ann_grouped_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped / diversified top-k served from the persisted IVF
+    catalog (r9): the group column (label) is persisted metadata
+    riding the probe's ``return_cols`` — no corpus join-back
+    (operators/vectorquery.py::grouped_topk_indexed). Probed at
+    nprobe == num_cells it is exact, so it shares ann_grouped_topk's
+    oracle verbatim (assigned below) and is hash-gated.
+
+    Scale shape: partition-pruned probe + double WindowGroupLimit over
+    probe candidates only. Index build memoized per process."""
+    from vector_io_spark.operators.similarity import write_ivf_index
+    from vector_io_spark.operators.vectorquery import grouped_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_payload", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb, path, num_cells=8, seed=7, metadata_cols=("label",)
+        )
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return grouped_topk_indexed(
+        spark, path, queries, k=6, group_col="label", group_size=2,
+        nprobe=8,
+    )
+
+
+# exact at nprobe == num_cells — shares the scan form's oracle verbatim
+ORACLE["ann_grouped_indexed"] = ORACLE["ann_grouped_topk"]
+
+
 @_register(
     "ann_distance_matrix",
     f"""
@@ -11115,7 +11148,8 @@ _GATE_PILLARS = [
 # vector-query-API registrations (ann_range_search, ann_recommend_topk,
 # ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
 # hybrid_weighted_search, ann_topk_sq8_exact, ann_recommend_indexed,
-# sparse_indexed_retrieval), registered after the r9 slice was frozen.
+# sparse_indexed_retrieval, ann_grouped_indexed), registered after the
+# r9 slice was frozen.
 _GATE_ROTATION = [
     "ann_probe_payload_exact", "ann_topk_after_delete",
     "ann_topk_ivf", "ann_topk_pq",
