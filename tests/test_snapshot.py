@@ -136,6 +136,34 @@ def test_verify_snapshot_detects_drift(spark, sf_dir, store, tmp_path):
     assert not os.path.exists(str(tmp_path / "never"))
 
 
+def test_restore_failure_never_leaks_staging(spark, sf_dir, store, tmp_path):
+    """A restore refused post-copy (fresh maintenance lock on the
+    destination) must clean its .restore-tmp staging — a later run
+    under a different pid would never clean it up otherwise."""
+    import glob
+
+    _, path, _ = store
+    snap = str(tmp_path / "snap5")
+    snapshot_index(spark, path, snap)
+    dest = str(tmp_path / "dest5")
+    restore_index(spark, snap, dest)
+
+    lock = os.path.join(dest, "_MAINT-LOCK")
+    open(lock, "w").close()
+    try:
+        with pytest.raises(RuntimeError, match="maintenance in flight"):
+            restore_index(spark, snap, dest, overwrite=True)
+    finally:
+        os.remove(lock)
+    assert not glob.glob(f"{dest}.restore-tmp-*"), "staging leaked"
+    # the destination store is untouched by the failed attempt
+    verify_like = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{dest}/cells").select("vec_id").collect()
+    }
+    assert verify_like
+
+
 def test_snapshot_works_on_sq8_catalog(spark, sf_dir, tmp_path):
     from vector_io_spark.operators.sq8 import (
         sq8_index_probe_topk,

@@ -190,41 +190,50 @@ def restore_index(
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     dest_fs.delete(tmp_p, True)
     conf = spark._jsc.hadoopConfiguration()
-    for rel in sorted(manifest["files"]):
-        src = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/{rel}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{rel}")
-        dest_fs.mkdirs(dst.getParent())
-        if not jvm.org.apache.hadoop.fs.FileUtil.copy(
-            snap_fs, src, dest_fs, dst, False, conf
-        ):
-            raise RuntimeError(f"restore_index: copy failed for {rel}")
-    if dest_fs.exists(dest_p):
-        # exclude concurrent maintenance on the OLD layout for the swap
-        lock = _take_maint_marker(spark, dest_root, "restore_index")
-        try:
-            aside = jvm.org.apache.hadoop.fs.Path(
-                f"{dest_root}.replaced-{_os.getpid()}"
-            )
-            dest_fs.delete(aside, True)
-            if not dest_fs.rename(dest_p, aside):
-                raise RuntimeError(
-                    f"restore_index: could not move the old layout of "
-                    f"{dest_root} aside"
+    try:
+        for rel in sorted(manifest["files"]):
+            src = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/{rel}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{rel}")
+            dest_fs.mkdirs(dst.getParent())
+            if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+                snap_fs, src, dest_fs, dst, False, conf
+            ):
+                raise RuntimeError(f"restore_index: copy failed for {rel}")
+        if dest_fs.exists(dest_p):
+            # exclude concurrent maintenance on the OLD layout for the
+            # swap (a fresh lock on the destination raises here)
+            lock = _take_maint_marker(spark, dest_root, "restore_index")
+            try:
+                aside = jvm.org.apache.hadoop.fs.Path(
+                    f"{dest_root}.replaced-{_os.getpid()}"
                 )
+                dest_fs.delete(aside, True)
+                if not dest_fs.rename(dest_p, aside):
+                    raise RuntimeError(
+                        f"restore_index: could not move the old layout "
+                        f"of {dest_root} aside"
+                    )
+                if not dest_fs.rename(tmp_p, dest_p):
+                    # put the old layout back — restore failed, store
+                    # intact
+                    dest_fs.rename(aside, dest_p)
+                    raise RuntimeError(
+                        f"restore_index: publish rename to {dest_root} "
+                        "failed"
+                    )
+                dest_fs.delete(aside, True)
+            finally:
+                # the lock lived in the OLD root (moved aside / deleted
+                # with it); delete defensively wherever it still exists
+                dest_fs.delete(lock, False)
+        else:
             if not dest_fs.rename(tmp_p, dest_p):
-                # put the old layout back — restore failed, store intact
-                dest_fs.rename(aside, dest_p)
                 raise RuntimeError(
                     f"restore_index: publish rename to {dest_root} failed"
                 )
-            dest_fs.delete(aside, True)
-        finally:
-            # the lock lived in the OLD root (moved aside / deleted with
-            # it); delete defensively wherever it still exists
-            dest_fs.delete(lock, False)
-    else:
-        if not dest_fs.rename(tmp_p, dest_p):
-            raise RuntimeError(
-                f"restore_index: publish rename to {dest_root} failed"
-            )
+    finally:
+        # a successful publish renamed tmp away; anything still here is
+        # a failed run's staging — never leak it (a LATER run with a
+        # different pid would otherwise never clean it up)
+        dest_fs.delete(tmp_p, True)
     return manifest
