@@ -114,6 +114,15 @@ def test_snapshot_refuses_overwrite_and_live_maintenance(
     # ...and the failed attempt must not have left its own lock behind
     assert not os.path.exists(lock)
 
+    # a streaming ingest lease also blocks the cut (mid-batch state)
+    lease = os.path.join(path, "_LIVE-abc123")
+    open(lease, "w").close()
+    try:
+        with pytest.raises(RuntimeError, match="streaming ingest leases"):
+            snapshot_index(spark, path, str(tmp_path / "snap3b"))
+    finally:
+        os.remove(lease)
+
 
 def test_verify_snapshot_detects_drift(spark, sf_dir, store, tmp_path):
     _, path, _ = store

@@ -86,6 +86,22 @@ def snapshot_index(spark, index_root: str, snap_dir: str) -> dict:
             f"snapshot_index: {snap_dir} already exists — snapshots are "
             "immutable; cut each one into a fresh directory."
         )
+    # the _MAINT mutex serializes against the STATIC catalogs' appends /
+    # compactions, but the batch-partitioned STREAMING stores coordinate
+    # through per-batch _LIVE-* leases instead — a snapshot cut mid-batch
+    # would record half-written ingest partitions as valid. Refuse while
+    # any lease file exists (fresh or stale): quiesce or fold the stream
+    # first, exactly like compaction does.
+    root_p = jvm.org.apache.hadoop.fs.Path(index_root)
+    for st in src_fs.listStatus(root_p):
+        if st.getPath().getName().startswith("_LIVE-"):
+            raise RuntimeError(
+                f"snapshot_index: {index_root} carries streaming ingest "
+                f"leases ({st.getPath().getName()}) — quiesce the stream "
+                "(or clear stale leases via its compactor) before "
+                "cutting a snapshot; a mid-batch cut would capture "
+                "half-written partitions."
+            )
     lock = _take_maint_marker(spark, index_root, "snapshot_index")
     try:
         files = _walk_files(src_fs, jvm, index_root)
