@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "ann_topk_sq8_exact",       # IVF-SQ8 catalog probe (build memoized rep 1)
     "hybrid_weighted_search",   # convex-combination hybrid fusion
     "sparse_indexed_retrieval", # posting-list catalog probe (memoized build)
+    # round-10 additions (BENCH_r10+ only — totals not comparable back)
+    "sparse_indexed_retrieval_batch",  # N-query batch, ONE postings scan
+    "hybrid_indexed_search",    # catalog-served hybrid (sparse+IVF+RRF)
 ]
 
 

@@ -562,6 +562,12 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # top-100 shortlist legs + final top-20, every window behind a
         # rank<=k literal — rescue asserted below
         "hybrid_weighted_search",
+        # catalog-served hybrid (r10): both legs are partition-pruned
+        # index probes whose windows partition by query_id; the only
+        # global window is the final top-20 over the fused ≤200-row
+        # shortlist union, behind a rank<=20 literal — rescue asserted
+        # below
+        "hybrid_indexed_search",
         "cms_heavy_hitters",
         # global top-5 heavy keys over the per-key rollup; rank<=5
         # filter — WindowGroupLimit rescue asserted below

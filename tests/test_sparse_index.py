@@ -111,6 +111,108 @@ def test_probe_validates_empty_query(spark, sf_dir, sparse_store):
         sparse_index_probe_topk(spark, path, [], k=5)
 
 
+def test_batch_probe_matches_per_query_probes(spark, sf_dir, sparse_store):
+    """r10 (VERDICT r9 Next #2): the batch form must return, per
+    query_id, exactly what N independent single-query probes return —
+    same docs, same scores, same ranks."""
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk_batch,
+    )
+
+    _, _, path = sparse_store
+    batch = [
+        (qid, [(b, 1.0) for b in _qbuckets(spark, terms)])
+        for qid, terms in [
+            ("qa", ["hash", "join", "filter"]),
+            ("qb", ["sort", "merge", "window"]),
+            ("qc", ["scan", "column", "batch"]),
+        ]
+    ]
+    got = sorted(
+        map(
+            tuple,
+            sparse_index_probe_topk_batch(spark, path, batch, k=15)
+            .collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for qid, entries in batch
+        for r in sparse_index_probe_topk(
+            spark, path, entries, k=15, query_id=qid
+        ).collect()
+    )
+    assert got == want
+
+
+def test_batch_probe_scans_postings_once(spark, sf_dir, sparse_store):
+    """N queries must cost ONE pruned postings scan (plus the tiny
+    broadcast query table), not N probe jobs — the scale contract of
+    the batch form."""
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk_batch,
+    )
+
+    _, _, path = sparse_store
+    batch = [
+        ("qa", [(b, 1.0) for b in _qbuckets(spark, ["hash", "join"])]),
+        ("qb", [(b, 1.0) for b in _qbuckets(spark, ["sort", "merge"])]),
+        ("qc", [(b, 1.0) for b in _qbuckets(spark, ["scan", "batch"])]),
+    ]
+    df = sparse_index_probe_topk_batch(spark, path, batch, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PartitionFilters: [" in plan and "shard" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_batch_probe_validates(spark, sf_dir, sparse_store):
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk_batch,
+    )
+
+    _, _, path = sparse_store
+    with pytest.raises(ValueError, match="queries is empty"):
+        sparse_index_probe_topk_batch(spark, path, [], k=5)
+    with pytest.raises(ValueError, match="no .bucket, weight. entries"):
+        sparse_index_probe_topk_batch(spark, path, [("q0", [])], k=5)
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        sparse_index_probe_topk_batch(
+            spark, path, [("q0", [(1, 1.0)]), ("q0", [(2, 1.0)])], k=5
+        )
+
+
+def test_rebuild_clears_stale_tombstones(spark, sf_dir, tmp_path):
+    """ADVICE r9: a full write_sparse_index rebuild starts a fresh
+    logical store — doc_id tombstones from deletes on the PREVIOUS
+    layout must not hide re-indexed documents (the df/avgdl-drift
+    remedy is exactly rebuild-after-deletes)."""
+    from vector_io_spark.operators.similarity import delete_from_index
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+    path = str(tmp_path / "idx")
+    write_sparse_index(docs, path, num_shards=16)
+    q = [(b, 1.0) for b in _qbuckets(spark, ["hash", "join", "filter"])]
+
+    def hits():
+        return {
+            r["doc_id"]
+            for r in sparse_index_probe_topk(
+                spark, path, q, k=1000
+            ).collect()
+        }
+
+    victim = sorted(hits())[0]
+    delete_from_index(spark, path, [victim], id_col="doc_id",
+                      delete_token="rb-d1")
+    assert victim not in hits()
+    # rebuild over the full corpus: the doc is indexed again and the
+    # stale tombstone must not suppress it
+    write_sparse_index(docs, path, num_shards=16)
+    assert victim in hits()
+
+
 def test_streaming_sparse_index_ingest(spark, sf_dir, tmp_path):
     """r9: the FIFTH continuous-ingest pipeline — sparse posting-list
     maintenance via exactly-once tokened appends on the generalized

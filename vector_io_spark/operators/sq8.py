@@ -120,6 +120,96 @@ def write_sq8_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def sq8_bounds_drift_stats(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    rebuild_threshold: float = 0.01,
+) -> DataFrame:
+    """The monitoring half of the SQ8 maintenance contract (VERDICT r9
+    Next #7), mirroring :func:`ivfpq_index_stats` for the codec that
+    has a TRAIN-TIME RANGE instead of codebooks: the per-dimension
+    ``[lo, hi]`` bounds are fixed at build time, and the quantizer
+    cannot represent any mass outside them — vectors that drift past
+    the trained range lose all resolution there (an encoded value
+    clamps to code 0/255; a query component past the range can never
+    be matched by any reconstruction), silently degrading recall with
+    no error anywhere. Run this over a recent sample (incoming queries
+    or fresh corpus data) between probe batches.
+
+    Returns ONE row:
+      n_vectors, n_components      — sample size
+      out_components, out_frac     — components outside [lo, hi]
+      max_overshoot                — worst excursion, relative to the
+                                     dimension's span (0.5 = half a
+                                     span past the trained range)
+      rebuild_recommended          — out_frac > ``rebuild_threshold``
+                                     (default 1%; the IVF drift rule's
+                                     stance: past budget ⇒ rebuild
+                                     with :func:`write_sq8_index`,
+                                     which retrains bounds)
+
+    Scale shape: the bounds row broadcasts; the sample scan's
+    per-component comparisons are codegen'd zip_withs folded to one
+    1-row aggregate — nothing corpus-sized anywhere, no Python.
+    """
+    b = spark.read.parquet(f"{path}/bounds")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    spans = F.zip_with(F.col("his"), F.col("los"), lambda h, lo: h - lo)
+    below = F.zip_with(
+        v, F.col("los"),
+        lambda x, lo: F.when(x < lo, F.lit(1)).otherwise(F.lit(0)),
+    )
+    above = F.zip_with(
+        v, F.col("his"),
+        lambda x, hi: F.when(x > hi, F.lit(1)).otherwise(F.lit(0)),
+    )
+    out_n = F.aggregate(
+        F.zip_with(below, above, lambda a, c: a + c),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # worst excursion, span-relative: max((lo-x)/span, (x-hi)/span, 0)
+    lo_over = F.zip_with(
+        F.zip_with(F.col("los"), v, lambda lo, x: lo - x),
+        spans,
+        lambda d, s: F.when((s > 0) & (d > 0), d / s).otherwise(F.lit(0.0)),
+    )
+    hi_over = F.zip_with(
+        F.zip_with(v, F.col("his"), lambda x, hi: x - hi),
+        spans,
+        lambda d, s: F.when((s > 0) & (d > 0), d / s).otherwise(F.lit(0.0)),
+    )
+    row_max = F.aggregate(
+        F.zip_with(lo_over, hi_over, lambda a, c: F.greatest(a, c)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return (
+        vectors.where(F.col(vec_col).isNotNull())
+        .crossJoin(broadcast(b))
+        .select(
+            out_n.alias("__out"),
+            F.size(vec_col).alias("__d"),
+            row_max.alias("__mx"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("__d").cast("long").alias("n_components"),
+            F.sum("__out").cast("long").alias("out_components"),
+            F.round(
+                F.sum("__out") / (F.lit(1.0) * F.sum("__d")), 6
+            ).alias("out_frac"),
+            F.round(F.max("__mx"), 6).alias("max_overshoot"),
+        )
+        .withColumn(
+            "rebuild_recommended",
+            F.col("out_frac") > F.lit(float(rebuild_threshold)),
+        )
+    )
+
+
 def sq8_index_probe_topk(
     spark,
     path: str,

@@ -10898,6 +10898,273 @@ def sparse_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sparse_indexed_retrieval_batch",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    w AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    qterms AS (
+        SELECT 'q_text' AS query_id,
+               unnest(['hash', 'join', 'filter']) AS term
+        UNION ALL
+        SELECT 'q_sort', unnest(['sort', 'merge', 'window'])
+        UNION ALL
+        SELECT 'q_scan', unnest(['scan', 'column', 'batch'])
+    ),
+    qb AS (
+        SELECT DISTINCT query_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    % 4096 AS INT) AS bucket
+        FROM qterms
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, doc_id,
+               round(CAST(sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                   AS BIGINT) * 1000000) AS DOUBLE)
+                     / 1e12, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                     AS BIGINT) * 1000000) DESC,
+                            doc_id ASC) AS rank
+        FROM w JOIN qb USING (bucket)
+        GROUP BY query_id, doc_id
+    ) WHERE rank <= 10
+    """,
+)
+def sparse_indexed_retrieval_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH sparse retrieval from the persisted posting-list catalog
+    (r10, VERDICT r9 Next #2): three keyword queries answered by ONE
+    probe job — the Pinecone/Qdrant serving shape, where sparse queries
+    arrive in batches (pinecone_export.py:233-235,
+    qdrant_import.py:215-243). Same catalog, encoding, and integer
+    micro-unit exactness as sparse_indexed_retrieval; the batch form
+    (operators/sparse_index.py::sparse_index_probe_topk_batch) scans
+    the postings ONCE over the union of all queries' buckets and
+    broadcasts the (query_id, bucket, wq_int) table, so N queries cost
+    one index job instead of N.
+
+    Scale shape: probe I/O ∝ |union-of-buckets shards| / num_shards —
+    sub-additive in the batch (shared shards read once); per-
+    (query_id, doc_id) sums combine map-side; per-query top-k is one
+    WindowGroupLimit over the pruned matches. Driver state is the
+    bounded query table (MAX_QUERY_ENTRIES loud cap)."""
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk_batch,
+        write_sparse_index,
+    )
+
+    path = _scratch_dir("vios_sparse_idx", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, path, num_shards=64)
+    term_sets = [
+        ("q_text", ["hash", "join", "filter"]),
+        ("q_sort", ["sort", "merge", "window"]),
+        ("q_scan", ["scan", "column", "batch"]),
+    ]
+    all_terms = sorted({t for _, ts in term_sets for t in ts})
+    b_of = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in all_terms], "t string"
+        )
+        .select(
+            "t",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                % 4096
+            ).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    batch = [
+        (qid, [(b, 1.0) for b in sorted({b_of[t] for t in ts})])
+        for qid, ts in term_sets
+    ]
+    return sparse_index_probe_topk_batch(spark, path, batch, k=10)
+
+
+@_register(
+    "hybrid_indexed_search",
+    f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    wt AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    qb AS (
+        SELECT DISTINCT CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                             % 4096 AS INT) AS bucket
+        FROM (SELECT unnest(['hash', 'join', 'filter']) AS term)
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                     AS BIGINT) * 1000000) DESC,
+                            doc_id ASC) AS rank
+        FROM wt JOIN qb USING (bucket)
+        GROUP BY doc_id QUALIFY rank <= 100
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS score
+            FROM embeddings, qv
+        ) QUALIFY rank <= 100
+    ),
+    fused AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(1000000000.0 / (60 + rank))
+                                   AS BIGINT)) AS DOUBLE) / 1e9, 6)
+                   AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_rankers
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_rankers FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                      AS rk
+        FROM fused
+    ) WHERE rk <= 20
+    """,
+)
+def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search served END-TO-END from the PERSISTED catalogs
+    (r10): the lexical leg probes the sparse posting-list catalog
+    (operators/sparse_index.py — shard pruning + pushed bucket-IN) and
+    the dense leg probes the persisted IVF catalog
+    (operators/similarity.py::ivf_index_probe_topk — cell partition
+    pruning), fused by reciprocal-rank fusion
+    (operators/ranking.py::rrf_fuse). This is the full
+    Qdrant/Weaviate/Pinecone hybrid SERVING path — both legs read
+    pre-built indexes, no corpus scan anywhere — where
+    hybrid_rrf_search is its scan-form twin. Hash-exact: the dense
+    probe runs at nprobe == num_cells (exact ranking), the sparse leg
+    is integer micro-unit arithmetic, and RRF contributions are
+    fixed-point BIGINTs.
+
+    Scale shape: lexical I/O ∝ query-bucket shards, dense I/O ∝ probed
+    cells (both partition-pruned, corpus-size-independent for fixed
+    nprobe); fusion unions two ≤100-row shortlists — nothing
+    corpus-sized moves at query time. Index builds are one-time,
+    memoized per process (_scratch_dir, shared with
+    sparse_indexed_retrieval / ann_probe_payload_exact)."""
+    from vector_io_spark.operators.ranking import (
+        bm25_sparse_vectors,
+        rrf_fuse,
+    )
+    from vector_io_spark.operators.similarity import (
+        ivf_index_probe_topk,
+        write_ivf_index,
+    )
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk,
+        write_sparse_index,
+    )
+
+    spath = _scratch_dir("vios_sparse_idx", sf_dir)
+    if not os.path.exists(os.path.join(spath, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, spath, num_shards=64)
+    terms = ["hash", "join", "filter"]
+    qbuckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(
+                (
+                    F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                    % 4096
+                ).cast("int")
+            )
+            .collect()
+        }
+    )
+    lex = sparse_index_probe_topk(
+        spark, spath, [(b, 1.0) for b in qbuckets], k=100
+    ).select("doc_id", "rank")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dpath = _scratch_dir("vios_ivf_payload", sf_dir)
+    if not os.path.exists(os.path.join(dpath, "centroids")):
+        write_ivf_index(
+            emb, dpath, num_cells=8, seed=7, metadata_cols=("label",)
+        )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ivf_index_probe_topk(
+        spark, dpath, q, k=100, nprobe=8
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+
+    fused = rrf_fuse([lex, dense], "doc_id")
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "rrf_score", "n_rankers")
+    )
+
+
+@_register(
     "ann_recommend_topk",
     f"""
     WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
@@ -11131,42 +11398,46 @@ _GATE_PILLARS = [
     "training_data_pipeline",        # composite pipeline
 ]
 
-# Rotation r9: FIFTH disjoint slice — 35 names drawn only from the 40
-# queries with no driver-side CORRECTNESS row across r1-r8 (complement
-# of the union of CORRECTNESS_r01..r08 keys, set-difference recomputed
-# at the start of round 9: 39 never-gated + the r9-new
-# ann_probe_payload_exact). Includes the two rows-only approximate
-# twins displaced from the r8 slice (ann_topk_ivf / ann_topk_pq —
-# VERDICT r8 Next #7) and the r9-new payload-probe query (gate new
-# surface immediately, hash-exact). Everything else is hash-gated.
-# The tail deferred to r10 (finishing the 100% cycle):
-# profile_lineitem, charclass_profile, fanout_histogram,
-# dup_cluster_histogram, snapshot_diff, discount_elasticity — all
-# profile/histogram/elasticity shapes whose families already have
-# multiple driver rows (discount_elasticity displaced by the r9-new
-# delete query: gate new surface immediately) — plus the four r9-new
-# vector-query-API registrations (ann_range_search, ann_recommend_topk,
-# ann_grouped_topk, ann_distance_matrix, ann_range_search_indexed,
-# hybrid_weighted_search, ann_topk_sq8_exact, ann_recommend_indexed,
-# sparse_indexed_retrieval, ann_grouped_indexed), registered after the
-# r9 slice was frozen.
+# Rotation r10: SIXTH slice — the 16-name TAIL (every registered query
+# with no driver-side CORRECTNESS row across r1-r9; set-difference over
+# the union of CORRECTNESS_r01..r09 keys recomputed at the start of
+# round 10) — this slice completes the 100% driver-gate cycle: after
+# r10, all 223 registered queries have at least one driver-side
+# correctness row (VERDICT r9 Next #1). The 16: the six
+# profile/histogram/elasticity shapes deferred from r9
+# (profile_lineitem, charclass_profile, fanout_histogram,
+# dup_cluster_histogram, snapshot_diff, discount_elasticity) plus the
+# ten r9-late vector-query registrations (ann_range_search,
+# ann_range_search_indexed, ann_recommend_topk, ann_recommend_indexed,
+# ann_grouped_topk, ann_grouped_indexed, ann_distance_matrix,
+# hybrid_weighted_search, ann_topk_sq8_exact,
+# sparse_indexed_retrieval). The remaining 19 slots backfill with the
+# OLDEST-gated non-pillar names (r1 rows, not re-verified since) so
+# rotation keeps re-verifying old surface instead of idling
+# (VERDICT r9 Next #1 "backfill the remainder with the oldest-gated
+# names"), minus two slots for the r10-NEW registrations
+# (sparse_indexed_retrieval_batch, hybrid_indexed_search — gate new
+# surface immediately, the r9 precedent). All 35 are hash-gated
+# (every name is oracle-paired).
 _GATE_ROTATION = [
-    "ann_probe_payload_exact", "ann_topk_after_delete",
-    "ann_topk_ivf", "ann_topk_pq",
-    "revenue_change_forecast", "upsample_weighted", "vocab_topk",
-    "quality_drift_by_source", "chunk_documents", "pack_sequences",
-    "id_set_intersect_except", "minmax_scaled_embeddings",
-    "value_outliers_mad", "dedup_rate_by_source", "bm25_sparse_entries",
-    "event_interarrival_stats", "label_separation_report",
-    "retrieval_eval_euclid_vs_cosine", "hourly_event_bursts",
-    "quota_constrained_topk", "fuzzy_entity_resolution",
-    "session_conversion_rate", "quality_classifier_scores",
-    "copurchase_part_pairs", "source_token_gini",
-    "user_value_band_history", "cdc_apply_customer",
-    "neardup_eval_minhash", "knn_label_disagreement",
-    "classifier_calibration", "seasonal_anomaly_hours",
-    "data_quality_rules", "embedding_drift_by_label",
-    "customer_purchase_sequences", "source_quality_report",
+    # -- the 16-name never-gated tail (completes the cycle) --
+    "profile_lineitem", "charclass_profile", "fanout_histogram",
+    "dup_cluster_histogram", "snapshot_diff", "discount_elasticity",
+    "ann_range_search", "ann_range_search_indexed",
+    "ann_recommend_topk", "ann_recommend_indexed",
+    "ann_grouped_topk", "ann_grouped_indexed",
+    "ann_distance_matrix", "hybrid_weighted_search",
+    "ann_topk_sq8_exact", "sparse_indexed_retrieval",
+    # -- r10-new surface, gated immediately --
+    "sparse_indexed_retrieval_batch", "hybrid_indexed_search",
+    # -- backfill: 17 oldest-gated non-pillar names (r1, re-verify) --
+    "order_priority_by_region", "id_range_filter", "semi_join_id_list",
+    "anti_join_missing_ids", "dedup_by_id_last_wins",
+    "consolidate_union_by_name", "count_tables", "sanitize_nat_epoch",
+    "parse_json_metadata", "compliant_names", "deterministic_uuid",
+    "vector_range_stats", "vector_dim_inference",
+    "embedding_cosine_neardup", "token_counts", "language_id",
+    "doc_fingerprint",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
