@@ -37,6 +37,12 @@ from vector_io_spark.operators.snapshot import (  # noqa: F401
     snapshot_index,
     verify_snapshot,
 )
+from vector_io_spark.operators.export_catalog import (  # noqa: F401
+    export_index_to_vdf,
+    read_index_vectors,
+    read_sparse_vectors,
+    read_sq8_reconstructed,
+)
 from vector_io_spark.operators.sparse_index import (  # noqa: F401
     sparse_index_probe_topk,
     sparse_index_probe_topk_batch,

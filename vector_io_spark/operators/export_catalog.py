@@ -1,0 +1,165 @@
+"""Catalog → dataset export: read a persisted index back out as the
+logical dataset it serves — the "get my vectors back" path.
+
+Reference parity: the reference's entire mission is store round-trips —
+it exports a live vector DB to a VDF parquet dataset and re-imports it
+elsewhere (export_vdf_cli.py / vdb_export_cls.py — full re-export is
+its only backup/migration primitive). Here the engine's OWN persisted
+catalogs are first-class export sources: a store served by an IVF /
+SQ8 / sparse catalog can be materialized back to a plain VDF dataset
+(``export_index_to_vdf``) and re-imported anywhere, without keeping the
+original corpus around.
+
+Semantics:
+- IVF / token layouts store RAW rows — export is EXACT (bit-identical
+  to the indexed data, minus tombstoned ids; oracle-gated by
+  queries.py ``index_export_roundtrip``).
+- SQ8 stores uint8 codes — export reconstructs ``lo + code·span/255``
+  and is LOSSY by exactly the quantization error; the function name
+  says so and the docstring states the bound.
+- Sparse postings are re-assembled into the original
+  ``struct<indices array<int>, values array<float>>`` rows — exact
+  (weights were 1e-6-quantized on the way in; pytest-pinned
+  round-trip).
+
+Scale shape: every reader is one scan of the catalog's data layout
+with the partition/bookkeeping levels dropped and live tombstones
+anti-joined (broadcast — bounded by compaction cadence). The sparse
+re-assembly shuffles once on doc_id (the inverse of the build's
+explode). Nothing corpus-sized reaches the driver; ``write_vdf``
+rotates output files and range-sorts if asked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_io_spark.operators.similarity import _apply_tombstones
+
+# bookkeeping levels that never belong to the logical dataset
+_LAYOUT_COLS = ("cell", "ingest_batch", "shard")
+
+
+def read_index_vectors(spark, path: str) -> DataFrame:
+    """The logical rows of a raw-vector ``cells`` catalog (IVF layout,
+    token index — anything whose cells store the original columns):
+    one scan of ``<path>/cells`` with the partition levels dropped and
+    live tombstones applied. EXACT — what went in (minus deletes)
+    comes out, including persisted ``metadata_cols``.
+
+    Scale shape: one full catalog scan (this is an export, the scan IS
+    the job); tombstones broadcast; no shuffle, no Python."""
+    scan = spark.read.parquet(f"{path}/cells")
+    scan = _apply_tombstones(spark, path, scan, "read_index_vectors")
+    drop = [c for c in _LAYOUT_COLS if c in scan.columns]
+    return scan.drop(*drop)
+
+
+def read_sq8_reconstructed(
+    spark, path: str, vec_name: str = "embedding"
+) -> DataFrame:
+    """The logical rows of an SQ8 catalog with each code RECONSTRUCTED
+    to ``lo + (code · span) / 255`` — lossy by at most span/510 per
+    component (half a quantization step), the same reconstruction every
+    probe scores against. Use the raw-IVF layout when exact export
+    matters; SQ8 traded exactness for 4× smaller cells at build time
+    and an export cannot get it back.
+
+    Scale shape: one catalog scan; the bounds row broadcasts as
+    literals; reconstruction is a codegen'd zip_with — no Python."""
+    brow = spark.read.parquet(f"{path}/bounds").collect()[0]
+    los, his = list(brow["los"]), list(brow["his"])
+    scan = spark.read.parquet(f"{path}/cells")
+    scan = _apply_tombstones(spark, path, scan, "read_sq8_reconstructed")
+    los_lit = F.array(*[F.lit(float(x)) for x in los])
+    spans_lit = F.array(
+        *[F.lit(float(h) - float(lo)) for h, lo in zip(his, los)]
+    )
+    recon = F.zip_with(
+        F.zip_with(
+            F.col("code"), spans_lit,
+            lambda c, s: (c.cast("double") * s) / 255.0,
+        ),
+        los_lit,
+        lambda t, lo: lo + t,
+    )
+    drop = [c for c in _LAYOUT_COLS if c in scan.columns]
+    return scan.withColumn(vec_name, recon).drop("code", *drop)
+
+
+def read_sparse_vectors(
+    spark, path: str, sparse_name: str = "sparse"
+) -> DataFrame:
+    """Re-assemble a sparse posting-list catalog into the original
+    per-document ``struct<indices array<int>, values array<float>>``
+    rows (bucket-ascending, the :func:`~vector_io_spark.operators.
+    ranking.bm25_sparse_vectors` contract) — the inverse of
+    ``write_sparse_index``'s explode. Tombstoned docs are excluded.
+
+    Scale shape: one postings scan + ONE shuffle on doc_id (the
+    groupBy that inverts the build's explode); per-doc posting lists
+    are bounded by vocabulary, so collect_list stays row-sized."""
+    scan = spark.read.parquet(f"{path}/postings")
+    scan = _apply_tombstones(spark, path, scan, "read_sparse_vectors")
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    )
+    return (
+        scan.groupBy("doc_id")
+        .agg(entries.alias("__e"))
+        .select(
+            "doc_id",
+            F.struct(
+                F.transform("__e", lambda e: e["bucket"]).alias("indices"),
+                F.transform("__e", lambda e: e["weight"]).alias("values"),
+            ).alias(sparse_name),
+        )
+    )
+
+
+def export_index_to_vdf(
+    spark,
+    index_path: str,
+    dataset_dir: str,
+    kind: str = "ivf",
+    index_name: str = "exported",
+    namespace: str = "",
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    metric: str | None = "cosine",
+    **write_kwargs,
+) -> "object":
+    """Materialize a persisted catalog back into a VDF parquet dataset
+    (``format/writer.py::write_vdf`` — size-rotated files +
+    VDF_META.json), ready for re-import by any connector. ``kind`` ∈
+    {'ivf', 'token'} (raw rows, exact), 'sq8' (reconstructed, lossy),
+    'sparse' (re-assembled structs; pass ``id_column='doc_id'``,
+    ``vector_column='sparse'``). Returns the committed VDFMeta."""
+    from vector_io_spark.format.writer import write_vdf
+
+    if kind in ("ivf", "token"):
+        df = read_index_vectors(spark, index_path)
+    elif kind == "sq8":
+        df = read_sq8_reconstructed(spark, index_path, vector_column)
+    elif kind == "sparse":
+        df = read_sparse_vectors(spark, index_path, vector_column)
+    else:
+        raise ValueError(
+            f"export_index_to_vdf: unknown kind {kind!r} — expected "
+            "'ivf', 'token', 'sq8', or 'sparse'"
+        )
+    vec_kw = (
+        {"sparse_vector_columns": [vector_column], "vector_columns": []}
+        if kind == "sparse"
+        else {"vector_columns": [vector_column]}
+    )
+    return write_vdf(
+        {(index_name, namespace): df},
+        dataset_dir,
+        exported_from=f"vdf_spark_catalog_{kind}",
+        id_column=id_column,
+        metric=metric,
+        **vec_kw,
+        **write_kwargs,
+    )

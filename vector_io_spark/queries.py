@@ -10659,6 +10659,61 @@ def ann_topk_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_probe_topk(spark, path, queries, k=10, nprobe=8)
 
 
+@_register(
+    "index_export_roundtrip",
+    """
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i))
+    SELECT e.vec_id, CAST(d.i AS BIGINT) AS dim,
+           CAST(e.embedding[d.i] AS REAL) AS val
+    FROM embeddings e, dims d
+    WHERE e.vec_id NOT BETWEEN 100 AND 119
+    """,
+)
+def index_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog → dataset export (r10,
+    operators/export_catalog.py::read_index_vectors): the raw-vector
+    IVF layout read back out as the logical dataset it serves — every
+    indexed row, minus tombstoned deletes, partition levels dropped.
+    Exercised on the SAME tombstoned catalog as ann_topk_after_delete
+    (ids 100-119 deleted), exploded to (vec_id, dim, val) scalars so
+    the float32 components hash-compare exactly: what went into the
+    index comes back out bit-identical. Reference parity: full
+    re-export is the reference's only backup/migration primitive
+    (export_vdf_cli.py / vdb_export_cls.py); here the engine's own
+    catalogs are export sources.
+
+    Scale shape: ONE catalog scan (an export's scan IS the job) + a
+    broadcast tombstone anti-join; no shuffle, no Python, nothing
+    driver-sized."""
+    from vector_io_spark.operators.export_catalog import (
+        read_index_vectors,
+    )
+    from vector_io_spark.operators.similarity import (
+        delete_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_delete", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), path, num_cells=8, seed=7
+        )
+    # idempotent: same token as ann_topk_after_delete — a committed
+    # token is a no-op, so the two queries share the catalog safely
+    delete_from_index(
+        spark, path, list(range(100, 120)), delete_token="gate-del"
+    )
+    out = read_index_vectors(spark, path)
+    return out.select(
+        "vec_id", F.posexplode("embedding").alias("__p", "val")
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        "val",
+    )
+
+
 # ===========================================================================
 # Vector query API completion (r9): range/threshold search, recommend,
 # grouped top-k, distance matrix — operators/vectorquery.py
@@ -11430,14 +11485,14 @@ _GATE_ROTATION = [
     "ann_topk_sq8_exact", "sparse_indexed_retrieval",
     # -- r10-new surface, gated immediately --
     "sparse_indexed_retrieval_batch", "hybrid_indexed_search",
-    # -- backfill: 17 oldest-gated non-pillar names (r1, re-verify) --
+    "index_export_roundtrip",
+    # -- backfill: 16 oldest-gated non-pillar names (r1, re-verify) --
     "order_priority_by_region", "id_range_filter", "semi_join_id_list",
     "anti_join_missing_ids", "dedup_by_id_last_wins",
     "consolidate_union_by_name", "count_tables", "sanitize_nat_epoch",
     "parse_json_metadata", "compliant_names", "deterministic_uuid",
     "vector_range_stats", "vector_dim_inference",
     "embedding_cosine_neardup", "token_counts", "language_id",
-    "doc_fingerprint",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
