@@ -346,9 +346,14 @@ def main() -> None:
     # in BENCH_r06/r07). stdout carries ONLY a compact summary line,
     # ≤1 KB, with the slowest per-query medians that fit — small
     # enough that any tail capture ends with complete, parseable JSON.
-    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # A SPARK_GRAFT_BENCH_QUERIES subset run is a diagnostic, not the
+    # record — it must not clobber the committed full-set record (and
+    # its priors) that the auto solo-retest compares against (r10:
+    # two such clobbers in one session before this guard).
+    if not subset:
+        with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     compact: dict = {
         "metric": full["metric"],
         "value": full["value"],

@@ -118,6 +118,70 @@ def test_export_index_to_vdf_commits_dataset(spark, sf_dir, tmp_path):
         export_index_to_vdf(spark, path, str(tmp_path / "x"), kind="hnsw")
 
 
+def test_import_vdf_rebuilds_equivalent_catalog(spark, sf_dir, tmp_path):
+    """The full migration loop: catalog → VDF dataset → NEW catalog;
+    probes of the two catalogs must return identical results (raw IVF
+    layouts are lossless)."""
+    from vector_io_spark.operators.export_catalog import (
+        import_vdf_to_index,
+    )
+    from vector_io_spark.operators.similarity import ivf_index_probe_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "src_ivf")
+    write_ivf_index(emb, src, num_cells=4, seed=7)
+    ds = str(tmp_path / "vdf_mig")
+    export_index_to_vdf(spark, src, ds, kind="ivf", index_name="embs")
+    dst = str(tmp_path / "dst_ivf")
+    df = import_vdf_to_index(
+        spark, ds, dst, kind="ivf", num_cells=4, seed=7
+    )
+    assert df.count() == emb.count()
+
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ivf_index_probe_topk(
+        spark, src, q, k=10, nprobe=4).collect()))
+    b = sorted(map(tuple, ivf_index_probe_topk(
+        spark, dst, q, k=10, nprobe=4).collect()))
+    assert a == b
+
+    # sparse loop too: dataset → postings catalog → identical probe
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=512)
+    sp_src = str(tmp_path / "sp_src")
+    write_sparse_index(docs, sp_src, num_shards=8)
+    sp_ds = str(tmp_path / "sp_ds")
+    export_index_to_vdf(
+        spark, sp_src, sp_ds, kind="sparse", index_name="docs",
+        id_column="doc_id", vector_column="sparse",
+    )
+    sp_dst = str(tmp_path / "sp_dst")
+    import_vdf_to_index(
+        spark, sp_ds, sp_dst, kind="sparse", num_shards=8
+    )
+    # probe buckets that actually carry postings (guaranteed hits)
+    bks = sorted(
+        r["bucket"]
+        for r in spark.read.parquet(f"{sp_src}/postings")
+        .select("bucket").distinct().limit(3).collect()
+    )
+    qent = [(b, 1.0) for b in bks]
+    ga = sorted(map(tuple, sparse_index_probe_topk(
+        spark, sp_src, qent, k=50).collect()))
+    gb = sorted(map(tuple, sparse_index_probe_topk(
+        spark, sp_dst, qent, k=50).collect()))
+    assert ga == gb
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        import_vdf_to_index(spark, ds, str(tmp_path / "z"), kind="hnsw")
+
+
 def test_sparse_export_to_vdf(spark, sf_dir, tmp_path):
     d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
     docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=512)
@@ -134,3 +198,68 @@ def test_sparse_export_to_vdf(spark, sf_dir, tmp_path):
     back = spark.read.parquet(os.path.join(ds, "docs"))
     assert back.count() == 50
     assert back.schema["sparse"].dataType.simpleString().startswith("struct")
+
+
+def test_scan_index_pages_keyset_semantics_and_plan(spark, sf_dir, tmp_path):
+    """Keyset pagination: pages are disjoint, ordered, tombstone-free,
+    and the plan pushes the id predicate into the scan and bounds the
+    sort (TakeOrderedAndProject — never a global catalog sort)."""
+    from vector_io_spark.operators.export_catalog import scan_index_pages
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=4, seed=7)
+    delete_from_index(spark, path, [12, 13], delete_token="pg-d1")
+
+    seen = []
+    after = None
+    while True:
+        page = scan_index_pages(
+            spark, path, after=after, limit=7
+        ).select("vec_id").collect()
+        if not page:
+            break
+        ids = [r["vec_id"] for r in page]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        after = ids[-1]
+        if len(seen) > 50:  # bounded walk for the test
+            break
+    assert len(seen) == len(set(seen)), "pages overlap"
+    assert 12 not in seen and 13 not in seen
+    assert seen == sorted(seen)
+    # page 1 = ids strictly above `after`
+    assert all(i > 20 for i in [
+        r["vec_id"] for r in scan_index_pages(
+            spark, path, after=20, limit=5).collect()
+    ])
+
+    df = scan_index_pages(spark, path, after=20, limit=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThan(vec_id,20" in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        scan_index_pages(spark, path, limit=0)
+
+
+def test_sparse_index_stats_shape_and_counts(spark, sf_dir, tmp_path):
+    from vector_io_spark.operators.sparse_index import sparse_index_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=512)
+    path = str(tmp_path / "sp")
+    write_sparse_index(docs, path, num_shards=8)
+    stats = sparse_index_stats(spark, path).collect()
+    total = sum(r["n_postings"] for r in stats)
+    want_total = docs.select(
+        F.explode("sparse.indices")
+    ).count()
+    assert total == want_total
+    mx = max(r["n_postings"] for r in stats)
+    for r in stats:
+        assert abs(r["imbalance_factor"] - round(mx * 8 / total, 4)) < 1e-9
+        assert r["top_bucket"] % 8 == r["shard"]
+        assert 0 < r["share"] <= 1

@@ -39,6 +39,7 @@ from vector_io_spark.operators.snapshot import (  # noqa: F401
 )
 from vector_io_spark.operators.export_catalog import (  # noqa: F401
     export_index_to_vdf,
+    import_vdf_to_index,
     read_index_vectors,
     read_sparse_vectors,
     read_sq8_reconstructed,

@@ -118,6 +118,39 @@ def read_sparse_vectors(
     )
 
 
+def scan_index_pages(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    after=None,
+    limit: int = 1000,
+) -> DataFrame:
+    """One page of a keyset-paginated catalog scan — the Qdrant
+    ``scroll`` / Milvus ``query_iterator`` / Pinecone ``list`` serving
+    shape, over the engine's own raw-vector layouts: rows with
+    ``id > after`` in ascending id order, at most ``limit`` of them.
+    Iterate by passing the previous page's max id as ``after`` (keyset
+    pagination — O(page) per call, no OFFSET re-scan, stable under
+    concurrent appends of LARGER ids). Tombstoned rows never appear.
+
+    Scale shape: the ``id > after`` predicate pushes into the parquet
+    scan (row-group min/max skipping — near-free when the layout was
+    written ``sort_by`` id), and the ordered LIMIT plans as
+    TakeOrderedAndProject (map-side truncation to ``limit`` rows per
+    partition, one small final merge) — never a global sort of the
+    catalog. Plan-pinned in tests/test_export_catalog.py."""
+    if limit <= 0 or limit > 1_000_000:
+        raise ValueError(
+            f"scan_index_pages: limit={limit} out of range (1..1e6) — "
+            "pages are driver-consumable units, not bulk exports; use "
+            "read_index_vectors for the full catalog."
+        )
+    df = read_index_vectors(spark, path)
+    if after is not None:
+        df = df.where(F.col(id_col) > F.lit(after))
+    return df.orderBy(F.col(id_col).asc()).limit(limit)
+
+
 def export_index_to_vdf(
     spark,
     index_path: str,
@@ -163,3 +196,103 @@ def export_index_to_vdf(
         **vec_kw,
         **write_kwargs,
     )
+
+
+def import_vdf_to_index(
+    spark,
+    dataset_dir: str,
+    index_path: str,
+    kind: str = "ivf",
+    index_name: str | None = None,
+    namespace: str = "",
+    id_column: str | None = None,
+    vector_column: str | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """The inverse of :func:`export_index_to_vdf`, completing the
+    migration loop the reference performs between SERVICES for the
+    engine's own catalogs: read a VDF dataset (``VDF_META.json`` +
+    parquet namespaces) and build a persisted index from it. ``kind`` ∈
+    {'ivf', 'sq8', 'sparse'}; id/vector columns default from the
+    dataset's meta (``id_column``; the namespace's first
+    vector/sparse column). ``build_kwargs`` forward to the writer
+    (num_cells / seed / metadata_cols / num_shards...). Returns the
+    source DataFrame that was indexed (lazy; useful for sanity counts).
+
+    A VDF→IVF→VDF→IVF chain round-trips exactly (raw layouts are
+    lossless; pytest-pinned probe equality). Scale shape: one dataset
+    scan feeding the catalog build job — the build's own shuffles
+    (partitionBy cell/shard) are the cost, nothing extra."""
+    from vector_io_spark.meta import read_meta
+
+    meta = read_meta(dataset_dir)
+    if index_name is None:
+        if len(meta.indexes) != 1:
+            raise ValueError(
+                "import_vdf_to_index: dataset holds "
+                f"{sorted(meta.indexes)} — pass index_name"
+            )
+        index_name = next(iter(meta.indexes))
+    nss = meta.indexes.get(index_name)
+    if not nss:
+        raise ValueError(
+            f"import_vdf_to_index: no index {index_name!r} in "
+            f"{dataset_dir} (has {sorted(meta.indexes)})"
+        )
+    ns = next(
+        (n for n in nss if n.namespace == namespace), nss[0]
+    )
+    df = spark.read.parquet(
+        f"{dataset_dir}/{ns.data_path}"
+    )
+    id_col = id_column or meta.id_column or "id"
+    if kind in ("ivf", "sq8"):
+        vcol = vector_column or (
+            ns.vector_columns[0] if ns.vector_columns else "vector"
+        )
+        if vcol not in df.columns:
+            raise ValueError(
+                f"import_vdf_to_index: vector column {vcol!r} not in "
+                f"dataset columns {df.columns}"
+            )
+        if kind == "ivf":
+            from vector_io_spark.operators.similarity import (
+                write_ivf_index,
+            )
+
+            write_ivf_index(
+                df, index_path, corpus_id=id_col, corpus_vec=vcol,
+                **build_kwargs,
+            )
+        else:
+            from vector_io_spark.operators.sq8 import write_sq8_index
+
+            write_sq8_index(
+                df, index_path, corpus_id=id_col, corpus_vec=vcol,
+                **build_kwargs,
+            )
+    elif kind == "sparse":
+        vcol = vector_column or (
+            ns.sparse_vector_columns[0]
+            if ns.sparse_vector_columns
+            else "sparse"
+        )
+        if vcol not in df.columns:
+            raise ValueError(
+                f"import_vdf_to_index: sparse column {vcol!r} not in "
+                f"dataset columns {df.columns}"
+            )
+        from vector_io_spark.operators.sparse_index import (
+            write_sparse_index,
+        )
+
+        write_sparse_index(
+            df, index_path, doc_id=id_col, sparse_col=vcol,
+            **build_kwargs,
+        )
+    else:
+        raise ValueError(
+            f"import_vdf_to_index: unknown kind {kind!r} — expected "
+            "'ivf', 'sq8', or 'sparse'"
+        )
+    return df

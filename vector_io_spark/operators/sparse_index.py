@@ -256,3 +256,64 @@ def sparse_index_probe_topk(
     return sparse_index_probe_topk_batch(
         spark, path, [(query_id, query_entries)], k=k
     )
+
+
+def sparse_index_stats(spark, path: str, top_buckets: int = 20) -> DataFrame:
+    """The monitoring half of the sparse catalog's maintenance contract,
+    mirroring ``ivfpq_index_stats``/``sq8_bounds_drift_stats`` for the
+    posting-list layout: per-shard posting counts plus the store-wide
+    share and imbalance factor (max·num_shards/total — 1.0 is a
+    perfectly level shard layout; probes of a hot shard pay its skew),
+    and each shard's heaviest bucket with its document frequency (df) —
+    the stopword-drift signal: a bucket whose df approaches the corpus
+    size contributes ~nothing to BM25 ranking but dominates probe I/O
+    for any query touching it; past budget, rebuild with a stopword
+    filter upstream or re-hash with more ``vocab_buckets``.
+
+    Returns one row per shard: (shard, n_postings, share,
+    imbalance_factor, top_bucket, top_bucket_df).
+
+    Scale shape: one postings scan aggregated per (shard, bucket) —
+    map-side combine, |buckets| rows shuffled; the per-shard argmax is
+    a WindowGroupLimit over the rollup; the 1-row total broadcasts.
+    Nothing corpus-sized anywhere.
+    """
+    scan = spark.read.parquet(f"{path}/postings")
+    per_bucket = scan.groupBy("shard", "bucket").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("df").desc(), F.col("bucket").asc()
+    )
+    per_shard = (
+        per_bucket.withColumn("__r", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.sum("df").cast("long").alias("n_postings"),
+            F.max(F.when(F.col("__r") == 1, F.col("bucket"))).alias(
+                "top_bucket"
+            ),
+            F.max(F.when(F.col("__r") == 1, F.col("df"))).alias(
+                "top_bucket_df"
+            ),
+        )
+    )
+    nsh = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["num_shards"]
+    )
+    tot = per_shard.agg(
+        F.sum("n_postings").alias("__t"),
+        F.max("n_postings").alias("__mx"),
+    )
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_postings",
+        F.round(F.col("n_postings") / (F.lit(1.0) * F.col("__t")), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("__mx") * F.lit(nsh) / (F.lit(1.0) * F.col("__t")), 4
+        ).alias("imbalance_factor"),
+        "top_bucket",
+        "top_bucket_df",
+    )

@@ -10714,6 +10714,126 @@ def index_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "index_scroll_page",
+    """
+    WITH page AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id > 50 AND vec_id NOT BETWEEN 100 AND 119
+        ORDER BY vec_id LIMIT 100
+    ),
+    dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i))
+    SELECT p.vec_id, CAST(d.i AS BIGINT) AS dim,
+           CAST(p.embedding[d.i] AS REAL) AS val
+    FROM page p, dims d
+    """,
+)
+def index_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-paginated catalog scan (r10,
+    operators/export_catalog.py::scan_index_pages): one scroll page —
+    ids strictly above the cursor, ascending, LIMIT 100 — from the
+    tombstoned IVF catalog (deleted ids 100-119 never appear). The
+    Qdrant scroll / Milvus query_iterator / Pinecone list serving
+    shape over the engine's own layouts; the reference's scans drive
+    exactly this cursor protocol against remote stores
+    (qdrant_export.py scroll offsets, pinecone id pagination).
+    Exploded to (vec_id, dim, val) scalars for the hash compare.
+
+    Scale shape: the cursor predicate pushes into the parquet scan
+    (row-group skipping) and the ordered LIMIT plans as
+    TakeOrderedAndProject — O(page) per call, never a global sort or
+    an OFFSET re-scan (plan-pinned in tests/test_export_catalog.py)."""
+    from vector_io_spark.operators.export_catalog import scan_index_pages
+    from vector_io_spark.operators.similarity import (
+        delete_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_ivf_delete", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(
+            emb.select("vec_id", "embedding"), path, num_cells=8, seed=7
+        )
+    delete_from_index(
+        spark, path, list(range(100, 120)), delete_token="gate-del"
+    )
+    page = scan_index_pages(spark, path, "vec_id", after=50, limit=100)
+    return page.select(
+        "vec_id", F.posexplode("embedding").alias("__p", "val")
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        "val",
+    )
+
+
+@_register(
+    "sparse_catalog_stats",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    tb AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                    % 4096 AS INT) AS bucket
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+    ),
+    pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS df
+           FROM tb GROUP BY bucket),
+    ranked AS (
+        SELECT bucket % 64 AS shard, bucket, df,
+               row_number() OVER (PARTITION BY bucket % 64
+                                  ORDER BY df DESC, bucket ASC) AS r
+        FROM pb
+    ),
+    ps AS (
+        SELECT CAST(shard AS INT) AS shard,
+               CAST(sum(df) AS BIGINT) AS n_postings,
+               CAST(max(CASE WHEN r = 1 THEN bucket END) AS INT)
+                   AS top_bucket,
+               CAST(max(CASE WHEN r = 1 THEN df END) AS BIGINT)
+                   AS top_bucket_df
+        FROM ranked GROUP BY shard
+    ),
+    tot AS (SELECT CAST(sum(n_postings) AS DOUBLE) AS t,
+                   max(n_postings) AS mx FROM ps)
+    SELECT shard, n_postings,
+           round(n_postings / t, 6) AS share,
+           round(mx * 64 / t, 4) AS imbalance_factor,
+           top_bucket, top_bucket_df
+    FROM ps, tot
+    """,
+)
+def sparse_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse posting-list catalog monitoring (r10,
+    operators/sparse_index.py::sparse_index_stats): per-shard posting
+    counts, store-wide share + imbalance factor, and each shard's
+    heaviest bucket with its document frequency — the stopword-drift /
+    hot-shard signal of the inverted-index maintenance contract,
+    mirroring ivfpq_index_stats for the dense catalogs. Hash-exact:
+    every statistic is integer counts + two deterministic roundings,
+    recomputed by DuckDB from the raw documents.
+
+    Scale shape: one postings scan → per-(shard,bucket) map-combined
+    rollup (|buckets| rows), a partitioned WindowGroupLimit argmax,
+    and a broadcast 1-row total — nothing corpus-sized anywhere."""
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_stats,
+        write_sparse_index,
+    )
+
+    path = _scratch_dir("vios_sparse_idx", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, path, num_shards=64)
+    return sparse_index_stats(spark, path)
+
+
 # ===========================================================================
 # Vector query API completion (r9): range/threshold search, recommend,
 # grouped top-k, distance matrix — operators/vectorquery.py
@@ -11485,14 +11605,15 @@ _GATE_ROTATION = [
     "ann_topk_sq8_exact", "sparse_indexed_retrieval",
     # -- r10-new surface, gated immediately --
     "sparse_indexed_retrieval_batch", "hybrid_indexed_search",
-    "index_export_roundtrip",
-    # -- backfill: 16 oldest-gated non-pillar names (r1, re-verify) --
+    "index_export_roundtrip", "index_scroll_page",
+    "sparse_catalog_stats",
+    # -- backfill: 14 oldest-gated non-pillar names (r1, re-verify) --
     "order_priority_by_region", "id_range_filter", "semi_join_id_list",
     "anti_join_missing_ids", "dedup_by_id_last_wins",
     "consolidate_union_by_name", "count_tables", "sanitize_nat_epoch",
     "parse_json_metadata", "compliant_names", "deterministic_uuid",
     "vector_range_stats", "vector_dim_inference",
-    "embedding_cosine_neardup", "token_counts", "language_id",
+    "embedding_cosine_neardup",
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
