@@ -41,7 +41,10 @@ def main() -> None:
         docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
         write_sparse_index(docs, path, num_shards=64)
 
-    # N deterministic 3-term queries over populated buckets
+    # N deterministic 3-term queries over populated buckets (the
+    # synthetic corpus has a ~31-word vocabulary, so cycle through the
+    # populated buckets with coprime strides instead of assuming 3N
+    # distinct ones exist)
     pop = [
         r["bucket"]
         for r in spark.read.parquet(f"{path}/postings")
@@ -50,8 +53,17 @@ def main() -> None:
         .limit(N_QUERIES * 3)
         .collect()
     ]
+    m = len(pop)
     batch = [
-        (f"q{i}", [(b, 1.0) for b in sorted(pop[3 * i: 3 * i + 3])])
+        (
+            f"q{i}",
+            [
+                (b, 1.0)
+                for b in sorted(
+                    {pop[i % m], pop[(i * 7 + 1) % m], pop[(i * 13 + 2) % m]}
+                )
+            ],
+        )
         for i in range(N_QUERIES)
     ]
 
