@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # round-10 additions (BENCH_r10+ only — totals not comparable back)
     "sparse_indexed_retrieval_batch",  # N-query batch, ONE postings scan
     "hybrid_indexed_search",    # catalog-served hybrid (sparse+IVF+RRF)
+    "hybrid_indexed_batch",     # N-query hybrid: two probe jobs total
 ]
 
 

@@ -92,3 +92,39 @@ def test_weighted_score_fusion_semantics(spark):
         weighted_score_fusion([], [])
     with pytest.raises(ValueError, match="weights"):
         weighted_score_fusion([lex], [0.5, 0.5])
+
+
+def test_rrf_fuse_grouped_stays_within_query(spark):
+    """r10: group_cols=('query_id',) fuses per query — a doc ranked in
+    q0's legs must get no contribution from its rank in q1's legs, and
+    the grouped result for each query must equal the ungrouped fusion
+    of that query's legs alone."""
+    r1 = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 2, 2), ("q1", 1, 1), ("q1", 7, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    r2 = spark.createDataFrame(
+        [("q0", 2, 1), ("q0", 9, 2), ("q1", 1, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse([r1, r2], group_cols=("query_id",)).collect()
+    }
+    # per-group ranker counts (doc 1: 2 legs in q1, 1 leg in q0)
+    assert got[("q0", 1)]["n_rankers"] == 1
+    assert got[("q1", 1)]["n_rankers"] == 2
+    assert got[("q0", 2)]["n_rankers"] == 2
+    # equivalence with ungrouped fusion of one query's slice
+    solo = {
+        r["doc_id"]: (r["rrf_score"], r["n_rankers"])
+        for r in rrf_fuse(
+            [
+                r1.where(F.col("query_id") == "q1").drop("query_id"),
+                r2.where(F.col("query_id") == "q1").drop("query_id"),
+            ]
+        ).collect()
+    }
+    for doc, (s, n) in solo.items():
+        assert got[("q1", doc)]["rrf_score"] == s
+        assert got[("q1", doc)]["n_rankers"] == n

@@ -153,12 +153,19 @@ def rrf_fuse(
     rank_col: str = "rank",
     rrf_k: int = 60,
     scale: int = 9,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """Reciprocal-rank fusion: score(d) = Σ_r 1/(rrf_k + rank_r(d)) over
     every ranking that contains d. Each contribution quantizes to
     10^-scale units (BIGINT) before the sum — exact for ANY number of
     rankers. Input rankings are (id, rank) pairs; union + one groupBy,
     nothing corpus-sized moves.
+
+    ``group_cols`` (r10) fuses PER GROUP — pass ``("query_id",)`` when
+    each ranking carries a whole query batch (per-query ranks) and
+    fusion must stay within each query: the serving shape of the
+    catalog-probe legs, which all emit (query_id, id, rank) batches.
+    Same single union + groupBy; the group key rides the shuffle key.
     """
     if not rankings:
         raise ValueError(
@@ -166,11 +173,12 @@ def rrf_fuse(
             "frame is required"
         )
     unit = float(10 ** scale)
+    keys = [*group_cols, id_col]
     parts = []
     for r in rankings:
         parts.append(
             r.select(
-                F.col(id_col),
+                *[F.col(c) for c in keys],
                 F.round(unit / (F.lit(rrf_k) + F.col(rank_col)))
                 .cast("long")
                 .alias("__c"),
@@ -179,7 +187,7 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.groupBy(id_col).agg(
+    return u.groupBy(*keys).agg(
         F.round(F.sum("__c") / unit, 6).alias("rrf_score"),
         F.count("*").cast("long").alias("n_rankers"),
     )
