@@ -11750,8 +11750,9 @@ _GATE_PILLARS = [
 # with no driver-side CORRECTNESS row across r1-r9; set-difference over
 # the union of CORRECTNESS_r01..r09 keys recomputed at the start of
 # round 10) — this slice completes the 100% driver-gate cycle: after
-# r10, all 223 registered queries have at least one driver-side
-# correctness row (VERDICT r9 Next #1). The 16: the six
+# r10, all 229 registered queries (223 pre-r10 + the six r10-new, all
+# six in this slice) have at least one driver-side correctness row
+# (VERDICT r9 Next #1). The 16: the six
 # profile/histogram/elasticity shapes deferred from r9
 # (profile_lineitem, charclass_profile, fanout_histogram,
 # dup_cluster_histogram, snapshot_diff, discount_elasticity) plus the
