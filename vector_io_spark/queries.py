@@ -10715,6 +10715,77 @@ def index_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sq8_drift_report",
+    """
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    b AS (
+        SELECT d.i AS i,
+               min(CAST(e.embedding[d.i] AS DOUBLE)) AS lo,
+               max(CAST(e.embedding[d.i] AS DOUBLE)) AS hi
+        FROM embeddings e, dims d GROUP BY d.i
+    ),
+    s AS (
+        SELECT e.vec_id, d.i AS i,
+               CAST(e.embedding[d.i] AS DOUBLE) * 3 + 50.0 AS v
+        FROM embeddings e, dims d
+    ),
+    j AS (
+        SELECT s.vec_id, s.v, b.lo, b.hi, b.hi - b.lo AS span
+        FROM s JOIN b USING (i)
+    )
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS out_components,
+           round(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS out_frac,
+           round(max(CASE
+               WHEN span > 0 AND lo - v > 0 AND lo - v >= v - hi
+                   THEN (lo - v) / span
+               WHEN span > 0 AND v - hi > 0 THEN (v - hi) / span
+               ELSE 0.0 END), 6) AS max_overshoot,
+           (sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+            / (1.0 * count(*))) > 0.01 AS rebuild_recommended
+    FROM j
+    """,
+)
+def sq8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 bounds-drift monitor as an oracle-gated query (r10,
+    operators/sq8.py::sq8_bounds_drift_stats — VERDICT r9 Next #7):
+    the catalog's train-time [lo, hi] bounds checked against a
+    deliberately SHIFTED sample (every component ×3 + 50, simulating
+    distribution drift past the trained range). DuckDB recomputes the
+    exact global per-dimension bounds from the raw table and the same
+    out-of-range fraction / span-relative overshoot — integer counts
+    plus two deterministic roundings, hash-exact. The monitor's verdict
+    (rebuild_recommended) is the IVF drift rule's stance applied to the
+    codec with a trained RANGE instead of codebooks: past budget,
+    rebuild with write_sq8_index (which retrains bounds).
+
+    Scale shape: the 1-row bounds broadcast as literals; the sample
+    scan folds per-component comparisons to a 1-row aggregate in
+    codegen'd zip_withs — nothing corpus-sized anywhere."""
+    from vector_io_spark.operators.sq8 import (
+        sq8_bounds_drift_stats,
+        write_sq8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_sq8", sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_sq8_index(
+            emb.select("vec_id", "embedding"), path, num_cells=8, seed=7
+        )
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 3 + F.lit(50.0)
+        ).alias("embedding"),
+    )
+    return sq8_bounds_drift_stats(spark, path, shifted, "embedding")
+
+
+@_register(
     "index_scroll_page",
     """
     WITH page AS (
@@ -11780,12 +11851,12 @@ _GATE_ROTATION = [
     # -- r10-new surface, gated immediately --
     "sparse_indexed_retrieval_batch", "hybrid_indexed_search",
     "index_export_roundtrip", "index_scroll_page",
-    "sparse_catalog_stats", "hybrid_indexed_batch",
-    # -- backfill: 13 oldest-gated non-pillar names (r1, re-verify) --
+    "sparse_catalog_stats", "hybrid_indexed_batch", "sq8_drift_report",
+    # -- backfill: 12 oldest-gated non-pillar names (r1, re-verify) --
     "order_priority_by_region", "id_range_filter", "semi_join_id_list",
     "anti_join_missing_ids", "dedup_by_id_last_wins",
     "consolidate_union_by_name", "count_tables", "sanitize_nat_epoch",
-    "parse_json_metadata", "compliant_names", "deterministic_uuid",
+    "parse_json_metadata", "compliant_names",
     "vector_range_stats", "embedding_cosine_neardup",
 ]
 
