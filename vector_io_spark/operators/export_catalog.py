@@ -204,7 +204,7 @@ def import_vdf_to_index(
     index_path: str,
     kind: str = "ivf",
     index_name: str | None = None,
-    namespace: str = "",
+    namespace: str | None = None,
     id_column: str | None = None,
     vector_column: str | None = None,
     **build_kwargs,
@@ -239,9 +239,18 @@ def import_vdf_to_index(
             f"import_vdf_to_index: no index {index_name!r} in "
             f"{dataset_dir} (has {sorted(meta.indexes)})"
         )
-    ns = next(
-        (n for n in nss if n.namespace == namespace), nss[0]
-    )
+    if namespace is None:
+        ns = nss[0]
+    else:
+        ns = next(
+            (n for n in nss if n.namespace == namespace), None
+        )
+        if ns is None:
+            raise ValueError(
+                f"import_vdf_to_index: namespace {namespace!r} not in "
+                f"index {index_name!r} (has "
+                f"{sorted(n.namespace for n in nss)})"
+            )
     df = spark.read.parquet(
         f"{dataset_dir}/{ns.data_path}"
     )

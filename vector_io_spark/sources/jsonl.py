@@ -80,7 +80,9 @@ def jsonl_to_vdf(
     job: :func:`read_jsonl` → optional column projection → the VDF
     writer (size-rotated parquet + VDF_META.json). Returns the
     committed VDFMeta. ``select`` limits output columns (projection
-    happens before the write — column pruning at the scan)."""
+    happens before the write — column pruning at the scan);
+    ``id_column`` and any ``vector_columns`` present in the input are
+    always retained so VDF_META.json never names absent columns."""
     from vector_io_spark.format.writer import write_vdf
 
     df: DataFrame = read_jsonl(
@@ -98,7 +100,14 @@ def jsonl_to_vdf(
                 f"jsonl_to_vdf: select columns {missing} not in input "
                 f"columns {df.columns}"
             )
-        df = df.select(*select)
+        # The committed VDF_META.json names id_column + vector_columns;
+        # a projection that drops them would write a meta that points at
+        # absent columns. Auto-append them so the catalog stays honest.
+        keep = list(select)
+        for required in (id_column, *vector_columns):
+            if required in df.columns and required not in keep:
+                keep.append(required)
+        df = df.select(*keep)
     return write_vdf(
         {(index_name, namespace): df},
         dataset_dir,
