@@ -151,3 +151,101 @@ def test_sq8_bounds_drift_stats_flags_shifted_queries(
         spark, path, shifted, "embedding", rebuild_threshold=2.0
     ).collect()[0]
     assert not lax["rebuild_recommended"]
+
+
+def test_rebuild_sq8_if_drifted_acts_only_past_budget(
+    spark, sf_dir, tmp_path
+):
+    """The stats->threshold->rebuild composition for the codec whose
+    drift signal is BOUNDS, not imbalance (VERDICT r10 Next #2): an
+    in-range sample -> no rebuild; a shifted sample past the trained
+    range trips the threshold, and the rebuild — num_cells read from
+    the persisted centroids, metadata columns detected and required,
+    never caller-supplied — retrains bounds over the CURRENT corpus
+    and restores probe recall (the r8 lesson: assert recall, not just
+    the drift number)."""
+    from vector_io_spark.operators.sq8 import (
+        rebuild_sq8_if_drifted,
+        sq8_bounds_drift_stats,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "sq8_idx")
+    write_sq8_index(old, path, num_cells=8, seed=7, metadata_cols=("label",))
+
+    # in-range sample (the training data itself) -> decision is "keep"
+    got = rebuild_sq8_if_drifted(spark, path, old, sample=old)
+    assert got["rebuilt"] is False
+    assert got["out_frac_before"] == 0.0
+    assert got["out_frac_after"] is None
+    assert got["nlist"] == 8
+
+    # fresh data shifted past the trained range: every component +2.0
+    # (bounds were trained on old only — SQ8 has no append path, so
+    # "drift" means the live distribution left the trained box)
+    shifted = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("float") + F.lit(2.0)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus2 = old.unionByName(shifted)
+    shifted_queries = shifted.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    truth = _sets(brute_force_topk(corpus2, shifted_queries, k=10))
+
+    def probe_recall():
+        approx = _sets(sq8_index_probe_topk(
+            spark, path, shifted_queries, k=10, nprobe=8
+        ))
+        num = sum(len(approx.get(q, set()) & w) for q, w in truth.items())
+        return num / sum(len(w) for w in truth.values())
+
+    recall_stale = probe_recall()
+
+    # guard: a rebuild corpus missing the persisted metadata column
+    # must refuse loudly (silently dropping it breaks filtered probes)
+    with pytest.raises(ValueError, match="label"):
+        rebuild_sq8_if_drifted(
+            spark, path, corpus2.drop("label"), sample=shifted
+        )
+
+    got2 = rebuild_sq8_if_drifted(spark, path, corpus2, sample=shifted)
+    assert got2["rebuilt"] is True, got2
+    assert got2["out_frac_before"] > 0.01, got2
+    assert got2["max_overshoot_before"] > 0.0, got2
+    # bounds retrained over the current corpus: the sample (a subset of
+    # it) is exactly in range now
+    assert got2["out_frac_after"] == 0.0, got2
+    assert got2["nlist"] == 8
+
+    # geometry preserved, full current corpus covered, metadata kept
+    assert spark.read.parquet(f"{path}/centroids").count() == 8
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == corpus2.count()
+    assert "label" in cells.columns
+
+    recall_rebuilt = probe_recall()
+    assert recall_rebuilt >= recall_stale, (
+        f"rebuild REGRESSED shifted-query recall: "
+        f"{recall_stale} -> {recall_rebuilt}"
+    )
+    assert recall_rebuilt >= 0.9, recall_rebuilt
+
+    # the monitor agrees the store is healthy again
+    after = sq8_bounds_drift_stats(
+        spark, path, shifted, "embedding"
+    ).first()
+    assert not after["rebuild_recommended"]
+
+    # an empty drift sample is a refusal, not a silent keep
+    with pytest.raises(ValueError, match="empty"):
+        rebuild_sq8_if_drifted(
+            spark, path, corpus2, sample=shifted.where(F.lit(False))
+        )

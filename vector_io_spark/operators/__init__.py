@@ -50,6 +50,7 @@ from vector_io_spark.operators.sparse_index import (  # noqa: F401
     write_sparse_index,
 )
 from vector_io_spark.operators.sq8 import (  # noqa: F401
+    rebuild_sq8_if_drifted,
     sq8_bounds_drift_stats,
     sq8_index_probe_topk,
     write_sq8_index,
