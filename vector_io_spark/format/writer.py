@@ -45,6 +45,7 @@ def write_vdf(
     model_name: str | None = None,
     index_config: dict | None = None,
     sort_by: list[str] | None = None,
+    model_map: dict | None = None,
 ) -> VDFMeta:
     """Write one DataFrame per (index, namespace) as a VDF dataset.
 
@@ -121,6 +122,7 @@ def write_vdf(
             metric=metric,
             index_config=index_config,
             schema_dict_str=df.schema.json(),
+            model_map=model_map,
         )
         indexes.setdefault(index_name, []).append(ns_meta)
 

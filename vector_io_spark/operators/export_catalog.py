@@ -17,6 +17,10 @@ Semantics:
 - SQ8 stores uint8 codes — export reconstructs ``lo + code·span/255``
   and is LOSSY by exactly the quantization error; the function name
   says so and the docstring states the bound.
+- IVFPQ / PQ-exact store codebook codes — export DECODES them
+  (cell centroid + residual codeword; fixed-point ``cq/scale``) and is
+  LOSSY by the PQ snap; the namespace's ``model_map`` records the
+  provenance so a consumer can tell a decoded export from originals.
 - Sparse postings are re-assembled into the original
   ``struct<indices array<int>, values array<float>>`` rows — exact
   (weights were 1e-6-quantized on the way in; pytest-pinned
@@ -86,6 +90,115 @@ def read_sq8_reconstructed(
     )
     drop = [c for c in _LAYOUT_COLS if c in scan.columns]
     return scan.withColumn(vec_name, recon).drop("code", *drop)
+
+
+def read_ivfpq_reconstructed(
+    spark, path: str, vec_name: str = "embedding"
+) -> DataFrame:
+    """The logical rows of an IVFPQ catalog with each residual-PQ code
+    RECONSTRUCTED to ``centroid[cell] + concat_m(codebook[m][code[m]])``
+    — the decode every ADC probe implicitly scores against. LOSSY by
+    the PQ quantization error (each sub-block snaps to its nearest of
+    K codewords); the raw-IVF layout is the exact-export path — a PQ
+    catalog traded exactness for the 32× payload shrink at build time
+    and an export cannot get it back (VERDICT r10 Next #3: the most
+    compressed index must still be exportable).
+
+    Scale shape: one catalog scan; the codebook (a few KB) inlines as
+    a nested array literal so the sub-block lookup is a codegen'd
+    ``element_at`` — no Python; the centroid table (nlist rows)
+    broadcast-joins on the cell partition column. No shuffle. Persisted
+    ``metadata_cols`` ride the code rows and survive unchanged."""
+    from vector_io_spark.operators.similarity import _load_ivfpq_artifacts
+
+    cents, cb = _load_ivfpq_artifacts(spark, path)
+    m_sub, kk, _ = cb.shape
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cb[m, c]])
+            for c in range(kk)
+        ])
+        for m in range(m_sub)
+    ])
+    scan = spark.read.parquet(f"{path}/cells")
+    scan = _apply_tombstones(spark, path, scan, "read_ivfpq_reconstructed")
+    residual = F.flatten(
+        F.transform(
+            F.col("code"),
+            lambda cd, m: F.element_at(
+                F.element_at(cb_lit, m.cast("int") + 1),
+                cd.cast("int") + 1,
+            ),
+        )
+    )
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    recon = F.zip_with(
+        F.col("__centroid"), residual, lambda a, b: a + b
+    )
+    drop = [c for c in _LAYOUT_COLS if c in scan.columns and c != "cell"]
+    return (
+        scan.join(
+            F.broadcast(cent_df.withColumnRenamed("centroid", "__centroid")),
+            "cell",
+        )
+        .withColumn(vec_name, recon)
+        .drop("code", "cell", "__centroid", *drop)
+    )
+
+
+def read_pq_reconstructed(
+    spark, path: str, vec_name: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The logical rows of a :func:`~vector_io_spark.operators.pq_exact.
+    write_pq_exact_index` catalog with each (id, s, code) assignment
+    DECODED through the fixed-point codebook: component ``s·sub_dim+j``
+    is ``cq / scale`` of codeword row (s, code, j). LOSSY by the PQ
+    snap (exact replay of the decode, but not of the original floats).
+    The persisted ``meta`` side table (if built) joins back so exported
+    rows keep their payload columns.
+
+    Scale shape: the codes scan broadcast-joins the codebook (M·K·sub
+    BIGINT rows, a few KB) and shuffles ONCE on id (the groupBy that
+    inverts the build's per-subspace explode — the sparse exporter's
+    shape); the meta join is a second broadcast-free join on the same
+    id key. Geometry (scale, dim) reads from the index's own params
+    row — never caller-supplied."""
+    from pyspark.sql.functions import broadcast
+
+    codes = spark.read.parquet(f"{path}/codes")
+    codes = _apply_tombstones(spark, path, codes, "read_pq_reconstructed")
+    cb = spark.read.parquet(f"{path}/codebook")
+    prm = spark.read.parquet(f"{path}/params").collect()[0]
+    scale = float(prm["scale"])
+    comps = codes.join(
+        broadcast(cb),
+        (codes["s"] == cb["s"]) & (codes["code"] == cb["c"]),
+    ).select(
+        codes[id_col].alias(id_col),
+        codes["s"].alias("__s"),
+        cb["j"].alias("__j"),
+        (cb["cq"].cast("double") / F.lit(scale)).alias("__v"),
+    )
+    assembled = (
+        comps.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__s", "__j", "__v"))
+            ).alias("__e")
+        )
+        .select(
+            id_col,
+            F.transform("__e", lambda e: e["__v"]).alias(vec_name),
+        )
+    )
+    try:
+        meta = spark.read.parquet(f"{path}/meta")
+        has_meta = True
+    except Exception:
+        has_meta = False
+    if has_meta:
+        assembled = assembled.join(meta, id_col, "left")
+    return assembled
 
 
 def read_sparse_vectors(
@@ -166,27 +279,49 @@ def export_index_to_vdf(
     """Materialize a persisted catalog back into a VDF parquet dataset
     (``format/writer.py::write_vdf`` — size-rotated files +
     VDF_META.json), ready for re-import by any connector. ``kind`` ∈
-    {'ivf', 'token'} (raw rows, exact), 'sq8' (reconstructed, lossy),
-    'sparse' (re-assembled structs; pass ``id_column='doc_id'``,
+    {'ivf', 'token'} (raw rows, exact), 'sq8' / 'ivfpq' / 'pq'
+    (reconstructed through the codec — lossy, recorded in the
+    namespace's ``model_map`` provenance so a downstream consumer can
+    tell a decoded export from original floats), 'sparse'
+    (re-assembled structs; pass ``id_column='doc_id'``,
     ``vector_column='sparse'``). Returns the committed VDFMeta."""
     from vector_io_spark.format.writer import write_vdf
 
+    lossy_detail = None
     if kind in ("ivf", "token"):
         df = read_index_vectors(spark, index_path)
     elif kind == "sq8":
         df = read_sq8_reconstructed(spark, index_path, vector_column)
+        lossy_detail = "per-dim uint8 dequantize: lo + code*span/255"
+    elif kind == "ivfpq":
+        df = read_ivfpq_reconstructed(spark, index_path, vector_column)
+        lossy_detail = "cell centroid + residual codebook decode"
+    elif kind == "pq":
+        df = read_pq_reconstructed(
+            spark, index_path, vector_column, id_col=id_column
+        )
+        lossy_detail = "fixed-point codebook decode: cq/scale"
     elif kind == "sparse":
         df = read_sparse_vectors(spark, index_path, vector_column)
     else:
         raise ValueError(
             f"export_index_to_vdf: unknown kind {kind!r} — expected "
-            "'ivf', 'token', 'sq8', or 'sparse'"
+            "'ivf', 'token', 'sq8', 'ivfpq', 'pq', or 'sparse'"
         )
     vec_kw = (
         {"sparse_vector_columns": [vector_column], "vector_columns": []}
         if kind == "sparse"
         else {"vector_columns": [vector_column]}
     )
+    if lossy_detail is not None:
+        write_kwargs.setdefault(
+            "model_map",
+            {
+                "source_index_kind": kind,
+                "lossy": True,
+                "reconstruction": lossy_detail,
+            },
+        )
     return write_vdf(
         {(index_name, namespace): df},
         dataset_dir,
@@ -213,7 +348,8 @@ def import_vdf_to_index(
     migration loop the reference performs between SERVICES for the
     engine's own catalogs: read a VDF dataset (``VDF_META.json`` +
     parquet namespaces) and build a persisted index from it. ``kind`` ∈
-    {'ivf', 'sq8', 'sparse'}; id/vector columns default from the
+    {'ivf', 'sq8', 'ivfpq', 'pq', 'sparse'}; id/vector columns default
+    from the
     dataset's meta (``id_column``; the namespace's first
     vector/sparse column). ``build_kwargs`` forward to the writer
     (num_cells / seed / metadata_cols / num_shards...). Returns the
@@ -255,7 +391,7 @@ def import_vdf_to_index(
         f"{dataset_dir}/{ns.data_path}"
     )
     id_col = id_column or meta.id_column or "id"
-    if kind in ("ivf", "sq8"):
+    if kind in ("ivf", "sq8", "ivfpq", "pq"):
         vcol = vector_column or (
             ns.vector_columns[0] if ns.vector_columns else "vector"
         )
@@ -273,11 +409,29 @@ def import_vdf_to_index(
                 df, index_path, corpus_id=id_col, corpus_vec=vcol,
                 **build_kwargs,
             )
-        else:
+        elif kind == "sq8":
             from vector_io_spark.operators.sq8 import write_sq8_index
 
             write_sq8_index(
                 df, index_path, corpus_id=id_col, corpus_vec=vcol,
+                **build_kwargs,
+            )
+        elif kind == "ivfpq":
+            from vector_io_spark.operators.similarity import (
+                write_ivfpq_index,
+            )
+
+            write_ivfpq_index(
+                df, index_path, corpus_id=id_col, corpus_vec=vcol,
+                **build_kwargs,
+            )
+        else:
+            from vector_io_spark.operators.pq_exact import (
+                write_pq_exact_index,
+            )
+
+            write_pq_exact_index(
+                df, index_path, id_col=id_col, vec_col=vcol,
                 **build_kwargs,
             )
     elif kind == "sparse":
@@ -302,6 +456,6 @@ def import_vdf_to_index(
     else:
         raise ValueError(
             f"import_vdf_to_index: unknown kind {kind!r} — expected "
-            "'ivf', 'sq8', or 'sparse'"
+            "'ivf', 'sq8', 'ivfpq', 'pq', or 'sparse'"
         )
     return df

@@ -10714,6 +10714,57 @@ def index_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SQL_MOD = __import__(
+    "vector_io_spark.operators.pq_exact", fromlist=["pq_exact_sql"]
+)
+
+
+@_register(
+    "pq_export_reconstructed",
+    "SELECT c.vec_id, CAST(b.s * 8 + b.j + 1 AS BIGINT) AS dim,\n"
+    "       b.cq / 10000.0 AS val\n"
+    "FROM (" + _PQ_SQL_MOD.pq_exact_sql(output="codes") + ") c\n"
+    "JOIN (" + _PQ_SQL_MOD.pq_exact_sql(output="codebook") + ") b\n"
+    "  ON b.s = c.s AND b.c = c.code",
+)
+def pq_export_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-catalog export (r11, VERDICT r10 Next #3,
+    operators/export_catalog.py::read_pq_reconstructed): the
+    fixed-point PQ catalog decoded back to vectors — component
+    s·sub_dim+j is codeword cq/scale of the persisted (s, code)
+    assignment — exploded to (vec_id, dim, val) scalars. DuckDB
+    retrains the identical fixed-point codebook from scratch
+    (pq_exact_sql, the hash-exact Lloyd replay) and decodes it the
+    same way, so the EXPORT of the most compressed index family is
+    value-gated end-to-end: build → persist → decode → export all
+    replayed in SQL. Reference parity: full-store re-export is the
+    reference's only migration primitive (vdb_export_cls.py:67-159);
+    the IVFPQ float twin is pytest-pinned (test_export_catalog.py)
+    since its numpy k-means has no SQL replay.
+
+    Scale shape: one codes scan broadcast-joined to the few-KB
+    codebook, ONE shuffle on vec_id (the groupBy inverting the build's
+    per-subspace explode), then a shuffle-free posexplode — nothing
+    driver-sized; the train is a one-time bounded job."""
+    from vector_io_spark.operators.export_catalog import (
+        read_pq_reconstructed,
+    )
+    from vector_io_spark.operators.pq_exact import write_pq_exact_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vios_pq_export", sf_dir)
+    if not os.path.exists(os.path.join(path, "params")):
+        write_pq_exact_index(emb, path)
+    out = read_pq_reconstructed(spark, path)
+    return out.select(
+        "vec_id", F.posexplode("embedding").alias("__p", "val")
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        "val",
+    )
+
+
 @_register(
     "sq8_drift_report",
     """
