@@ -215,11 +215,19 @@ def read_sparse_vectors(
     are bounded by vocabulary, so collect_list stays row-sized."""
     scan = spark.read.parquet(f"{path}/postings")
     scan = _apply_tombstones(spark, path, scan, "read_sparse_vectors")
+    return _assemble_sparse_rows(scan, sparse_name)
+
+
+def _assemble_sparse_rows(postings: DataFrame, sparse_name: str) -> DataFrame:
+    """Invert a (doc_id, bucket, weight) postings relation back into
+    per-document ``struct<indices, values>`` rows, bucket-ascending —
+    the one re-assembly shared by the full export and the scroll page
+    so their struct layout can never drift."""
     entries = F.array_sort(
         F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
     )
     return (
-        scan.groupBy("doc_id")
+        postings.groupBy("doc_id")
         .agg(entries.alias("__e"))
         .select(
             "doc_id",
@@ -229,6 +237,55 @@ def read_sparse_vectors(
             ).alias(sparse_name),
         )
     )
+
+
+def scan_sparse_index_pages(
+    spark,
+    path: str,
+    after=None,
+    limit: int = 1000,
+    sparse_name: str = "sparse",
+) -> DataFrame:
+    """One keyset page of a sparse posting-list catalog, re-assembled
+    into per-document ``struct<indices, values>`` rows (VERDICT r10
+    Next #5 — the sparse twin of :func:`scan_index_pages`, the Qdrant
+    scroll parity for SPARSE collections, qdrant_export.py:119-163):
+    documents with ``doc_id > after`` in ascending id order, at most
+    ``limit`` of them, tombstoned docs never appearing. Iterate by
+    passing the previous page's max doc_id as ``after``.
+
+    Scale shape: the cursor predicate pushes into the postings scan
+    both times it is read; the page's doc ids come from a
+    column-pruned distinct (doc_id only crosses the shuffle) whose
+    ordered LIMIT plans as TakeOrderedAndProject (map-side truncation,
+    one bounded merge — plan-pinned in tests/test_export_catalog.py);
+    the ≤limit-row id page then BROADCASTS back against the postings
+    scan, so only page-sized posting sets reach the re-assembly
+    groupBy. The postings layout is shard-partitioned by bucket, so
+    the doc_id pushdown prunes row-groups statistically rather than
+    whole directories — the page is O(scan of matching row-groups +
+    page-sized shuffle), never a global sort."""
+    if limit <= 0 or limit > 1_000_000:
+        raise ValueError(
+            f"scan_sparse_index_pages: limit={limit} out of range "
+            "(1..1e6) — pages are driver-consumable units, not bulk "
+            "exports; use read_sparse_vectors for the full catalog."
+        )
+    scan = spark.read.parquet(f"{path}/postings")
+    scan = _apply_tombstones(spark, path, scan, "scan_sparse_index_pages")
+    if after is not None:
+        scan = scan.where(F.col("doc_id") > F.lit(after))
+    page_ids = (
+        scan.select("doc_id")
+        .distinct()
+        .orderBy(F.col("doc_id").asc())
+        .limit(limit)
+    )
+    # re-assembly is a groupBy and loses order; the final sort is over
+    # the ≤limit assembled rows only (page-sized, bounded)
+    return _assemble_sparse_rows(
+        scan.join(F.broadcast(page_ids), "doc_id"), sparse_name
+    ).orderBy(F.col("doc_id").asc())
 
 
 def scan_index_pages(

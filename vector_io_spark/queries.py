@@ -10891,6 +10891,94 @@ def index_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sparse_scroll_page",
+    """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    w AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    page AS (
+        SELECT DISTINCT doc_id FROM w
+        WHERE doc_id > 50 AND doc_id NOT BETWEEN 60 AND 69
+        ORDER BY doc_id LIMIT 100
+    )
+    SELECT w.doc_id, w.bucket, w.weight
+    FROM w JOIN page USING (doc_id)
+    """,
+)
+def sparse_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset scroll over the SPARSE postings catalog (r11, VERDICT
+    r10 Next #5, operators/export_catalog.py::scan_sparse_index_pages
+    — the Qdrant scroll parity for sparse collections,
+    qdrant_export.py:119-163): one page of re-assembled
+    struct<indices, values> documents — doc_ids strictly above the
+    cursor, ascending, LIMIT 100 — from a tombstoned postings store
+    (deleted docs 60-69 never appear), exploded back to (doc_id,
+    bucket, weight) scalars for the hash compare. DuckDB recomputes
+    the same BM25 micro-quantized postings from the raw documents
+    table and selects the same keyset page.
+
+    Scale shape: cursor predicate pushed into both postings reads; the
+    page's doc ids come from a column-pruned distinct whose ordered
+    LIMIT plans as TakeOrderedAndProject, then broadcast back — only
+    page-sized posting sets reach the re-assembly groupBy, and the
+    final sort is over ≤100 assembled rows (plan-pinned in
+    tests/test_export_catalog.py)."""
+    from vector_io_spark.operators.export_catalog import (
+        scan_sparse_index_pages,
+    )
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.similarity import delete_from_index
+    from vector_io_spark.operators.sparse_index import write_sparse_index
+
+    path = _scratch_dir("vios_sparse_scroll", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, path, num_shards=64)
+    # idempotent: a committed token is a no-op on every later call
+    delete_from_index(
+        spark, path, list(range(60, 70)), id_col="doc_id",
+        delete_token="scroll-del",
+    )
+    page = scan_sparse_index_pages(spark, path, after=50, limit=100)
+    return page.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.col("sparse.indices"), F.col("sparse.values"))
+        ).alias("__e"),
+    ).select(
+        "doc_id",
+        F.col("__e.indices").alias("bucket"),
+        F.col("__e.values").alias("weight"),
+    )
+
+
+@_register(
     "sparse_catalog_stats",
     """
     WITH d AS (
