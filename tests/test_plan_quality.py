@@ -568,6 +568,11 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         # shortlist union, behind a rank<=20 literal — rescue asserted
         # below
         "hybrid_indexed_search",
+        # same plan shape with the SQ8 catalog as the dense leg (r11,
+        # operators/hybrid.py dense_kind='sq8'): the only global window
+        # is the final top-20 over the fused ≤200-row shortlist union,
+        # behind a rank<=20 literal — rescue asserted below
+        "hybrid_indexed_sq8",
         "cms_heavy_hitters",
         # global top-5 heavy keys over the per-key rollup; rank<=5
         # filter — WindowGroupLimit rescue asserted below

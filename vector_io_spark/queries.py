@@ -11490,19 +11490,14 @@ def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe); fusion unions two ≤100-row shortlists — nothing
     corpus-sized moves at query time. Index builds are one-time,
     memoized per process (_scratch_dir, shared with
-    sparse_indexed_retrieval / ann_probe_payload_exact)."""
-    from vector_io_spark.operators.ranking import (
-        bm25_sparse_vectors,
-        rrf_fuse,
-    )
-    from vector_io_spark.operators.similarity import (
-        ivf_index_probe_topk,
-        write_ivf_index,
-    )
-    from vector_io_spark.operators.sparse_index import (
-        sparse_index_probe_topk,
-        write_sparse_index,
-    )
+    sparse_indexed_retrieval / ann_probe_payload_exact). The dense leg
+    is pluggable (operators/hybrid.py::hybrid_indexed_topk,
+    dense_kind ∈ {ivf, sq8, ivfpq}) — hybrid_indexed_sq8 gates the
+    SQ8-served form."""
+    from vector_io_spark.operators.hybrid import hybrid_indexed_topk
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.similarity import write_ivf_index
+    from vector_io_spark.operators.sparse_index import write_sparse_index
 
     spath = _scratch_dir("vios_sparse_idx", sf_dir)
     if not os.path.exists(os.path.join(spath, "meta")):
@@ -11523,10 +11518,6 @@ def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         }
     )
-    lex = sparse_index_probe_topk(
-        spark, spath, [(b, 1.0) for b in qbuckets], k=100
-    ).select("doc_id", "rank")
-
     emb = _t(spark, sf_dir, "embeddings")
     dpath = _scratch_dir("vios_ivf_payload", sf_dir)
     if not os.path.exists(os.path.join(dpath, "centroids")):
@@ -11536,16 +11527,9 @@ def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dense = ivf_index_probe_topk(
-        spark, dpath, q, k=100, nprobe=8
-    ).select(F.col("vec_id").alias("doc_id"), "rank")
-
-    fused = rrf_fuse([lex, dense], "doc_id")
-    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("rk", F.row_number().over(wf))
-        .where(F.col("rk") <= 20)
-        .select("doc_id", "rrf_score", "n_rankers")
+    return hybrid_indexed_topk(
+        spark, spath, dpath, [(b, 1.0) for b in qbuckets], q,
+        k=20, shortlist=100, nprobe=8, dense_kind="ivf",
     )
 
 
@@ -11649,19 +11633,12 @@ def hybrid_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-12× faster than looping at 16 queries, BASELINE.md r10);
     fusion unions per-query ≤100-row shortlists and the final top-20
     window partitions by query_id — bounded and parallel, no global
-    sort. Catalog builds shared/memoized (_scratch_dir)."""
-    from vector_io_spark.operators.ranking import (
-        bm25_sparse_vectors,
-        rrf_fuse,
-    )
-    from vector_io_spark.operators.similarity import (
-        ivf_index_probe_topk,
-        write_ivf_index,
-    )
-    from vector_io_spark.operators.sparse_index import (
-        sparse_index_probe_topk_batch,
-        write_sparse_index,
-    )
+    sort. Catalog builds shared/memoized (_scratch_dir). Dense leg
+    pluggable (operators/hybrid.py::hybrid_indexed_topk_batch)."""
+    from vector_io_spark.operators.hybrid import hybrid_indexed_topk_batch
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.similarity import write_ivf_index
+    from vector_io_spark.operators.sparse_index import write_sparse_index
 
     spath = _scratch_dir("vios_sparse_idx", sf_dir)
     if not os.path.exists(os.path.join(spath, "meta")):
@@ -11691,10 +11668,6 @@ def hybrid_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qid, [(b, 1.0) for b in sorted({b_of[t] for t in ts})])
         for qid, ts in term_sets
     ]
-    lex = sparse_index_probe_topk_batch(
-        spark, spath, sbatch, k=100
-    ).select("query_id", "doc_id", "rank")
-
     emb = _t(spark, sf_dir, "embeddings")
     dpath = _scratch_dir("vios_ivf_payload", sf_dir)
     if not os.path.exists(os.path.join(dpath, "centroids")):
@@ -11707,18 +11680,151 @@ def hybrid_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "embedding",
     )
-    dense = ivf_index_probe_topk(
-        spark, dpath, qdf, k=100, nprobe=8
-    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
-
-    fused = rrf_fuse([lex, dense], "doc_id", group_cols=("query_id",))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    return hybrid_indexed_topk_batch(
+        spark, spath, dpath, sbatch, qdf,
+        k=20, shortlist=100, nprobe=8, dense_kind="ivf",
     )
-    return (
-        fused.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-        .select("query_id", "doc_id", "rrf_score", "n_rankers")
+
+
+@_register(
+    "hybrid_indexed_sq8",
+    f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM pd),
+    tf AS (
+        SELECT doc_id, dl, bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl,
+                   CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                        % 4096 AS INT) AS bucket
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM pd)
+        ) GROUP BY doc_id, dl, bucket
+    ),
+    dfreq AS (SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY bucket),
+    wt AS (
+        SELECT doc_id, bucket,
+               CAST(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) / 1000000.0 AS REAL) AS weight
+        FROM tf JOIN dfreq USING (bucket), consts
+    ),
+    qb AS (
+        SELECT DISTINCT CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT)
+                             % 4096 AS INT) AS bucket
+        FROM (SELECT unnest(['hash', 'join', 'filter']) AS term)
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY sum(CAST(round(CAST(weight AS DOUBLE) * 1e6)
+                                     AS BIGINT) * 1000000) DESC,
+                            doc_id ASC) AS rank
+        FROM wt JOIN qb USING (bucket)
+        GROUP BY doc_id QUALIFY rank <= 100
+    ),
+    dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    st AS (SELECT d2.i AS i,
+                  min(CAST(e.embedding[d2.i] AS DOUBLE)) AS lo,
+                  max(CAST(e.embedding[d2.i] AS DOUBLE)) AS hi
+           FROM embeddings e, dims d2 GROUP BY d2.i),
+    bl AS (SELECT list(lo ORDER BY i) AS los,
+                  list(hi ORDER BY i) AS his FROM st),
+    enc AS (SELECT e.vec_id AS vec_id,
+                   list_transform(range(1, 65), i ->
+                     CASE WHEN (b.his[i] - b.los[i]) > 0
+                          THEN b.los[i]
+                               + (round(((CAST(e.embedding[i] AS DOUBLE)
+                                          - b.los[i]) * 255.0)
+                                        / (b.his[i] - b.los[i]))
+                                  * (b.his[i] - b.los[i])) / 255.0
+                          ELSE b.los[i] END) AS recon
+            FROM embeddings e, bl b),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+        FROM (
+            SELECT vec_id, round({_cos_sql('recon', 'q')}, 6) AS score
+            FROM enc, qv
+        ) QUALIFY rank <= 100
+    ),
+    fused AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(1000000000.0 / (60 + rank))
+                                   AS BIGINT)) AS DOUBLE) / 1e9, 6)
+                   AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_rankers
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_rankers FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                      AS rk
+        FROM fused
+    ) WHERE rk <= 20
+    """,
+)
+def hybrid_indexed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-served hybrid search with a COMPRESSED dense leg (r11,
+    VERDICT r10 Next #8): same lexical sparse-catalog probe as
+    hybrid_indexed_search, but the dense leg probes the persisted
+    IVF-SQ8 catalog (operators/hybrid.py::hybrid_indexed_topk,
+    dense_kind='sq8') — the store a memory-constrained deployment
+    actually keeps (4× smaller cells). Hash-exact: at nprobe ==
+    num_cells the SQ8 probe ranks exactly over its reconstruction,
+    which DuckDB replays per-dimension (the ann_topk_sq8_exact
+    recipe), so the fused result is value-gated end-to-end.
+
+    Scale shape: identical to hybrid_indexed_search — both legs
+    partition-pruned probes, fusion over ≤100-row shortlists, the
+    final top-20 window over a bounded frame; the SQ8 leg reads 4×
+    fewer bytes per probed cell than the raw-IVF leg at equal nprobe
+    (the 100 TB I/O lever, BASELINE.md SQ8 table)."""
+    from vector_io_spark.operators.hybrid import hybrid_indexed_topk
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import write_sparse_index
+    from vector_io_spark.operators.sq8 import write_sq8_index
+
+    spath = _scratch_dir("vios_sparse_idx", sf_dir)
+    if not os.path.exists(os.path.join(spath, "meta")):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = bm25_sparse_vectors(d, "doc_id", "text", vocab_buckets=4096)
+        write_sparse_index(docs, spath, num_shards=64)
+    terms = ["hash", "join", "filter"]
+    qbuckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(
+                (
+                    F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                    % 4096
+                ).cast("int")
+            )
+            .collect()
+        }
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dpath = _scratch_dir("vios_sq8", sf_dir)
+    if not os.path.exists(os.path.join(dpath, "centroids")):
+        write_sq8_index(
+            emb.select("vec_id", "embedding"), dpath, num_cells=8, seed=7
+        )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hybrid_indexed_topk(
+        spark, spath, dpath, [(b, 1.0) for b in qbuckets], q,
+        k=20, shortlist=100, nprobe=8, dense_kind="sq8",
     )
 
 
