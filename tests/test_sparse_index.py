@@ -7,6 +7,7 @@ oracle-gated (queries.py sparse_indexed_retrieval)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import load
@@ -339,3 +340,110 @@ def test_sparse_append_and_delete_roundtrip(spark, sf_dir, tmp_path):
     delete_from_index(spark, path, [victim], id_col="doc_id",
                       delete_token="sp-d1")
     assert victim not in docs_at()
+
+
+def test_probe_equals_scan_under_collision_heavy_vocabulary(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 Next #1 done-criterion: every prior sparse-retrieval
+    green ran on the driver's ~31-word corpus (≤31 active buckets of
+    4096, near-zero collisions). Synthesize a vocabulary LARGER than
+    the bucket space with the replica generator's enricher
+    (tools/make_replica.py::vocab_enriched_text), verify every bucket
+    is multi-term (genuine hash collisions), and pin that the indexed
+    probe still equals the scan-form retrieval EXACTLY — shard
+    pruning + pushed bucket-IN must not drop or double any posting
+    when buckets are shared by many terms and every shard carries
+    query buckets."""
+    from tools.make_replica import vocab_enriched_text
+    from vector_io_spark.operators.ranking import bm25_sparse_vectors
+    from vector_io_spark.operators.sparse_index import (
+        sparse_index_probe_topk,
+        write_sparse_index,
+    )
+
+    BUCKETS = 512
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = spark.range(1, 21).withColumnRenamed("id", "__copy")
+    enriched = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("__copy") * F.lit(100_000)).alias(
+            "doc_id"
+        ),
+        vocab_enriched_text(F.col("text"), F.col("__copy")).alias("text"),
+    )
+
+    # the vocabulary dwarfs the bucket space and EVERY bucket collides
+    terms = (
+        enriched.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    occ = (
+        terms.select(
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                % BUCKETS
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+    ).collect()
+    n_vocab = sum(r["count"] for r in occ)
+    assert n_vocab >= 4096, n_vocab
+    assert len(occ) == BUCKETS, len(occ)
+    assert min(r["count"] for r in occ) >= 2, "some bucket has no collision"
+
+    sv = bm25_sparse_vectors(
+        enriched, "doc_id", "text", vocab_buckets=BUCKETS
+    )
+    path = str(tmp_path / "sparse_big")
+    write_sparse_index(sv, path, num_shards=16)
+
+    # probe the 3 heaviest buckets (max posting lists, max collisions)
+    heavy = [
+        r["bucket"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .groupBy("bucket").count()
+        .orderBy(F.col("count").desc(), F.col("bucket").asc())
+        .limit(3)
+        .collect()
+    ]
+    entries = [(b, 1.0) for b in heavy]
+    probe = {
+        (r["doc_id"], r["score"], r["rank"])
+        for r in sparse_index_probe_topk(
+            spark, path, entries, k=40
+        ).collect()
+    }
+
+    # scan form: same integer micro-unit math over the sparse vectors
+    wq_int = 1_000_000  # weight 1.0
+    ex = sv.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.col("sparse.indices"), F.col("sparse.values"))
+        ).alias("e"),
+    ).where(F.col("e.indices").isin(heavy))
+    scored = ex.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("e.values").cast("double") * 1e6).cast("bigint")
+            * F.lit(wq_int)
+        ).alias("__s")
+    )
+    w = Window.orderBy(F.col("__s").desc(), F.col("doc_id").asc())
+    scan = {
+        (r["doc_id"], r["score"], r["rank"])
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("rank") <= 40)
+        .select(
+            "doc_id",
+            F.round(F.col("__s").cast("double") / 1e12, 6).alias("score"),
+            "rank",
+        )
+        .collect()
+    }
+    assert probe == scan
