@@ -12062,47 +12062,62 @@ _GATE_PILLARS = [
     "training_data_pipeline",        # composite pipeline
 ]
 
-# Rotation r10: SIXTH slice — the 16-name TAIL (every registered query
-# with no driver-side CORRECTNESS row across r1-r9; set-difference over
-# the union of CORRECTNESS_r01..r09 keys recomputed at the start of
-# round 10) — this slice completes the 100% driver-gate cycle: after
-# r10, all 229 registered queries (223 pre-r10 + the six r10-new, all
-# six in this slice) have at least one driver-side correctness row
-# (VERDICT r9 Next #1). The 16: the six
-# profile/histogram/elasticity shapes deferred from r9
-# (profile_lineitem, charclass_profile, fanout_histogram,
-# dup_cluster_histogram, snapshot_diff, discount_elasticity) plus the
-# ten r9-late vector-query registrations (ann_range_search,
-# ann_range_search_indexed, ann_recommend_topk, ann_recommend_indexed,
-# ann_grouped_topk, ann_grouped_indexed, ann_distance_matrix,
-# hybrid_weighted_search, ann_topk_sq8_exact,
-# sparse_indexed_retrieval). The remaining 19 slots backfill with the
-# OLDEST-gated non-pillar names (r1 rows, not re-verified since) so
-# rotation keeps re-verifying old surface instead of idling
-# (VERDICT r9 Next #1 "backfill the remainder with the oldest-gated
-# names"), minus two slots for the r10-NEW registrations
-# (sparse_indexed_retrieval_batch, hybrid_indexed_search — gate new
-# surface immediately, the r9 precedent). All 35 are hash-gated
-# (every name is oracle-paired).
+# Rotation history: the r10 slice (sixth) completed the 100%
+# driver-gate cycle — its 16-name never-gated tail plus ALL SEVEN
+# r10-new registrations (sparse_indexed_retrieval_batch,
+# hybrid_indexed_search, index_export_roundtrip, index_scroll_page,
+# sparse_catalog_stats, hybrid_indexed_batch, sq8_drift_report) and 12
+# oldest-gated backfill rows all gated green, bringing the cumulative
+# driver-gated set to 230/230 of the then-registered queries
+# (set-difference over CORRECTNESS_r01..r10 verified at r11 start:
+# zero registered-but-never-gated names remained).
+#
+# Rotation r11: SEVENTH slice — the cycle is complete, so rotation now
+# RE-VERIFIES, oldest-first (VERDICT r10 Next #6): the three r11-NEW
+# registrations gate immediately (the standing precedent), and the
+# other 32 slots take the 32 OLDEST-gated non-pillar names by
+# min(last-gated round) with registry-order tie-break — the r3/r4
+# cohort pre-dates the kernel rewrites (e.g. the HOF→Arrow vector
+# kernels), so their only driver rows were earned under code that no
+# longer exists. Recompute per round: max(round) per name over all
+# CORRECTNESS_r*.json, sort non-pillars ascending. All 35 are
+# hash-gated (every name is oracle-paired).
 _GATE_ROTATION = [
-    # -- the 16-name never-gated tail (completes the cycle) --
-    "profile_lineitem", "charclass_profile", "fanout_histogram",
-    "dup_cluster_histogram", "snapshot_diff", "discount_elasticity",
-    "ann_range_search", "ann_range_search_indexed",
-    "ann_recommend_topk", "ann_recommend_indexed",
-    "ann_grouped_topk", "ann_grouped_indexed",
-    "ann_distance_matrix", "hybrid_weighted_search",
-    "ann_topk_sq8_exact", "sparse_indexed_retrieval",
-    # -- r10-new surface, gated immediately --
-    "sparse_indexed_retrieval_batch", "hybrid_indexed_search",
-    "index_export_roundtrip", "index_scroll_page",
-    "sparse_catalog_stats", "hybrid_indexed_batch", "sq8_drift_report",
-    # -- backfill: 12 oldest-gated non-pillar names (r1, re-verify) --
-    "order_priority_by_region", "id_range_filter", "semi_join_id_list",
-    "anti_join_missing_ids", "dedup_by_id_last_wins",
-    "consolidate_union_by_name", "count_tables", "sanitize_nat_epoch",
-    "parse_json_metadata", "compliant_names",
-    "vector_range_stats", "embedding_cosine_neardup",
+    # -- r11-new surface, gated immediately --
+    "pq_export_reconstructed", "sparse_scroll_page", "hybrid_indexed_sq8",
+    # -- re-verify: the 32 oldest-gated non-pillar names --
+    "vector_dim_inference",       # r3
+    "doc_fingerprint",            # r3
+    "simhash_fingerprint",        # r3
+    "quantize_embeddings_int8",   # r3
+    "rolling_fingerprints",       # r3
+    "nonnull_vector_filter",      # r3
+    "reembed_composite_text",     # r3
+    "dedup_connected_components", # r3
+    "id_set_union",               # r3
+    "quality_percentiles",        # r3
+    "ann_topk_manhattan",         # r3
+    "quantize_embeddings_binary", # r3
+    "minhash_signature_values",   # r3
+    "sparse_stats",               # r3
+    "deterministic_uuid",         # r4
+    "ann_topk_filtered",          # r4
+    "language_id",                # r5
+    "dedup_exact_content",        # r5
+    "bucket_occupancy_report",    # r5
+    "dedup_ngram_jaccard",        # r5
+    "dedup_simhash",              # r5
+    "reembed_hash_embedding",     # r5
+    "ann_topk_hamming_packed",    # r5
+    "funnel_signup_purchase",     # r5
+    "rfm_segments",               # r5
+    "suppliers_kept_waiting",     # r5
+    "pca_whiten_project",         # r5
+    "conversion_attribution",     # r5
+    "customer_revenue_percentiles",  # r5
+    "ann_topk_ivf_exact",         # r5
+    "quality_classifier_weights", # r5
+    "dsir_importance_weights",    # r5
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
