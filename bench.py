@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "sparse_indexed_retrieval_batch",  # N-query batch, ONE postings scan
     "hybrid_indexed_search",    # catalog-served hybrid (sparse+IVF+RRF)
     "hybrid_indexed_batch",     # N-query hybrid: two probe jobs total
+    # round-11 additions (BENCH_r11+ only — totals not comparable back)
+    "hybrid_indexed_sq8",       # hybrid served from the COMPRESSED catalog
+    "sparse_scroll_page",       # keyset page over the postings store
 ]
 
 
