@@ -447,3 +447,101 @@ def test_probe_equals_scan_under_collision_heavy_vocabulary(
         .collect()
     }
     assert probe == scan
+
+
+def test_rebuild_sparse_if_drifted_acts_only_past_budget(
+    spark, sf_dir, tmp_path
+):
+    """The stats->budget->rebuild composition for the posting-list
+    family (r11), completing the drift contract across all four
+    persisted catalogs: a healthy store -> keep; a store whose heaviest
+    bucket's df approaches the doc count (stopword drift, the
+    documented probe-I/O failure mode) -> mutex-guarded re-index of
+    the CORRECTED encoding with num_shards read from the persisted
+    meta; the monitor re-run reports the share restored."""
+    from vector_io_spark.operators.sparse_index import (
+        rebuild_sparse_if_drifted,
+    )
+
+    def sparse_rows(with_stopword):
+        # 200 docs, 3 low-df buckets each; optionally bucket 7 in EVERY
+        # doc (df == n_docs -> stopword share 1.0)
+        rows = []
+        for i in range(200):
+            buckets = sorted({(i * 13 + j * 101) % 512 for j in range(3)} - {7})
+            if with_stopword:
+                buckets = sorted(set(buckets) | {7})
+            rows.append((i, (buckets, [1.0] * len(buckets))))
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, sparse struct<indices: array<int>, "
+            "values: array<float>>",
+        )
+
+    healthy = sparse_rows(with_stopword=False)
+    path = str(tmp_path / "sparse_drift")
+    write_sparse_index(healthy, path, num_shards=8)
+
+    got = rebuild_sparse_if_drifted(spark, path, healthy)
+    assert got["rebuilt"] is False
+    assert got["stopword_share_after"] is None
+    assert got["stopword_share_before"] <= 0.5
+    assert got["num_shards"] == 8
+
+    # drifted store: every doc carries bucket 7
+    drifted = sparse_rows(with_stopword=True)
+    write_sparse_index(drifted, path, num_shards=8)
+    got2 = rebuild_sparse_if_drifted(
+        spark, path, healthy  # the corrected (stopword-filtered) encoding
+    )
+    assert got2["rebuilt"] is True, got2
+    assert got2["stopword_share_before"] == 1.0, got2
+    assert got2["stopword_share_after"] <= 0.5, got2
+    assert got2["num_shards"] == 8
+    # geometry preserved on disk, store now serves the corrected encoding
+    assert (
+        spark.read.parquet(f"{path}/meta").collect()[0]["num_shards"] == 8
+    )
+    assert (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket") == 7).count() == 0
+    )
+
+    # probe over the rebuilt store == scan-form integer math on the
+    # corrected encoding (the probe==scan contract survives rebuilds)
+    probe = {
+        (r["doc_id"], r["score"])
+        for r in sparse_index_probe_topk(
+            spark, path, [(healthy.first()["sparse"]["indices"][0], 1.0)],
+            k=300,
+        ).collect()
+    }
+    ex = healthy.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.col("sparse.indices"), F.col("sparse.values"))
+        ).alias("e"),
+    ).where(F.col("e.indices") == healthy.first()["sparse"]["indices"][0])
+    scan = {
+        (r["doc_id"], r["score"])
+        for r in ex.groupBy("doc_id").agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("e.values").cast("double") * 1e6)
+                    .cast("bigint") * F.lit(1_000_000)
+                ).cast("double") / 1e12,
+                6,
+            ).alias("score")
+        ).collect()
+    }
+    assert probe == scan
+
+    # an empty layout is a refusal, not a silent keep
+    import shutil
+
+    shutil.rmtree(f"{path}/postings")
+    import os as _os
+
+    _os.makedirs(f"{path}/postings", exist_ok=True)
+    with pytest.raises(Exception):
+        rebuild_sparse_if_drifted(spark, path, healthy)

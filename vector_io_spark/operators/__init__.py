@@ -44,7 +44,12 @@ from vector_io_spark.operators.export_catalog import (  # noqa: F401
     read_sparse_vectors,
     read_sq8_reconstructed,
 )
+from vector_io_spark.operators.hybrid import (  # noqa: F401
+    hybrid_indexed_topk,
+    hybrid_indexed_topk_batch,
+)
 from vector_io_spark.operators.sparse_index import (  # noqa: F401
+    rebuild_sparse_if_drifted,
     sparse_index_probe_topk,
     sparse_index_probe_topk_batch,
     write_sparse_index,

@@ -317,3 +317,119 @@ def sparse_index_stats(spark, path: str, top_buckets: int = 20) -> DataFrame:
         "top_bucket",
         "top_bucket_df",
     )
+
+
+def rebuild_sparse_if_drifted(
+    spark,
+    path: str,
+    doc_sparse: DataFrame,
+    stopword_share_budget: float = 0.5,
+    imbalance_budget: float = 3.0,
+    doc_id: str = "doc_id",
+    sparse_col: str = "sparse",
+    maint_timeout_s: float = 3600.0,
+) -> dict:
+    """The acting half of the sparse catalog's maintenance contract
+    (r11), completing the drift trio++ — every persisted family now
+    has stats → budget → conditional mutex-guarded rebuild
+    (IVF/IVFPQ: ``rebuild_{ivf,ivfpq}_if_drifted``; SQ8:
+    ``rebuild_sq8_if_drifted``; sparse: this).
+
+    Two documented drift signals from :func:`sparse_index_stats`:
+
+    - **stopword drift**: the heaviest bucket's document frequency
+      approaching the store's document count — it contributes ~nothing
+      to BM25 ranking but dominates probe I/O for any query touching
+      it. Measured as ``max(top_bucket_df) / n_docs`` vs
+      ``stopword_share_budget``.
+    - **shard imbalance**: ``imbalance_factor`` (max·num_shards/total)
+      vs ``imbalance_budget`` — probes of a hot shard pay its skew.
+
+    Unlike the vector catalogs, a sparse rebuild over the SAME
+    encoding cannot rebalance anything (``shard = bucket %
+    num_shards`` is deterministic): the remedy is re-indexing a
+    CORRECTED encoding — ``doc_sparse`` should be the re-encoded
+    corpus (stopword-filtered upstream, or re-hashed with more
+    ``vocab_buckets``). The decision half tells you WHEN that is
+    worth a full rebuild; ``num_shards`` is read from the persisted
+    meta, never caller-supplied, and the retrain runs under the
+    ``_MAINT-LOCK`` mutex (an append or compaction racing the
+    overwrite would be destroyed). ``write_sparse_index`` clears stale
+    tombstones (its standing contract).
+
+    Returns ``{"rebuilt", "stopword_share_before", "stopword_share_after",
+    "imbalance_before", "imbalance_after", "stopword_share_budget",
+    "imbalance_budget", "num_shards"}`` — the *_after fields are None
+    when no rebuild ran. ``stopword_share_after`` is reported, not
+    asserted: whether the new encoding actually fixed the drift is a
+    property of the caller's data, and the monitor re-run says so.
+
+    Scale shape: the decision is one postings rollup (map-side
+    combine, |buckets| rows shuffled) + a distinct-doc count; a
+    triggered rebuild pays the one-time explode + partitionBy shuffle
+    of the new encoding — nothing else."""
+    from vector_io_spark.operators.similarity import (
+        _take_maint_marker,
+    )
+
+    def _measure() -> tuple[float, float]:
+        stats = sparse_index_stats(spark, path)
+        row = stats.agg(
+            F.max("imbalance_factor").alias("imb"),
+            F.max("top_bucket_df").alias("top_df"),
+        ).first()
+        if row is None or row["imb"] is None:
+            raise ValueError(
+                f"rebuild_sparse_if_drifted: no postings under {path} — "
+                "not a populated sparse index layout"
+            )
+        n_docs = (
+            spark.read.parquet(f"{path}/postings")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        return (
+            float(row["top_df"]) / float(max(n_docs, 1)),
+            float(row["imb"]),
+        )
+
+    num_shards = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["num_shards"]
+    )
+    share_before, imb_before = _measure()
+    out = {
+        "rebuilt": False,
+        "stopword_share_before": round(share_before, 6),
+        "stopword_share_after": None,
+        "imbalance_before": round(imb_before, 4),
+        "imbalance_after": None,
+        "stopword_share_budget": float(stopword_share_budget),
+        "imbalance_budget": float(imbalance_budget),
+        "num_shards": num_shards,
+    }
+    if (
+        share_before <= stopword_share_budget
+        and imb_before <= imbalance_budget
+    ):
+        return out
+
+    lock = _take_maint_marker(
+        spark, path, "rebuild_sparse_if_drifted", timeout_s=maint_timeout_s
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    try:
+        write_sparse_index(
+            doc_sparse, path, doc_id=doc_id, sparse_col=sparse_col,
+            num_shards=num_shards,
+        )
+    finally:
+        fs.delete(lock, False)
+    share_after, imb_after = _measure()
+    out["rebuilt"] = True
+    out["stopword_share_after"] = round(share_after, 6)
+    out["imbalance_after"] = round(imb_after, 4)
+    return out
