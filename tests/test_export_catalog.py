@@ -484,3 +484,67 @@ def test_scan_sparse_index_pages_keyset_semantics_and_plan(
 
     with pytest.raises(ValueError, match="out of range"):
         scan_sparse_index_pages(spark, path, limit=0)
+
+
+def test_scan_index_pages_compressed_kinds(spark, sf_dir, tmp_path):
+    """r11: scroll pages over the COMPRESSED catalogs — each kind's
+    pages are disjoint, ordered, cover the store, and carry exactly
+    the reconstructed vectors its export reader serves; the cursor
+    predicate still pushes into the (cells/codes) scan and the
+    ordered LIMIT still plans bounded."""
+    from vector_io_spark.operators.export_catalog import (
+        read_ivfpq_reconstructed,
+        read_pq_reconstructed,
+        read_sq8_reconstructed,
+        scan_index_pages,
+    )
+    from vector_io_spark.operators.pq_exact import write_pq_exact_index
+    from vector_io_spark.operators.similarity import write_ivfpq_index
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    stores = {}
+    p = str(tmp_path / "sq8")
+    write_sq8_index(emb, p, num_cells=4, seed=7)
+    stores["sq8"] = (p, read_sq8_reconstructed(spark, p))
+    p = str(tmp_path / "ivfpq")
+    write_ivfpq_index(
+        emb, p, num_cells=4, num_subspaces=8, codebook_size=16, seed=11
+    )
+    stores["ivfpq"] = (p, read_ivfpq_reconstructed(spark, p))
+    p = str(tmp_path / "pq")
+    write_pq_exact_index(emb, p, num_subspaces=8, codebook_size=8)
+    stores["pq"] = (p, read_pq_reconstructed(spark, p))
+
+    for kind, (path, full_reader) in stores.items():
+        full = {
+            r["vec_id"]: tuple(r["embedding"])
+            for r in full_reader.collect()
+        }
+        seen = []
+        after = None
+        while True:
+            page = scan_index_pages(
+                spark, path, after=after, limit=17, kind=kind
+            ).collect()
+            if not page:
+                break
+            ids = [r["vec_id"] for r in page]
+            assert ids == sorted(ids), kind
+            for r in page:
+                assert tuple(r["embedding"]) == full[r["vec_id"]], kind
+            seen.extend(ids)
+            after = ids[-1]
+        assert seen == sorted(set(seen)), kind
+        assert set(seen) == set(full), kind
+
+    # cursor pushdown + bounded sort still hold on the sq8 cells scan
+    df = scan_index_pages(
+        spark, stores["sq8"][0], after=20, limit=5, kind="sq8"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GreaterThan(vec_id,20" in plan, plan
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        scan_index_pages(spark, stores["sq8"][0], kind="hnsw")

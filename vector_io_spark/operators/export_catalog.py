@@ -294,18 +294,27 @@ def scan_index_pages(
     id_col: str = "vec_id",
     after=None,
     limit: int = 1000,
+    kind: str = "raw",
 ) -> DataFrame:
     """One page of a keyset-paginated catalog scan — the Qdrant
     ``scroll`` / Milvus ``query_iterator`` / Pinecone ``list`` serving
-    shape, over the engine's own raw-vector layouts: rows with
-    ``id > after`` in ascending id order, at most ``limit`` of them.
-    Iterate by passing the previous page's max id as ``after`` (keyset
-    pagination — O(page) per call, no OFFSET re-scan, stable under
-    concurrent appends of LARGER ids). Tombstoned rows never appear.
+    shape, over the engine's own layouts: rows with ``id > after`` in
+    ascending id order, at most ``limit`` of them. Iterate by passing
+    the previous page's max id as ``after`` (keyset pagination —
+    O(page) per call, no OFFSET re-scan, stable under concurrent
+    appends of LARGER ids). Tombstoned rows never appear.
+
+    ``kind`` (r11): 'raw' (IVF/token cells — exact rows), or 'sq8' /
+    'ivfpq' / 'pq' — pages of the compressed catalogs' RECONSTRUCTED
+    vectors (the same decode the export readers serve; lossy, same
+    caveats) — a deployment holding only a compressed store can still
+    scroll it. The sparse postings layout has its own doc-keyed twin
+    (:func:`scan_sparse_index_pages`).
 
     Scale shape: the ``id > after`` predicate pushes into the parquet
     scan (row-group min/max skipping — near-free when the layout was
-    written ``sort_by`` id), and the ordered LIMIT plans as
+    written ``sort_by`` id; for 'pq' it pushes into the codes scan
+    BELOW the re-assembly groupBy), and the ordered LIMIT plans as
     TakeOrderedAndProject (map-side truncation to ``limit`` rows per
     partition, one small final merge) — never a global sort of the
     catalog. Plan-pinned in tests/test_export_catalog.py."""
@@ -315,7 +324,20 @@ def scan_index_pages(
             "pages are driver-consumable units, not bulk exports; use "
             "read_index_vectors for the full catalog."
         )
-    df = read_index_vectors(spark, path)
+    if kind == "raw":
+        df = read_index_vectors(spark, path)
+    elif kind == "sq8":
+        df = read_sq8_reconstructed(spark, path)
+    elif kind == "ivfpq":
+        df = read_ivfpq_reconstructed(spark, path)
+    elif kind == "pq":
+        df = read_pq_reconstructed(spark, path, id_col=id_col)
+    else:
+        raise ValueError(
+            f"scan_index_pages: unknown kind {kind!r} — expected "
+            "'raw', 'sq8', 'ivfpq', or 'pq' (sparse postings scroll "
+            "is scan_sparse_index_pages)"
+        )
     if after is not None:
         df = df.where(F.col(id_col) > F.lit(after))
     return df.orderBy(F.col(id_col).asc()).limit(limit)
