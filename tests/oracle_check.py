@@ -3,6 +3,14 @@ entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row count, schema (column names + dtypes), and order-insensitive values.
 
 Usage:  python tests/oracle_check.py [sf_dir] [query ...]
+        python tests/oracle_check.py [sf_dir] --changed-since <git-ref>
+
+--changed-since maps the diff vs <git-ref> (committed + working tree)
+to the registered queries it can affect (tools/changed_queries.py) and
+walks only those — the iterate-loop gate. The FULL walk (no filter)
+remains the pre-push / pre-round rule; un-attributable changes
+(registry machinery, shared helpers, the entry contract) automatically
+widen back to the full walk.
 """
 
 from __future__ import annotations
@@ -81,8 +89,27 @@ def main() -> int:
 
     from vector_io_spark.queries import ORACLE, QUERIES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and not args[0].startswith("--") else \
+        "/root/testdata/sf0.01"
+    if args[:1] == ["--changed-since"]:
+        if len(args) != 2:
+            raise SystemExit("--changed-since requires exactly one git ref")
+        from tools.changed_queries import changed_queries
+
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        picked = changed_queries(repo_dir, args[1])
+        if picked is None:
+            print("# changed-since: un-attributable change -> FULL walk")
+            names = list(QUERIES)
+        elif not picked:
+            print(f"# changed-since {args[1]}: no registered query affected")
+            return 0
+        else:
+            names = [n for n in QUERIES if n in picked]  # registry order
+            print(f"# changed-since {args[1]}: {len(names)} affected")
+    else:
+        names = args or list(QUERIES)
     # BARE session, not our session factory: the external driver builds
     # its own SparkSession, so this gate must prove every query
     # self-configures (queries._ensure_session_conf) with no help

@@ -480,7 +480,10 @@ def test_scan_sparse_index_pages_keyset_semantics_and_plan(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "GreaterThan(doc_id,10" in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # ADVICE r11: `or` made this vacuous (a SortMergeJoin passed both
+    # halves) — the pinned shape is a broadcast-back of the page ids
+    # with NO nested-loop fallback, so both clauses must hold.
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoop" not in plan
 
     with pytest.raises(ValueError, match="out of range"):
         scan_sparse_index_pages(spark, path, limit=0)

@@ -127,3 +127,22 @@ def test_hybrid_unknown_dense_kind_refuses(spark, sf_dir, hybrid_stores):
         hybrid_indexed_topk(
             spark, spath, dense["ivf"], [(1, 1.0)], q, dense_kind="hnsw"
         )
+
+
+def test_hybrid_single_form_refuses_multi_query_frame(
+    spark, sf_dir, hybrid_stores
+):
+    """ADVICE r11: a multi-row queries frame used to make the dense leg
+    emit per-query ranks that doc_id-grouped fusion silently summed
+    against the one un-keyed lexical ranking — now it refuses and
+    routes to the batch form."""
+    spath, dense, emb = hybrid_stores
+    entries = _query_entries(spark, spath)
+    q2 = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="hybrid_indexed_topk_batch"):
+        hybrid_indexed_topk(
+            spark, spath, dense["ivf"], entries, q2,
+            k=5, shortlist=20, nprobe=4,
+        )

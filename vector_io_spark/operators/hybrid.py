@@ -86,6 +86,20 @@ def hybrid_indexed_topk(
         sparse_index_probe_topk,
     )
 
+    # ADVICE r11: the single-query contract was documented but not
+    # enforced — a multi-row ``queries`` frame made the dense leg emit
+    # per-query ranks that the doc_id-grouped fusion silently summed
+    # against the one un-keyed lexical ranking. The check is a bounded
+    # driver-side count (≤2 rows) over the tiny query frame the dense
+    # probe collects anyway.
+    n_q = queries.select("query_id").distinct().limit(2).count()
+    if n_q > 1:
+        raise ValueError(
+            "hybrid_indexed_topk serves ONE query: got multiple distinct "
+            "query_id rows — use hybrid_indexed_topk_batch for N-query "
+            "fusion (per-query rrf_fuse group keys)"
+        )
+
     lex = sparse_index_probe_topk(
         spark, sparse_path, query_entries, k=shortlist
     ).select("doc_id", "rank")

@@ -369,6 +369,7 @@ def rebuild_sparse_if_drifted(
     triggered rebuild pays the one-time explode + partitionBy shuffle
     of the new encoding — nothing else."""
     from vector_io_spark.operators.similarity import (
+        _refresh_maint_marker,
         _take_maint_marker,
     )
 
@@ -422,6 +423,14 @@ def rebuild_sparse_if_drifted(
         spark._jsc.hadoopConfiguration()
     )
     try:
+        # ADVICE r11: heartbeat the held lock like the sq8/compactor
+        # protocol — a multi-artifact rewrite exceeding maint_timeout_s
+        # would otherwise be reaped as stale mid-overwrite and a
+        # concurrent append/compaction could race the rewrite. One
+        # refresh after acquisition; write_sparse_index's own staged
+        # writes complete under the refreshed window, and if the lock
+        # was already reaped we abort BEFORE touching any artifact.
+        _refresh_maint_marker(spark, lock, "rebuild_sparse_if_drifted")
         write_sparse_index(
             doc_sparse, path, doc_id=doc_id, sparse_col=sparse_col,
             num_shards=num_shards,

@@ -12072,52 +12072,51 @@ _GATE_PILLARS = [
 # (set-difference over CORRECTNESS_r01..r10 verified at r11 start:
 # zero registered-but-never-gated names remained).
 #
-# Rotation r11: SEVENTH slice — the cycle is complete, so rotation now
-# RE-VERIFIES, oldest-first (VERDICT r10 Next #6): the three r11-NEW
-# registrations gate immediately (the standing precedent), and the
-# other 32 slots take the 32 OLDEST-gated non-pillar names by
-# min(last-gated round) with registry-order tie-break — the r3/r4
-# cohort pre-dates the kernel rewrites (e.g. the HOF→Arrow vector
-# kernels), so their only driver rows were earned under code that no
-# longer exists. Recompute per round: max(round) per name over all
-# CORRECTNESS_r*.json, sort non-pillars ascending. All 35 are
-# hash-gated (every name is oracle-paired).
+# Rotation r12: EIGHTH slice — continuing the oldest-first
+# re-verification (VERDICT r11 Next #2): any r12-new registrations
+# gate immediately (standing precedent; prepend them here and trim the
+# tail to keep 35 slots), and the slots take the 35 OLDEST-gated
+# non-pillar names by max(round) per name over CORRECTNESS_r01..r11
+# with registry-order tie-break — the r5-r6 cohort (sketches,
+# events-cube, ranking/ANN distance variants) whose last driver rows
+# pre-date the r7+ kernel and catalog rewrites. All 35 are hash-gated
+# (every name is oracle-paired).
 _GATE_ROTATION = [
-    # -- r11-new surface, gated immediately --
-    "pq_export_reconstructed", "sparse_scroll_page", "hybrid_indexed_sq8",
-    # -- re-verify: the 32 oldest-gated non-pillar names --
-    "vector_dim_inference",       # r3
-    "doc_fingerprint",            # r3
-    "simhash_fingerprint",        # r3
-    "quantize_embeddings_int8",   # r3
-    "rolling_fingerprints",       # r3
-    "nonnull_vector_filter",      # r3
-    "reembed_composite_text",     # r3
-    "dedup_connected_components", # r3
-    "id_set_union",               # r3
-    "quality_percentiles",        # r3
-    "ann_topk_manhattan",         # r3
-    "quantize_embeddings_binary", # r3
-    "minhash_signature_values",   # r3
-    "sparse_stats",               # r3
-    "deterministic_uuid",         # r4
-    "ann_topk_filtered",          # r4
-    "language_id",                # r5
-    "dedup_exact_content",        # r5
-    "bucket_occupancy_report",    # r5
-    "dedup_ngram_jaccard",        # r5
-    "dedup_simhash",              # r5
-    "reembed_hash_embedding",     # r5
-    "ann_topk_hamming_packed",    # r5
-    "funnel_signup_purchase",     # r5
-    "rfm_segments",               # r5
-    "suppliers_kept_waiting",     # r5
-    "pca_whiten_project",         # r5
-    "conversion_attribution",     # r5
-    "customer_revenue_percentiles",  # r5
-    "ann_topk_ivf_exact",         # r5
-    "quality_classifier_weights", # r5
-    "dsir_importance_weights",    # r5
+    "hll_distinct_users",            # r5
+    "profit_by_nation_year",         # r5
+    "copurchase_triangles",          # r5
+    "dedup_quality_survivors",       # r5
+    "zipf_slope",                    # r5
+    "association_rules",             # r5
+    "incremental_embedding_neardup", # r5
+    "quantile_sketch_order_totals",  # r5
+    "token_counts",                  # r6
+    "key_union_join",                # r6
+    "ann_topk_euclid",               # r6
+    "events_rollup",                 # r6
+    "ann_topk_dot",                  # r6
+    "asof_join_events",              # r6
+    "range_join_events",             # r6
+    "sparse_dot_topk",               # r6
+    "session_stats",                 # r6
+    "cascade_hamming_cosine",        # r6
+    "tfidf_top_terms",               # r6
+    "redact_pii",                    # r6
+    "repetition_stats",              # r6
+    "decontaminate_eval_overlap",    # r6
+    "semdedup_keep",                 # r6
+    "knn_graph_batch",               # r6
+    "cohort_retention_weekly",       # r6
+    "returned_item_report",          # r6
+    "mmr_diversified_topk",          # r6
+    "nation_trade_volume",           # r6
+    "market_share_by_year",          # r6
+    "late_shipment_by_priority",     # r6
+    "customer_order_distribution",   # r6
+    "embedding_covariance",          # r6
+    "bigram_lm_score",               # r6
+    "cms_heavy_hitters",             # r6
+    "event_transition_matrix",       # r6
 ]
 
 _GATE_PREFIX = _GATE_PILLARS + _GATE_ROTATION
