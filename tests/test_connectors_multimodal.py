@@ -424,3 +424,202 @@ def test_media_perceptual_hash_pil_kernel_resize_invariance(spark):
     d_diff = bin(got[1] ^ got[3]).count("1")
     assert d_same <= 6, d_same
     assert d_diff >= 20, d_diff
+
+
+# --------------------------------------------------------------- WAV kernel
+
+def _make_wav(
+    samples, rate=8000, channels=1, bits=16, audio_fmt=1, extra_chunk=False
+):
+    """Deterministic WAV writer for the test corpus — pure struct, the
+    same public RIFF layout the kernel parses. ``samples`` is a list of
+    floats in [-1, 1] (already interleaved when channels > 1)."""
+    import struct
+
+    if audio_fmt == 3:  # IEEE float32
+        payload = b"".join(struct.pack("<f", s) for s in samples)
+    elif bits == 16:
+        payload = b"".join(
+            struct.pack("<h", max(-32768, min(32767, round(s * 32767))))
+            for s in samples
+        )
+    elif bits == 8:
+        payload = bytes(
+            max(0, min(255, round(s * 127) + 128)) for s in samples
+        )
+    elif bits == 24:
+        out = bytearray()
+        for s in samples:
+            v = max(-(1 << 23), min((1 << 23) - 1, round(s * ((1 << 23) - 1))))
+            out += (v & 0xFFFFFF).to_bytes(3, "little")
+        payload = bytes(out)
+    elif bits == 32:
+        payload = b"".join(
+            struct.pack(
+                "<i",
+                max(-(1 << 31), min((1 << 31) - 1, round(s * ((1 << 31) - 1)))),
+            )
+            for s in samples
+        )
+    else:
+        raise ValueError(bits)
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, channels, rate, rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk the parser must skip (odd size -> pad)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _sine(n, freq, rate, amp=0.5):
+    import math
+
+    return [amp * math.sin(2 * math.pi * freq * i / rate) for i in range(n)]
+
+
+def test_wav_parse_all_sample_widths():
+    import numpy as np
+
+    from vector_io_spark.operators.multimodal import _parse_wav
+
+    sig = _sine(800, 440, 8000)
+    for bits, fmt in [(8, 1), (16, 1), (24, 1), (32, 1), (32, 3)]:
+        x, rate, ch, b = _parse_wav(
+            _make_wav(sig, bits=bits if fmt == 1 else 32, audio_fmt=fmt)
+        )
+        assert (rate, ch) == (8000, 1)
+        assert len(x) == 800
+        # reconstruction matches the source signal within quantization
+        tol = {8: 2e-2, 16: 1e-3, 24: 1e-5, 32: 1e-6}[bits]
+        assert float(np.max(np.abs(np.array(x) - np.array(sig)))) < tol
+
+
+def test_wav_parse_stereo_downmix_and_chunk_walk():
+    import numpy as np
+
+    from vector_io_spark.operators.multimodal import _parse_wav
+
+    left = _sine(400, 440, 8000, amp=0.8)
+    right = [0.0] * 400
+    interleaved = [v for pair in zip(left, right) for v in pair]
+    x, rate, ch, _ = _parse_wav(
+        _make_wav(interleaved, channels=2, extra_chunk=True)
+    )
+    assert ch == 2 and len(x) == 400
+    # downmix = mean(L, R) = L/2
+    assert float(np.max(np.abs(x - np.array(left) / 2))) < 1e-3
+
+
+def test_wav_parse_rejects_non_wav_and_truncated():
+    from vector_io_spark.operators.multimodal import _parse_wav
+
+    assert _parse_wav(None) is None
+    assert _parse_wav(b"\x89PNG" + b"\x00" * 100) is None
+    assert _parse_wav(_make_wav(_sine(100, 440, 8000))[:30]) is None
+    # compressed format code (2 = ADPCM) stays stubbed -> None
+    import struct
+
+    blob = bytearray(_make_wav(_sine(100, 440, 8000)))
+    struct.pack_into("<H", blob, 20, 2)
+    assert _parse_wav(bytes(blob)) is None
+
+
+def test_wav_features_amplitude_stats():
+    import math
+
+    from vector_io_spark.operators.multimodal import _wav_features
+
+    rate, n, amp, freq = 8000, 8000, 0.5, 440
+    blob = _make_wav(_sine(n, freq, rate, amp=amp), rate=rate)
+    f = _wav_features(blob)
+    n_samples, srate, ch, dur_ms, rms, peak, zcr, blen = f
+    assert (n_samples, srate, ch) == (n, rate, 1)
+    assert dur_ms == 1000.0
+    assert abs(rms - amp / math.sqrt(2)) < 1e-3   # sine RMS = A/sqrt(2)
+    assert abs(peak - amp) < 1e-3
+    # sine crosses zero 2*freq times per second
+    assert abs(zcr - 2 * freq / rate) < 2e-3
+    assert blen == len(blob)
+    assert _wav_features(b"junk") is None
+
+
+def test_wav_ahash_gain_invariant_and_discriminative():
+    from vector_io_spark.operators.multimodal import _wav_ahash
+
+    rate = 8000
+    # amplitude-modulated tone -> non-trivial energy contour
+    sig = [
+        (0.2 + 0.6 * ((i // 500) % 2)) * s
+        for i, s in enumerate(_sine(8000, 440, rate, amp=1.0))
+    ]
+    h1 = _wav_ahash(_make_wav(sig, rate=rate))
+    h_gain = _wav_ahash(_make_wav([0.5 * s for s in sig], rate=rate))
+    assert h1 == h_gain  # uniform gain never flips a contour comparison
+    other = _wav_ahash(
+        _make_wav(
+            [
+                (0.8 - 0.6 * ((i // 500) % 2)) * s
+                for i, s in enumerate(_sine(8000, 440, rate, amp=1.0))
+            ],
+            rate=rate,
+        )
+    )
+    assert h1 != other  # inverted contour -> different fingerprint
+    assert _wav_ahash(b"not audio") is None
+    assert 0 <= h1 < 1 << 63
+
+
+def test_wav_decoder_end_to_end_spark(spark):
+    """Spark-side plumbing for the real audio kernel: features + phash
+    via mapInPandas, NULL rows for undecodable blobs, and gain-dup
+    detection by groupBy(phash) — the dedup composition the kernel
+    exists for."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.multimodal import (
+        extract_media_features,
+        media_perceptual_hash,
+    )
+
+    rate = 8000
+    sig = [
+        (0.2 + 0.6 * ((i // 500) % 2)) * s
+        for i, s in enumerate(_sine(4000, 440, rate, amp=1.0))
+    ]
+    rows = [
+        (1, _make_wav(sig, rate=rate)),
+        (2, _make_wav([0.5 * s for s in sig], rate=rate)),  # gain dup of 1
+        (3, _make_wav(_sine(2000, 100, rate), rate=rate)),
+        (4, b"definitely not a wav file"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+
+    feats = {
+        r["id"]: r["f"]
+        for r in extract_media_features(
+            df, "blob", out_col="f", decoder="wav"
+        ).collect()
+    }
+    assert feats[4] is None and feats[5] is None
+    assert feats[1][0] == 4000.0 and feats[1][1] == float(rate)
+    assert feats[3][3] == 250.0  # 2000 samples @ 8 kHz = 250 ms
+
+    hashes = {
+        r["id"]: r["phash"]
+        for r in media_perceptual_hash(df, "blob", decoder="wav").collect()
+    }
+    assert hashes[1] == hashes[2] != hashes[3]
+    assert hashes[4] is None and hashes[5] is None
+    dup_groups = (
+        media_perceptual_hash(df, "blob", decoder="wav")
+        .where(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup_groups == 1

@@ -141,6 +141,57 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert labels.count() == n + 1
 
 
+def test_connected_components_two_phase_equals_pointer_jump(spark):
+    """r12 A/B (VERDICT r11 Next #3): alternating large-star/small-star
+    must produce the identical (id, component) labeling as the pointer-
+    jumping loop on the adversarial shapes — the 300-link chain that
+    killed the frontier-bounded variant, a star with a high-id hub, a
+    random multi-component graph with duplicate/reversed pairs, and a
+    self-pair-only frame."""
+    import random
+
+    rng = random.Random(7)
+    rand_pairs = [
+        (rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(150)
+    ]
+    cases = {
+        "chain300": [(i, i + 1) for i in range(300)],
+        "hub_star": [(999, i) for i in range(20)],
+        "random": rand_pairs + [(b, a) for a, b in rand_pairs[:40]],
+        "self_pairs": [(5, 5), (9, 9), (5, 9)],
+    }
+    for name, rows in cases.items():
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        # default max_iter=20: pointer jumping needs more than
+        # log2(diameter) rounds on dense random graphs (min labels keep
+        # arriving through long detours after paths have been halved)
+        pj = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        tp = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                pairs, algorithm="two_phase"
+            ).collect()
+        }
+        assert pj == tp, f"labelings diverge on {name}"
+
+
+def test_connected_components_two_phase_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="two_phase.*did not converge"):
+        connected_components(pairs, max_iter=1, algorithm="two_phase")
+
+
+def test_connected_components_unknown_algorithm_refuses(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="frontier")
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """With max_iter too small for the diameter, raise instead of
     returning a partially merged labeling."""

@@ -16,8 +16,10 @@ covers exactly one stage's jobs:
   4. survivors  — membership join + per-component argmax window (noop
                   write of the final frame)
 
-Usage: SPARK_GRAFT_SF_DIR=/tmp/sf10 python tools/bench_dedup_stages.py [N]
+Usage: SPARK_GRAFT_SF_DIR=/tmp/sf10 python tools/bench_dedup_stages.py [N] [algorithm]
 Prints one JSON line with per-stage medians over N reps (default 3).
+``algorithm`` is forwarded to connected_components (pointer_jump |
+two_phase) — the r12 CC A/B (VERDICT r11 Next #3).
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
 
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    algorithm = sys.argv[2] if len(sys.argv) > 2 else "pointer_jump"
     from vector_io_spark.operators.dedup import (
         connected_components,
         minhash_lsh_dup_pairs,
@@ -89,7 +92,7 @@ def main() -> None:
         samples["lsh_pairs"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        comp = connected_components(pairs).persist()
+        comp = connected_components(pairs, algorithm=algorithm).persist()
         rows["components"] = comp.count()
         samples["components"].append(time.perf_counter() - t0)
 
@@ -129,6 +132,7 @@ def main() -> None:
     }
     print(json.dumps({
         "sf_dir": SF_DIR,
+        "algorithm": algorithm,
         "n": n_runs,
         "stage_medians_sec": med,
         "spread": spread,

@@ -1216,7 +1216,11 @@ def _signature_band_pairs(
 # --------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    algorithm: str = "pointer_jump",
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph: returns
     (id, component) where component = the smallest id reachable from id.
@@ -1243,7 +1247,23 @@ def connected_components(
     "survivors" from one duplicate cluster. Every ``checkpoint_every``
     rounds the label frame's lineage is truncated (localCheckpoint) so
     plan depth stays bounded.
+
+    ``algorithm`` selects the iteration kernel (r12 A/B, VERDICT r11
+    Next #3): ``"pointer_jump"`` is the loop above; ``"two_phase"`` is
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public literature), which
+    rewrites the EDGE set toward a star forest in O(log n) alternations
+    instead of shuffling a full-width label frame every round. Both
+    return identical (id, component) labelings (pinned by
+    tests/test_dedup_graph.py on chains, stars, and random graphs).
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, id_a, id_b, max_iter)
+    if algorithm != "pointer_jump":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} — "
+            "expected 'pointer_jump' or 'two_phase'"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -1316,6 +1336,123 @@ def connected_components(
             f"diameter exceeds max_iter — raise max_iter"
         )
     edges.unpersist()
+    return labels
+
+
+def _cc_two_phase(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public literature; the reference engine has no graph ops, so no
+    parity citation applies).
+
+    Unlike pointer jumping, the iteration rewrites the EDGE set itself
+    toward a star forest — no label frame is shuffled per round:
+
+    - **large-star**: every node u links each strictly-larger neighbor
+      to ``m(u) = min(N(u) ∪ {u})`` — one symmetric groupBy(node).min
+      plus one join of the canonical edges back to those mins.
+    - **small-star**: with edges oriented (big → small), every node u
+      links itself and each smaller neighbor to their collective min.
+
+    At the fixpoint every edge is (node, component-min); the labeling
+    reads straight off the final edges. Convergence is O(log²n) proven,
+    ~log n alternations in practice; each alternation shuffles only the
+    current edge set (≈|duplicate pairs|, shrinking), never a full-width
+    stable-label frame — the A/B this round exists to measure.
+
+    Scale shape: per alternation ~4 hash shuffles of the edge frame +
+    distincts; driver sees only convergence counters; lineage truncated
+    by localCheckpoint every 4 alternations.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    converged = False
+    for it in range(max_iter):
+        # large-star: for canonical (u,v) [u>v], u is the one
+        # strictly-larger neighbor v contributes — emit (u, m(v)) where
+        # m(v) = min over v's full (symmetric) neighborhood and itself
+        sym = e.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        mins = (
+            sym.groupBy("x")
+            .agg(F.min("y").alias("mn"))
+            .select("x", F.least("x", "mn").alias("m"))
+        )
+        ls = (
+            e.join(mins, e.v == mins.x)
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: group the (big → small) edges by the big end; m =
+        # min of its smaller neighbors; link u and every non-min smaller
+        # neighbor to m. All outputs already satisfy u > v.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            mins2.select(F.col("u"), F.col("m").alias("v"))
+            .unionAll(
+                ls.join(mins2, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+        )
+        # localCheckpoint EVERY round, not every k: the edge frame feeds
+        # the next round's plan in three places (sym twice, the join
+        # once) plus the fixpoint check, so an un-truncated logical plan
+        # fans out ~3× per round — Catalyst analysis goes exponential by
+        # round ~4 (measured: 2.8 s -> 65.7 s per round on a 40-edge
+        # graph). Checkpointing resets the plan to a leaf; the
+        # materialized frame is ≈|duplicate pairs|, and the loop is
+        # O(log n) rounds, so the storage cost is bounded.
+        new_e = ss.localCheckpoint(eager=True)
+        # fixpoint test: both frames are distinct sets, so equal counts
+        # + empty one-sided difference ⇒ identical edge sets
+        if new_e.count() == e.count() and new_e.subtract(e).isEmpty():
+            e.unpersist()
+            e = new_e
+            converged = True
+            break
+        e.unpersist()
+        e = new_e
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components(two_phase) did not converge in "
+            f"{max_iter} alternations — raise max_iter"
+        )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    star = e.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("__root")
+    )
+    labels = (
+        nodes.join(star, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__root"), F.col("id")).alias("component"),
+        )
+        .persist()
+    )
+    labels.count()
+    e.unpersist()
     return labels
 
 

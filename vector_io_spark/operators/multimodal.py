@@ -6,13 +6,17 @@ as opaque ``binary`` columns with a typed metadata struct, and
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernel is pluggable: ``decoder='stub'`` raises a clearly-marked
-NotImplementedError at execution time, ``decoder='fake'`` produces
-deterministic features from the raw bytes (length, byte-histogram moments)
-so the Spark-side plumbing — schema, batch shape, partitioning — is real
-and tested end-to-end. Swapping in a real codec changes only the kernel
-function, not the plan.
+The decode kernel is pluggable: ``decoder='fake'`` produces deterministic
+features from the raw bytes (length, byte-histogram moments) so the
+Spark-side plumbing — schema, batch shape, partitioning — is real and
+tested end-to-end; ``decoder='pil'`` is a real image kernel (import-gated
+pillow); ``decoder='wav'`` is a real audio kernel (pure struct/numpy
+RIFF/WAVE parse — PCM 8/16/24/32-bit + float32, amplitude stats,
+energy-contour fingerprint; r12). ``decoder='stub'`` raises a
+clearly-marked NotImplementedError for the one remaining gap — video /
+compressed audio, whose codecs (ffmpeg/torchaudio) are not in this
+container. Swapping in a real codec changes only the kernel function,
+not the plan.
 
 Scale notes: media bytes are the widest column by far — every operator
 here projects metadata/features WITHOUT carrying bytes through shuffles
@@ -85,6 +89,127 @@ def _fake_features(data: bytes | None) -> list[float] | None:
     ]
 
 
+def _parse_wav(data: bytes | None):
+    """Pure struct/numpy RIFF/WAVE parser (public container format —
+    no codec library needed): returns (mono float64 samples in [-1, 1],
+    sample_rate, channels, bits) or None when the blob is not a WAV this
+    kernel can decode. Handles PCM int 8/16/24/32 and IEEE float32,
+    any channel count (downmixed by mean), word-aligned chunk walking
+    (LIST/fact/cue chunks skipped). Malformed blobs return None rather
+    than raising — at 100 TB a poison row must become a NULL feature,
+    not a dead stage."""
+    if data is None or len(data) < 44:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    import struct
+
+    import numpy as np
+
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or raw is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if channels == 0 or rate == 0:
+        return None
+    if audio_fmt == 1 and bits == 16:
+        arr = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2")
+        x = arr.astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        arr = np.frombuffer(raw[: len(raw) // 4 * 4], "<i4")
+        x = arr.astype(np.float64) / 2147483648.0
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(raw[: len(raw) // 3 * 3], "u1").reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int64)
+            | (b[:, 1].astype(np.int64) << 8)
+            | (b[:, 2].astype(np.int64) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float64) / float(1 << 23)
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(raw[: len(raw) // 4 * 4], "<f4").astype(np.float64)
+    else:
+        return None  # compressed (mp3-in-wav, a-law, ...) stays stubbed
+    if channels > 1:
+        x = x[: len(x) // channels * channels].reshape(-1, channels)
+        x = x.mean(axis=1)
+    return x, int(rate), int(channels), int(bits)
+
+
+def _wav_features(data: bytes | None) -> list[float] | None:
+    """Real audio kernel (r12, VERDICT r11 Next #5): WAV header parse +
+    amplitude stats. 8 features = sample count, sample rate, channels,
+    duration_ms, RMS, peak |amplitude|, zero-crossing rate, byte length
+    — enough to drive silence/clipping quality filters and duration
+    bucketing on real audio corpora. All numpy over one decoded buffer;
+    no Python per-sample loop."""
+    parsed = _parse_wav(data)
+    if parsed is None:
+        return None
+    import numpy as np
+
+    x, rate, channels, _bits = parsed
+    n = len(x)
+    if n == 0:
+        return [0.0, float(rate), float(channels), 0.0, 0.0, 0.0, 0.0,
+                float(len(data))]
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return [
+        float(n),
+        float(rate),
+        float(channels),
+        round(n * 1000.0 / rate, 3),
+        round(rms, 6),
+        round(peak, 6),
+        round(zcr, 6),
+        float(len(data)),
+    ]
+
+
+def _wav_ahash(data: bytes | None) -> int | None:
+    """Spectral-free audio fingerprint: split the mono signal into 64
+    equal windows, take RMS energy per window, set bit i when
+    energy[i+1] > energy[i] (the energy-contour sign pattern). Invariant
+    to uniform gain (comparisons are scale-free) and robust to small
+    edits — near-dup clips sit within a small Hamming radius, composing
+    with the same xor+popcount machinery as the image aHash."""
+    parsed = _parse_wav(data)
+    if parsed is None:
+        return None
+    import numpy as np
+
+    x, _rate, _channels, _bits = parsed
+    if len(x) == 0:
+        return 0
+    idx = np.linspace(0, len(x), 65, dtype=np.int64)
+    e = np.array([
+        float(np.sqrt(np.mean(x[idx[i]: idx[i + 1]] ** 2)))
+        if idx[i + 1] > idx[i] else 0.0
+        for i in range(64)
+    ])
+    h = 0
+    for i in range(63):
+        if e[i + 1] > e[i]:
+            h |= 1 << i
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
 def _import_pil():
     try:
         from PIL import Image  # noqa: PLC0415
@@ -155,9 +280,12 @@ def extract_media_features(
     decoder='pil'   -> real image decode via pillow (import-gated; the
                        executor imports PIL lazily inside the kernel so
                        the driver needs no codec)
+    decoder='wav'   -> real audio decode: pure struct/numpy RIFF/WAVE
+                       parser (no codec library), amplitude stats —
+                       un-parseable blobs yield NULL features
     decoder='stub'  -> NotImplementedError placeholder for the remaining
-                       codecs (ffmpeg / torchaudio), marking exactly
-                       where those kernels plug in
+                       codecs (video / compressed audio via ffmpeg),
+                       marking exactly where those kernels plug in
     """
     if decoder == "pil":
         _import_pil()  # fail fast on the driver, not per-task
@@ -172,13 +300,19 @@ def extract_media_features(
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/torchaudio — "
-                    "not available in this environment; use decoder='fake'"
+                    "real video / compressed-audio decode requires "
+                    "ffmpeg/torchaudio — not available in this "
+                    "environment; use decoder='fake', 'pil', or 'wav'"
                 )
             out = pdf.copy()
             if decoder == "pil":
                 out[out_col] = [
                     _pil_features(image_mod, bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
+            elif decoder == "wav":
+                out[out_col] = [
+                    _wav_features(bytes(b) if b is not None else None)
                     for b in pdf[binary_col]
                 ]
             else:
@@ -377,9 +511,10 @@ def media_perceptual_hash(
     over the hash (same xor+popcount scan as ann_topk_hamming_packed),
     banding by hash prefix for the LSH-style candidate cut. Same
     decoder gate as :func:`extract_media_features` ('fake' byte kernel /
-    'pil' real decode, import-gated). Zero shuffle: one mapInPandas
-    projection; the 8-byte hash is what any downstream join moves, never
-    the media payload."""
+    'pil' real image decode, import-gated / 'wav' real audio decode:
+    gain-invariant energy-contour fingerprint, no library needed). Zero
+    shuffle: one mapInPandas projection; the 8-byte hash is what any
+    downstream join moves, never the media payload."""
     if decoder == "pil":
         _import_pil()
 
@@ -394,6 +529,11 @@ def media_perceptual_hash(
             if decoder == "pil":
                 out[out_col] = [
                     _pil_ahash(image_mod, bytes(b) if b is not None else None)
+                    for b in pdf[binary_col]
+                ]
+            elif decoder == "wav":
+                out[out_col] = [
+                    _wav_ahash(bytes(b) if b is not None else None)
                     for b in pdf[binary_col]
                 ]
             else:
