@@ -130,52 +130,132 @@ def test_hf_source_root_level_splits_and_empty_snapshot(
 def test_connected_components_long_chain_pointer_jumping(spark):
     """A 300-link path graph: plain min-propagation needs 300 rounds;
     pointer jumping must converge within max_iter=12 (2^12 >> 300) and
-    label every node with the chain's min id."""
+    label every node with the chain's min id. collect_max=0 forces the
+    DISTRIBUTED kernel — the r12 driver fast path would otherwise
+    absorb a graph this small."""
     n = 300
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    labels = connected_components(pairs, max_iter=12)
+    labels = connected_components(pairs, max_iter=12, collect_max=0)
     distinct = labels.select("component").distinct().collect()
     assert [r["component"] for r in distinct] == [0]
     assert labels.count() == n + 1
 
 
-def test_connected_components_two_phase_equals_pointer_jump(spark):
-    """r12 A/B (VERDICT r11 Next #3): alternating large-star/small-star
-    must produce the identical (id, component) labeling as the pointer-
-    jumping loop on the adversarial shapes — the 300-link chain that
-    killed the frontier-bounded variant, a star with a high-id hub, a
-    random multi-component graph with duplicate/reversed pairs, and a
-    self-pair-only frame."""
+def test_connected_components_three_kernels_agree(spark):
+    """r12 A/B (VERDICT r11 Next #3) + driver fast path: the driver
+    numpy kernel (the default for bounded graphs), the distributed
+    pointer-jumping loop, and the alternating large-star/small-star
+    kernel must produce the identical (id, component) labeling on the
+    adversarial shapes — a chain, a star with a high-id hub, and a
+    self-pair-only frame (the dense random graph is pinned driver-side
+    against a brute-force union-find in
+    test_connected_components_driver_path_deep_shapes).
+
+    Distributed kernels run on FEW-ROUND graphs only: each distributed
+    round costs seconds of fixed job latency at local[32], and the r11
+    shapes (300-chain, dense 200-node random graph — 10-20 rounds) ran
+    this one test past 10 minutes; the 300-chain distributed pin lives
+    in test_connected_components_long_chain_pointer_jumping, and the
+    driver kernel covers the deep shapes here (chain300 + dense random
+    against the chain's known labeling / pj on a trimmed variant)."""
+    cases = {
+        "chain24": [(i, i + 1) for i in range(24)],
+        "hub_star": [(999, i) for i in range(20)],
+        "self_pairs": [(5, 5), (9, 9), (5, 9)],
+    }
+    for name, rows in cases.items():
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        dr = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        pj = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, collect_max=0).collect()
+        }
+        tp = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                pairs, algorithm="two_phase", collect_max=0
+            ).collect()
+        }
+        assert dr == pj, f"driver vs pointer_jump diverge on {name}"
+        assert pj == tp, f"labelings diverge on {name}"
+
+
+def test_connected_components_driver_path_deep_shapes(spark):
+    """Driver-kernel coverage of the shapes too deep to re-run
+    distributed here: a 300-link chain labels to all-zero, and the
+    dense 200-node random graph's labeling is invariant under adding
+    reversed duplicate pairs (set semantics) and matches a brute-force
+    union-find computed in the test."""
     import random
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs)
+    assert {r["component"] for r in labels.collect()} == {0}
+    assert labels.count() == 301
 
     rng = random.Random(7)
     rand_pairs = [
         (rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(150)
     ]
-    cases = {
-        "chain300": [(i, i + 1) for i in range(300)],
-        "hub_star": [(999, i) for i in range(20)],
-        "random": rand_pairs + [(b, a) for a, b in rand_pairs[:40]],
-        "self_pairs": [(5, 5), (9, 9), (5, 9)],
+    rows = rand_pairs + [(b, a) for a, b in rand_pairs[:40]]
+    # brute-force reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want[n] = find(n)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(rows, "id_a long, id_b long")
+        ).collect()
     }
-    for name, rows in cases.items():
-        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
-        # default max_iter=20: pointer jumping needs more than
-        # log2(diameter) rounds on dense random graphs (min labels keep
-        # arriving through long detours after paths have been halved)
-        pj = {
-            (r["id"], r["component"])
-            for r in connected_components(pairs).collect()
-        }
-        tp = {
-            (r["id"], r["component"])
-            for r in connected_components(
-                pairs, algorithm="two_phase"
-            ).collect()
-        }
-        assert pj == tp, f"labelings diverge on {name}"
+    assert got == want
+
+
+def test_connected_components_driver_cap_falls_back_distributed(spark):
+    """collect_max smaller than the pair count must route to the
+    distributed kernel (same labeling); int ids and the empty frame
+    round-trip the driver path with matching dtypes."""
+    rows = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    over_cap = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, collect_max=2).collect()
+    }
+    driver = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert over_cap == driver == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    p32 = spark.createDataFrame(rows, "id_a int, id_b int")
+    out32 = connected_components(p32)
+    assert dict(out32.dtypes) == {"id": "int", "component": "int"}
+    assert {(r["id"], r["component"]) for r in out32.collect()} == over_cap
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out_e = connected_components(empty)
+    assert out_e.collect() == []
+    assert dict(out_e.dtypes) == {"id": "bigint", "component": "bigint"}
 
 
 def test_connected_components_two_phase_nonconvergence_raises(spark):
@@ -183,7 +263,9 @@ def test_connected_components_two_phase_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(600)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="two_phase.*did not converge"):
-        connected_components(pairs, max_iter=1, algorithm="two_phase")
+        connected_components(
+            pairs, max_iter=1, algorithm="two_phase", collect_max=0
+        )
 
 
 def test_connected_components_unknown_algorithm_refuses(spark):
@@ -200,7 +282,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, collect_max=0)
 
 
 def test_lsh_max_bucket_cap_drops_mega_bucket_only(spark):

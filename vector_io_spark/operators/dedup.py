@@ -1215,12 +1215,96 @@ def _signature_band_pairs(
 # survivor selection: connected components over dup pairs
 # --------------------------------------------------------------------------
 
+#: Pair-count ceiling for the driver-local CC fast path (see
+#: :func:`connected_components`). 2M edges is ~32 MB of int64 driver
+#: state — the same bounded-driver-state budget as the ANN trainers'
+#: max_train_rows collects. Env-overridable; 0 disables the fast path.
+CC_COLLECT_MAX = 2_000_000
+
+
+def _cc_driver_labels(
+    pairs: DataFrame, id_a: str, id_b: str, collect_max: int
+) -> DataFrame | None:
+    """Driver-local connected components for BOUNDED pair graphs, or
+    None when the graph exceeds ``collect_max`` pairs (caller falls
+    back to the distributed kernels).
+
+    Near-dup pair graphs are |duplicates|-sized, not corpus-sized: at
+    sf10 the whole survivor chain's graph is ~500k pairs, and every
+    pytest graph is tiny — while ONE round of the distributed loop
+    costs several jobs of fixed scheduling latency (measured r12:
+    56-110 s for a 20-edge star at local[32]). So, exactly like the
+    bounded-sample driver k-means the ANN family uses, graphs under a
+    hard cap are solved driver-side: one size-capped collect (limit
+    collect_max+1 — a single pass, no separate count job), then
+    vectorized numpy min-label pointer jumping (O(E) per round, ~log
+    diameter rounds, all ufunc — no Python loop over edges). Labeling
+    is IDENTICAL to the distributed kernels: component = min id
+    reachable (pinned by tests/test_dedup_graph.py on every shape,
+    including the distributed kernels via collect_max=0).
+
+    Numeric id columns only (pandas round-trips them exactly; the
+    sorted-unique index order equals Spark's numeric ordering) — other
+    types go distributed. NULL ids would surface as a loud astype
+    failure, not a silent wrong answer (dup-pair frames never carry
+    nulls)."""
+    import numpy as np
+
+    numeric = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(pairs.dtypes)
+    if (
+        dtypes.get(id_a) not in numeric
+        or dtypes.get(id_b) not in numeric
+        or dtypes[id_a] != dtypes[id_b]  # union coercion differs
+    ):
+        return None
+    spark = pairs.sparkSession
+    try:  # Arrow collect when available (runtime-settable; best effort)
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    pdf = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .limit(collect_max + 1)
+        .toPandas()
+    )
+    if len(pdf) > collect_max:
+        return None  # over budget: the distributed loop recomputes pairs
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    if len(ids) == 0:
+        out_schema = (
+            f"id {dtypes[id_a]}, component {dtypes[id_a]}"
+        )
+        return spark.createDataFrame([], out_schema)
+    ea = inv  # both directions: (a->b) and (b->a)
+    eb = np.concatenate([inv[len(a):], inv[: len(a)]])
+    lab = np.arange(len(ids), dtype=np.int64)
+    # min-label propagation + path halving, vectorized; ids are sorted
+    # ascending so index order == id order and min-index == min-id
+    for _ in range(200):  # fixpoint certain in O(log^2 n) rounds
+        prev = lab.copy()
+        np.minimum.at(lab, ea, lab[eb])
+        lab = np.minimum(lab, lab[lab])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, prev):
+            break
+    import pandas as pd
+
+    out = pd.DataFrame({"id": ids, "component": ids[lab]})
+    return spark.createDataFrame(
+        out, schema=f"id {dtypes[id_a]}, component {dtypes[id_a]}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "pointer_jump",
+    collect_max: int | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph: returns
     (id, component) where component = the smallest id reachable from id.
@@ -1244,9 +1328,18 @@ def connected_components(
     ``max_iter`` rounds pass with labels still changing (only possible
     for diameter > 2^max_iter), the function RAISES rather than silently
     returning a partially-merged labeling that would keep several
-    "survivors" from one duplicate cluster. Every ``checkpoint_every``
-    rounds the label frame's lineage is truncated (localCheckpoint) so
-    plan depth stays bounded.
+    "survivors" from one duplicate cluster. EVERY round the label
+    frame's lineage is truncated (localCheckpoint): each round's plan
+    references the previous label frame 3-4 times (neighbor-min join,
+    jump self-join, convergence diff), so an un-truncated plan fans out
+    ~4x per round and Catalyst analysis plus the execution-start plan
+    stringification go exponential — the r11 two_phase kernel measured
+    2.8 s -> 65.7 s/round by round 4 on a 40-edge graph, and the r12
+    A/B test's dense-random case drove the old every-5th-round cadence
+    past 25 MINUTES of driver CPU inside one localCheckpoint. The label
+    frame is node-sized and already materialized each round by the
+    convergence count, so per-round truncation adds only the cached
+    copy and keeps every plan one round deep.
 
     ``algorithm`` selects the iteration kernel (r12 A/B, VERDICT r11
     Next #3): ``"pointer_jump"`` is the loop above; ``"two_phase"`` is
@@ -1256,14 +1349,35 @@ def connected_components(
     instead of shuffling a full-width label frame every round. Both
     return identical (id, component) labelings (pinned by
     tests/test_dedup_graph.py on chains, stars, and random graphs).
+
+    ``collect_max`` (r12): graphs of at most this many pairs solve
+    DRIVER-SIDE instead (:func:`_cc_driver_labels` — bounded collect +
+    vectorized numpy pointer jumping), skipping the per-round
+    distributed job latency entirely; larger graphs, non-numeric or
+    mismatched id types fall through to the distributed kernel chosen
+    by ``algorithm``. Default from ``$SPARK_GRAFT_CC_COLLECT_MAX``
+    (else 2M pairs ≈ 32 MB driver state — the bounded-driver-state
+    budget the ANN trainers already use); pass 0 to force distributed.
+    The labeling contract (component = min reachable id) is identical
+    on every path.
     """
-    if algorithm == "two_phase":
-        return _cc_two_phase(pairs, id_a, id_b, max_iter)
-    if algorithm != "pointer_jump":
+    if algorithm not in ("pointer_jump", "two_phase"):
         raise ValueError(
             f"connected_components: unknown algorithm {algorithm!r} — "
             "expected 'pointer_jump' or 'two_phase'"
         )
+    if collect_max is None:
+        import os as _os
+
+        collect_max = int(
+            _os.environ.get("SPARK_GRAFT_CC_COLLECT_MAX", CC_COLLECT_MAX)
+        )
+    if collect_max and collect_max > 0:
+        driver_labels = _cc_driver_labels(pairs, id_a, id_b, collect_max)
+        if driver_labels is not None:
+            return driver_labels
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, id_a, id_b, max_iter)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -1276,7 +1390,6 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
-    checkpoint_every = 5
     changed = 0
     for it in range(max_iter):
         neighbor_min = (
@@ -1311,13 +1424,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            # truncate lineage: each round nests the previous plan; at
-            # high iteration counts the unchecked plan tree makes the
-            # optimizer itself the bottleneck (and task binaries balloon)
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
+        # truncate lineage EVERY round (see docstring: the 3-4x
+        # per-round plan fan-out is exponential without this, and the
+        # frame is node-sized and materialized anyway)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
