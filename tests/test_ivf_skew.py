@@ -2012,3 +2012,59 @@ def test_probe_paths_accept_string_query_ids(spark, sf_dir, tmp_path):
     got = ivf_index_probe_topk(spark, ivf_path, queries, k=5, nprobe=2)
     assert got.count() == 15
     assert got.schema["query_id"].dataType.simpleString() == "string"
+
+
+def test_pq_train_packed_kernel_matches_exploded_formulation(spark):
+    """r12 optimization pin: pq_train's single-pass Arrow Lloyd kernel
+    (packed vectors, driver-held codebook, partial-sum combine) must be
+    bit-identical to the original exploded (id, s, j, xq) shuffle
+    formulation — same seeds, same integer argmin tie-break (smallest
+    code), same round(sum/n) update, same empty-cluster carry-over.
+    The fixture forces both edge shapes: duplicate seed vectors (so one
+    centroid starts empty and must keep its previous coordinates) and
+    exact distance ties (so the smallest-code tie-break is exercised)."""
+    from vector_io_spark.operators.pq_exact import (
+        _assign,
+        _seed_centroids,
+        _update,
+        pq_train,
+        quantized_subvectors,
+    )
+
+    dim, m, k, iters, scale = 8, 2, 4, 2, 1000
+    sub_dim = dim // m
+    # 10 ids over only THREE distinct vectors: any 4 md5-ranked seeds
+    # must contain duplicates (pigeonhole), so at least one centroid
+    # empties after the first assignment and must carry over; identical
+    # vectors also force exact distance ties (smallest-code tie-break)
+    vals = [[0.0] * dim, [1.0] * dim, [2.0] * 4 + [0.0] * 4]
+    rows = [(i, vals[i % 3]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # reference: the pre-r12 exploded formulation, kept in-module for
+    # the SQL oracle's documentation — run it step for step
+    sub = quantized_subvectors(df, "vec_id", "embedding", sub_dim, scale)
+    cent = _seed_centroids(sub, "vec_id", k)
+    for _ in range(iters):
+        assign = _assign(sub, cent, "vec_id")
+        cent = _update(sub, assign, cent, "vec_id")
+    want_codes = sorted(
+        (r["vec_id"], r["s"], r["c"])
+        for r in _assign(sub, cent, "vec_id").collect()
+    )
+    want_cent = sorted(
+        (r["s"], r["c"], r["j"], r["cq"]) for r in cent.collect()
+    )
+
+    codes, cent_df = pq_train(
+        df, "vec_id", "embedding", num_subspaces=m, codebook_size=k,
+        iters=iters, scale=scale, dim=dim,
+    )
+    got_codes = sorted(
+        (r["vec_id"], r["s"], r["code"]) for r in codes.collect()
+    )
+    got_cent = sorted(
+        (r["s"], r["c"], r["j"], r["cq"]) for r in cent_df.collect()
+    )
+    assert got_codes == want_codes
+    assert got_cent == want_cent

@@ -73,25 +73,32 @@ def pagerank(
     r0q = int(math.floor(SCALE / n + 0.5))
     baseq = int(math.floor((1.0 - damping) * SCALE / n + 0.5))
     ranks = nodes.select("node", F.lit(r0q).cast("long").alias("rq"))
+    zero = nodes.select(
+        F.col("node").alias("dst"), F.lit(0).cast("long").alias("sh")
+    )
     for _ in range(iters):
-        shares = (
+        # dangling/receiving-nothing nodes are kept by unioning a
+        # zero-share row per node INTO the aggregation instead of a
+        # nodes-side LEFT JOIN after it: sum(shares ∪ {0}) ==
+        # coalesce(sum(shares), 0) exactly (integer arithmetic), and
+        # each round drops from join+agg+join (3 exchanges) to
+        # join+agg (2) — the union is shuffle-free
+        ranks = (
             ej.join(ranks, ej["src"] == ranks["node"])
             .select(
                 "dst",
                 F.floor(F.col("rq") / F.col("d")).cast("long").alias("sh"),
             )
+            .unionByName(zero)
             .groupBy("dst")
             .agg(F.sum("sh").alias("s"))
-        )
-        ranks = nodes.join(
-            shares, nodes["node"] == shares["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(baseq)
-                + F.round(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-            ).alias("rq"),
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(baseq)
+                    + F.round(F.lit(damping) * F.col("s")).cast("long")
+                ).alias("rq"),
+            )
         )
         # truncate the per-iteration lineage: without this, iteration t
         # re-executes joins 1..t-1 and the loop is O(T^2) work. With the
