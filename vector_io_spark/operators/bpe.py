@@ -38,6 +38,7 @@ al. 2016).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from vector_io_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 WORD_RE = "[a-z]+"
@@ -340,8 +341,10 @@ def bpe_merges_df(
     merges, _, _ = bpe_train(df, text_col, num_merges, pattern)
     # left/right are SQL keywords — left_sym/right_sym keeps the oracle
     # column names splice-safe
-    return df.sparkSession.createDataFrame(
-        merges, "step long, left_sym string, right_sym string, pair_count long"
+    return local_rows_df(
+        df.sparkSession,
+        merges,
+        "step long, left_sym string, right_sym string, pair_count long",
     )
 
 

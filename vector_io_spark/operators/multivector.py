@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from vector_io_spark.functions.vectors import dot_product
+from vector_io_spark.session import local_rows_df
 
 _METRICS = ("dot", "cosine")
 
@@ -370,7 +371,8 @@ def maxsim_topk_pruned(
         )
     cand_docs = sorted({r["doc_id"] for r in pair_rows})
     pairs = broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(r["query_id"], r["doc_id"]) for r in pair_rows],
             StructType(
                 [
@@ -418,7 +420,8 @@ def maxsim_topk_pruned(
     # candidate map (already collected above — no extra read): one
     # broadcast hash join against the bounded ranked frame
     meta_map = {r["doc_id"]: tuple(r[c] for c in extra) for r in pair_rows}
-    meta_df = broadcast(spark.createDataFrame(
+    meta_df = broadcast(local_rows_df(
+        spark,
         [(d, *m) for d, m in meta_map.items()],
         StructType([StructField("doc_id", doc_type), *extra_fields]),
     ))

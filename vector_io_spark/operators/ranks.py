@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from vector_io_spark.session import local_rows_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,7 +111,7 @@ def attach_global_rank(
             total_col, F.lit(0).cast("long")
         )
 
-    off_df = spark.createDataFrame(offsets, schema="_pid int, _offset long")
+    off_df = local_rows_df(spark, offsets, "_pid int, _offset long")
     mid = F.monotonically_increasing_id()
     return (
         ranged.sortWithinPartitions(*order_cols)

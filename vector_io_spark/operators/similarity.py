@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from vector_io_spark.session import local_rows_df
 from vector_io_spark.functions.vectors import (
     chebyshev_distance,
     cosine_similarity,
@@ -1338,8 +1339,8 @@ def write_ivf_index(
     )
     spark = corpus.sparkSession
     cent_rows = [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    local_rows_df(
+        spark, cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -1460,7 +1461,8 @@ def _ivf_probe_scored(
     # string-keyed probe (r8: the maxsim token probe keys queries by a
     # "qid#pos" composite)
     qid_dt = queries.schema[query_id].dataType.simpleString()
-    probe_df = spark.createDataFrame(
+    probe_df = local_rows_df(
+        spark,
         [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
         f"{query_id} {qid_dt}, cell int, __qv array<float>",
     )
@@ -1726,7 +1728,8 @@ def _ivfpq_probe_df(spark, probe_rows, qid_type):
     query ids typed from the caller's queries frame."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         probe_rows,
         StructType(
             [
@@ -1877,8 +1880,8 @@ def _write_ivfpq_artifacts(
     cent_rows = [
         (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
     ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    local_rows_df(
+        spark, cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{artifacts_root}/centroids"
     )
@@ -1887,8 +1890,8 @@ def _write_ivfpq_artifacts(
         for m in range(cb.shape[0])
         for c in range(cb.shape[1])
     ]
-    spark.createDataFrame(
-        cb_rows, "s int, c int, codeword array<double>"
+    local_rows_df(
+        spark, cb_rows, "s int, c int, codeword array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{artifacts_root}/codebooks"
     )
@@ -2498,7 +2501,8 @@ def delete_from_index(
     else:
         from pyspark.sql.types import StructField, StructType
 
-        ids_df = spark.createDataFrame(
+        ids_df = local_rows_df(
+            spark,
             [(v,) for v in ids],
             StructType([StructField(id_col, schema[id_col].dataType)]),
         )

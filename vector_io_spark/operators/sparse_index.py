@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_io_spark.session import local_rows_df
 from vector_io_spark.operators.similarity import (
     _apply_tombstones,
     _clear_tombstones,
@@ -89,8 +90,8 @@ def write_sparse_index(
     entries.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/postings"
     )
-    spark.createDataFrame(
-        [(int(num_shards),)], "num_shards int"
+    local_rows_df(
+        spark, [(int(num_shards),)], "num_shards int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -192,8 +193,8 @@ def sparse_index_probe_topk_batch(
     num_shards = int(meta["num_shards"])
     buckets = sorted({b for _, b, _ in rows})
     shards = sorted({b % num_shards for b in buckets})
-    qdf = spark.createDataFrame(
-        rows, "query_id string, bucket int, wq_int bigint"
+    qdf = local_rows_df(
+        spark, rows, "query_id string, bucket int, wq_int bigint"
     )
     scan = (
         spark.read.parquet(f"{path}/postings")

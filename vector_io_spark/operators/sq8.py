@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from vector_io_spark.session import local_rows_df
 from vector_io_spark.functions.vectors import cosine_similarity
 from vector_io_spark.operators.similarity import (
     _apply_tombstones,
@@ -115,8 +116,8 @@ def write_sq8_index(
     cent_rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(len(cent))
     ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    local_rows_df(
+        spark, cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -263,7 +264,8 @@ def sq8_index_probe_topk(
         probe_pairs = []
     qvec_map = {r[0]: r[1] for r in qrows}
     qid_dt = queries.schema[query_id].dataType.simpleString()
-    probe_df = spark.createDataFrame(
+    probe_df = local_rows_df(
+        spark,
         [(pid, c, qvec_map[pid]) for pid, c in probe_pairs],
         f"{query_id} {qid_dt}, cell int, __qv array<float>",
     )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from vector_io_spark.functions.vectors import l2_norm
+from vector_io_spark.session import local_rows_df
 from vector_io_spark.operators.similarity import (
     _METRIC_FNS,
     brute_force_topk,
@@ -245,7 +246,8 @@ def recommend_topk(
         StructType,
     )
 
-    qdf = corpus.sparkSession.createDataFrame(
+    qdf = local_rows_df(
+        corpus.sparkSession,
         [(query_label, [float(x) for x in qv])],
         StructType(
             [

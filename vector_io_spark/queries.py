@@ -34,6 +34,7 @@ from vector_io_spark.functions.text import (
     tokens,
 )
 from vector_io_spark.operators.aggregates import vector_range_stats
+from vector_io_spark.session import local_rows_df
 from vector_io_spark.operators.dedup import (
     dedup_by_id,
     dedup_exact_content,
@@ -4937,7 +4938,7 @@ def sparse_keyword_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbuckets = sorted(
         {
             r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            for r in local_rows_df(spark, [(t,) for t in terms], "t string")
             .select(
                 (
                     F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
@@ -5644,7 +5645,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") <= max(curve_ks)
     )
     total = counts.agg(F.sum("n").alias("total"))
-    ks = spark.createDataFrame([(k,) for k in curve_ks], "top_k long")
+    ks = local_rows_df(spark, [(k,) for k in curve_ks], "top_k long")
     # <=k aggregation (not rank equality): robust when k exceeds |vocab|
     at_k = (
         ranked.crossJoin(F.broadcast(ks))
@@ -5890,7 +5891,7 @@ def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = sorted(doc_features())
     order = list(doc_features())
     rows = [(k, w[order.index(k)]) for k in names]
-    return spark.createDataFrame(rows, "feature string, w_q long")
+    return local_rows_df(spark, rows, "feature string, w_q long")
 
 
 @_register(
@@ -11267,7 +11268,7 @@ def sparse_indexed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbuckets = sorted(
         {
             r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            for r in local_rows_df(spark, [(t,) for t in terms], "t string")
             .select(
                 (
                     F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
@@ -11381,8 +11382,8 @@ def sparse_indexed_retrieval_batch(
     all_terms = sorted({t for _, ts in term_sets for t in ts})
     b_of = {
         r["t"]: r["b"]
-        for r in spark.createDataFrame(
-            [(t,) for t in all_terms], "t string"
+        for r in local_rows_df(
+            spark, [(t,) for t in all_terms], "t string"
         )
         .select(
             "t",
@@ -11508,7 +11509,7 @@ def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbuckets = sorted(
         {
             r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            for r in local_rows_df(spark, [(t,) for t in terms], "t string")
             .select(
                 (
                     F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
@@ -11652,8 +11653,8 @@ def hybrid_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_terms = sorted({t for _, ts in term_sets for t in ts})
     b_of = {
         r["t"]: r["b"]
-        for r in spark.createDataFrame(
-            [(t,) for t in all_terms], "t string"
+        for r in local_rows_df(
+            spark, [(t,) for t in all_terms], "t string"
         )
         .select(
             "t",
@@ -11803,7 +11804,7 @@ def hybrid_indexed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbuckets = sorted(
         {
             r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            for r in local_rows_df(spark, [(t,) for t in terms], "t string")
             .select(
                 (
                     F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")

@@ -80,3 +80,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_rows_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """``createDataFrame`` for SMALL driver-side row lists without the
+    default-parallelism trap.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the pickled
+    rows into ``defaultParallelism`` slices (32 here); every action
+    over the frame then pays one Python-worker round-trip PER SLICE,
+    and the artifact-write idiom ``coalesce(1).write`` serializes all
+    32 round-trips into a single task — measured 6.6-6.8 s per action
+    for a 1024-row frame at local[32] vs 0.7 s with one slice (r12).
+    Conversion semantics are unchanged (same row→Row verifier path,
+    same schema application); only the slice count differs. Use for
+    any O(KB) driver-built frame: codebooks, parameter tables, probe
+    lists, rank offsets. Not for anything data-proportional.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=max(1, slices)),
+        schema,
+    )
