@@ -187,3 +187,41 @@ def test_power_pca_numpy_fast_path_bit_equal_to_python_loop():
             C_int, k=k, iters=12, force_python=True
         )
         assert fast == ref, (d, k)
+
+
+def test_covariance_gram_kernel_matches_exploded_formulation(spark):
+    """r12 optimization pin: the mapInPandas integer-Gram formulation of
+    covariance_pairs must be bit-identical to the exploded (i, j, prod)
+    formulation (the SQL oracle's documented shape) — including on
+    RAGGED vector lengths, where a length-L row contributes pair (i, j)
+    iff j <= L, and on null vectors (filtered) and empty arrays."""
+    from vector_io_spark.operators.decomposition import (
+        _covariance_pairs_exploded,
+        covariance_pairs,
+    )
+
+    rows = [
+        (1, [0.11, -0.5, 0.25, 1.0]),
+        (2, [0.4, 0.125, -0.33, 0.6]),
+        (3, [1.5, -1.25, 0.0, 0.05]),
+        (4, [0.21, 0.31]),          # ragged: only pairs with j <= 2
+        (5, [0.9]),                 # ragged: only (1, 1)
+        (6, None),                  # filtered
+        (7, []),                    # contributes nothing
+        (8, [-0.755, 0.005, 0.115, -0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for ddof in (0, 1):
+        want = sorted(
+            (r["i"], r["j"], r["cov"])
+            for r in _covariance_pairs_exploded(
+                df, "embedding", scale=4, ddof=ddof
+            ).collect()
+        )
+        got = sorted(
+            (r["i"], r["j"], r["cov"])
+            for r in covariance_pairs(
+                df, "embedding", scale=4, ddof=ddof
+            ).collect()
+        )
+        assert got == want, (ddof, got[:5], want[:5])

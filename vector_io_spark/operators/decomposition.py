@@ -30,6 +30,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cov_partials_kernel():
+    """mapInPandas kernel: per task, integer Gram partials of the
+    quantized vectors — n, Σx and Σxxᵀ accumulated PER VECTOR LENGTH
+    (a row of length L contributes pair (i, j) iff j <= L, so summing
+    per-length partials downstream reproduces the exploded pairing's
+    ragged semantics exactly). Emits L·(L+1)/2 rows per (task, length)
+    — corpus rows never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        acc: dict[int, list] = {}  # L -> [n, s(L), G(L, L)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["__q"].map(len).to_numpy()
+            for ln in np.unique(lens):
+                if ln == 0:
+                    continue
+                x = np.vstack(
+                    pdf["__q"][lens == ln].to_numpy()
+                ).astype(np.int64)
+                ent = acc.get(int(ln))
+                if ent is None:
+                    ent = acc[int(ln)] = [
+                        0,
+                        np.zeros(ln, dtype=np.int64),
+                        np.zeros((ln, ln), dtype=np.int64),
+                    ]
+                ent[0] += len(x)
+                ent[1] += x.sum(axis=0)
+                ent[2] += x.T @ x
+        for ln, (n, s, g) in acc.items():
+            iu, ju = np.triu_indices(ln)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "n": n,
+                    "sxi": s[iu],
+                    "sxj": s[ju],
+                    "spp": g[iu, ju],
+                }
+            )
+
+    return fn
+
+
 def covariance_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -39,13 +87,69 @@ def covariance_pairs(
     """Upper-triangle covariance entries ``(i, j, cov)`` (1-based, i<=j)
     of a vector column, exact in fixed point.
 
-    Each value is quantized to ``round(v * 10^scale)`` (BIGINT); the
-    moment sums are integer-exact, so the result is deterministic and
-    engine-portable. One explode pass (i), one conditional self-zip via
-    the original array (j >= i), one groupBy — shuffle volume is
-    |rows|·d(d+1)/2 small (i, j, prod) tuples partial-aggregated
-    map-side before the exchange.
+    Each value is quantized to ``round(v * 10^scale)`` (BIGINT, in
+    Catalyst — the oracle-shared fixed-point contract); the moment sums
+    are integer-exact, so the result is deterministic and
+    engine-portable. r12 shape (matching the module docstring's design):
+    one ``mapInPandas`` pass computes per-task integer Gram partials in
+    numpy — tasks·d(d+1)/2 partial rows reach the combine instead of
+    |rows|·d(d+1)/2 exploded (i, j, prod) tuples. The combine and the
+    final double normalization are the same Catalyst expressions as the
+    exploded formulation (kept as :func:`_covariance_pairs_exploded`,
+    equality pinned by pytest), so results are bit-identical.
     """
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * (10 ** scale)).cast("long"),
+    )
+    d = df.where(F.col(vec_col).isNotNull()).select(q.alias("__q"))
+    sums = (
+        d.mapInPandas(
+            _cov_partials_kernel(),
+            schema="i long, j long, n long, sxi long, sxj long, spp long",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("__n"),
+            F.sum("sxi").alias("__si"),
+            F.sum("sxj").alias("__sj"),
+            F.sum("spp").alias("__spp"),
+        )
+    )
+    return _cov_normalize(sums, scale, ddof)
+
+
+def _cov_normalize(sums: DataFrame, scale: int, ddof: int) -> DataFrame:
+    """The shared final normalization: integer moment sums -> rounded
+    double covariance (identical expression in both formulations)."""
+    denom = F.col("__n") - F.lit(ddof)
+    unit = float(10 ** scale) ** 2
+    return sums.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(
+            (
+                F.col("__spp").cast("double")
+                - F.col("__si").cast("double")
+                * F.col("__sj").cast("double")
+                / F.col("__n")
+            )
+            / denom
+            / F.lit(unit),
+            8,
+        ).alias("cov"),
+    )
+
+
+def _covariance_pairs_exploded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 4,
+    ddof: int = 0,
+) -> DataFrame:
+    """Pre-r12 exploded formulation of :func:`covariance_pairs` — the
+    SQL oracle's documented shape (covariance_pairs_sql mirrors it CTE
+    for CTE), kept as the pytest equivalence reference."""
     q = F.transform(
         F.col(vec_col),
         lambda v: F.round(v.cast("double") * (10 ** scale)).cast("long"),
@@ -78,23 +182,7 @@ def covariance_pairs(
             F.sum("__pp").alias("__spp"),
         )
     )
-    denom = F.col("__n") - F.lit(ddof)
-    unit = float(10 ** scale) ** 2
-    return sums.select(
-        F.col("i").cast("long").alias("i"),
-        F.col("j").cast("long").alias("j"),
-        F.round(
-            (
-                F.col("__spp").cast("double")
-                - F.col("__si").cast("double")
-                * F.col("__sj").cast("double")
-                / F.col("__n")
-            )
-            / denom
-            / F.lit(unit),
-            8,
-        ).alias("cov"),
-    )
+    return _cov_normalize(sums, scale, ddof)
 
 
 def covariance_pairs_sql(table: str, vec_col: str, scale: int = 4, ddof: int = 0) -> str:

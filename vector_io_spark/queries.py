@@ -6753,17 +6753,29 @@ def _shared_window_positions(spark: SparkSession, sf_dir: str):
     from vector_io_spark.functions.text import kept_window_fingerprints
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = d.select(
-        "doc_id",
-        F.explode(kept_window_fingerprints("text", n=8, keep_every=4)).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    # persisted: BOTH legs below (df filter + semi join back) read w, and
+    # without the cache the ~L/keep_every-per-doc md5 kernel runs twice
+    # per query (r12 — callers release via _finalize_release)
+    w = (
+        d.select(
+            "doc_id",
+            F.explode(
+                kept_window_fingerprints("text", n=8, keep_every=4)
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .persist()
+    )
+    # df >= 2 over non-null doc ids == min != max: one plain map-combined
+    # min/max aggregate instead of countDistinct's two-phase partial-set
+    # expansion over the full window relation (r12)
     dup = (
         w.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= 2)
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
         .select("fp")
     )
-    return d, w.join(dup, "fp", "leftsemi")
+    return d, w.join(dup, "fp", "leftsemi"), w
 
 
 @_register(
@@ -6826,7 +6838,7 @@ def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp-key semi join (never broadcast — it is corpus-sized); the
     interval sweep is a per-doc partitioned window; one final left join
     restores zero-coverage docs. All integers — engine-exact."""
-    d, sh = _shared_window_positions(spark, sf_dir)
+    d, sh, w = _shared_window_positions(spark, sf_dir)
     ws = Window.partitionBy("doc_id").orderBy("pos")
     inc = F.least(
         F.lit(8),
@@ -6840,7 +6852,7 @@ def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("inc").cast("long").alias("dup_chars"),
         )
     )
-    return (
+    return _finalize_release(
         d.join(cov, "doc_id", "left")
         .select(
             "doc_id",
@@ -6851,7 +6863,8 @@ def dup_passage_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.length("text"), F.lit(1)).cast("double"),
                 6,
             ).alias("dup_char_fraction"),
-        )
+        ),
+        w,
     )
 
 
@@ -8035,7 +8048,7 @@ def dup_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores how much is duplicated. Same scale shape as the coverage
     query (shared vectorized fingerprint kernel, fp-key semi join,
     per-doc windows for island detection)."""
-    d, sh = _shared_window_positions(spark, sf_dir)
+    d, sh, w = _shared_window_positions(spark, sf_dir)
     ws = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         sh.select(
@@ -8054,7 +8067,7 @@ def dup_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("island"),
         )
     )
-    return (
+    return _finalize_release(
         isl.groupBy("doc_id", "island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -8062,7 +8075,8 @@ def dup_passage_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos") + 8 - F.min("pos")).cast("long").alias("span_len"),
         )
         .where(F.col("span_len") >= 16)
-        .select("doc_id", "span_start", "span_end", "span_len")
+        .select("doc_id", "span_start", "span_end", "span_len"),
+        w,
     )
 
 
