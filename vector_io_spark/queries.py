@@ -10120,21 +10120,20 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equality self-join on shingle whose per-key group is bounded by
     |sources|. Engine-exact: md5 KMV hashes, deterministic truncation,
     integer flag arithmetic (see memory: engine-exactness)."""
-    from vector_io_spark.functions.text import word_shingles_from_tokens
+    from vector_io_spark.functions.text import distinct_word_shingles
     from vector_io_spark.operators.sketches import (
         kmv_pairwise_jaccard,
         write_kmv_sketch_catalog,
     )
 
     d = _t(spark, sf_dir, "documents").select("source", "text")
+    # r12: vectorized distinct-shingle kernel — value-equal to the
+    # Catalyst array_distinct(word_shingles...) chain (set semantics;
+    # the explode+distinct consumer is order-insensitive), ~5x faster
     sh = (
         d.select(
             "source",
-            F.explode(
-                F.array_distinct(
-                    word_shingles_from_tokens(tokens("text"), 3)
-                )
-            ).alias("shingle"),
+            F.explode(distinct_word_shingles("text", 3)).alias("shingle"),
         )
         .distinct()
         .persist()
@@ -10244,7 +10243,7 @@ def sketch_catalog_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BroadcastNestedLoopJoin), per-group ≤2k-row truncation windows.
     Nothing corpus-sized anywhere. Engine-exact: md5 KMV hashes,
     deterministic truncation, integer flag arithmetic."""
-    from vector_io_spark.functions.text import word_shingles_from_tokens
+    from vector_io_spark.functions.text import distinct_word_shingles
     from vector_io_spark.operators.sketches import (
         kmv_probe_group,
         write_kmv_sketch,
@@ -10252,14 +10251,11 @@ def sketch_catalog_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("source", "text")
+    # r12: vectorized distinct-shingle kernel (see sketch_catalog_overlap)
     sh = (
         d.select(
             "source",
-            F.explode(
-                F.array_distinct(
-                    word_shingles_from_tokens(tokens("text"), 3)
-                )
-            ).alias("shingle"),
+            F.explode(distinct_word_shingles("text", 3)).alias("shingle"),
         )
         .distinct()
         .persist()
