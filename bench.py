@@ -41,6 +41,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOADMAX", "2.0"))
 LOADAVG_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "900"))
 SOLO_CONFIRM_TOL = 1.10
+# r12: the r11/r12 phantom regressions were HYPERVISOR CPU STEAL, which
+# loadavg cannot see (stolen time accrues to no runnable process). Gate
+# on the /proc/stat steal RATE too: refuse to start while more than
+# STEAL_MAX vCPU-seconds/second are being stolen, same backoff budget.
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_STEALMAX", "0.5"))
+
+
+def read_steal_seconds() -> float | None:
+    """Cumulative CPU-steal seconds from /proc/stat (None off-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
 
 
 def wait_for_quiet(
@@ -49,23 +64,53 @@ def wait_for_quiet(
     poll_s: float = 30.0,
     getloadavg=os.getloadavg,
     sleep=time.sleep,
+    steal_threshold: float = STEAL_MAX,
+    read_steal=read_steal_seconds,
 ) -> dict:
-    """Block until 1-min loadavg <= threshold or timeout. Pure-logic core
-    (injectable clock/loadavg) so the policy is pytest-able without Spark."""
+    """Block until the machine is quiet or timeout: 1-min loadavg <=
+    ``threshold`` AND hypervisor steal rate <= ``steal_threshold``
+    vCPU-sec/sec over the last poll interval. Pure-logic core
+    (injectable clock/loadavg/steal) so the policy is pytest-able
+    without Spark. The first poll interval always runs when a steal
+    reading exists — steal is a RATE and needs two samples."""
     start_load = getloadavg()[0]
     waited = 0.0
     load = start_load
-    while load > threshold and waited < timeout_s:
+    s_prev = read_steal()
+    steal_rate = None
+    while waited < timeout_s:
+        load_busy = load > threshold
+        # steal rate unknown until two samples exist; treat the very
+        # first check as busy iff a steal counter exists at all, so we
+        # always measure one interval before declaring quiet
+        steal_busy = (
+            s_prev is not None
+            and (steal_rate is None or steal_rate > steal_threshold)
+        )
+        if not load_busy and not steal_busy:
+            break
         step = min(poll_s, timeout_s - waited)
         sleep(step)
         waited += step
         load = getloadavg()[0]
+        if s_prev is not None:
+            s_now = read_steal()
+            if s_now is not None and step > 0:
+                steal_rate = (s_now - s_prev) / step
+            s_prev = s_now if s_now is not None else s_prev
+    timed_out = load > threshold or (
+        steal_rate is not None and steal_rate > steal_threshold
+    )
     return {
         "threshold": threshold,
         "load_at_start": round(start_load, 2),
         "load_at_go": round(load, 2),
         "waited_s": round(waited, 1),
-        "timed_out": load > threshold,
+        "timed_out": timed_out,
+        "steal_threshold": steal_threshold,
+        "steal_rate_at_go": (
+            round(steal_rate, 3) if steal_rate is not None else None
+        ),
     }
 
 
@@ -329,6 +374,7 @@ def main() -> None:
             file=sys.stderr,
         )
     loadavg_before = list(os.getloadavg())
+    steal_before = read_steal_seconds()
 
     # warm the JVM + parquet footers + the Python-UDF worker pool (forking
     # 32 workers and importing pandas costs ~5-10 s once; without this the
@@ -433,6 +479,13 @@ def main() -> None:
             "before": loadavg_before,
             "after": list(os.getloadavg()),
         },
+        # r12: steal-seconds consumed DURING the sweep — the committed
+        # record carries its own contamination evidence (None off-Linux)
+        "steal_s": (
+            round(read_steal_seconds() - steal_before, 1)
+            if steal_before is not None
+            else None
+        ),
         "load_gate": load_gate,
         "solo_retests": solo_retests,
         "solo_substituted": substituted,
@@ -460,6 +513,7 @@ def main() -> None:
         "sweep_medians": timings,
         "solo_substituted": substituted,
         "loadavg": full["loadavg"],
+        "steal_s": full["steal_s"],
         "load_gate": load_gate,
         "subset": sorted(bench_queries) if subset else None,
     })

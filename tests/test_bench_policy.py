@@ -27,6 +27,7 @@ def test_wait_for_quiet_passes_immediately_when_idle():
         threshold=2.0, timeout_s=900, poll_s=30,
         getloadavg=lambda: (0.5, 0.4, 0.3),
         sleep=calls.append,
+        read_steal=lambda: None,
     )
     assert gate["timed_out"] is False
     assert gate["waited_s"] == 0.0
@@ -40,6 +41,7 @@ def test_wait_for_quiet_backs_off_until_load_drops():
         threshold=2.0, timeout_s=900, poll_s=30,
         getloadavg=lambda: next(loads),
         sleep=slept.append,
+        read_steal=lambda: None,
     )
     assert gate["timed_out"] is False
     assert gate["load_at_start"] == 5.0
@@ -53,10 +55,65 @@ def test_wait_for_quiet_times_out_and_flags():
         threshold=2.0, timeout_s=90, poll_s=30,
         getloadavg=lambda: (4.4, 4.0, 3.9),
         sleep=lambda s: None,
+        read_steal=lambda: None,
     )
     assert gate["timed_out"] is True
     assert gate["waited_s"] == 90.0  # capped at timeout, partial last step
     assert gate["load_at_go"] == 4.4
+
+
+# ------------------------------------------------------------ steal gate
+
+def test_wait_for_quiet_measures_one_steal_interval_before_go():
+    """With a steal counter present and no steal occurring, the gate
+    must still sleep exactly one poll interval (steal is a rate: two
+    samples needed) and then pass."""
+    slept = []
+    gate = bench.wait_for_quiet(
+        threshold=2.0, timeout_s=900, poll_s=30,
+        getloadavg=lambda: (0.5, 0.4, 0.3),
+        sleep=slept.append,
+        steal_threshold=0.5,
+        read_steal=iter([100.0, 100.0]).__next__,  # zero delta
+    )
+    assert gate["timed_out"] is False
+    assert slept == [30]
+    assert gate["steal_rate_at_go"] == 0.0
+
+
+def test_wait_for_quiet_waits_out_steal_burst():
+    """loadavg idle but the hypervisor is stealing 2 vCPU: the gate must
+    hold until the steal rate drops under the threshold."""
+    # deltas over 30 s polls: 60 s (rate 2.0), 30 s (1.0), 3 s (0.1)
+    steals = iter([0.0, 60.0, 90.0, 93.0])
+    slept = []
+    gate = bench.wait_for_quiet(
+        threshold=2.0, timeout_s=900, poll_s=30,
+        getloadavg=lambda: (0.2, 0.2, 0.2),
+        sleep=slept.append,
+        steal_threshold=0.5,
+        read_steal=steals.__next__,
+    )
+    assert gate["timed_out"] is False
+    assert slept == [30, 30, 30]
+    assert gate["steal_rate_at_go"] == 0.1
+
+
+def test_wait_for_quiet_steal_timeout_flags():
+    """Steal that never stops flags the record (timed_out)."""
+    t = [0.0]
+    def fake_steal():
+        t[0] += 45.0  # 1.5 vCPU stolen per 30 s poll, forever
+        return t[0]
+    gate = bench.wait_for_quiet(
+        threshold=2.0, timeout_s=90, poll_s=30,
+        getloadavg=lambda: (0.2, 0.2, 0.2),
+        sleep=lambda s: None,
+        steal_threshold=0.5,
+        read_steal=fake_steal,
+    )
+    assert gate["timed_out"] is True
+    assert gate["steal_rate_at_go"] == 1.5
 
 
 # ------------------------------------------------------- solo substitution
