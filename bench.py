@@ -387,7 +387,12 @@ def main() -> None:
     # whichever query first touches a table absorbs its read noise
     for t in ("region", "nation", "customer", "orders", "lineitem",
               "events", "documents", "embeddings"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        # tolerate partial replica dirs (make_replica --tables=...):
+        # subset runs against a serving-only replica warm what exists.
+        # Full-set runs against the driver's data dirs are unaffected
+        # (all eight tables always exist there).
+        if os.path.exists(f"{SF_DIR}/{t}.parquet"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     warm_udf = pandas_udf(lambda s: s, "long")
     spark.range(0, 10_000, 1, 32).select(warm_udf(F.col("id"))).write.format(
         "noop"

@@ -195,6 +195,20 @@ def replicate_fact(spark: SparkSession, name: str, n: int) -> DataFrame:
 def main() -> None:
     n = int(sys.argv[1])
     out_dir = sys.argv[2]
+    # Optional 3rd arg: --tables=documents,embeddings — replicate only
+    # the listed FACT tables (dims are always copied; they are KB-sized).
+    # Motivation (r12, VERDICT r11 Next #4): the sf100 serving-path
+    # evidence needs documents+embeddings at ×1000 but not the 600M-row
+    # lineitem; a partial replica generates in minutes instead of hours.
+    # The replica dir then holds a PARTIAL sf-N — callers must say so in
+    # any committed table.
+    facts = list(FACT_IDS)
+    if len(sys.argv) > 3 and sys.argv[3].startswith("--tables="):
+        wanted = [t for t in sys.argv[3].split("=", 1)[1].split(",") if t]
+        unknown = [t for t in wanted if t not in FACT_IDS]
+        if unknown:
+            raise SystemExit(f"unknown fact tables: {unknown}")
+        facts = wanted
     os.makedirs(out_dir, exist_ok=True)
     from vector_io_spark.session import get_spark
 
@@ -203,7 +217,7 @@ def main() -> None:
         spark.read.parquet(f"{SRC}/{name}.parquet").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
-    for name in FACT_IDS:
+    for name in facts:
         # realistic layout: a real sf-N fact table is many files/row
         # groups; without this the replica collapses to one file with
         # ONE row group, and every scan downstream "splits" into empty
@@ -214,7 +228,7 @@ def main() -> None:
         replicate_fact(spark, name, n).repartition(parts).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
-    for name in DIM_TABLES + list(FACT_IDS):
+    for name in DIM_TABLES + facts:
         cnt = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
         print(f"{name}: {cnt} rows")
 
