@@ -152,7 +152,15 @@ def replicate_fact(spark: SparkSession, name: str, n: int) -> DataFrame:
         *[F.min(c).alias(f"min_{c}") for c in id_cols],
     ).first()
     copies = spark.range(n).withColumnRenamed("id", "__copy")
-    out = df.crossJoin(copies)
+    # Repartition BEFORE the enrichment expressions: the source parquet
+    # is 1-2 partitions, and the downstream per-occurrence md5 chains
+    # otherwise execute at that parallelism (measured: the x1000
+    # documents stage ran ~1-2 cores for 20+ min). Round-robin here is
+    # value-safe — every synthesized column is a deterministic function
+    # of (row, __copy), never of partitioning. The final writer
+    # repartition then sizes the output files.
+    parts = max(32, spark.sparkContext.defaultParallelism)
+    out = df.crossJoin(copies).repartition(parts)
     for c in id_cols:
         stride = spans[f"max_{c}"] - spans[f"min_{c}"] + 1
         out = out.withColumn(c, F.col(c) + F.col("__copy") * F.lit(stride))
