@@ -2068,3 +2068,92 @@ def test_pq_train_packed_kernel_matches_exploded_formulation(spark):
     )
     assert got_codes == want_codes
     assert got_cent == want_cent
+
+
+def test_ivf_exact_packed_distance_matches_exploded_formulation(spark):
+    """r12 optimization pin: ivf_exact_topk's packed candidate distance
+    (one zip_with integer fold per (query, id) pair) must rank
+    bit-identically to the pre-r12 exploded (id, s, j, xq) formulation
+    (join ×dim + aggregate sum). The fixture forces exact distance ties
+    (duplicate vectors) so the (dist, id) tie-break ordering is
+    exercised, plus a query that is itself a corpus point (zero
+    distance)."""
+    from pyspark.sql import Window
+
+    from vector_io_spark.operators.pq_exact import (
+        ivf_exact_topk,
+        pq_train,
+        quantized_subvectors,
+    )
+
+    dim, cells_n, nprobe, iters, scale, k = 8, 3, 2, 2, 1000, 4
+    vals = [
+        [float(i % 4)] * dim for i in range(12)
+    ]  # duplicate vectors -> exact distance ties
+    rows = [(i, vals[i]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [0.0] * dim), (101, [2.5] * dim)],
+        "query_id long, embedding array<double>",
+    )
+
+    got = sorted(
+        (r["query_id"], r["rk"], r["vec_id"], r["dist"])
+        for r in ivf_exact_topk(
+            df, queries, k=k, num_cells=cells_n, nprobe=nprobe,
+            iters=iters, scale=scale, dim=dim,
+        ).collect()
+    )
+
+    # reference: the pre-r12 exploded-relation distance stage, run on
+    # the SAME trained quantizer (training itself is pinned by
+    # test_pq_train_packed_kernel_matches_exploded_formulation)
+    codes, cent = pq_train(
+        df, num_subspaces=1, codebook_size=cells_n, iters=iters,
+        scale=scale, dim=dim,
+    )
+    cells = codes.select("vec_id", F.col("code").alias("cell"))
+    sub = quantized_subvectors(df, "vec_id", "embedding", dim, scale)
+    qsub = quantized_subvectors(
+        queries.select(F.col("query_id").alias("__qid"), "embedding"),
+        "__qid", "embedding", dim, scale,
+    )
+    d2 = (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+    qcell_dist = (
+        qsub.join(F.broadcast(cent), ["s", "j"])
+        .groupBy("__qid", "c")
+        .agg(F.sum(d2).alias("cdist"))
+    )
+    wprobe = Window.partitionBy("__qid").orderBy(
+        F.col("cdist").asc(), F.col("c").asc()
+    )
+    probes = (
+        qcell_dist.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= nprobe)
+        .select("__qid", F.col("c").alias("cell"))
+    )
+    cand = cells.join(F.broadcast(probes), "cell")
+    qv = qsub.groupBy("__qid").agg(
+        F.map_from_arrays(
+            F.collect_list("j"), F.collect_list("xq")
+        ).alias("__qv")
+    )
+    pair_d2 = (F.col("xq") - F.col("__qv")[F.col("j")]) * (
+        F.col("xq") - F.col("__qv")[F.col("j")]
+    )
+    dist = (
+        sub.join(cand, "vec_id")
+        .join(F.broadcast(qv), "__qid")
+        .groupBy("__qid", "vec_id")
+        .agg(F.sum(pair_d2).alias("dist"))
+    )
+    wk = Window.partitionBy("__qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    want = sorted(
+        (r["__qid"], r["rk"], r["vec_id"], r["dist"])
+        for r in dist.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= k)
+        .collect()
+    )
+    assert got == want and len(got) == 2 * k

@@ -6918,29 +6918,44 @@ def kmeans_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training shuffles are bounded aggregates (k·dim
     centroid table, broadcast back each round); the profile is one
     groupBy over the assignment join; nothing data-proportional reaches
-    the driver."""
-    from vector_io_spark.operators.pq_exact import pq_train, quantized_subvectors
+    the driver. The inertia stage works on the PACKED quantized vector
+    (r12): one ``zip_with`` integer fold per corpus row against the
+    broadcast packed centroid, instead of ×64 exploded coordinate rows
+    through the join and aggregate — integer squared distance is
+    order-independent, so the fold is bit-identical to the exploded
+    ``sum`` the oracle SQL replays."""
+    from vector_io_spark.operators.pq_exact import _packed_quantized, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
     codes, cent = pq_train(
         emb, "vec_id", "embedding",
         num_subspaces=1, codebook_size=8, iters=2, scale=10_000, dim=64,
     )
-    sub = quantized_subvectors(emb, "vec_id", "embedding", 64, 10_000)
-    d2 = (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+    # k packed centroids (j-ordered), broadcast: KB-sized by parameters
+    cent_packed = cent.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cq"))),
+            lambda x: x["cq"],
+        ).alias("__cv")
+    )
+    pkc = _packed_quantized(emb, "vec_id", "embedding", 10_000)
     prof = (
-        sub.join(codes, ["vec_id", "s"])
-        .join(
-            F.broadcast(cent),
-            (F.col("code") == cent["c"])
-            & (sub["s"] == cent["s"])
-            & (sub["j"] == cent["j"]),
+        pkc.join(codes.select("vec_id", "code"), "vec_id")
+        .join(F.broadcast(cent_packed), F.col("code") == F.col("c"))
+        .select(
+            "vec_id",
+            F.col("code").alias("cluster"),
+            F.aggregate(
+                F.zip_with("__xq", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__d2"),
         )
-        .groupBy(F.col("code").alias("cluster"))
+        .groupBy("cluster")
         .agg(
             F.countDistinct("vec_id").alias("n_points"),
             F.min("vec_id").cast("long").alias("exemplar_id"),
-            F.sum(d2).cast("long").alias("inertia"),
+            F.sum("__d2").cast("long").alias("inertia"),
         )
     )
     return prof.select(
