@@ -361,7 +361,12 @@ def kept_window_fingerprints(c: Column | str, n: int = 8, keep_every: int = 4):
         StructType,
     )
 
-    thresh = set("0123456789abcdef"[: max(1, 16 // keep_every)])
+    # keep-rule rewritten on the digest BYTES: hex char h[31] is the low
+    # nibble of digest byte 15, and the kept set "0123..."[:kmax] is
+    # exactly nibble < kmax — so the 32-char hexdigest string is built
+    # only for the ~1/keep_every windows that survive (r12: the hex
+    # render of discarded windows was ~30% of kernel CPU)
+    kmax = max(1, 16 // keep_every)
     md5 = hashlib.md5
 
     def _batch(texts):
@@ -371,10 +376,20 @@ def kept_window_fingerprints(c: Column | str, n: int = 8, keep_every: int = 4):
                 out.append([])
                 continue
             rows = []
-            for i in range(len(t) - n + 1):
-                h = md5(t[i : i + n].encode()).hexdigest()
-                if h[31] in thresh:
-                    rows.append((i + 1, h))
+            if t.isascii():
+                # ASCII fast path: encode ONCE and slice bytes — for
+                # ASCII text byte windows == char windows, and slicing
+                # a bytes object skips the per-window str slice+encode
+                b = t.encode()
+                for i in range(len(b) - n + 1):
+                    d = md5(b[i : i + n]).digest()
+                    if (d[15] & 0x0F) < kmax:
+                        rows.append((i + 1, d.hex()))
+            else:
+                for i in range(len(t) - n + 1):
+                    d = md5(t[i : i + n].encode()).digest()
+                    if (d[15] & 0x0F) < kmax:
+                        rows.append((i + 1, d.hex()))
             out.append(rows)
         return pd.Series(out)
 

@@ -238,22 +238,29 @@ def minhash_signatures(
                 if len(toks) >= k
                 else set()
             )
-            sig: list[str | None] = [None] * num_hashes
             if shingles:
+                # cache stores the 16 PRE-SLICED 8-hex substrings per
+                # shingle (r12): slicing happens once per distinct
+                # shingle at cache-fill instead of 16x per document
+                # occurrence, and the per-doc mins reduce over a
+                # C-speed zip. Values identical (same md5 hex slices).
                 slices = []
                 for s in shingles:
                     v = cache.get(s)
                     if v is None:
-                        v = [
-                            hashlib.md5(f"{g}:{s}".encode()).hexdigest()
+                        v = tuple(
+                            h[lo : lo + 8]
                             for g in range(n_groups)
-                        ]
+                            for h in (
+                                hashlib.md5(f"{g}:{s}".encode()).hexdigest(),
+                            )
+                            for lo in (0, 8, 16, 24)
+                        )
                         cache[s] = v
                     slices.append(v)
-                for g in range(n_groups):
-                    for r in range(4):
-                        lo, hi = 8 * r, 8 * r + 8
-                        sig[g * 4 + r] = min(v[g][lo:hi] for v in slices)
+                sig = list(map(min, zip(*slices)))
+            else:
+                sig = [None] * num_hashes
             out.append(sig)
         return pd.Series(out)
 

@@ -5860,11 +5860,28 @@ def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r12 (guide §2.3 narrower types): iterate on LONG node ids —
+    # custkey*2 / suppkey*2+1 is a bijection onto the 'c…'/'s…' string
+    # namespace, so every distinct/join/groupBy groups exactly the same
+    # node sets and the integer rank arithmetic is untouched; the string
+    # rendering happens once in the final node-sized projection. The
+    # string formulation hashed+shuffled ~10-byte strings through the
+    # edge distinct, the degree join and five rank exchanges (isolated
+    # A/B: warm graph build 3.2 s -> 2.0 s, cold 8.7 s -> 3.0 s).
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return pagerank(edges, iters=5)
+    pr = pagerank(edges, iters=5)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
+    return pr.select(node_str.alias("node"), "rq", "rank")
 
 
 @_register(
