@@ -107,14 +107,19 @@ def pagerank(
                 ).alias("rq"),
             )
         )
-    # r12: NO per-round materialization. With no mid-loop action each
-    # round is referenced exactly once by the next, so the T-round lazy
-    # chain executes once as a single job (linear plan growth — unlike
-    # the CC loop's 3-4 self-references per round that forced per-round
-    # truncation there). One job also recovers lost work from shuffle
-    # files instead of losing localCheckpoint blocks with a dead
-    # executor. Interleaved A/B at sf0.1: warm 3.84 -> 3.69 s, cold
-    # 10.8 -> 8.9 s, equal results.
+        # per-round materialization is LOAD-BEARING for the join
+        # strategy, not just lineage: a checkpointed node-sized ranks
+        # frame has a known (small) size, so every round plans
+        # BroadcastHashJoin against the cached edge relation and the
+        # edge list is never re-shuffled (plans/r12/
+        # pagerank_round_after.txt). The lazy T-round chain was
+        # measured marginally faster at sf0.1 (3.84 -> 3.69 s warm —
+        # five fewer job boundaries) but plans SortMergeJoin with BOTH
+        # sides exchanged per round — re-shuffling the corpus-scale
+        # edge list T times at 100 TB (plans/r12/
+        # supplier_pagerank_lazychain_rejected.txt shows the rejected shape) —
+        # so the checkpoint stays.
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select(
         "node", "rq", F.round(F.col("rq") / F.lit(float(SCALE)), 9).alias("rank")
     )
