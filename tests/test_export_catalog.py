@@ -526,9 +526,13 @@ def test_scan_index_pages_compressed_kinds(spark, sf_dir, tmp_path):
         }
         seen = []
         after = None
+        # limit=170 over the 500-row store: two full pages + one
+        # partial per kind still pins disjoint/ordered/covering keyset
+        # semantics; the old limit=17 paid 30 probe round-trips per
+        # kind (~70 s of fixed job latency — the suite's #4 cost, r13)
         while True:
             page = scan_index_pages(
-                spark, path, after=after, limit=17, kind=kind
+                spark, path, after=after, limit=170, kind=kind
             ).collect()
             if not page:
                 break

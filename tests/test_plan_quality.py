@@ -533,7 +533,32 @@ def test_pq_exact_broadcasts_codebook_and_lut(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry_plan_walk(spark, sf_dir):
+    """ONE build of every registered query's DataFrame, shared by the
+    blanket plan gates below (r13, VERDICT r12 Next #1: the two gates
+    each re-built all 233 query plans — index builds, training loops,
+    checkpoint jobs — at ~2 min per walk; one walk serves both).
+    Returns {name: (simple_plan_string, n_unpartitioned_windows)}."""
+    from vector_io_spark.plans import (
+        count_unpartitioned_windows,
+        simple_plan,
+    )
+    from vector_io_spark.queries import QUERIES
+
+    walk = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        walk[name] = (simple_plan(df), count_unpartitioned_windows(df))
+    return walk
+
+
+def test_no_query_has_unbounded_single_partition_window(
+    registry_plan_walk,
+):
     """BLANKET gate over the whole query registry: every plan is free of
     unpartitioned windows, except an explicit allowlist where the window
     input is provably bounded — either a rank<=k literal filter whose
@@ -541,12 +566,6 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
     documented tiny derived table (bin/bucket-count frames). Any new
     query that sorts data-proportional input on one task fails this
     test by name."""
-    from vector_io_spark.plans import (
-        count_unpartitioned_windows,
-        simple_plan,
-    )
-    from vector_io_spark.queries import QUERIES
-
     RANK_FILTER_RESCUED = {
         "returned_item_report",
         "suppliers_kept_waiting",
@@ -604,15 +623,12 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
         "monthly_revenue_trend",
     }
     offenders = {}
-    for name, fn in sorted(QUERIES.items()):
-        df = fn(spark, sf_dir)
-        n = count_unpartitioned_windows(df)
+    for name, (plan, n) in registry_plan_walk.items():
         if n == 0:
             continue
         if name in TINY_DERIVED_TABLE:
             continue
         if name in RANK_FILTER_RESCUED:
-            plan = simple_plan(df)
             assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
                 name,
                 plan,
@@ -622,19 +638,16 @@ def test_no_query_has_unbounded_single_partition_window(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+def test_no_query_plans_a_cartesian_product(registry_plan_walk):
     """BLANKET gate: no registered query may plan a CartesianProduct.
     Cross joins are legal only when one side broadcasts (they plan as
     BroadcastNestedLoopJoin over a provably small side — query vectors,
     constants, scalar aggregates); a CartesianProduct means both sides
     are unbounded and the join is O(n·m) shuffle work at scale."""
-    from vector_io_spark.plans import simple_plan
-    from vector_io_spark.queries import QUERIES
-
     offenders = [
         name
-        for name, fn in sorted(QUERIES.items())
-        if "CartesianProduct" in simple_plan(fn(spark, sf_dir))
+        for name, (plan, _n) in registry_plan_walk.items()
+        if "CartesianProduct" in plan
     ]
     assert not offenders, offenders
 

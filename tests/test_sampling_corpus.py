@@ -733,14 +733,16 @@ def test_bpe_greedy_1k_merges_is_a_valid_train(spark):
 
     docs = synthetic_word_corpus(spark, n_docs=2000, vocab=3000,
                                  words_per_doc=20)
+    # merge_batch=128 (r13, was 64): same validity contract, half the
+    # corpus passes — this was the suite's #8 cost at 35 s
     merges, vocab_df, words_df = bpe_train(
-        docs, "text", num_merges=1000, merge_batch=64, exact=False
+        docs, "text", num_merges=1000, merge_batch=128, exact=False
     )
     assert len(merges) == 1000
     assert [m[0] for m in merges] == list(range(1, 1001))
     # pass economy: greedy disjoint batching must land well under one
     # pass per merge (round-4's exact mode measured ~1.1 merges/pass)
-    assert bpe.LAST_TRAIN_PASSES <= 250, bpe.LAST_TRAIN_PASSES
+    assert bpe.LAST_TRAIN_PASSES <= 125, bpe.LAST_TRAIN_PASSES
 
     # python replay with the engine's exact semantics: padded
     # space-delimited symbols, double replace-all per merge

@@ -1246,7 +1246,7 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
             "doc_id", state_timeout="ProcessingTimeTimeut",
         )
 
-    def run(rows):
+    def run(rows, expect_total):
         spark.createDataFrame(rows, "doc_id long, seq long").coalesce(
             1
         ).write.mode("append").parquet(landing)
@@ -1265,17 +1265,30 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
             .start()
         )
         # a timeout-armed availableNow query lingers for a timer-firing
-        # trigger after the data batch — wait long enough for the data
-        # batch to commit, then stop explicitly
-        q.awaitTermination(90)
+        # trigger after the data batch, so it never self-terminates
+        # inside any reasonable wait (r13: three blind 90 s waits made
+        # this the single slowest test in the suite at 288 s). The
+        # sink's _spark_metadata log makes batch reads see exactly the
+        # COMMITTED rows, so poll the sink for the data batch's commit
+        # and stop as soon as it lands; 90 s stays as the failure cap.
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if q.awaitTermination(1):
+                break
+            try:
+                if spark.read.parquet(out_dir).count() >= expect_total:
+                    break
+            except Exception:
+                pass  # sink dir not committed yet
         q.stop()
+        q.awaitTermination(30)
 
-    run([(1, 10), (2, 20)])
+    run([(1, 10), (2, 20)], expect_total=2)
     assert spark.read.parquet(out_dir).count() == 2
     # let the timers expire, then process a batch NOT containing the
     # keys (timed-out state is released during the next micro-batch)
     time.sleep(3)
-    run([(3, 30)])
+    run([(3, 30)], expect_total=3)
     # expired keys are first-seen again — the re-emit is the proof the
     # timer was ARMED and the state removed (pre-fix this run emitted
     # nothing: no setTimeoutDuration ever ran, state lived forever).
@@ -1283,7 +1296,7 @@ def test_streaming_dedup_ttl_expires_state(spark, tmp_path):
     # it cannot be pinned here because each availableNow query start
     # costs multiple seconds, so any test-viable TTL has already
     # expired by the next run.
-    run([(1, 12), (2, 21)])
+    run([(1, 12), (2, 21)], expect_total=5)
     rows = sorted(
         (r["doc_id"], r["seq"])
         for r in spark.read.parquet(out_dir).collect()

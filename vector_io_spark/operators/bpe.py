@@ -259,10 +259,26 @@ def bpe_train(
     production path.
     """
     global LAST_TRAIN_PASSES
+    # persist is LAZY-filled: the first pass's top-pair collect runs the
+    # whole (word, count) pipeline and populates the cache for the
+    # apply/checkpoint job that follows it — consumers are strictly
+    # sequential here, so the old eager count() was a pure extra job
+    # per train (r13, guide §1/§2: fewer job boundaries)
     words = _symbolize(word_counts(df, text_col, pattern)).persist()
-    words.count()  # eager fill: every merge step re-reads the vocab table
     merges: list[tuple[int, str, str, int]] = []
     passes = 0
+    # Driver-side SUPERSET of symbols a merge concat could alias
+    # (r13 — replaces the per-pass live-vocab probe JOB): initial
+    # symbols are single characters plus the MARKER (see _symbolize:
+    # '(.)' splits every char), so a concat (length >= 2) can only
+    # equal (a) the MARKER or (b) a concat applied by an earlier
+    # batch. Symbols never appear from anywhere else; dead symbols
+    # left in the set only make the check conservative — it may trim
+    # a batch that the live probe would have kept, and any prefix of
+    # a safe batch is itself safe (later merges re-enter via the next
+    # pass's exact recount), so the learned merge table is UNCHANGED
+    # (pytest-pinned batch == sequential equality still holds).
+    alias_symbols: set[str] = {MARKER}
     try:
         while len(merges) < num_merges:
             passes += 1
@@ -283,26 +299,17 @@ def bpe_train(
             else:
                 batch = _select_merge_batch(top, want, complete=len(top) < k)
             if want > 1 and len(batch) > 1:
-                # live-vocab alias probe: a merged token that already
+                # alias guard: a merged token whose string already
                 # EXISTS as a symbol lets that merge change counts of
                 # pairs OUTSIDE the batch's symbol set, voiding the
                 # boundary bound for every LATER batch member — keep
                 # the batch only up to and including the first
                 # colliding pair (that pair's own count is still
-                # exact; the argmax alone is always safe)
-                padded = F.concat(F.lit(" "), F.col("ws"), F.lit(" "))
-                hits = words.select(
-                    *[
-                        F.max(
-                            F.contains(padded, F.lit(f" {a}{b} ")).cast(
-                                "int"
-                            )
-                        ).alias(f"__h{i}")
-                        for i, (a, b, _) in enumerate(batch)
-                    ]
-                ).collect()[0]
+                # exact; the argmax alone is always safe). Checked
+                # against the driver-side superset above: no Spark job.
                 for i in range(len(batch) - 1):
-                    if hits[f"__h{i}"]:
+                    a, b, _ = batch[i]
+                    if (a + b) in alias_symbols:
                         batch = batch[: i + 1]
                         break
             for a, b, cnt in batch:
@@ -319,6 +326,7 @@ def bpe_train(
             ).localCheckpoint(eager=True)
             words.unpersist()
             words = nxt
+            alias_symbols.update(a + b for a, b, _ in batch)
         vocab = (
             words.select(F.explode(F.split(F.col("ws"), " ")).alias("token"), "n")
             .groupBy("token")
@@ -334,11 +342,15 @@ def bpe_train(
 
 def bpe_merges_df(
     df: DataFrame, text_col: str = "text", num_merges: int = 8,
-    pattern: str = WORD_RE,
+    pattern: str = WORD_RE, merge_batch: int = 1,
 ) -> DataFrame:
     """The learned merge table as a DataFrame (step, left, right,
-    pair_count) — the oracle-checkable tokenizer artifact."""
-    merges, _, _ = bpe_train(df, text_col, num_merges, pattern)
+    pair_count) — the oracle-checkable tokenizer artifact.
+    ``merge_batch`` uses the EXACT batched train (identical table,
+    fewer corpus passes — see :func:`bpe_train`)."""
+    merges, _, _ = bpe_train(
+        df, text_col, num_merges, pattern, merge_batch=merge_batch
+    )
     # left/right are SQL keywords — left_sym/right_sym keeps the oracle
     # column names splice-safe
     return local_rows_df(
@@ -350,10 +362,12 @@ def bpe_merges_df(
 
 def bpe_vocab_df(
     df: DataFrame, text_col: str = "text", num_merges: int = 8,
-    pattern: str = WORD_RE,
+    pattern: str = WORD_RE, merge_batch: int = 1,
 ) -> DataFrame:
     """Post-merge symbol vocabulary (token, n_occurrences)."""
-    _, vocab, _ = bpe_train(df, text_col, num_merges, pattern)
+    _, vocab, _ = bpe_train(
+        df, text_col, num_merges, pattern, merge_batch=merge_batch
+    )
     return vocab
 
 
@@ -363,6 +377,7 @@ def bpe_encode_df(
     text_col: str = "text",
     num_merges: int = 8,
     pattern: str = WORD_RE,
+    merge_batch: int = 1,
 ) -> DataFrame:
     """ENCODE side of the tokenizer: per-document token statistics under
     the trained merges — (id, n_words, n_tokens). The per-word
@@ -370,7 +385,9 @@ def bpe_encode_df(
     pass is one corpus explode + broadcast join + per-doc aggregate (no
     vocabulary shuffle). n_tokens is what a context-length planner /
     token-budget accountant actually needs."""
-    _, _, word_map = bpe_train(df, text_col, num_merges, pattern)
+    _, _, word_map = bpe_train(
+        df, text_col, num_merges, pattern, merge_batch=merge_batch
+    )
     tok_per_word = word_map.select(
         "word", F.size(F.split(F.col("ws"), " ")).cast("long").alias("__wt")
     )

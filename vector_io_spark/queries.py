@@ -5794,11 +5794,17 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the argmax row reaches the driver. DuckDB retrains from scratch
     (unrolled CTE rounds) and must learn the IDENTICAL merge table —
     tokenizer vocabulary induction as an oracle-exact operator
-    (operators/bpe.py)."""
+    (operators/bpe.py). merge_batch=8 (r13): the EXACT batched train —
+    symbol-disjoint boundary-trimmed batches, provably the identical
+    merge table (pytest-pinned seq==batch equality + this oracle hash)
+    — cuts the 8 one-merge rounds (2 jobs each) to ~O(8/batch) corpus
+    passes; at a real 30k vocabulary that is the difference between
+    trainable and untrainable (guide §1.2: fix the algorithm's round
+    count, not the per-round constant)."""
     from vector_io_spark.operators.bpe import bpe_merges_df
 
     d = _t(spark, sf_dir, "documents")
-    return bpe_merges_df(d, "text", num_merges=8)
+    return bpe_merges_df(d, "text", num_merges=8, merge_batch=8)
 
 
 @_register(
@@ -5810,11 +5816,13 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The symbol vocabulary after applying the 8 learned BPE merges
     (token, weighted occurrence count) — verifies merge APPLICATION
-    (the double-replace pass semantics) beyond the merge table itself."""
+    (the double-replace pass semantics) beyond the merge table itself.
+    merge_batch=8 (r13): exact batched train, identical result, fewer
+    rounds — see bpe_merge_table."""
     from vector_io_spark.operators.bpe import bpe_vocab_df
 
     d = _t(spark, sf_dir, "documents")
-    return bpe_vocab_df(d, "text", num_merges=8)
+    return bpe_vocab_df(d, "text", num_merges=8, merge_batch=8)
 
 
 @_register(
@@ -5828,11 +5836,13 @@ def bpe_encode_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts under the 8 learned BPE merges — the token-budget accounting
     a context-length planner runs over the corpus. The |vocab|-sized
     segmentation table broadcasts; the corpus does one explode +
-    broadcast join + per-doc aggregate."""
+    broadcast join + per-doc aggregate. merge_batch=8 (r13): exact
+    batched train, identical result, fewer rounds — see
+    bpe_merge_table."""
     from vector_io_spark.operators.bpe import bpe_encode_df
 
     d = _t(spark, sf_dir, "documents")
-    return bpe_encode_df(d, "doc_id", "text", num_merges=8)
+    return bpe_encode_df(d, "doc_id", "text", num_merges=8, merge_batch=8)
 
 
 _PAGERANK_EDGES_SQL = """
@@ -8729,7 +8739,9 @@ def bpe_tokenize_and_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_io_spark.operators.chunking import pack_sequences
 
     d = _t(spark, sf_dir, "documents")
-    enc = bpe_encode_df(d, "doc_id", "text", num_merges=8).select(
+    enc = bpe_encode_df(
+        d, "doc_id", "text", num_merges=8, merge_batch=8
+    ).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
     return pack_sequences(enc, "doc_id", "n_tokens", budget=512)
