@@ -116,6 +116,53 @@ def test_ngram_jaccard(spark, sf_dir):
     assert pairs.count() >= 50
 
 
+def test_ngram_jaccard_lazy_plan_path_matches(spark, sf_dir):
+    """materialize=False (the r13 plan-capture path) must return the
+    same pair set as the checkpointed default — pins the count-window
+    df_sh + persisted-prefix staging against the released result."""
+    from vector_io_spark.cache_registry import release_pending
+
+    docs = load(spark, sf_dir, "documents").limit(40)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").union(dup)
+    eager = sorted(
+        map(tuple, ngram_jaccard_pairs(corpus, "doc_id", "text").collect())
+    )
+    lazy = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                corpus, "doc_id", "text", materialize=False
+            ).collect(),
+        )
+    )
+    release_pending()
+    assert eager == lazy and len(eager) >= 40
+
+
+def test_cache_registry_releases_once():
+    """register() queues frames; release_pending() unpersists each
+    exactly once, tolerating already-dead sessions."""
+    from vector_io_spark import cache_registry
+
+    class _Frame:
+        def __init__(self, boom=False):
+            self.calls = 0
+            self.boom = boom
+
+        def unpersist(self):
+            self.calls += 1
+            if self.boom:
+                raise RuntimeError("session stopped")
+
+    ok, dead = _Frame(), _Frame(boom=True)
+    cache_registry.register(ok, dead)
+    cache_registry.release_pending()
+    assert ok.calls == 1 and dead.calls == 1
+    cache_registry.release_pending()  # queue drained — no re-release
+    assert ok.calls == 1 and dead.calls == 1
+
+
 def test_similarity_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")

@@ -714,6 +714,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs >= threshold via a PPJoin-style
     prefix-filtered set-similarity join.
@@ -770,13 +771,13 @@ def ngram_jaccard_pairs(
             "sh_arr"
         ),
     ).persist()
-    shingle_arrays.count()  # eager fill: 4 downstream consumers
+    if materialize:
+        shingle_arrays.count()  # eager fill: 4 downstream consumers
     sh = shingle_arrays.select(
         id_col,
         F.size("sh_arr").alias("n_sh"),
         F.explode("sh_arr").alias("shingle"),
     )
-    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     # Global shingle order = (df ascending, shingle): rarest first, the
     # canonical PPJoin ordering. Two volume cuts before the window/join:
     #   - df == 1 shingles can never match across documents, and in the
@@ -788,7 +789,16 @@ def ngram_jaccard_pairs(
     #   - n_sh rides along from size(sh_arr) at explode time — no join
     #     against a per-doc sizes table (a broadcast of one row per
     #     document would be billions of rows at 100 TB).
-    ranked = sh.join(doc_freq.where(F.col("df_sh") >= 2), "shingle")
+    #   - df_sh is a COUNT WINDOW over the shingle clustering, not a
+    #     groupBy + join-back (r13, guide §2.4): count(*) over
+    #     (partition by shingle) equals the old doc_freq join value row
+    #     for row, and the exploded corpus-scale frame crosses ONE
+    #     exchange (the window's) instead of two (the aggregate's and
+    #     the join probe side's).
+    wsh = Window.partitionBy("shingle")
+    ranked = sh.withColumn("df_sh", F.count("*").over(wsh)).where(
+        F.col("df_sh") >= 2
+    )
     wdoc = Window.partitionBy(id_col)
     w = wdoc.orderBy(F.col("df_sh").asc(), F.col("shingle").asc())
     prefixes = (
@@ -802,7 +812,17 @@ def ngram_jaccard_pairs(
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
         )
         .select(id_col, "shingle", "n_sh", "__rk")
+        # persisted: BOTH sides of the candidate self-join read this
+        # frame; uncached, the whole explode→df-window→rank-window
+        # chain was planned (and executed) once PER SIDE — the r13
+        # profile showed the two duplicate 4.5 MB exchanges as the
+        # query's heaviest stages. Prefix-sized (df>=2 rows only),
+        # released with the shingle cache below.
+        .persist()
     )
+    if materialize:
+        prefixes.count()  # eager fill: the self-join's two concurrent
+        # map stages would otherwise race to compute the window chain
     a, b = prefixes.alias("a"), prefixes.alias("b")
     # Positional filter (PPJoin): a match at global ranks (ra, rb) caps
     # the attainable overlap at min(na - ra, nb - rb) + 1, which must
@@ -858,7 +878,16 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_release(verified, shingle_arrays)
+    if not materialize:
+        # plan-capture path (tools/plan_round_shapes_r13.py): the
+        # checkpointed result hides the pair-finding plan from
+        # explain(); hand back the lazy frame and queue the persisted
+        # inputs for the registry release instead.
+        from vector_io_spark.cache_registry import register
+
+        register(shingle_arrays, prefixes)
+        return verified
+    return _materialize_release(verified, shingle_arrays, prefixes)
 
 
 # --------------------------------------------------------------------------

@@ -126,6 +126,21 @@ def semdedup(
         # cosine below uses the same sqrt(dot(x,x)) subexpression)
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    # SHARED RELATION (r13, guide §5): scored feeds THREE consumers —
+    # both sides of the within-cell pair join and the final keep join.
+    # Uncached, Spark plans the whole subtree per reference (measured:
+    # 12 parquet scans, the exploded-corpus centroid aggregation run
+    # 3×, zero ReusedExchange). One materialization of (id, cell, vec,
+    # c2c, norm) — the same pass the algorithm needs anyway — replaces
+    # two full recomputes; released at the next query build via the
+    # cache registry (query-scoped, not a session leak). The eager
+    # count blocks the pair join's concurrent build/probe stages from
+    # racing to fill the cache.
+    scored = scored.persist()
+    scored.count()
+    from vector_io_spark.cache_registry import register
+
+    register(scored)
 
     a, b = scored.alias("a"), scored.alias("b")
     pair_den = F.col("a.__n") * F.col("b.__n")

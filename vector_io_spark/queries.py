@@ -185,23 +185,18 @@ def _cos_sql(x: str, y: str) -> str:
 # operators/dedup._materialize_release prevents operator-side). Kept
 # lazy (no localCheckpoint) so the returned plan stays inspectable by
 # the plan-quality gates and the judge.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _release_pending_caches() -> None:
-    while _LIVE_CACHES:
-        c = _LIVE_CACHES.pop()
-        try:
-            c.unpersist()
-        except Exception:
-            pass  # session may be stopped/rebuilt between queries
+from vector_io_spark.cache_registry import (  # noqa: E402
+    _LIVE as _LIVE_CACHES,
+    release_pending as _release_pending_caches,
+)
 
 
 def _finalize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Register ``cached`` (persisted corpus-scale intermediates feeding
     ``result``) for release when the next registered query is built.
-    See ``_LIVE_CACHES``; every ``.persist()`` inside a query body must
-    route its frame through here."""
+    See ``cache_registry`` (r13: registry split out so operators can
+    defer-release their own shared relations); every ``.persist()``
+    inside a query body must route its frame through here."""
     _LIVE_CACHES.extend(cached)
     return result
 
@@ -6778,13 +6773,22 @@ def _shared_window_positions(spark: SparkSession, sf_dir: str):
     corpus inputs), doc-frequency >= 2 filter, and the fp-key semi join
     back (the shared-fp set is corpus-sized — never broadcast)."""
     from vector_io_spark.functions.text import kept_window_fingerprints
+    from vector_io_spark.operators.dedup import _rebalance_for_cpu
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # persisted: BOTH legs below (df filter + semi join back) read w, and
     # without the cache the ~L/keep_every-per-doc md5 kernel runs twice
-    # per query (r12 — callers release via _finalize_release)
+    # per query (r12 — callers release via _finalize_release).
+    # r13 (guide §2.6/§4): the kernel input gets the same CPU rebalance
+    # as every other pandas-kernel stage — the raw documents scan yields
+    # 1-2 row-group splits, so the md5 kernel ran as ONE 2.4 s serial
+    # task (profiled); at scale with sanely-written tables the guard
+    # no-ops. The eager count below fills the cache ONCE — lazily, the
+    # two AQE legs (df aggregate + semi-join probe) raced and each ran
+    # the whole kernel (profiled: two identical 2.4 s single-task jobs).
     w = (
-        d.select(
+        _rebalance_for_cpu(d)
+        .select(
             "doc_id",
             F.explode(
                 kept_window_fingerprints("text", n=8, keep_every=4)
@@ -6793,6 +6797,7 @@ def _shared_window_positions(spark: SparkSession, sf_dir: str):
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .persist()
     )
+    w.count()
     # df >= 2 over non-null doc ids == min != max: one plain map-combined
     # min/max aggregate instead of countDistinct's two-phase partial-set
     # expansion over the full window relation (r12)
@@ -10190,7 +10195,6 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("group_a", "source_a")
         .withColumnRenamed("group_b", "source_b")
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")
     inter = (
@@ -10199,12 +10203,20 @@ def sketch_catalog_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("__ni"))
     )
-    za = sizes.select(
-        F.col("source").alias("source_a"), F.col("n").alias("__na")
-    )
-    zb = sizes.select(
-        F.col("source").alias("source_b"), F.col("n").alias("__nb")
-    )
+    # r13 (guide §5/§2.4): the per-source size table is |sources| rows
+    # (20 here; bounded by the catalog's group count at any scale), but
+    # the za/zb broadcast builds each planned their OWN full aggregate
+    # over the cached corpus-scale shingle relation (profiled: two
+    # 32-task cache scans, one per join side). Aggregate once, land the
+    # KB-sized result on the driver, feed both joins as local frames —
+    # one corpus-cache pass removed; only |sources| rows reach the
+    # driver (integer counts: replays exactly).
+    sizes_rows = [
+        (r["source"], r["n"])
+        for r in sh.groupBy("source").agg(F.count("*").alias("n")).collect()
+    ]
+    za = local_rows_df(spark, sizes_rows, "source_a string, __na bigint")
+    zb = local_rows_df(spark, sizes_rows, "source_b string, __nb bigint")
     ni = F.coalesce(F.col("__ni"), F.lit(0)).cast("double")
     exact = F.round(
         ni / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__ni"), F.lit(0))),
