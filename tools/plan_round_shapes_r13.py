@@ -154,6 +154,69 @@ def _ngram_pair_r12(df, id_col, text_col, shingle_k, threshold):
     return verified, shingle_arrays
 
 
+def _copurchase_internal(spark, sf_dir, wedge_shape):
+    """The triangle-count chain of copurchase_triangles up to (but not
+    including) the localCheckpoint, with the wedge stage in either the
+    r12 self-join shape or the r13 grouped-expansion shape
+    (operators/graph.oriented_wedges)."""
+    from pyspark.sql import functions as F
+
+    from vector_io_spark.operators.graph import (
+        degree_oriented_edges,
+        oriented_wedges,
+    )
+    from vector_io_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("part_a", "part_b")
+    )
+    oriented = degree_oriented_edges(e, "part_a", "part_b").persist()
+    if wedge_shape == "join":
+        # the 358e729 self-join formulation (two exchanges of the same
+        # cached frame + SMJ sorts), reconstructed from git history
+        w1 = oriented.select(
+            F.col("src"), F.col("dst").alias("v"),
+            F.col("deg_dst").alias("__dv"),
+        )
+        w2 = oriented.select(
+            F.col("src"), F.col("dst").alias("w"),
+            F.col("deg_dst").alias("__dw"),
+        )
+        wedges = (
+            w1.join(w2, "src")
+            .where(
+                F.struct(F.col("__dv"), F.col("v"))
+                < F.struct(F.col("__dw"), F.col("w"))
+            )
+            .select("src", "v", "w")
+        )
+    else:
+        wedges = oriented_wedges(oriented)
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    out = (
+        closed.select(F.explode(F.array("src", "v", "w")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return out, oriented
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "plans/r13"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +252,17 @@ def main() -> None:
     print(f"value-check OK: {len(rows_after)} pairs identical in both shapes")
     before_cache.unpersist()
     release_pending()
+
+    tri_after, cache_a = _copurchase_internal(spark, sf_dir, "grouped")
+    _dump(tri_after, os.path.join(out_dir, "copurchase_wedge_after.txt"))
+    tri_before, cache_b = _copurchase_internal(spark, sf_dir, "join")
+    _dump(tri_before, os.path.join(out_dir, "copurchase_wedge_before.txt"))
+    ra = sorted(map(tuple, tri_after.collect()))
+    rb = sorted(map(tuple, tri_before.collect()))
+    assert ra == rb, f"triangle mismatch: {len(ra)} vs {len(rb)} rows"
+    print(f"value-check OK: {len(ra)} triangle rows identical in both shapes")
+    cache_a.unpersist()
+    cache_b.unpersist()
 
 
 if __name__ == "__main__":

@@ -226,20 +226,40 @@ def oriented_wedges(oriented: DataFrame) -> DataFrame:
     with v before w in the (deg, key) total order — each candidate
     triangle generates exactly ONE wedge, anchored at its
     lowest-ordered vertex. Exposed separately so tests can pin the
-    wedge-count bound on skewed fixtures."""
-    w1 = oriented.select(
-        F.col("src"), F.col("dst").alias("v"), F.col("deg_dst").alias("__dv")
-    )
-    w2 = oriented.select(
-        F.col("src"), F.col("dst").alias("w"), F.col("deg_dst").alias("__dw")
+    wedge-count bound on skewed fixtures.
+
+    r13 shape (guide §2.4): grouped neighbor-list expansion instead of
+    the w1 ⋈ w2 self-join on src. The self-join exchanged the SAME
+    cached frame twice and sorted both sides (profiled: the two
+    heaviest stages of copurchase_triangles); the groupBy exchanges it
+    once and the ordered (i < j) pairs stream out of a nested explode.
+    Same pair set: neighbors sorted by (deg, key) == the old
+    struct(__dv, v) < struct(__dw, w) predicate. Peak memory is the
+    per-src neighbor LIST, O(out-degree) = the orientation's O(√|E|)
+    cap — the C(out-degree, 2) pair set is never materialized at once
+    (outer posexplode streams, inner explode sees a ≤ out-degree
+    slice)."""
+    nbrs = (
+        oriented.groupBy("src")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("deg_dst"), F.col("dst")))
+            ).alias("__ns")
+        )
+        .where(F.size("__ns") >= 2)
     )
     return (
-        w1.join(w2, "src")
-        .where(
-            F.struct(F.col("__dv"), F.col("v"))
-            < F.struct(F.col("__dw"), F.col("w"))
+        nbrs.select(
+            "src", F.posexplode("__ns").alias("__i", "__v"), "__ns"
         )
-        .select("src", "v", "w")
+        .select(
+            "src",
+            F.col("__v.dst").alias("v"),
+            F.explode(
+                F.slice(F.col("__ns"), F.col("__i") + 2, F.size("__ns"))
+            ).alias("__w"),
+        )
+        .select("src", "v", F.col("__w.dst").alias("w"))
     )
 
 
