@@ -74,7 +74,37 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    ej.count()
+    m = ej.count()
+
+    # r13 (guide §2.2 fewer/larger partitions, scale-adaptive): every
+    # round re-scans both caches, and their partition count — the static
+    # shuffle-partition setting — is what the per-round map stage
+    # inherits (cached plans are exempt from AQE coalescing; profiled:
+    # 64 near-empty tasks per round at bench scale, ~190 ms of pure
+    # scheduling overhead each). After the counts are known, RE-PERSIST
+    # each loop-side relation compacted to a byte-derived partition
+    # count (~48 B/row in-memory, 64 MB/task target) and drop the wide
+    # cache. The compaction is a shuffle-free coalesce and a no-op
+    # whenever the data actually fills the partitions (at 100 TB the
+    # byte-derived count exceeds the cache's), so the build's 32-way
+    # parallelism for the window/dedup/distinct is untouched. The JOIN
+    # SUBTREE still sees a plain InMemoryRelation probe side, keeping
+    # the round's BroadcastHashJoin(ranks) shape (coalescing inside the
+    # join subtree instead was measured to flip it to a per-round
+    # edge-side shuffle — rejected). Integer arithmetic throughout, so
+    # partitioning/order changes cannot move a bit.
+    def _compacted(df: DataFrame, rows: int) -> DataFrame:
+        have = df.rdd.getNumPartitions()
+        want = max(1, min(have, (rows * 48 + (64 << 20) - 1) // (64 << 20)))
+        if want >= have:
+            return df
+        small = df.coalesce(want).persist()
+        small.count()
+        df.unpersist()
+        return small
+
+    ej = _compacted(ej, m)
+    nodes = _compacted(nodes, n)
     # half-away-from-zero on the SAME double the SQL replay computes —
     # Python's round() is banker's and would diverge on .5 boundaries
     r0q = int(math.floor(SCALE / n + 0.5))
